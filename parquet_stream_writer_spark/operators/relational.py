@@ -1,0 +1,645 @@
+"""Relational query pack — scans, joins, aggregates, windows, set ops.
+
+The reference implements none of these (verified absence — it is a
+write-only sink; see SURVEY.md §2b), so this module is the §2c
+extension surface: every operator class a user of a general analytics
+engine expects, expressed with built-in DataFrame operators only.
+
+Scale notes (100 TB / 1000-executor design intent):
+
+- Dimension tables (region/nation/supplier/part/customer) are joined
+  with explicit ``F.broadcast`` — no shuffle of the fact table for
+  star joins; at real scale the fact side streams map-side.
+- Aggregations use ``groupBy`` so Catalyst plans partial (map-side)
+  + final aggregation automatically; no driver-side collect anywhere.
+- Filters are applied directly on scan columns so they push into the
+  parquet reader (verify with ``.explain``: PushedFilters).
+- Top-k per group uses window ``row_number`` (single shuffle on the
+  partition key); global top-k uses ``orderBy().limit(k)`` which Spark
+  executes as TakeOrderedAndProject (no full sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_stream_writer_spark.functions import pround, sql_round
+
+from parquet_stream_writer_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / projection
+# ---------------------------------------------------------------------------
+
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushed into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_quantity") > F.lit(45.0))
+            & (F.col("l_discount") < F.lit(0.02))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            pround(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 2).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+ORACLE_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       floor((l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100.0 AS net_price
+FROM lineitem
+WHERE l_quantity > 45.0 AND l_discount < 0.02
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (hash agg, partial+final)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            pround(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100.0                                           AS sum_qty,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0                                      AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0                   AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100.0     AS sum_charge,
+       floor((avg(l_quantity)) * 10000 + 0.5) / 10000.0                                           AS avg_qty,
+       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000.0                                      AS avg_price,
+       floor((avg(l_discount)) * 10000 + 0.5) / 10000.0                                           AS avg_disc,
+       count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggregates (Catalyst expand)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_AGG_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*)                  AS n_orders,
+       floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — rows-only check (sketch
+    values differ by implementation; DuckDB approx_count_distinct uses
+    a different HLL seed so no value oracle is possible)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two order dimensions."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_AGG_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price,
+       count(*)                    AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (subset of cube) via groupingSets API."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_AGG_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price,
+       count(*)                    AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: fact lineitem joined through orders →
+    customer → nation → region, dims explicitly broadcast (zero fact
+    shuffle for the dim joins at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_JOIN_BROADCAST_STAR = """
+SELECT n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS revenue,
+       count(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def join_shuffle_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact sort-merge join (lineitem ⋈ orders) — the shuffle
+    join path; AQE picks partition counts and handles skew."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_JOIN_SHUFFLE_LARGE = """
+SELECT o_orderstatus,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_price,
+       floor((avg(l_discount)) * 10000 + 0.5) / 10000.0      AS avg_disc,
+       count(*)                       AS n_rows
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one urgent order."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_JOIN_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", pround("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_name, floor((c_acctbal) * 100 + 0.5) / 100.0 AS acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving order-less customers, with null-safe
+    aggregation over the outer side."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            pround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_JOIN_OUTER = """
+SELECT c_mktsegment,
+       count(o_orderkey)         AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers,
+       floor((coalesce(sum(o_totalprice), 0.0)) * 100 + 0.5) / 100.0 AS sum_price
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top 10 orders by revenue for one segment —
+    broadcast dim filter, shuffle join, agg, deterministic top-k."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(building), orders.o_custkey == building.c_custkey)
+        .where((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders by price (row_number over a window —
+    one shuffle on the partition key, rank filter pushed below the
+    window by Catalyst's WindowGroupLimit at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            pround("o_totalprice", 2).alias("totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS totalprice, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per customer ordered by date (frame ops)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        pround(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        pround(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        pround(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 2
+        ).alias("moving_avg3"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       floor((sum(o_totalprice) OVER w_cum) * 100 + 0.5) / 100.0  AS running_total,
+       floor((lag(o_totalprice, 1) OVER w_ord) * 100 + 0.5) / 100.0 AS prev_price,
+       floor((avg(o_totalprice) OVER w_mov) * 100 + 0.5) / 100.0  AS moving_avg3
+FROM orders
+WINDOW
+  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile over part prices within brand."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("int").alias("price_rank"),
+        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+    )
+
+
+ORACLE_WINDOW_RANK_DENSE = """
+SELECT p_brand, p_partkey,
+       CAST(rank()       OVER w AS INTEGER) AS price_rank,
+       CAST(dense_rank() OVER w AS INTEGER) AS price_dense_rank,
+       CAST(ntile(4)     OVER w AS INTEGER) AS price_quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", "o_custkey", pround("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+ORACLE_TOPK_GLOBAL = """
+SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 15
+"""
+
+
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets, tagged."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        building.intersect(with_urgent).withColumn("tag", F.lit("both"))
+        .unionAll(building.exceptAll(with_urgent.intersect(building)).withColumn("tag", F.lit("building_only")))
+    )
+
+
+ORACLE_SET_OPERATIONS = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     with_urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT c_custkey, 'both' AS tag FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM with_urgent)
+UNION ALL
+SELECT c_custkey, 'building_only' AS tag
+FROM (SELECT c_custkey FROM building EXCEPT ALL (SELECT c_custkey FROM with_urgent INTERSECT SELECT c_custkey FROM building))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math built-ins exercised in one projection
+    (all whole-stage-codegen'd JVM expressions — no Python)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio_code"),
+        F.length("o_orderstatus").cast("int").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        pround(F.sqrt(F.abs(F.col("o_totalprice"))), 4).alias("sqrt_price"),
+        pround(F.ln(F.col("o_totalprice") + 1.0), 4).alias("ln_price"),
+        pround(F.pow(F.col("o_totalprice"), F.lit(0.25)), 4).alias("price_4rt"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.when(F.col("o_totalprice") > 100000, "high")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+ORACLE_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       upper(substring(o_orderpriority, 1, 3)) AS prio_code,
+       CAST(length(o_orderstatus) AS INTEGER)  AS status_len,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+       CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER)   AS order_day,
+       floor((sqrt(abs(o_totalprice))) * 10000 + 0.5) / 10000.0   AS sqrt_price,
+       floor((ln(o_totalprice + 1.0)) * 10000 + 0.5) / 10000.0    AS ln_price,
+       floor((pow(o_totalprice, 0.25)) * 10000 + 0.5) / 10000.0   AS price_4rt,
+       o_orderkey % 7                      AS key_mod7,
+       CASE WHEN o_totalprice > 100000 THEN 'high'
+            WHEN o_totalprice > 10000  THEN 'mid'
+            ELSE 'low' END                 AS price_band
+FROM orders
+"""
+
+
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the numeric field from events.props JSON payloads.
+
+    Uses get_json_object (JVM JSON path) in Spark; the oracle uses a
+    regexp so it does not depend on DuckDB's JSON extension.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACTION = """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS sum_k,
+       max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "scan_filter_project": scan_filter_project,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "join_broadcast_star": join_broadcast_star,
+    "join_shuffle_large": join_shuffle_large,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_outer": join_outer,
+    "window_topk_per_group": window_topk_per_group,
+    "window_running": window_running,
+    "window_rank_dense": window_rank_dense,
+    "topk_global": topk_global,
+    "set_operations": set_operations,
+    "scalar_functions": scalar_functions,
+    "json_extraction": json_extraction,
+}
+
+ORACLE = {
+    "scan_filter_project": ORACLE_SCAN_FILTER_PROJECT,
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "agg_distinct": ORACLE_AGG_DISTINCT,
+    "agg_rollup": ORACLE_AGG_ROLLUP,
+    "agg_cube": ORACLE_AGG_CUBE,
+    "agg_grouping_sets": ORACLE_AGG_GROUPING_SETS,
+    "join_broadcast_star": ORACLE_JOIN_BROADCAST_STAR,
+    "join_shuffle_large": ORACLE_JOIN_SHUFFLE_LARGE,
+    "join_semi": ORACLE_JOIN_SEMI,
+    "join_anti": ORACLE_JOIN_ANTI,
+    "join_outer": ORACLE_JOIN_OUTER,
+    "window_topk_per_group": ORACLE_WINDOW_TOPK,
+    "window_running": ORACLE_WINDOW_RUNNING,
+    "window_rank_dense": ORACLE_WINDOW_RANK_DENSE,
+    "topk_global": ORACLE_TOPK_GLOBAL,
+    "set_operations": ORACLE_SET_OPERATIONS,
+    "scalar_functions": ORACLE_SCALAR_FUNCTIONS,
+    "json_extraction": ORACLE_JSON_EXTRACTION,
+    # agg_approx_distinct: intentionally no oracle (sketch-dependent).
+}

@@ -1,0 +1,60 @@
+"""Table loaders for the driver's parquet corpus.
+
+All loads are plain ``spark.read.parquet`` scans — declarative, so
+Catalyst pushes filters and prunes columns into the vectorized parquet
+reader. The one special case is ``events``: its ``ts`` column is
+parquet ``TIMESTAMP(NANOS)`` which Spark cannot represent natively, so
+we read it as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``) and
+project an explicit ns→µs truncation to ``timestamp_ntz``, matching
+what DuckDB does when it reads the same file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_stream_writer_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table; ``events`` gets the ns→µs projection."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` as microsecond ``timestamp_ntz``.
+
+    ``ts div 1000`` is integer division (no double round-trip — ns since
+    epoch exceeds double's 53-bit mantissa), then ``timestamp_micros``
+    + NTZ cast under the UTC session timezone. Truncation (not
+    rounding) matches DuckDB's ns→µs read behavior.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
