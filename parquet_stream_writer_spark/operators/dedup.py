@@ -1,4 +1,443 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Deduplication operators over the ``documents`` corpus.
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+The reference has no dedup surface (SURVEY.md §2b); these are the
+north-star LLM-pipeline extensions. Four families, each a different
+point on the exactness/scale tradeoff:
+
+- ``dedup_exact``            — hash groupBy on normalized text; the
+  O(n) baseline, one shuffle on the text key.
+- ``dedup_ngram_jaccard``    — exact Jaccard over 3-token shingles for
+  every pair sharing a shingle. Exact but quadratic in the worst case;
+  the small-corpus ground truth the approximate methods are judged
+  against.
+- ``dedup_minhash_lsh``      — MinHash signatures + banded LSH: only
+  pairs sharing a band bucket are verified. This is the 100 TB path:
+  signature build is one shuffle of (doc × K) rows, banding is a
+  shuffle of (doc × bands) rows, and exact verification touches only
+  candidate pairs. Hot buckets (degenerate shingles) are capped at
+  ``_BUCKET_CAP`` docs — the standard LSH skew guard; the cap is
+  replicated in the oracle so results stay bit-identical.
+- ``dedup_simhash``          — 16-bit SimHash over token frequencies;
+  identical-fingerprint grouping (Hamming-0). Cheapest signature;
+  demonstrates the bit-arithmetic lane.
+
+Everything is built-in JVM expressions — no Python UDFs. The hash
+family is md5 (same lowercase hex in Spark and DuckDB), which makes
+even the *approximate* pipelines exactly reproducible by the oracle:
+min-over-hex-strings is a valid uniform MinHash and identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.sources import load_table
+
+#: MinHash signature length and LSH banding (K = BANDS * ROWS_PER_BAND).
+_K = 12
+_BANDS = 4
+_ROWS_PER_BAND = 3
+#: Skip LSH buckets with more than this many docs (skew guard).
+_BUCKET_CAP = 50
+#: Exact-Jaccard acceptance threshold for near-dup pairs.
+_J_THRESHOLD = 0.5
+
+
+def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) of ``n``-token shingles.
+
+    posexplode keeps token order; shingles are built with window
+    ``lead`` so the construction is a narrow per-doc operation after
+    one shuffle on doc_id (at scale: documents are already hash-
+    distributed by doc_id, so this shuffle is cheap and reusable by
+    every downstream dedup op).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sep_joined = F.concat_ws(" ", *parts)
+    # concat_ws skips NULLs, so explicitly require the last token.
+    sh = toks.select(
+        "doc_id",
+        F.when(F.lead("tok", n - 1).over(w).isNotNull(), sep_joined).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    return sh.distinct()
+
+
+#: Oracle twin of :func:`_shingles` as a CTE body (DuckDB dialect —
+#: unnest/generate_subscripts instead of posexplode; lead is shared).
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN lead(tok, 2) OVER w IS NOT NULL
+              THEN tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+         END AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+ds AS (SELECT DISTINCT doc_id, shingle FROM shingled WHERE shingle IS NOT NULL)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate removal on normalized text: keep the lowest
+    doc_id per group (deterministic, unlike dropDuplicates), report
+    group size. One hash shuffle on the normalized key — at 100 TB
+    group on a fixed-width hash (``xxhash64(text)``) instead of the
+    full text to shrink shuffle rows; here the text itself keeps the
+    oracle trivially equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    w = Window.partitionBy(norm).orderBy("doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy(norm)))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", F.col("n_copies").cast("long").alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, lang, source, CAST(n_copies AS BIGINT) AS n_copies
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rk,
+         count(*)     OVER (PARTITION BY lower(trim(text)))                 AS n_copies
+  FROM documents
+) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (ground truth for the approximate methods)
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (j >= 0.5).
+
+    Candidate generation = self-join on shared shingle (inverted
+    index), so cost is bounded by shingle co-occurrence, not n².
+    Still the exact method — at 100 TB use ``dedup_minhash_lsh``;
+    this one is the correctness yardstick.
+    """
+    ds = _shingles(spark, sf_dir).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = (
+        inter.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("n_common")
+                / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+            ).alias("j"),
+        )
+    )
+    return jac.where(F.col("j") >= _J_THRESHOLD).select(
+        "d1", "d2", pround(F.col("j"), 6).alias("jaccard")
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       floor((n_common * 1.0 / (s1.n + s2.n - n_common)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_J_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+def _minhash_signatures(ds: DataFrame) -> DataFrame:
+    """K md5-seeded min-hashes per doc: one groupBy(doc_id) computes
+    all K mins map-side-partially (Catalyst partial agg), so the
+    shuffle carries one row per doc."""
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(_K)
+    ]
+    return ds.groupBy("doc_id").agg(*mins)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs, exact-Jaccard-verified (j >= 0.5).
+
+    Pipeline: shingles → K-wide signature (1 shuffle, 1 row/doc) →
+    band keys (md5 of r concatenated mins) → bucket self-join within
+    (band, key) with a ``_BUCKET_CAP`` skew guard → distinct candidate
+    pairs → exact verification via the inverted index. Only the last
+    step touches raw shingles again, and only for candidates.
+    """
+    ds = _shingles(spark, sf_dir).cache()
+    sig = _minhash_signatures(ds)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            )
+        ).alias(f"band{b}")
+        for b in range(_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bkey"))
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.bkey").alias("bkey"))
+
+    # Skew guard: drop degenerate buckets before the self-join.
+    bucket_sizes = stacked.groupBy("band_id", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    ok_buckets = bucket_sizes.where(F.col("bn") <= _BUCKET_CAP).select("band_id", "bkey")
+    pruned = stacked.join(F.broadcast(ok_buckets), ["band_id", "bkey"], "left_semi")
+
+    l = pruned.alias("l")
+    r = pruned.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
+        .distinct()
+    )
+
+    # Exact verification restricted to candidates.
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        candidates.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b, (F.col("d2") == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = (
+        inter.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("n_common") / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))).alias("j"),
+        )
+    )
+    return jac.where(F.col("j") >= _J_THRESHOLD).select(
+        "d1", "d2", pround(F.col("j"), 6).alias("jaccard")
+    )
+
+
+def _sql_minhash_core() -> str:
+    hcols = ",\n         ".join(
+        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(_K)
+    )
+    bcols = ",\n         ".join(
+        "md5("
+        + " || '|' || ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(_BANDS)
+    )
+    bunion = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, band{b} AS bkey FROM banded"
+        for b in range(_BANDS)
+    )
+    return f"""
+sig AS (
+  SELECT doc_id,
+         {hcols}
+  FROM ds GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         {bcols}
+  FROM sig
+),
+stacked AS (
+{bunion}
+),
+ok_buckets AS (
+  SELECT band_id, bkey FROM stacked GROUP BY band_id, bkey
+  HAVING count(*) <= {_BUCKET_CAP}
+),
+pruned AS (
+  SELECT s.* FROM stacked s SEMI JOIN ok_buckets o
+    ON s.band_id = o.band_id AND s.bkey = o.bkey
+),
+candidates AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM pruned l JOIN pruned r
+    ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_core().strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS n_common
+  FROM candidates c
+  JOIN ds a ON c.d1 = a.doc_id
+  JOIN ds b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+  GROUP BY c.d1, c.d2
+)
+SELECT d1, d2,
+       floor((n_common * 1.0 / (s1.n + s2.n - n_common)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_J_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _hex4_to_int_sql(col: str) -> str:
+    """Portable SQL: value of the first 4 hex chars of an md5 digest.
+
+    Both Spark SQL and DuckDB lack a shared hex→int builtin, so build
+    it from ``instr`` over a hex alphabet (identical semantics in
+    both dialects; 1-based, returns 0 when absent — digests only
+    contain [0-9a-f] so every lookup hits).
+    """
+    terms = []
+    for p in range(1, 5):
+        terms.append(
+            f"(instr('0123456789abcdef', substr({col}, {p}, 1)) - 1) * {16 ** (4 - p)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash buckets: docs whose token-frequency fingerprints
+    collide exactly (Hamming distance 0).
+
+    Per doc: token counts → each token contributes ±count to each of
+    16 bit positions (sign = bit of md5(token)) → fingerprint bit j =
+    1 iff the sum is positive. Pairs are reported per colliding
+    bucket. All arithmetic is generated SQL shared verbatim with the
+    oracle (see ``_hex4_to_int_sql``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    h16 = F.expr(_hex4_to_int_sql("md5(tok)"))
+    counts = counts.withColumn("h16", h16)
+    bit_sums = counts.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h16 div {1 << j}) % 2") == 1, F.col("w")).otherwise(-F.col("w"))
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    l = fp.alias("l")
+    r = fp.alias("r")
+    return l.join(
+        r, (F.col("l.simhash") == F.col("r.simhash")) & (F.col("l.doc_id") < F.col("r.doc_id"))
+    ).select(
+        F.col("l.doc_id").alias("d1"),
+        F.col("r.doc_id").alias("d2"),
+        F.col("l.simhash").alias("simhash"),
+    )
+
+
+def _sql_simhash() -> str:
+    h = _hex4_to_int_sql("md5(tok)")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h16 // {1 << j}) % 2 = 1 THEN w ELSE -w END) AS b{j}"
+        for j in range(16)
+    )
+    fp_expr = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS w, {h} AS h16
+  FROM toks GROUP BY doc_id, tok
+),
+bit_sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM counts GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, CAST({fp_expr} AS BIGINT) AS simhash FROM bit_sums
+)
+SELECT l.doc_id AS d1, r.doc_id AS d2, l.simhash AS simhash
+FROM fp l JOIN fp r ON l.simhash = r.simhash AND l.doc_id < r.doc_id
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _sql_simhash()
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+}

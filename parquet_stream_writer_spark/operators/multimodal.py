@@ -1,4 +1,165 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata
+processed by Arrow-batched Python kernels (``mapInPandas``).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+The driver corpus has no real image/audio bytes, so payloads are
+derived deterministically from ``documents.text`` (utf-8 bytes). What
+is REAL here — and what a production pipeline reuses unchanged — is
+the Spark-side shape: binary column handling, Arrow batch transfer,
+kernel signature, schema declaration, and partition-parallel
+execution. The actual codec call is isolated in ``_decode_image``,
+which uses Pillow when importable and otherwise a clearly-marked
+deterministic stand-in (this container ships no image libs).
+
+Both queries are still oracle-checkable because the stand-in metadata
+is pure arithmetic on byte length + md5 — computable in SQL. A real
+deployment would swap ``_decode_image`` and drop to the rows-only
+check, changing nothing else.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_stream_writer_spark.sources import load_table
+
+#: Synthetic video framing: frame payload size / stride in bytes.
+_FRAME_LEN = 64
+_FRAME_STRIDE = 256
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """Decode (width, height) from an image payload.
+
+    Uses Pillow when available; otherwise a deterministic stand-in
+    derived from the byte length (STUB — the container has no image
+    codecs; swap this function for real decoding in production).
+    """
+    try:  # pragma: no cover - Pillow absent in this environment
+        import io
+
+        from PIL import Image  # type: ignore
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height
+    except Exception:
+        n = len(payload)
+        return 16 + n % 64, 16 + (n // 64) % 64
+
+
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document image metadata extraction over a binary column.
+
+    ``payload`` is a true ``BinaryType`` column; the kernel receives
+    Arrow-backed pandas batches (bytes objects), decodes, and emits a
+    typed metadata frame. Partition-parallel, no driver round-trip.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [_decode_image(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    out = docs.mapInPandas(
+        kernel, schema="doc_id long, n_bytes long, width int, height int, checksum string"
+    )
+    return out.withColumn("n_pixels", (F.col("width") * F.col("height")).cast("long"))
+
+
+ORACLE_MULTIMODAL_IMAGE_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(16 + octet_length(encode(text)) % 64 AS INTEGER)          AS width,
+       CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER)  AS height,
+       md5(text) AS checksum,
+       CAST((16 + octet_length(encode(text)) % 64)
+          * (16 + (octet_length(encode(text)) // 64) % 64) AS BIGINT) AS n_pixels
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from a "video" payload: take ``_FRAME_LEN``-byte
+    frames every ``_FRAME_STRIDE`` bytes, emit one row per frame
+    (doc_id, frame_idx, frame_bytes, offset), then aggregate. The
+    explode-shaped kernel is the template for real frame extraction
+    (one input row → many output rows through mapInPandas)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, sizes, offs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                i = 0
+                while i * _FRAME_STRIDE < n:
+                    off = i * _FRAME_STRIDE
+                    frame = payload[off : off + _FRAME_LEN]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    offs.append(off)
+                    i += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes, "offset": offs}
+            )
+
+    frames = docs.mapInPandas(
+        kernel, schema="doc_id long, frame_idx int, frame_bytes int, offset long"
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+        F.max("offset").alias("last_offset"),
+    )
+
+
+ORACLE_MULTIMODAL_FRAME_SAMPLE = f"""
+WITH sized AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+-- DuckDB 1.0 can't laterally correlate generate_series, so cross-join
+-- a constant frame-index domain and filter (payloads are small).
+idx AS (SELECT i FROM generate_series(0, 4095) AS g(i)),
+frames AS (
+  SELECT doc_id, i AS frame_idx,
+         least({_FRAME_LEN}, n - i * {_FRAME_STRIDE}) AS frame_bytes,
+         i * {_FRAME_STRIDE} AS "offset"
+  FROM sized CROSS JOIN idx
+  WHERE i * {_FRAME_STRIDE} < n
+)
+SELECT doc_id, count(*) AS n_frames,
+       sum(frame_bytes) AS total_frame_bytes,
+       max("offset") AS last_offset
+FROM frames GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLE = {
+    "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE_META,
+    "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAME_SAMPLE,
+}

@@ -1,4 +1,267 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Similarity search over the ``embeddings`` table (array<float> × 64).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Three lanes, each a different scale strategy:
+
+- ``similarity_cosine_topk``  — exact brute-force top-k for a small
+  query set: broadcast the queries, fold the dot product with JVM
+  higher-order functions (``zip_with``/``aggregate``) — zero Python,
+  one pass over the corpus per query batch.
+- ``similarity_ann_lsh``      — approximate: random-hyperplane LSH
+  (sign-of-dot against 8 fixed planes → 256 buckets), candidates are
+  same-bucket only. This is the 100 TB path: bucket id is a cheap
+  map-side projection, and the candidate join is bucket-equi instead
+  of all-pairs. Planes are fixed literals so the DuckDB oracle
+  reproduces the exact buckets.
+- ``similarity_pair_topk``    — global most-similar pairs via a
+  vectorized numpy kernel in ``mapInPandas`` (Arrow-batched): each
+  partition matmuls its rows against the broadcast corpus matrix and
+  emits its local top-k, then a global top-k reduces. Demonstrates
+  the sanctioned Python fast path (BLAS beats per-row JVM folds for
+  dense linear algebra); still oracle-checkable because the math is
+  double-precision on both sides.
+
+All similarities are computed in float64 after casting the float32
+input (both engines see identical inputs) and rounded to 4 decimals
+with the portable rounding pair before ranking, so rank ties resolve
+identically across engines (tie-break on vec_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_stream_writer_spark.functions import cosine_similarity, pround
+from parquet_stream_writer_spark.sources import load_table
+
+#: Number of query vectors (lowest vec_ids) for the top-k queries.
+_N_QUERIES = 5
+_TOP_K = 5
+#: Hyperplane count for LSH (2^8 = 256 buckets).
+_N_PLANES = 8
+_DIM = 64
+#: Global pair-search result size.
+_N_PAIRS = 20
+
+
+def _planes() -> np.ndarray:
+    """Fixed random hyperplanes, rounded so their decimal literals are
+    short and parse to identical doubles in Spark and DuckDB."""
+    rng = np.random.RandomState(7)
+    return np.round(rng.standard_normal((_N_PLANES, _DIM)), 4)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force top-k for a query set
+# ---------------------------------------------------------------------------
+
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbours for the 5 lowest vec_ids (excluding
+    self). Queries are broadcast; corpus is scanned once."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            pround(cosine_similarity(F.col("qemb"), F.col("emb")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("qid", "vec_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_SIMILARITY_COSINE_TOPK = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM emb WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         floor(list_cosine_similarity(q.qemb, e.emb) * 10000 + 0.5) / 10000.0 AS sim
+  FROM emb e JOIN q ON e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate search
+# ---------------------------------------------------------------------------
+
+def _bucket_expr(emb_col: str) -> F.Column:
+    """Bucket id: bit p set iff dot(v, plane_p) > 0."""
+    planes = _planes()
+    bucket = F.lit(0)
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(emb_col), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 per query: candidates share the query's
+    random-hyperplane bucket. At scale the bucket id becomes a
+    partition/cluster key so each lookup touches one bucket."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr("emb"))
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            pround(cosine_similarity(F.col("qemb"), F.col("emb")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("qid", "vec_id", "bucket", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _sql_plane_literal(p: int) -> str:
+    planes = _planes()
+    return "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+
+
+def _sql_bucket(col: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({col}, {_sql_plane_literal(p)}::DOUBLE[]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLE_SIMILARITY_ANN_LSH = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         {_sql_bucket("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, emb AS qemb, bucket AS qbucket FROM emb WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id, e.bucket,
+         floor(list_cosine_similarity(q.qemb, e.emb) * 10000 + 0.5) / 10000.0 AS sim
+  FROM emb e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, bucket, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, CAST(bucket AS INTEGER) AS bucket, sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global most-similar pairs — vectorized numpy kernel
+# ---------------------------------------------------------------------------
+
+def similarity_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar distinct pairs (v1 < v2), computed with a
+    blocked numpy matmul inside ``mapInPandas``.
+
+    The corpus matrix is collected once (n × 64 float64 — ~1 MB at
+    sf0.1) and captured by the Arrow-batched kernel; each partition
+    multiplies its row block against it and emits a local top-k, then
+    a global ``orderBy().limit()`` (TakeOrderedAndProject) reduces.
+    At 100 TB the collect becomes an IVF/LSH-partitioned block join
+    (see ``similarity_ann_lsh``); the kernel shape is unchanged.
+    """
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select("vec_id", "emb")
+    rows = emb.toArrow()
+    ids = np.asarray(rows.column("vec_id"))
+    mat = np.asarray(rows.column("emb").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sc = spark.sparkContext
+    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+
+    def kernel(batches):
+        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        order = np.argsort(all_ids)
+        for pdf in batches:
+            block = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+            v1 = pdf["vec_id"].to_numpy()
+            sims = (block @ all_mat.T) / np.outer(
+                np.linalg.norm(block, axis=1), all_norms
+            )
+            out_v1, out_v2, out_s = [], [], []
+            for i in range(len(v1)):
+                mask = all_ids > v1[i]  # distinct pairs only, v1 < v2
+                if not mask.any():
+                    continue
+                cand_s = sims[i][mask]
+                cand_id = all_ids[mask]
+                top = np.argsort(-cand_s)[:_N_PAIRS]
+                out_v1.extend([int(v1[i])] * len(top))
+                out_v2.extend(cand_id[top].astype(int).tolist())
+                out_s.extend(cand_s[top].tolist())
+            yield pd.DataFrame({"v1": out_v1, "v2": out_v2, "s": out_s})
+
+    local_tops = emb.mapInPandas(kernel, schema="v1 long, v2 long, s double")
+    return (
+        local_tops.select("v1", "v2", pround(F.col("s"), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("v1"), F.asc("v2"))
+        .limit(_N_PAIRS)
+    )
+
+
+ORACLE_SIMILARITY_PAIR_TOPK = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000.0 AS sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT v1, v2, sim FROM pairs
+ORDER BY sim DESC, v1 ASC, v2 ASC
+LIMIT {_N_PAIRS}
+"""
+
+
+QUERIES = {
+    "similarity_cosine_topk": similarity_cosine_topk,
+    "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_pair_topk": similarity_pair_topk,
+}
+
+ORACLE = {
+    "similarity_cosine_topk": ORACLE_SIMILARITY_COSINE_TOPK,
+    "similarity_ann_lsh": ORACLE_SIMILARITY_ANN_LSH,
+    "similarity_pair_topk": ORACLE_SIMILARITY_PAIR_TOPK,
+}

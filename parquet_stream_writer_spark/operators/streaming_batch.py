@@ -1,4 +1,185 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Event-time operators over ``events``, batch-expressed.
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+These are the batch equivalents of the Structured Streaming pipelines
+in ``parquet_stream_writer_spark.streaming`` — same window semantics,
+runnable under the DuckDB oracle (the driver's batch-SQL check). The
+streaming module reuses these shapes with ``readStream`` +
+``withWatermark``; keeping the logic here batch-first means the exact
+same aggregation is verified by the oracle and then lifted to a
+stream.
+
+``events.ts`` arrives as parquet TIMESTAMP(NANOS) — the loader
+truncates to µs identically to DuckDB (see ``sources.load_events``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.sources import load_table
+
+#: Session gap for sessionization.
+_SESSION_GAP_MIN = 30
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (Spark ``window`` op —
+    the exact shape a streaming groupBy(window(...)) plans)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS w_start,
+       event_type,
+       count(*) AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes — each event lands in
+    exactly two windows (Spark expands via the window generator)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH expanded AS (
+  SELECT unnest([
+           time_bucket(INTERVAL '5 minutes', ts),
+           time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+         ]) AS w_start,
+         value
+  FROM events
+)
+SELECT w_start, count(*) AS n_events,
+       floor((avg(value)) * 10000 + 0.5) / 10000.0 AS avg_value
+FROM expanded GROUP BY w_start
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), gaps-and-islands:
+    flag gap-openers with lag, running-sum the flags into session ids,
+    aggregate per session. One shuffle on user_id; both window passes
+    reuse the same partitioning (no second exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = _SESSION_GAP_MIN * 60
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > gap_sec
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value
+FROM sessions GROUP BY user_id, session_idx
+"""
+
+
+def events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-dim enrichment: events joined to broadcast customer →
+    nation dims (the canonical streaming lookup join — map-side only,
+    no event shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        ev.join(F.broadcast(customer), ev.user_id == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("event_type", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_ENRICH_DIM = """
+SELECT event_type, n_name,
+       count(*) AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY event_type, n_name
+"""
+
+
+QUERIES = {
+    "events_tumbling": events_tumbling,
+    "events_sliding": events_sliding,
+    "events_sessionize": events_sessionize,
+    "events_enrich_dim": events_enrich_dim,
+}
+
+ORACLE = {
+    "events_tumbling": ORACLE_EVENTS_TUMBLING,
+    "events_sliding": ORACLE_EVENTS_SLIDING,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_enrich_dim": ORACLE_EVENTS_ENRICH_DIM,
+}

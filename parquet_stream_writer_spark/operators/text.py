@@ -1,4 +1,273 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Text-analysis operators over ``documents`` — the LLM-pipeline
+text lane: token statistics, quality scoring, language identification,
+and document fingerprinting (winnowing).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+All pure built-in expressions (split/explode/window/agg) — the token
+explode is map-side; every aggregation is partial+final via Catalyst.
+At 100 TB the explode multiplies rows ~100×, so these pipelines keep
+the exploded relation narrow (doc_id + token only) and aggregate
+immediately — no wide rows ever cross a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.sources import load_table
+
+#: Tiny function-word list used for the stopword-ratio feature.
+_STOPWORDS = ("the", "a", "of", "and", "in", "to")
+#: Language-ID profile size (top tokens per language).
+_PROFILE_K = 10
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+
+
+_SQL_TOKENS = """
+toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: docs, tokens, vocabulary size,
+    tokens/doc, mean token length."""
+    toks = _tokens(spark, sf_dir)
+    return toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab"),
+        pround(F.count(F.lit(1)) / F.countDistinct("doc_id"), 4).alias("tokens_per_doc"),
+        pround(F.avg(F.length("tok")), 4).alias("avg_tok_len"),
+    )
+
+
+ORACLE_TEXT_TOKEN_STATS = f"""
+WITH {_SQL_TOKENS}
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*)               AS n_tokens,
+       count(DISTINCT tok)    AS vocab,
+       floor((count(*) * 1.0 / count(DISTINCT doc_id)) * 10000 + 0.5) / 10000.0 AS tokens_per_doc,
+       floor((avg(length(tok))) * 10000 + 0.5) / 10000.0                        AS avg_tok_len
+FROM toks
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features: token count, type/token ratio, stopword ratio, mean
+    token length. Score = weighted blend, clamped to [0, 1] — the
+    shape of a classic pre-training quality filter (length + lexical
+    diversity + function-word prior).
+    """
+    toks = _tokens(spark, sf_dir)
+    stop = F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)
+    feats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.countDistinct("tok") / F.count(F.lit(1))).alias("uniq_ratio"),
+        (F.sum(stop) / F.count(F.lit(1))).alias("stop_ratio"),
+        F.avg(F.length("tok")).alias("mean_tok_len"),
+    )
+    raw = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.col("uniq_ratio") * 0.3
+        + F.least(F.col("stop_ratio") * F.lit(5.0), F.lit(1.0)) * 0.2
+        + F.least(F.col("mean_tok_len") / F.lit(6.0), F.lit(1.0)) * 0.2
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        pround(F.col("uniq_ratio"), 4).alias("uniq_ratio"),
+        pround(F.col("stop_ratio"), 4).alias("stop_ratio"),
+        pround(F.col("mean_tok_len"), 4).alias("mean_tok_len"),
+        pround(raw, 4).alias("quality"),
+    )
+
+
+_SQL_STOPLIST = "(" + ", ".join(f"'{s}'" for s in _STOPWORDS) + ")"
+
+ORACLE_TEXT_QUALITY_SCORE = f"""
+WITH {_SQL_TOKENS},
+feats AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT tok) * 1.0 / count(*) AS uniq_ratio,
+         sum(CASE WHEN tok IN {_SQL_STOPLIST} THEN 1 ELSE 0 END) * 1.0 / count(*) AS stop_ratio,
+         avg(length(tok)) AS mean_tok_len
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       floor(uniq_ratio * 10000 + 0.5) / 10000.0   AS uniq_ratio,
+       floor(stop_ratio * 10000 + 0.5) / 10000.0   AS stop_ratio,
+       floor(mean_tok_len * 10000 + 0.5) / 10000.0 AS mean_tok_len,
+       floor((
+           least(n_tokens / 100.0, 1.0) * 0.3
+         + uniq_ratio * 0.3
+         + least(stop_ratio * 5.0, 1.0) * 0.2
+         + least(mean_tok_len / 6.0, 1.0) * 0.2
+       ) * 10000 + 0.5) / 10000.0 AS quality
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language identification (train profiles → apply → confusion matrix)
+# ---------------------------------------------------------------------------
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-profile language ID: build top-K token profiles per
+    labeled language, score each document by profile-token overlap,
+    predict the argmax, report the confusion matrix.
+
+    A two-phase train/apply pipeline expressed as joins: profiles are
+    tiny (langs × K) and broadcast; the apply side is one semi-join +
+    aggregation over the exploded tokens.
+    """
+    toks = _tokens(spark, sf_dir)
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    profiles = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _PROFILE_K)
+        .select(F.col("lang").alias("plang"), "tok")
+    )
+    doc_toks = toks.select("doc_id", "lang", "tok").distinct()
+    scores = (
+        doc_toks.join(F.broadcast(profiles), "tok")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    predicted = (
+        scores.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("predicted"))
+    )
+    return predicted.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_TEXT_LANGID = f"""
+WITH {_SQL_TOKENS},
+freq AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok),
+profiles AS (
+  SELECT lang AS plang, tok FROM (
+    SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rk
+    FROM freq
+  ) WHERE rk <= {_PROFILE_K}
+),
+doc_toks AS (SELECT DISTINCT doc_id, lang, tok FROM toks),
+scores AS (
+  SELECT d.doc_id, d.lang, p.plang, count(*) AS score
+  FROM doc_toks d JOIN profiles p ON d.tok = p.tok
+  GROUP BY d.doc_id, d.lang, p.plang
+),
+predicted AS (
+  SELECT doc_id, lang, plang AS predicted FROM (
+    SELECT doc_id, lang, plang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rk
+    FROM scores
+  ) WHERE rk = 1
+)
+SELECT lang, predicted, count(*) AS n_docs FROM predicted GROUP BY lang, predicted
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (winnowing)
+# ---------------------------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: hash 4-token k-grams, slide a window of
+    4 consecutive k-gram hashes keeping the minimum, dedup the kept
+    mins per document. Output per-doc fingerprint count and extrema —
+    the compact sketch a plagiarism/near-dup index stores.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    kgram = F.when(
+        F.lead("tok", 3).over(w).isNotNull(),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+                F.lead("tok", 3).over(w),
+            )
+        ),
+    )
+    kg = toks.select("doc_id", "pos", kgram.alias("kh")).where(F.col("kh").isNotNull())
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    fps = kg.select("doc_id", F.min("kh").over(wmin).alias("fp")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, pos, kh FROM (
+    SELECT doc_id, pos,
+           CASE WHEN lead(tok, 3) OVER w IS NOT NULL THEN
+             md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                     || ' ' || lead(tok, 3) OVER w)
+           END AS kh
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE kh IS NOT NULL
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           min(kh) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+    FROM kg
+  )
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE = {
+    "text_token_stats": ORACLE_TEXT_TOKEN_STATS,
+    "text_quality_score": ORACLE_TEXT_QUALITY_SCORE,
+    "text_langid": ORACLE_TEXT_LANGID,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+}
