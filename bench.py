@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the full query pack at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is materialized with the ``noop`` sink (full execution, no
+write cost). The session is warmed with one tiny action first so JVM
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from parquet_stream_writer_spark.operators import all_queries  # noqa: E402
+from parquet_stream_writer_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or 0) if "sf" in Path(sf_dir).name else 0.1
+
+    spark = get_session("bench")
+    # Warm the JVM + vectorized parquet read path so the first timed
+    # query isn't billed for codegen/classloading.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(all_queries().items()):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench alive; flag the query
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

