@@ -1,0 +1,24 @@
+"""Structured Streaming surface.
+
+- ``sinks``   — foreachBatch adapters bridging streams into the sink
+  layer (ParquetStreamWriter shard rollover / ShardedDatasetWriter).
+- ``windows`` — watermarked event-time pipelines (tumbling, sliding,
+  session) mirroring the batch-verified shapes in
+  ``operators.streaming_batch``.
+- ``stateful`` — custom keyed state via ``applyInPandasWithState``
+  (running counters, cross-batch dedup).
+"""
+
+from parquet_stream_writer_spark.streaming.sinks import StreamingShardSink
+from parquet_stream_writer_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "StreamingShardSink",
+    "session_window_agg",
+    "sliding_window_agg",
+    "tumbling_window_agg",
+]

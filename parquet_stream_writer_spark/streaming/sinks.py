@@ -1,0 +1,83 @@
+"""Streaming → sink-layer bridges.
+
+The reference's entire purpose is "push an unbounded stream of batches
+into size-bounded parquet shards" (SURVEY.md §0). In Spark terms the
+unbounded stream is a streaming DataFrame and the push unit is the
+micro-batch: ``foreachBatch`` hands each micro-batch to the sink
+layer, which does byte accounting + rollover exactly as in batch mode.
+
+Two modes:
+
+- ``StreamingShardSink(writer=ParquetStreamWriter(...))`` — exact
+  reference semantics (driver-side sequential writer). Right for
+  modest-rate streams where deterministic ``prefix-N.parquet`` naming
+  and byte thresholds matter more than parallel write bandwidth.
+- ``StreamingShardSink(path=..., shard_size_bytes=...)`` (no writer) —
+  distributed: each micro-batch is written with
+  ``ShardedDatasetWriter`` under ``path/batch=N/``. Scales with the
+  cluster; naming is deterministic per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from parquet_stream_writer_spark.sink.sharded import ShardedDatasetWriter
+from parquet_stream_writer_spark.sink.stream_writer import ParquetStreamWriter
+
+
+class StreamingShardSink:
+    """foreachBatch adapter feeding micro-batches into the sink layer."""
+
+    def __init__(
+        self,
+        *,
+        writer: ParquetStreamWriter | None = None,
+        path: str | Path | None = None,
+        shard_size_bytes: int | None = None,
+        file_prefix: str | None = None,
+    ) -> None:
+        if writer is None and path is None:
+            raise ValueError("provide either a ParquetStreamWriter or a path")
+        self.writer = writer
+        self.path = Path(path) if path is not None else None
+        self.shard_size_bytes = shard_size_bytes or (256 << 20)
+        self.file_prefix = file_prefix
+        self.batches_seen = 0
+        self.written_files: list[Path] = []
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.batches_seen += 1
+        if batch_df.isEmpty():  # lazy-creation parity: no files for empty batches
+            return
+        if self.writer is not None:
+            self.writer.write_dataframe(batch_df)
+            self.written_files = list(self.writer.written_files)
+            return
+        out = self.path / f"batch={epoch_id}"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        sharded = ShardedDatasetWriter(
+            out,
+            shard_size_bytes=self.shard_size_bytes,
+            file_prefix=self.file_prefix or self.path.name,
+            overwrite=True,
+        )
+        self.written_files.extend(sharded.write(batch_df))
+
+    def start(self, stream_df: DataFrame, *, checkpoint: str | Path, available_now: bool = True) -> StreamingQuery:
+        """Attach to a streaming DataFrame and start the query."""
+        ws = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", str(checkpoint))
+            .outputMode("append")
+        )
+        if available_now:
+            ws = ws.trigger(availableNow=True)
+        return ws.start()
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.close()

@@ -1,0 +1,143 @@
+"""Structured Streaming tests: file-source micro-batches over the
+events corpus, watermarked windows into memory sinks, foreachBatch →
+sink-layer bridging, stateful ops. Streaming results are compared to
+the batch-verified equivalents (which the DuckDB oracle covers), so
+stream == batch == oracle transitively."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet_stream_writer_spark.sources import load_events
+from parquet_stream_writer_spark.streaming import (
+    StreamingShardSink,
+    session_window_agg,
+    tumbling_window_agg,
+)
+from parquet_stream_writer_spark.streaming.stateful import running_user_profile
+from parquet_stream_writer_spark.streaming.windows import streaming_dedup
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir, tmp_path):
+    """Events re-materialized as µs timestamps split into 4 files, so
+    maxFilesPerTrigger=1 yields four genuine micro-batches."""
+    out = tmp_path / "events_stream"
+    load_events(spark, sf_dir).repartition(4).write.parquet(str(out))
+    return out
+
+
+def _events_stream(spark, events_stream_dir, files_per_trigger=1):
+    schema = spark.read.parquet(str(events_stream_dir)).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(str(events_stream_dir))
+    )
+
+
+def _run_to_memory(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = _events_stream(spark, events_stream_dir)
+    name = f"tum_{uuid.uuid4().hex[:8]}"
+    # complete mode: no watermark eviction, so the memory sink holds
+    # every window — exact equality with the batch plan. (In append
+    # mode the out-of-time-order micro-batch files would make earlier
+    # events late and the final window would stay unemitted.)
+    result = _run_to_memory(
+        spark, tumbling_window_agg(stream, watermark="0 seconds"), name, "complete"
+    )
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # Append mode with availableNow emits all windows once the stream
+    # is drained; compare total event counts and window count.
+    assert result.agg(F.sum("n_events")).first()[0] == batch.agg(F.sum("n_events")).first()[0]
+    assert result.count() == batch.count()
+
+
+def test_streaming_session_window_runs(spark, events_stream_dir):
+    stream = _events_stream(spark, events_stream_dir, files_per_trigger=2)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(
+        spark, session_window_agg(stream, watermark="0 seconds"), name, "append"
+    )
+    assert result.count() > 0
+    row = result.first()
+    assert row["session_end"] >= row["session_start"]
+
+
+def test_streaming_dedup_bounded_state(spark, events_stream_dir):
+    stream = _events_stream(spark, events_stream_dir)
+    deduped = streaming_dedup(stream, ["user_id"], watermark="365 days")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, deduped, name, "append")
+    # each user survives exactly once across all micro-batches
+    assert result.groupBy("user_id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_stateful_running_profile(spark, events_stream_dir):
+    stream = _events_stream(spark, events_stream_dir, files_per_trigger=2)
+    name = f"prof_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, running_user_profile(stream), name, "update")
+    # the last update per user must equal the full batch aggregate
+    final = (
+        result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        spark.read.parquet(str(events_stream_dir))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    diff = final.join(batch, "user_id").where(final.n_events != batch.n_events)
+    assert diff.count() == 0
+
+
+def test_foreachbatch_to_stream_writer(spark, events_stream_dir, tmp_path):
+    """Micro-batches land in the reference-semantics sharded writer."""
+    import pyarrow as pa
+
+    stream = _events_stream(spark, events_stream_dir).select("event_id", "event_type")
+    schema = pa.schema([("event_id", pa.int64()), ("event_type", pa.string())])
+    writer_path = tmp_path / "shard_out"
+    writer = __import__(
+        "parquet_stream_writer_spark"
+    ).ParquetStreamWriter(writer_path, schema, shard_size_bytes=64 << 10, buffer_size_bytes=1)
+    sink = StreamingShardSink(writer=writer)
+    q = sink.start(stream, checkpoint=tmp_path / "ckpt")
+    q.awaitTermination(120)
+    sink.close()
+    assert sink.batches_seen >= 4  # one per input file
+    files = list(writer_path.glob("*.parquet"))
+    assert files
+    total = sum(pq.read_table(p).num_rows for p in files)
+    assert total == spark.read.parquet(str(events_stream_dir)).count()
+
+
+def test_foreachbatch_distributed_sink(spark, events_stream_dir, tmp_path):
+    stream = _events_stream(spark, events_stream_dir, files_per_trigger=2)
+    sink = StreamingShardSink(path=tmp_path / "dist_out", shard_size_bytes=128 << 10)
+    q = sink.start(stream, checkpoint=tmp_path / "ckpt2")
+    q.awaitTermination(120)
+    assert sink.written_files
+    total = sum(pq.read_table(p).num_rows for p in sink.written_files)
+    assert total == spark.read.parquet(str(events_stream_dir)).count()
