@@ -645,3 +645,108 @@ ORACLE = {
     "json_extraction": ORACLE_JSON_EXTRACTION,
     # agg_approx_distinct: intentionally no oracle (sketch-dependent).
 }
+
+
+# ---------------------------------------------------------------------------
+# Additional aggregate / window surface
+# ---------------------------------------------------------------------------
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status.
+
+    Spark's pivot plans a single aggregation with conditional
+    projections — identical shape to the oracle's CASE aggregation
+    (explicit values list keeps the schema static, required for both
+    determinism and streaming reuse)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+ORACLE_AGG_PIVOT = """
+SELECT o_orderpriority,
+       coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
+       coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
+       coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == SQL
+    percentile_cont == DuckDB ``quantile_cont``) per order status."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        pround(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        pround(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        pround(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        pround(F.min("o_totalprice"), 4).alias("pmin"),
+        pround(F.max("o_totalprice"), 4).alias("pmax"),
+    )
+
+
+ORACLE_AGG_PERCENTILES = """
+SELECT o_orderstatus,
+       floor((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000.0  AS p50,
+       floor((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000.0  AS p90,
+       floor((quantile_cont(o_totalprice, 0.99)) * 10000 + 0.5) / 10000.0 AS p99,
+       floor((min(o_totalprice)) * 10000 + 0.5) / 10000.0 AS pmin,
+       floor((max(o_totalprice)) * 10000 + 0.5) / 10000.0 AS pmax
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    first & last value frames over supplier balances."""
+    supplier = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return supplier.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        pround(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        pround(F.first("s_acctbal").over(frame), 2).alias("nation_min_bal"),
+        pround(F.last("s_acctbal").over(frame), 2).alias("nation_max_bal"),
+    )
+
+
+ORACLE_WINDOW_DISTRIBUTION = """
+SELECT s_suppkey,
+       CAST(s_nationkey AS INTEGER) AS nationkey,
+       floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000.0 AS bal_pct_rank,
+       floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000.0    AS bal_cume_dist,
+       floor((first_value(s_acctbal) OVER wf) * 100 + 0.5) / 100.0 AS nation_min_bal,
+       floor((last_value(s_acctbal)  OVER wf) * 100 + 0.5) / 100.0 AS nation_max_bal
+FROM supplier
+WINDOW
+  w  AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey),
+  wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+QUERIES.update(
+    {
+        "agg_pivot": agg_pivot,
+        "agg_percentiles": agg_percentiles,
+        "window_distribution": window_distribution,
+    }
+)
+ORACLE.update(
+    {
+        "agg_pivot": ORACLE_AGG_PIVOT,
+        "agg_percentiles": ORACLE_AGG_PERCENTILES,
+        "window_distribution": ORACLE_WINDOW_DISTRIBUTION,
+    }
+)

@@ -265,3 +265,37 @@ ORACLE = {
     "similarity_ann_lsh": ORACLE_SIMILARITY_ANN_LSH,
     "similarity_pair_topk": ORACLE_SIMILARITY_PAIR_TOPK,
 }
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cosine > 0.45 over all
+    distinct pairs. Brute-force here (the corpus fits); the 100 TB
+    path reuses the LSH buckets from ``similarity_ann_lsh`` to
+    restrict candidates before the exact check."""
+    emb = _emb(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            pround(cosine_similarity(F.col("a.emb"), F.col("b.emb")), 4).alias("sim"),
+        )
+        .where(F.col("sim") > 0.45)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000.0 AS sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT v1, v2, sim FROM pairs WHERE sim > 0.45
+"""
+
+
+QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
+ORACLE["dedup_embedding_cosine"] = ORACLE_DEDUP_EMBEDDING_COSINE

@@ -271,3 +271,42 @@ ORACLE = {
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
 }
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex tokenizer.
+
+    Splits runs of letters, runs of digits, and single non-space
+    symbols as separate tokens (the shape of GPT-style pre-tokenizers)
+    and compares against the whitespace count — the standard
+    tokens-per-document costing pass before training-data billing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("ws_tokens"),
+        # group index 0 = whole match (Spark defaults to group 1;
+        # DuckDB defaults to 0 — pin them equal)
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).withColumn(
+        "chars_per_token",
+        pround(F.col("n_chars") / F.col("bpe_tokens"), 4),
+    )
+
+
+ORACLE_TEXT_TOKEN_COUNT_BPE = """
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       floor((length(text) * 1.0 / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 10000 + 0.5) / 10000.0 AS chars_per_token
+FROM documents
+"""
+
+
+QUERIES["text_token_count_bpe"] = text_token_count_bpe
+ORACLE["text_token_count_bpe"] = ORACLE_TEXT_TOKEN_COUNT_BPE
