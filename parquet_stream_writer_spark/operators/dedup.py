@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import pround
-from parquet_stream_writer_spark.sources import load_table
+from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 #: MinHash signature length and LSH banding (K = BANDS * ROWS_PER_BAND).
 _K = 12
@@ -59,14 +59,9 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     # referenced inside a higher-order-function lambda are re-evaluated
     # per array element, so inlining ``split()`` there would re-split
     # the text O(tokens) times per row.
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
-    # The driver's test files are single-row-group parquet → one input
-    # split; repartition by doc_id to engage all cores (at real scale
-    # the scan has many splits and this becomes a cheap no-op-shaped
-    # co-location that downstream per-doc aggs reuse).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # 0-based bracket indexing (GetArrayItem) stays inside codegen;
     # the ``element_at`` lambda variant is ~6x slower interpreted.
     concat = ", ".join(f"toks[i+{j}]" for j in range(n))
@@ -240,10 +235,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.bkey").alias("bkey"))
 
-    # Skew guard: drop degenerate buckets before the self-join.
-    bucket_sizes = stacked.groupBy("band_id", "bkey").agg(F.count(F.lit(1)).alias("bn"))
-    ok_buckets = bucket_sizes.where(F.col("bn") <= _BUCKET_CAP).select("band_id", "bkey")
-    pruned = stacked.join(F.broadcast(ok_buckets), ["band_id", "bkey"], "left_semi")
+    # Skew guard: drop degenerate buckets before the self-join. A
+    # window count shares the (band_id, bkey) shuffle with the
+    # self-join below — one pass, no driver-side broadcast job (the
+    # semi-join formulation computes the banding twice).
+    wb = Window.partitionBy("band_id", "bkey")
+    pruned = (
+        stacked.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .where(F.col("bn") <= _BUCKET_CAP)
+        .drop("bn")
+    )
 
     l = pruned.alias("l")
     r = pruned.alias("r")
@@ -378,7 +379,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. All arithmetic is generated SQL shared verbatim with the
     oracle (see ``_hex4_to_int_sql``).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import pround
-from parquet_stream_writer_spark.sources import load_table
+from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 #: Tiny function-word list used for the stopword-ratio feature.
 _STOPWORDS = ("the", "a", "of", "and", "in", "to")
@@ -23,7 +23,7 @@ _PROFILE_K = 10
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     return docs.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
@@ -201,7 +201,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins per document. Output per-doc fingerprint count and extrema —
     the compact sketch a plagiarism/near-dup index stores.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
     )

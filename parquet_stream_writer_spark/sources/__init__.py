@@ -39,6 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def scan_parallel(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
+    """Scan a table and spread it across all cores before a
+    compute-heavy narrow stage (tokenize/explode/hash).
+
+    The driver's test files are single-row-group parquet, so the raw
+    scan is one input split no matter what ``maxPartitionBytes`` says
+    — row-multiplying work downstream would run on one thread. At
+    real scale the scan has many splits and this repartition becomes
+    a cheap keyed co-location that per-key aggs downstream reuse.
+    """
+    df = load_table(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with ``ts`` as microsecond ``timestamp_ntz``.
 
