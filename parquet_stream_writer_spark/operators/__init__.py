@@ -23,6 +23,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_stream_writer_spark.operators import (
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         streaming_batch,
@@ -30,7 +31,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, dedup, similarity, text, streaming_batch, multimodal):
+    for mod in (relational, dedup, similarity, text, streaming_batch, multimodal, pipeline):
         merged.update(mod.QUERIES)
     return merged
 
@@ -39,6 +40,7 @@ def all_oracles() -> dict[str, str]:
     from parquet_stream_writer_spark.operators import (
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         streaming_batch,
@@ -46,6 +48,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, dedup, similarity, text, streaming_batch, multimodal):
+    for mod in (relational, dedup, similarity, text, streaming_batch, multimodal, pipeline):
         merged.update(mod.ORACLE)
     return merged

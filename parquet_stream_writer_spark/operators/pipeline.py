@@ -1,0 +1,316 @@
+"""Training-data pipeline operators: temporal joins, deterministic
+sampling, and skew-handling join strategies.
+
+The reference has no relational surface at all (SURVEY.md §2b); these
+extend the north-star LLM-pipeline pack with the ops a 100 TB corpus
+build actually runs:
+
+- ``join_asof``          — point-in-time join (each event ↔ the most
+  recent order of that user at-or-before the event). Spark has no
+  native as-of join; the scalable formulation is union-then-window
+  (one shuffle on the key, no range explosion), the same shape
+  feature-store backfills use. Oracle: DuckDB's native ASOF JOIN.
+- ``join_range_bands``   — non-equi band join against a tiny literal
+  dimension (BroadcastNestedLoopJoin); the histogramming shape.
+- ``sample_hash_split``  — deterministic train/val/test split from a
+  content hash; reproducible across engines and runs, no RNG state.
+- ``sample_stratified``  — per-stratum deterministic downsampling with
+  language-dependent rates (the rebalancing pass of corpus curation).
+- ``join_salted``        — the skew-mitigation pattern: salt the fact
+  key, replicate the dimension per salt, sort-merge join on the
+  widened key. Result is provably identical to the plain join (the
+  oracle runs the plain join).
+
+All deterministic, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql
+from parquet_stream_writer_spark.sources import load_events, load_table
+
+#: Salt fan-out for the skewed join (replicates the dim this many times).
+_N_SALTS = 8
+
+#: Deterministic sampling buckets: hash-hex4 mod 100.
+_N_BUCKETS = 100
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join
+# ---------------------------------------------------------------------------
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the most recent order of that user placed
+    at-or-before the event timestamp (NULL if none yet).
+
+    Union-then-window: stack orders (kind 0) and events (kind 1) on a
+    common (user, time) axis, sort within user, and carry the last
+    seen order forward with ``last_value(..., ignoreNulls)``. One
+    shuffle on user_id — no per-event range scan, no join explosion;
+    at 100 TB this is the only as-of shape that doesn't quadratically
+    expand hot users. Orders sort before events on timestamp ties, so
+    an order exactly at the event time is visible (>= semantics,
+    matching DuckDB ASOF JOIN).
+
+    Orders are first reduced to one row per (user, time) — max
+    o_orderkey — because as-of tie-breaks among equal timestamps are
+    otherwise engine-defined.
+    """
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        )
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    order_side = orders.select(
+        "user_id",
+        "t",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(F.col("t").alias("o_date"), F.col("okey").alias("o_key")).alias("ord"),
+    )
+    event_side = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None)
+        .cast("struct<o_date:timestamp_ntz,o_key:bigint>")
+        .alias("ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = order_side.unionByName(event_side).withColumn(
+        "last_ord", F.last("ord", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            F.col("last_ord.o_key").alias("o_orderkey"),
+            F.col("last_ord.o_date").alias("o_orderdate"),
+        )
+    )
+
+
+ORACLE_JOIN_ASOF = """
+WITH odedup AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t, max(o_orderkey) AS okey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, o.okey AS o_orderkey, o.t AS o_orderdate
+FROM events e
+ASOF LEFT JOIN odedup o
+  ON e.user_id = o.user_id AND e.ts >= o.t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join
+# ---------------------------------------------------------------------------
+
+#: (band, lo, hi) — half-open [lo, hi) bands over events.value.
+_BANDS = (
+    ("neg", -1e18, 0.0),
+    ("small", 0.0, 10.0),
+    ("mid", 10.0, 100.0),
+    ("large", 100.0, 1e18),
+)
+
+
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram events.value into literal bands via a non-equi join
+    against a 4-row dimension — planned as BroadcastNestedLoopJoin
+    (the dim is broadcast; each event tests 4 predicates, no shuffle
+    of the fact side)."""
+    ev = load_events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(b, lo, hi) for b, lo, hi in _BANDS], "band string, lo double, hi double"
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+            pround(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT '{b}' AS band, CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi"
+    for b, lo, hi in _BANDS
+)
+
+ORACLE_JOIN_RANGE_BANDS = f"""
+WITH bands AS ({_SQL_BANDS})
+SELECT b.band,
+       count(*) AS n_events,
+       floor((sum(e.value)) * 100 + 0.5) / 100.0   AS sum_value,
+       floor((avg(e.value)) * 10000 + 0.5) / 10000.0 AS avg_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+def _bucket_col(spark_side: bool) -> str:
+    """Engine-specific SQL for the sampling bucket: first 4 hex chars
+    of md5(doc_id-as-text), mod 100. Same digest both engines."""
+    cast = "cast(doc_id as string)" if spark_side else "CAST(doc_id AS VARCHAR)"
+    return f"({_hex4_to_int_sql(f'md5({cast})')} % {_N_BUCKETS})"
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: bucket =
+    hex(md5(doc_id)) mod 100. No RNG, stable under re-runs, repartition
+    and scale-out — the only splitting discipline that survives a
+    distributed rebuild (``rand(seed)`` changes with partitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_col(spark_side=True))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+ORACLE_SAMPLE_HASH_SPLIT = f"""
+SELECT doc_id, lang,
+       CAST({_bucket_col(spark_side=False)} AS INTEGER) AS bucket,
+       CASE WHEN {_bucket_col(spark_side=False)} < 80 THEN 'train'
+            WHEN {_bucket_col(spark_side=False)} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+#: Per-language keep-rate (percent) for stratified downsampling.
+_STRATA_RATES = {"en": 20, "de": 50, "fr": 50}
+_DEFAULT_RATE = 80
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling: language-dependent keep
+    rates applied via the same content-hash buckets (rebalances an
+    English-heavy corpus without an RNG). Reports per-language totals
+    and the achieved rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_col(spark_side=True))
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    kept = docs.withColumn("bucket", bucket).withColumn("rate", rate)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .withColumn(
+            "kept_ratio",
+            pround(F.col("n_kept") / F.col("n_docs"), 4),
+        )
+    )
+
+
+_SQL_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in _STRATA_RATES.items()
+) + f" ELSE {_DEFAULT_RATE} END"
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+WITH b AS (
+  SELECT lang, {_bucket_col(spark_side=False)} AS bucket, {_SQL_RATE} AS rate
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS n_kept,
+       floor((sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0 AS kept_ratio
+FROM b GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted join (skew mitigation)
+# ---------------------------------------------------------------------------
+
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events ⋈ customer with an ``_N_SALTS``-way salted key, then
+    aggregated per market segment.
+
+    The pattern for skewed fact keys: fact rows get ``salt =
+    hash(row) mod N`` so one hot key spreads over N shuffle
+    partitions; the dimension is replicated N× (explode over the salt
+    range) so every (key, salt) pair still finds its match. The
+    ``merge`` hint forces the sort-merge path the pattern exists for
+    — with a broadcastable dim you'd skip salting entirely. Result is
+    identical to the unsalted join, which is what the oracle runs.
+    """
+    ev = load_events(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1))))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    joined = ev.hint("merge").join(
+        cust,
+        (ev["user_id"] == cust["c_custkey"]) & (ev["salt"] == cust["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_JOIN_SALTED = """
+SELECT c.c_mktsegment, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       floor((sum(e.value)) * 100 + 0.5) / 100.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+QUERIES = {
+    "join_asof": join_asof,
+    "join_range_bands": join_range_bands,
+    "sample_hash_split": sample_hash_split,
+    "sample_stratified": sample_stratified,
+    "join_salted": join_salted,
+}
+
+ORACLE = {
+    "join_asof": ORACLE_JOIN_ASOF,
+    "join_range_bands": ORACLE_JOIN_RANGE_BANDS,
+    "sample_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "join_salted": ORACLE_JOIN_SALTED,
+}

@@ -750,3 +750,87 @@ ORACLE.update(
         "window_distribution": ORACLE_WINDOW_DISTRIBUTION,
     }
 )
+
+
+def nested_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data lane: per-order quantity arrays + higher-order
+    functions (transform / filter / aggregate / array_max).
+
+    ``collect_list(struct)`` + ``array_sort`` gives a deterministic
+    per-key array (struct sort is by field order: linenumber first);
+    downstream array math is evaluated element-wise with no extra
+    shuffle. The fold in ``aggregate`` runs in linenumber order, so
+    the float sum is bit-identical to DuckDB's ordered list_aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("q")))
+    )
+    grouped = li.groupBy("l_orderkey").agg(arr.alias("arr"))
+    qarr = F.transform(F.col("arr"), lambda x: x["q"])
+    return grouped.select(
+        "l_orderkey",
+        F.size(F.col("arr")).cast("long").alias("n_items"),
+        F.size(F.filter(qarr, lambda q: q > 25)).cast("long").alias("n_big"),
+        pround(F.aggregate(qarr, F.lit(0.0), lambda acc, q: acc + q), 2).alias("total_qty"),
+        F.array_max(qarr).alias("max_qty"),
+    )
+
+
+ORACLE_NESTED_ARRAY_OPS = """
+WITH arr AS (
+  SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber) AS qarr
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qarr) AS BIGINT)                          AS n_items,
+       CAST(len(list_filter(qarr, q -> q > 25)) AS BIGINT) AS n_big,
+       floor((list_aggregate(qarr, 'sum')) * 100 + 0.5) / 100.0 AS total_qty,
+       list_aggregate(qarr, 'max')                        AS max_qty
+FROM arr
+"""
+
+
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surface via the SQL front-end: EXISTS with
+    a nested scalar subquery. Catalyst rewrites the EXISTS into a
+    left-semi join and the scalar subquery into a one-row broadcast —
+    no driver-side evaluation anywhere."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM sq_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM sq_orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > (SELECT 0.95 * max(o_totalprice) FROM sq_orders)
+        )
+        """
+    )
+
+
+ORACLE_SUBQUERY_EXISTS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > (SELECT 0.95 * max(o_totalprice) FROM orders)
+)
+"""
+
+
+QUERIES.update(
+    {
+        "nested_array_ops": nested_array_ops,
+        "subquery_exists": subquery_exists,
+    }
+)
+ORACLE.update(
+    {
+        "nested_array_ops": ORACLE_NESTED_ARRAY_OPS,
+        "subquery_exists": ORACLE_SUBQUERY_EXISTS,
+    }
+)

@@ -254,16 +254,140 @@ LIMIT {_N_PAIRS}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search
+# ---------------------------------------------------------------------------
+
+#: IVF cell count and probe width.
+_N_CELLS = 8
+_NPROBE = 2
+
+
+def _centroids() -> np.ndarray:
+    """Fixed coarse-quantizer centroids (stand-in for a k-means fit),
+    rounded so their decimal literals parse to identical doubles in
+    Spark and DuckDB."""
+    rng = np.random.RandomState(11)
+    return np.round(rng.standard_normal((_N_CELLS, _DIM)) * 0.5, 4)
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of
+    ``_N_CELLS`` coarse centroids; a query probes its ``_NPROBE``
+    nearest cells and ranks candidates by exact cosine.
+
+    At 100 TB the cell id is the partition/cluster key (each probe
+    touches nprobe/ncells of the corpus); here the whole assignment
+    is a map-side projection and the candidate join is cell-equi
+    against a broadcast query set. Complements ``similarity_ann_lsh``:
+    IVF partitions by global geometry (k-means cells), LSH by random
+    hyperplanes — IVF recall degrades gracefully with nprobe.
+    """
+    cents = _centroids()
+    emb = _emb(spark, sf_dir)
+
+    def dist(c: np.ndarray) -> F.Column:
+        cent = F.array(*[F.lit(float(x)) for x in c])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("emb"), cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    with_d = emb.withColumn("dists", F.array(*[dist(c) for c in cents]))
+    with_c1 = with_d.withColumn(
+        "cell", F.array_position(F.col("dists"), F.array_min("dists")).cast("int")
+    )
+    masked = F.transform(
+        F.col("dists"),
+        lambda d: F.when(d == F.array_min("dists"), F.lit(1e18)).otherwise(d),
+    )
+    assigned = with_c1.withColumn(
+        "cell2", F.array_position(masked, F.array_min(masked)).cast("int")
+    )
+    queries = assigned.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("cell").alias("p1"),
+        F.col("cell2").alias("p2"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(queries),
+            ((F.col("cell") == F.col("p1")) | (F.col("cell") == F.col("p2")))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            "cell",
+            pround(cosine_similarity(F.col("qemb"), F.col("emb")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("qid", "vec_id", "cell", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _sql_centroid(i: int) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in _centroids()[i]) + "]::DOUBLE[]"
+
+
+ORACLE_SIMILARITY_IVF = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (
+  SELECT vec_id, emb,
+         [{", ".join(f"list_distance(emb, {_sql_centroid(i)})" for i in range(_N_CELLS))}] AS dists
+  FROM emb
+),
+c1 AS (
+  SELECT vec_id, emb, dists,
+         CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell,
+         list_transform(dists, x -> CASE WHEN x = list_min(dists) THEN 1e18 ELSE x END) AS masked
+  FROM d
+),
+assigned AS (
+  SELECT vec_id, emb, cell,
+         CAST(list_position(masked, list_min(masked)) AS INTEGER) AS cell2
+  FROM c1
+),
+q AS (
+  SELECT vec_id AS qid, emb AS qemb, cell AS p1, cell2 AS p2
+  FROM assigned WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, a.vec_id, a.cell,
+         floor(list_cosine_similarity(q.qemb, a.emb) * 10000 + 0.5) / 10000.0 AS sim
+  FROM assigned a JOIN q
+    ON (a.cell = q.p1 OR a.cell = q.p2) AND a.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cell, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cell, sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {_TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_pair_topk": similarity_pair_topk,
+    "similarity_ivf": similarity_ivf,
 }
 
 ORACLE = {
     "similarity_cosine_topk": ORACLE_SIMILARITY_COSINE_TOPK,
     "similarity_ann_lsh": ORACLE_SIMILARITY_ANN_LSH,
     "similarity_pair_topk": ORACLE_SIMILARITY_PAIR_TOPK,
+    "similarity_ivf": ORACLE_SIMILARITY_IVF,
 }
 
 
