@@ -1,0 +1,98 @@
+"""Physical-plan assertions — the scale properties, pinned.
+
+Correctness says the operator computes the right answer; these tests
+say it computes it with the right *plan*: filters pushed into the
+parquet scan, columns pruned, small dims broadcast, large joins
+sort-merge, global top-k as TakeOrderedAndProject, hot expressions in
+whole-stage codegen. A regression here is a 100 TB regression even
+when every value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_stream_writer_spark.operators import relational
+
+from tests.conftest import SF_DIR
+
+
+def plan(spark, df, mode: str = "formatted") -> str:
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    df = relational.scan_filter_project(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "PushedFilters: [" in p and "GreaterThan(l_quantity" in p, p
+    # Projection pruning: the 11-column lineitem scan must read only
+    # the referenced columns.
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert read.count(":") - 1 <= 6, read
+    assert "WholeStageCodegen" in p or "codegen id" in p, p
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = relational.join_broadcast_star(spark, SF_DIR)
+    p = plan(spark, df)
+    # lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region — every dim side
+    # must be broadcast; no sort-merge anywhere in the star.
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_large_join_is_shuffle_side(spark):
+    """At test SF orders fits under the broadcast threshold (and
+    broadcasting it is the right call); disable auto-broadcast to see
+    the plan this query gets at 100 TB, where neither side fits."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = relational.join_shuffle_large(spark, SF_DIR)
+        p = plan(spark, df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+
+
+def test_aggregate_is_partial_then_final(spark):
+    df = relational.q1_pricing_summary(spark, SF_DIR)
+    p = plan(spark, df)
+    # Catalyst must plan map-side partial aggregation: two
+    # HashAggregate nodes around one Exchange.
+    assert p.count("HashAggregate") >= 2, p
+    assert "Exchange" in p, p
+
+
+def test_global_topk_avoids_total_sort(spark):
+    df = relational.topk_global(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", ""), p
+
+
+def test_salted_join_honors_merge_hint(spark):
+    from parquet_stream_writer_spark.operators import pipeline
+
+    df = pipeline.join_salted(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "SortMergeJoin" in p, p
+
+
+def test_exists_subquery_becomes_semi_join(spark):
+    df = relational.subquery_exists(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "LeftSemi" in p, p
+
+
+def test_shingle_build_has_no_window_exchange(spark):
+    """The shingle stage must be map-side after its single keyed
+    repartition — a Window/Sort in the plan means the slow
+    posexplode+lead shape crept back in."""
+    from parquet_stream_writer_spark.operators.dedup import _shingles
+
+    df = _shingles(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "Window" not in p, p
+    # one repartition exchange + one distinct exchange, nothing more
+    assert p.count("Exchange") <= 2, p
