@@ -456,3 +456,104 @@ ORACLE = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (dedup clustering)
+# ---------------------------------------------------------------------------
+
+#: Convergence cap for label propagation (components here are tiny;
+#: the cap only guards against pathological chains).
+_CC_MAX_ITERS = 50
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the MinHash/LSH near-dup pairs into duplicate groups:
+    each doc gets its component's minimum doc_id as the canonical
+    label — the final step of every dedup pipeline (keep one doc per
+    component).
+
+    Iterative min-label propagation (Pregel shape): each node adopts
+    ``min(own label, neighbours' labels)`` until fixpoint, converging
+    in O(component diameter) rounds. Each round is one join + one
+    aggregation; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replan rounds 1..N-1 (on a cluster use
+    ``checkpoint`` to HDFS instead). The driver-side loop only ever
+    collects a single change-count per round — the data never leaves
+    the executors.
+
+    Oracle: DuckDB recursive CTE computing the transitive closure of
+    the same edge set (exact for these component sizes).
+    """
+    # Materialize the pair mining ONCE before the symmetric union —
+    # otherwise both union branches re-run the whole MinHash pipeline.
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    # Near-dup pairs are a minuscule fraction of the corpus by
+    # construction, so collapse the iteration state to one partition:
+    # every propagation round becomes a single fast task instead of 32
+    # near-empty shuffle tasks. At a pair count where that stops being
+    # true, drop the repartition(1) and keep hash partitioning on the
+    # join key — the loop body is unchanged.
+    edges = (
+        pairs.unionByName(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .distinct()
+        .repartition(1)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("d1").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["d2"] == labels["node"])
+            .groupBy("d1")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["d1"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+ORACLE_DEDUP_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+{ORACLE_DEDUP_MINHASH_LSH}
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+QUERIES["dedup_connected_components"] = dedup_connected_components
+ORACLE["dedup_connected_components"] = ORACLE_DEDUP_CONNECTED_COMPONENTS

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import pround
 from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql
-from parquet_stream_writer_spark.sources import load_events, load_table
+from parquet_stream_writer_spark.sources import load_events, load_table, scan_parallel
 
 #: Salt fan-out for the skewed join (replicates the dim this many times).
 _N_SALTS = 8
@@ -135,7 +135,9 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a 4-row dimension — planned as BroadcastNestedLoopJoin
     (the dim is broadcast; each event tests 4 predicates, no shuffle
     of the fact side)."""
-    ev = load_events(spark, sf_dir)
+    # scan_parallel: the BroadcastNestedLoopJoin evaluates 4 range
+    # predicates per event *before* any shuffle — spread the scan.
+    ev = scan_parallel(spark, sf_dir, "events")
     bands = spark.createDataFrame(
         [(b, lo, hi) for b, lo, hi in _BANDS], "band string, lo double, hi double"
     )

@@ -834,3 +834,66 @@ ORACLE.update(
         "subquery_exists": ORACLE_SUBQUERY_EXISTS,
     }
 )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, joined back to customer, top-20 by price.
+
+    The HAVING filter runs on the lineitem aggregate *before* the
+    joins, so only qualifying orders (a tiny fraction) ever reach the
+    join — at scale this ordering is the difference between joining
+    600 M rows and joining a few thousand. Customer is broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(pround(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q18_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING floor((sum(l_quantity)) * 100 + 0.5) / 100.0 > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+QUERIES["q18_large_orders"] = q18_large_orders
+ORACLE["q18_large_orders"] = ORACLE_Q18_LARGE_ORDERS
+
+
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantile sketch per order status —
+    the mergeable-sketch lane next to the exact ``agg_percentiles``
+    (at 100 TB exact percentiles need a full sort per group; the
+    sketch is one pass, partial+final mergeable). Rows-only check:
+    sketch internals are engine-specific, so no value oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)").alias(
+            "approx_pcts"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+QUERIES["agg_approx_quantile"] = agg_approx_quantile

@@ -32,7 +32,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import cosine_similarity, pround
-from parquet_stream_writer_spark.sources import load_table
+from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 #: Number of query vectors (lowest vec_ids) for the top-k queries.
 _N_QUERIES = 5
@@ -52,7 +52,9 @@ def _planes() -> np.ndarray:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    # scan_parallel: the test file is a single input split; the
+    # per-row cosine folds / numpy kernels downstream need all cores.
+    return scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     )
 

@@ -183,3 +183,119 @@ ORACLE = {
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_enrich_dim": ORACLE_EVENTS_ENRICH_DIM,
 }
+
+
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of consecutive active
+    hours (the classic streak/retention query).
+
+    Integer hour index minus ``row_number`` is constant within a
+    consecutive run — one window over (user, hour) then a groupBy;
+    no self-join, no iteration. Two shuffles total, both on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("hr")
+    islands = hours.withColumn(
+        "anchor", F.col("hr") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("max_streak"),
+        F.sum("streak_len").alias("active_hours"),
+    )
+
+
+ORACLE_EVENTS_GAPS_ISLANDS = """
+WITH hours AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+  FROM events
+),
+islands AS (
+  SELECT user_id, hr,
+         hr - row_number() OVER (PARTITION BY user_id ORDER BY hr) AS anchor
+  FROM hours
+),
+streaks AS (
+  SELECT user_id, anchor, count(*) AS streak_len
+  FROM islands GROUP BY user_id, anchor
+)
+SELECT user_id, count(*) AS n_streaks, max(streak_len) AS max_streak,
+       sum(streak_len) AS active_hours
+FROM streaks GROUP BY user_id
+"""
+
+
+QUERIES["events_gaps_islands"] = events_gaps_islands
+ORACLE["events_gaps_islands"] = ORACLE_EVENTS_GAPS_ISLANDS
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: a dense hourly grid per
+    user (from each user's first to last active hour), hourly sums
+    joined on, missing hours carried forward with
+    ``last(ignorenulls)`` — the standard feature-table densification
+    before sequence-model training.
+
+    The grid is generated distributed (``sequence`` + ``explode`` per
+    user — no driver-side range materialization); the fill is one
+    window over (user, hour).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id", F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"), "value"
+        )
+        .groupBy("user_id", "hr")
+        .agg(pround(F.sum("value"), 2).alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("hr"))
+    )
+    filled = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+ORACLE_EVENTS_GAP_FILL = """
+WITH hourly AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         floor((sum(value)) * 100 + 0.5) / 100.0 AS v, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+  FROM hourly GROUP BY user_id
+),
+filled AS (
+  SELECT g.user_id, g.hr, h.v, h.n FROM grid g
+  LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+)
+SELECT user_id, hr,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events
+FROM filled
+"""
+
+
+QUERIES["events_gap_fill"] = events_gap_fill
+ORACLE["events_gap_fill"] = ORACLE_EVENTS_GAP_FILL
