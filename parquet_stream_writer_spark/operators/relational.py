@@ -897,3 +897,87 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["agg_approx_quantile"] = agg_approx_quantile
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): per-nation supplier/customer account
+    balances as (nation, metric, value) rows — the inverse of
+    ``agg_pivot``, used to normalize wide feature tables before
+    per-metric aggregation. ``DataFrame.unpivot`` is a zero-shuffle
+    row expansion."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    wide = (
+        cust.groupBy("c_nationkey")
+        .agg(pround(F.sum("c_acctbal"), 2).alias("cust_bal"))
+        .join(
+            supp.groupBy("s_nationkey").agg(pround(F.sum("s_acctbal"), 2).alias("supp_bal")),
+            F.col("c_nationkey") == F.col("s_nationkey"),
+            "left",
+        )
+        .select(F.col("c_nationkey").alias("nationkey"), "cust_bal", "supp_bal")
+    )
+    return wide.unpivot(
+        ids=["nationkey"],
+        values=["cust_bal", "supp_bal"],
+        variableColumnName="metric",
+        valueColumnName="balance",
+    )
+
+
+ORACLE_AGG_UNPIVOT = """
+WITH wide AS (
+  SELECT c.c_nationkey AS nationkey, c.cust_bal, s.supp_bal
+  FROM (SELECT c_nationkey, floor((sum(c_acctbal)) * 100 + 0.5) / 100.0 AS cust_bal
+        FROM customer GROUP BY c_nationkey) c
+  LEFT JOIN (SELECT s_nationkey, floor((sum(s_acctbal)) * 100 + 0.5) / 100.0 AS supp_bal
+             FROM supplier GROUP BY s_nationkey) s
+    ON c.c_nationkey = s.s_nationkey
+)
+SELECT nationkey, metric, balance
+FROM wide UNPIVOT INCLUDE NULLS (balance FOR metric IN (cust_bal, supp_bal))
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-event deltas per user: lag/lead navigation — the
+    inter-arrival-time feature every sessionization/abuse pipeline
+    derives. One shuffle on user_id, then narrow."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_id", 1).over(w).alias("prev_event_id"),
+        F.lead("event_id", 1).over(w).alias("next_event_id"),
+        # Integer microseconds on both sides — per-timestamp second
+        # truncation (unix_timestamp) disagrees with DuckDB's
+        # truncate-the-difference by ±1s.
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag(F.col("ts").cast("timestamp"), 1).over(w)))
+        .alias("us_since_prev"),
+    )
+
+
+ORACLE_WINDOW_LAG_LEAD = """
+SELECT event_id, user_id, ts,
+       lag(event_id, 1)  OVER w AS prev_event_id,
+       lead(event_id, 1) OVER w AS next_event_id,
+       epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS us_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES.update(
+    {
+        "agg_unpivot": agg_unpivot,
+        "window_lag_lead": window_lag_lead,
+    }
+)
+ORACLE.update(
+    {
+        "agg_unpivot": ORACLE_AGG_UNPIVOT,
+        "window_lag_lead": ORACLE_WINDOW_LAG_LEAD,
+    }
+)
