@@ -35,15 +35,24 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
 
+    # Best-of-N per query: single-shot wall times on a shared machine
+    # jitter by 2-3x; the minimum is the stable estimate of what the
+    # plan actually costs.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the bench alive; flag the query
-            timings[name] = -1.0
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                elapsed = time.perf_counter() - t0
+            except Exception as exc:  # keep the bench alive; flag the query
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
