@@ -299,3 +299,53 @@ FROM filled
 
 QUERIES["events_gap_fill"] = events_gap_fill
 ORACLE["events_gap_fill"] = ORACLE_EVENTS_GAP_FILL
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts a stage only if it happens strictly after the previous
+    stage's first occurrence. One groupBy(user) computing three
+    conditional-min timestamps, then one global roll-up — two
+    shuffles, the second on a 3-row relation."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    staged = per_user.select(
+        F.col("t_view").isNotNull().alias("viewed"),
+        (F.col("t_click") > F.col("t_view")).alias("clicked"),
+        (
+            (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("purchased"),
+    )
+    return staged.agg(
+        F.sum(F.when(F.col("viewed"), 1).otherwise(0)).alias("n_viewed"),
+        F.sum(F.when(F.col("clicked"), 1).otherwise(0)).alias("n_clicked_after_view"),
+        F.sum(F.when(F.col("purchased"), 1).otherwise(0)).alias("n_purchased_after_click"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+       sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)   AS n_clicked_after_view,
+       sum(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+QUERIES["events_funnel"] = events_funnel
+ORACLE["events_funnel"] = ORACLE_EVENTS_FUNNEL

@@ -310,3 +310,90 @@ FROM documents
 
 QUERIES["text_token_count_bpe"] = text_token_count_bpe
 ORACLE["text_token_count_bpe"] = ORACLE_TEXT_TOKEN_COUNT_BPE
+
+
+#: Term blocklist for the redaction pass (word-boundary matched).
+_BLOCKLIST = ("customer", "key", "vector")
+_BLOCK_RE = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+
+def text_blocklist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist redaction: replace blocklisted terms with a
+    ``[REDACTED]`` marker and account for the edits — the shape of a
+    PII/unsafe-term scrub over a pretraining corpus. Pure JVM regex
+    (``regexp_replace`` / ``regexp_extract_all``), map-side, no
+    shuffle at all."""
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    pat = F.lit(_BLOCK_RE)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), pat, F.lit(0)))
+        .cast("long")
+        .alias("n_redactions"),
+        F.length("text").cast("long").alias("chars_before"),
+        F.length(F.regexp_replace("text", _BLOCK_RE, "[REDACTED]"))
+        .cast("long")
+        .alias("chars_after"),
+    )
+
+
+ORACLE_TEXT_BLOCKLIST_REDACT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BLOCK_RE}')) AS BIGINT) AS n_redactions,
+       CAST(length(text) AS BIGINT) AS chars_before,
+       CAST(length(regexp_replace(text, '{_BLOCK_RE}', '[REDACTED]', 'g')) AS BIGINT) AS chars_after
+FROM documents
+"""
+
+
+#: Token budget per packed training sequence.
+_PACK_BUDGET = 512
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): documents are laid out in
+    doc_id order on a token axis; a document belongs to the chunk
+    where it starts (``floor(start_offset / budget)``). Reports per
+    chunk: docs packed, tokens, fill ratio — the packing-efficiency
+    audit before pretraining.
+
+    One global running sum (window without partition — at 100 TB
+    partition the cumsum by shard and offset by per-shard totals, the
+    standard two-pass distributed prefix sum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    placed = toks.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "chunk_id", F.floor((F.col("cum") - F.col("n_tok")) / _PACK_BUDGET).cast("long")
+    )
+    return placed.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_TEXT_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT CAST(floor((cum - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM placed GROUP BY 1
+"""
+
+
+QUERIES["text_blocklist_redact"] = text_blocklist_redact
+QUERIES["text_pack_sequences"] = text_pack_sequences
+ORACLE["text_blocklist_redact"] = ORACLE_TEXT_BLOCKLIST_REDACT
+ORACLE["text_pack_sequences"] = ORACLE_TEXT_PACK_SEQUENCES
