@@ -96,3 +96,25 @@ def test_shingle_build_has_no_window_exchange(spark):
     assert "Window" not in p, p
     # one repartition exchange + one distinct exchange, nothing more
     assert p.count("Exchange") <= 2, p
+
+
+def test_asof_join_is_union_window_not_join(spark):
+    """The as-of join must plan as union + one keyed window — any
+    Join node means the range-explosion formulation crept in."""
+    from parquet_stream_writer_spark.operators import pipeline
+
+    df = pipeline.join_asof(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "Union" in p and "Window" in p, p
+    assert "Join" not in p, p
+    # one shuffle for the order dedup, one for the window key
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_gap_fill_grid_is_generated_not_joined_cross(spark):
+    from parquet_stream_writer_spark.operators import streaming_batch
+
+    df = streaming_batch.events_gap_fill(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Generate" in p, p  # sequence+explode grid
