@@ -163,3 +163,77 @@ ORACLE = {
     "multimodal_image_meta": ORACLE_MULTIMODAL_IMAGE_META,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAME_SAMPLE,
 }
+
+
+#: Synthetic audio framing: samples per analysis window.
+_AUDIO_FRAME = 32
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over a binary "waveform": interpret
+    the payload bytes as 8-bit PCM samples, frame them into
+    ``_AUDIO_FRAME``-sample windows, and compute per-frame energy /
+    peak / sample count with a vectorized numpy kernel (the
+    spectrogram-pipeline shape; swap the stub interpretation for a
+    real codec + FFT in production — the Spark plumbing is
+    unchanged).
+
+    One row in → many frame rows out through ``mapInPandas``; the
+    per-frame math is numpy over a single contiguous buffer. The
+    oracle reproduces it exactly because the corpus is ASCII, so
+    byte values == character codes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, ns, energies, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for f in range(0, len(samples), _AUDIO_FRAME):
+                    frame = samples[f : f + _AUDIO_FRAME]
+                    ids.append(doc_id)
+                    idxs.append(f // _AUDIO_FRAME)
+                    ns.append(len(frame))
+                    energies.append(int((frame * frame).sum()))
+                    peaks.append(int(frame.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_samples": ns,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema="doc_id long, frame_idx int, n_samples int, energy long, peak int",
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO_FEATURES = f"""
+WITH samples AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '')) AS ch,
+         generate_subscripts(string_split_regex(text, ''), 1) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       CAST((pos - 1) // {_AUDIO_FRAME} AS INTEGER) AS frame_idx,
+       CAST(count(*) AS INTEGER)                    AS n_samples,
+       CAST(sum(ascii(ch) * ascii(ch)) AS BIGINT)   AS energy,
+       CAST(max(ascii(ch)) AS INTEGER)              AS peak
+FROM samples
+GROUP BY doc_id, (pos - 1) // {_AUDIO_FRAME}
+"""
+
+
+QUERIES["multimodal_audio_features"] = multimodal_audio_features
+ORACLE["multimodal_audio_features"] = ORACLE_MULTIMODAL_AUDIO_FEATURES
