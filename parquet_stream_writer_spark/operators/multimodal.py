@@ -22,7 +22,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from parquet_stream_writer_spark.sources import load_table
+from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 #: Synthetic video framing: frame payload size / stride in bytes.
 _FRAME_LEN = 64
@@ -57,7 +57,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 
@@ -101,7 +101,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one input row → many output rows through mapInPandas)."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 
@@ -186,7 +186,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 
