@@ -981,3 +981,275 @@ ORACLE.update(
         "window_lag_lead": ORACLE_WINDOW_LAG_LEAD,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Deep TPC-H query shapes (multi-way joins, correlated subqueries)
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from local suppliers (customer and
+    supplier in the same nation) within one region and year.
+
+    Six-way join. The fact chain lineitem joins orders shuffles once on
+    orderkey; every dimension (customer, supplier, nation, region) is
+    broadcast, so the fact side never reshuffles for them. The
+    region/date filters sit directly on scan columns (pushed down),
+    and the same-nation predicate `c_nationkey = s_nationkey` prunes
+    at the join, not after.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    asia = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(
+            orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(asia), supplier.s_nationkey == asia.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nation pairs by
+    ship year. Two independent broadcast dimension chains (supplier
+    nation, customer nation) hang off the one fact-fact shuffle join;
+    the pair predicate is evaluated at join time."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+        F.col("supp_nation") == "NATION_7"
+    ) & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+ORACLE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS volume
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey  = c_custkey
+JOIN supplier  ON l_suppkey  = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in a quarter. Agg before the final ordering; deterministic
+    tie-break on custkey for the limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-07-01").cast("timestamp_ntz")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            pround("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+            "lost_revenue",
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name,
+       floor((c_acctbal) * 100 + 0.5) / 100.0 AS acctbal,
+       n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promo parts in a window.
+
+    Conditional aggregation over one broadcast join. Numerator and
+    denominator are rounded *before* the division so the final double
+    division is bit-identical across engines (IEEE 754 is
+    deterministic on identical inputs; raw double sums are not, their
+    order differs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    lo = F.lit("1997-03-01").cast("timestamp_ntz")
+    hi = F.lit("1997-09-01").cast("timestamp_ntz")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            pround(F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)), 2).alias(
+                "promo_rev"
+            ),
+            pround(F.sum(net), 2).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        pround(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_pct"
+        ),
+    )
+
+
+ORACLE_Q14 = """
+WITH agg AS (
+  SELECT
+    floor((sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)) * 100 + 0.5) / 100.0 AS promo_rev,
+    floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS total_rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate <  TIMESTAMP '1997-09-01'
+)
+SELECT promo_rev, total_rev,
+       floor((100.0 * promo_rev / total_rev) * 1000000 + 0.5) / 1000000.0 AS promo_pct
+FROM agg
+"""
+
+
+def subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): parts priced at
+    the minimum retail price of their brand. Written as SQL so
+    Catalyst's subquery decorrelation rewrites it into an aggregate +
+    join — no per-row subquery execution ever happens (check the plan:
+    one Aggregate on brand, one join, zero SubqueryExec nodes)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_brand,
+               floor((p_retailprice) * 100 + 0.5) / 100.0 AS retailprice
+        FROM part_v p
+        WHERE p_retailprice = (
+          SELECT min(p2.p_retailprice) FROM part_v p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+ORACLE_SUBQUERY_SCALAR_CORR = """
+SELECT p_partkey, p_name, p_brand,
+       floor((p_retailprice) * 100 + 0.5) / 100.0 AS retailprice
+FROM part p
+WHERE p_retailprice = (
+  SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+QUERIES.update(
+    {
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "subquery_scalar_corr": subquery_scalar_corr,
+    }
+)
+ORACLE.update(
+    {
+        "q5_local_supplier_volume": ORACLE_Q5,
+        "q7_volume_shipping": ORACLE_Q7,
+        "q10_returned_items": ORACLE_Q10,
+        "q14_promo_revenue": ORACLE_Q14,
+        "subquery_scalar_corr": ORACLE_SUBQUERY_SCALAR_CORR,
+    }
+)
