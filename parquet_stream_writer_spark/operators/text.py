@@ -397,3 +397,133 @@ QUERIES["text_blocklist_redact"] = text_blocklist_redact
 QUERIES["text_pack_sequences"] = text_pack_sequences
 ORACLE["text_blocklist_redact"] = ORACLE_TEXT_BLOCKLIST_REDACT
 ORACLE["text_pack_sequences"] = ORACLE_TEXT_PACK_SEQUENCES
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents whose
+    distinct-3-gram overlap with a held-out benchmark set exceeds 5%.
+
+    The benchmark partition (here ``doc_id % 97 = 0``, standing in for
+    an eval suite) is tiny relative to the corpus by construction, so
+    its distinct n-gram set is **broadcast** — the 100 TB corpus side
+    is scanned once, n-grams generated map-side (array ``transform``
+    over the token array, no explode-shuffle), and the only shuffle is
+    the final per-document aggregate. This is the standard
+    train/eval-overlap decontamination pass every LLM data pipeline
+    runs before training.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    with_ngrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN "
+                "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
+                "  i -> array_join(slice(split(lower(text), ' '), i, 3), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("ngram"),
+    )
+    bench = (
+        with_ngrams.where(F.col("doc_id") % 97 == 0).select("ngram").distinct()
+    ).withColumn("hit", F.lit(1))
+    corpus = with_ngrams.where(F.col("doc_id") % 97 != 0)
+    contam = F.count_distinct(F.when(F.col("hit") == 1, F.col("ngram")))
+    return (
+        corpus.join(F.broadcast(bench), "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("ngram").alias("n_ngrams"),
+            contam.alias("n_contam"),
+        )
+        .where(F.col("n_contam") * 1.0 / F.col("n_ngrams") > 0.05)
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contam",
+            pround(F.col("n_contam") * 1.0 / F.col("n_ngrams"), 6).alias("contam_frac"),
+        )
+    )
+
+
+ORACLE_TEXT_CONTAMINATION = """
+WITH toksd AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
+ngrams AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+2],' ') for i in range(1, greatest(len(toks)-1,1))]) AS ngram
+  FROM toksd),
+bench AS (SELECT DISTINCT ngram FROM ngrams WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, ngram FROM ngrams WHERE doc_id % 97 <> 0)
+SELECT c.doc_id,
+       count(DISTINCT c.ngram) AS n_ngrams,
+       count(DISTINCT CASE WHEN b.ngram IS NOT NULL THEN c.ngram END) AS n_contam,
+       floor((count(DISTINCT CASE WHEN b.ngram IS NOT NULL THEN c.ngram END) * 1.0
+              / count(DISTINCT c.ngram)) * 1000000 + 0.5) / 1000000.0 AS contam_frac
+FROM corpus c LEFT JOIN bench b ON c.ngram = b.ngram
+GROUP BY c.doc_id
+HAVING count(DISTINCT CASE WHEN b.ngram IS NOT NULL THEN c.ngram END) * 1.0
+       / count(DISTINCT c.ngram) > 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition-ratio quality filter (Gopher rules)
+# ---------------------------------------------------------------------------
+
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features per document: top-token
+    dominance and duplicate-bigram fraction.
+
+    Entirely shuffle-free: every feature is an array expression
+    (``transform`` / ``array_distinct`` / ``filter``) over the
+    in-row token array — a narrow map over the scan, which is the
+    only plan shape that survives a 100 TB corpus (any per-token
+    explode+groupBy would shuffle the full token stream). Vocab is
+    small so the O(|vocab|·n) mode computation is cheap per row.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(F.lower("text"), " ")
+    max_tok_cnt = F.expr(
+        "array_max(transform(array_distinct(split(lower(text), ' ')), "
+        "  t -> size(filter(split(lower(text), ' '), x -> x = t))))"
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+        "  i -> array_join(slice(split(lower(text), ' '), i, 2), ' '))"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        pround(max_tok_cnt * 1.0 / F.size(toks), 6).alias("top_tok_frac"),
+        pround(
+            (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+            * 1.0
+            / F.greatest(F.size(bigrams), F.lit(1)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH feat AS (
+  SELECT doc_id, string_split(lower(text),' ') AS toks,
+         len(string_split(lower(text),' ')) AS n_tok,
+         list_max([len(list_filter(toks, x -> x = t)) for t in list_distinct(toks)]) AS max_tok_cnt,
+         [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bigrams
+  FROM documents)
+SELECT doc_id, n_tok,
+       floor((max_tok_cnt * 1.0 / n_tok) * 1000000 + 0.5) / 1000000.0 AS top_tok_frac,
+       floor(((len(bigrams) - len(list_distinct(bigrams))) * 1.0
+              / greatest(len(bigrams),1)) * 1000000 + 0.5) / 1000000.0 AS dup_bigram_frac
+FROM feat
+"""
+
+
+QUERIES["text_contamination_ngram"] = text_contamination_ngram
+QUERIES["text_repetition_gopher"] = text_repetition_gopher
+ORACLE["text_contamination_ngram"] = ORACLE_TEXT_CONTAMINATION
+ORACLE["text_repetition_gopher"] = ORACLE_TEXT_REPETITION
