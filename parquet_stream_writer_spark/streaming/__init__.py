@@ -4,13 +4,15 @@
   layer (ParquetStreamWriter shard rollover / ShardedDatasetWriter).
 - ``windows`` — watermarked event-time pipelines (tumbling, sliding,
   session) mirroring the batch-verified shapes in
-  ``operators.streaming_batch``.
+  ``operators.streaming_batch``, plus the bounded-state stream-stream
+  interval join.
 - ``stateful`` — custom keyed state via ``applyInPandasWithState``
   (running counters, cross-batch dedup).
 """
 
 from parquet_stream_writer_spark.streaming.sinks import StreamingShardSink
 from parquet_stream_writer_spark.streaming.windows import (
+    interval_join,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -18,6 +20,7 @@ from parquet_stream_writer_spark.streaming.windows import (
 
 __all__ = [
     "StreamingShardSink",
+    "interval_join",
     "session_window_agg",
     "sliding_window_agg",
     "tumbling_window_agg",

@@ -99,3 +99,39 @@ def streaming_dedup(stream: DataFrame, keys: list[str], *, ts_col: str = "ts", w
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with a time-range bound:
+    right events within ``[left.ts + lower, left.ts + upper]``.
+
+    Both sides are watermarked, which lets Spark's symmetric hash
+    join evict buffered rows once they can no longer match — state
+    stays proportional to the interval width × arrival rate, not the
+    stream length. Without the time bound (or watermarks) a
+    stream-stream join must buffer both streams forever; this is the
+    canonical bounded-state formulation (attribution joins,
+    click→conversion funnels).
+    """
+    l = _with_event_time(left, "ts").withWatermark("ts", watermark).alias("l")
+    r = _with_event_time(right, "ts").withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.expr(f"l.ts + {lower}"))
+        & (F.col("r.ts") <= F.expr(f"l.ts + {upper}"))
+    )
+    return l.join(r, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.ts").alias("right_ts"),
+    )

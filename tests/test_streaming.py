@@ -141,3 +141,33 @@ def test_foreachbatch_distributed_sink(spark, events_stream_dir, tmp_path):
     assert sink.written_files
     total = sum(pq.read_table(p).num_rows for p in sink.written_files)
     assert total == spark.read.parquet(str(events_stream_dir)).count()
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_stream_dir):
+    """Click→purchase attribution: stream-stream inner join with a
+    1-hour interval bound; result must equal the batch join."""
+    from parquet_stream_writer_spark.streaming.windows import interval_join
+
+    clicks = _events_stream(spark, events_stream_dir, files_per_trigger=2).where(
+        F.col("event_type") == "click"
+    )
+    buys = _events_stream(spark, events_stream_dir, files_per_trigger=2).where(
+        F.col("event_type") == "purchase"
+    )
+    # Large watermark: availableNow delivers files out of event-time
+    # order, so a tight watermark would drop genuinely-matching rows.
+    joined = interval_join(clicks, buys, watermark="365 days")
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, joined, name, "append")
+
+    ev = load_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    c = ev.where(F.col("event_type") == "click").alias("l")
+    p = ev.where(F.col("event_type") == "purchase").alias("r")
+    batch = c.join(
+        p,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.expr("l.ts + INTERVAL 1 HOUR")),
+    )
+    assert result.count() == batch.count()
+    assert result.where(F.col("right_ts") < F.col("left_ts")).count() == 0
