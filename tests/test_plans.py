@@ -118,3 +118,50 @@ def test_gap_fill_grid_is_generated_not_joined_cross(spark):
     p = plan(spark, df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Generate" in p, p  # sequence+explode grid
+
+
+def test_q5_six_way_join_broadcasts_every_dim(spark):
+    """Q5's four dimension joins must all be broadcast — the fact
+    chain shuffles at most once (lineitem ⋈ orders); a SortMergeJoin
+    against customer/supplier/nation/region means a 100 TB fact scan
+    reshuffles for a kilobyte dim."""
+    df = relational.q5_local_supplier_volume(spark, SF_DIR)
+    p = plan(spark, df)
+    assert p.count("BroadcastHashJoin") >= 4, p
+    # date + region filters pushed to their scans
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    assert "EqualTo(r_name,ASIA)" in p, p
+
+
+def test_scalar_subquery_is_decorrelated(spark):
+    """The correlated min() subquery must be rewritten to an
+    aggregate + join (no per-row subquery execution)."""
+    df = relational.subquery_scalar_corr(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "Subquery" not in p, p
+    assert "HashAggregate" in p and "Join" in p, p
+
+
+def test_repetition_features_are_shuffle_free(spark):
+    """Gopher repetition features are array expressions over the scan
+    — the only exchange allowed is the deliberate scan-spread
+    repartition (no aggregation/window shuffle of the token stream)."""
+    from parquet_stream_writer_spark.operators import text
+
+    df = text.text_repetition_gopher(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "Window" not in p and "HashAggregate" not in p, p
+    # formatted mode prints each node twice (tree + detail): one
+    # Exchange node == two mentions
+    assert plan(spark, df, "simple").count("Exchange") <= 1, p
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    """The benchmark n-gram set joins broadcast; the corpus side must
+    never sort-merge against it."""
+    from parquet_stream_writer_spark.operators import text
+
+    df = text.text_contamination_ngram(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
