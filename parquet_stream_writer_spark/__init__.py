@@ -29,7 +29,13 @@ UDFs appear only where built-ins cannot express the semantics
 """
 
 from parquet_stream_writer_spark.session import get_session
+from parquet_stream_writer_spark.sink.sharded import ShardedDatasetWriter, compact_dataset
 from parquet_stream_writer_spark.sink.stream_writer import ParquetStreamWriter
 
-__all__ = ["ParquetStreamWriter", "get_session"]
+__all__ = [
+    "ParquetStreamWriter",
+    "ShardedDatasetWriter",
+    "compact_dataset",
+    "get_session",
+]
 __version__ = "0.1.0"

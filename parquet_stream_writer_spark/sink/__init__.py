@@ -8,7 +8,7 @@
   sequential names.
 """
 
-from parquet_stream_writer_spark.sink.sharded import ShardedDatasetWriter
+from parquet_stream_writer_spark.sink.sharded import ShardedDatasetWriter, compact_dataset
 from parquet_stream_writer_spark.sink.stream_writer import ParquetStreamWriter
 
-__all__ = ["ParquetStreamWriter", "ShardedDatasetWriter"]
+__all__ = ["ParquetStreamWriter", "ShardedDatasetWriter", "compact_dataset"]

@@ -78,6 +78,7 @@ class ShardedDatasetWriter:
         overwrite: bool = False,
         compression: str = "snappy",
         deterministic_names: bool = True,
+        partition_by: list[str] | None = None,
         **writer_options: Any,
     ) -> None:
         if shard_size_bytes <= 0:
@@ -88,6 +89,7 @@ class ShardedDatasetWriter:
         self.overwrite = overwrite
         self.compression = compression
         self.deterministic_names = deterministic_names
+        self.partition_by = list(partition_by) if partition_by else []
         self.writer_options = writer_options
         self.written_files: list[Path] = []
 
@@ -99,6 +101,11 @@ class ShardedDatasetWriter:
             .option("maxRecordsPerFile", rows_per_file)
             .option("compression", self.compression)
         )
+        if self.partition_by:
+            # Hive-style layout: dir-per-key (`col=value/`), the layout
+            # partition pruning reads back for free. Shard sizing still
+            # applies within each partition directory.
+            writer = writer.partitionBy(*self.partition_by)
         for key, value in self.writer_options.items():
             writer = writer.option(key, value)
         writer.parquet(str(self.path))
@@ -106,12 +113,59 @@ class ShardedDatasetWriter:
         return self.written_files
 
     def _finalize_names(self) -> list[Path]:
-        parts = sorted(p for p in self.path.glob("part-*.parquet"))
+        # With partitionBy the part files live one dir per key; the
+        # shard index restarts per partition directory.
+        pattern = "*/" * len(self.partition_by) + "part-*.parquet"
+        parts = sorted(self.path.glob(pattern))
         if not self.deterministic_names:
             return [p.absolute() for p in parts]
         final: list[Path] = []
-        for i, part in enumerate(parts):
-            target = self.path / f"{self.file_prefix}-{i}.parquet"
+        index: dict[Path, int] = {}
+        for part in parts:
+            i = index.get(part.parent, 0)
+            index[part.parent] = i + 1
+            target = part.parent / f"{self.file_prefix}-{i}.parquet"
             part.rename(target)
             final.append(target.absolute())
         return final
+
+
+def compact_dataset(
+    spark: Any,
+    src: str | Path,
+    dest: str | Path,
+    *,
+    target_bytes: int = 256 << 20,
+    compression: str = "snappy",
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_bytes`` uncompressed data each.
+
+    The pathological layout at scale is millions of kilobyte files
+    (one per streaming micro-batch × partition); every downstream scan
+    then pays per-file open/footer costs. Compaction is one
+    distributed pass: scan (all splits in parallel) → repartition to
+    the target file count → write with ``maxRecordsPerFile`` as the
+    per-task guard. Returns before/after file counts.
+    """
+    src, dest = Path(src), Path(dest)
+    df = spark.read.parquet(str(src))
+    files_before = len(list(src.rglob("*.parquet")))
+    row_bytes = estimate_row_bytes(df)
+    total_rows = df.count()
+    rows_per_file = max(1, int(target_bytes / row_bytes))
+    n_files = max(1, -(-total_rows // rows_per_file))  # ceil
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .option("compression", compression)
+        .parquet(str(dest))
+    )
+    files_after = len(list(dest.glob("part-*.parquet")))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": total_rows,
+        "rows_per_file": rows_per_file,
+    }

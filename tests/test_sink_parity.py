@@ -312,3 +312,45 @@ def test_sharded_dataset_writer_overwrite(tmp_path, spark):
     with pytest.raises(Exception):
         ShardedDatasetWriter(out, shard_size_bytes=1 << 20).write(df)
     ShardedDatasetWriter(out, shard_size_bytes=1 << 20, overwrite=True).write(df)
+
+
+def test_sharded_writer_partition_by(tmp_path, spark):
+    """Hive-style partition_by: dir-per-key layout, shard naming
+    restarting inside each partition directory, pruning on read."""
+    out = tmp_path / "bykey"
+    df = spark.range(6000).selectExpr(
+        "id", "cast(id % 3 as int) as bucket", "repeat('z', 40) as value"
+    )
+    writer = ShardedDatasetWriter(
+        out, shard_size_bytes=40_000, partition_by=["bucket"]
+    )
+    files = writer.write(df)
+    assert files
+    # every file sits under a bucket=N dir and restarts at prefix-0
+    parents = {p.parent.name for p in files}
+    assert parents == {"bucket=0", "bucket=1", "bucket=2"}
+    for parent in parents:
+        names = sorted(p.name for p in files if p.parent.name == parent)
+        assert names[0] == "bykey-0.parquet"
+    # read-back through Spark reconstitutes the partition column
+    back = spark.read.parquet(str(out))
+    assert back.count() == 6000
+    assert back.where("bucket = 1").count() == 2000
+
+
+def test_compact_dataset(tmp_path, spark):
+    from parquet_stream_writer_spark.sink import compact_dataset
+
+    src = tmp_path / "fragmented"
+    # 64 tiny files — the streaming-sink pathology
+    spark.range(8000).selectExpr("id", "repeat('w', 30) as value").repartition(
+        64
+    ).write.parquet(str(src))
+    assert len(list(src.glob("part-*.parquet"))) == 64
+    dest = tmp_path / "compacted"
+    stats = compact_dataset(spark, src, dest, target_bytes=1 << 20)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 8
+    back = spark.read.parquet(str(dest))
+    assert back.count() == 8000
+    assert stats["rows"] == 8000
