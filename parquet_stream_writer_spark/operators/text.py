@@ -527,3 +527,60 @@ QUERIES["text_contamination_ngram"] = text_contamination_ngram
 QUERIES["text_repetition_gopher"] = text_repetition_gopher
 ORACLE["text_contamination_ngram"] = ORACLE_TEXT_CONTAMINATION
 ORACLE["text_repetition_gopher"] = ORACLE_TEXT_REPETITION
+
+
+# ---------------------------------------------------------------------------
+# Tokenize-to-ids (vocab build + encode)
+# ---------------------------------------------------------------------------
+
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-prep encode step: build a frequency-ranked vocab
+    (top 30 tokens, deterministic count-then-lexical tiebreak) and map
+    every document to (pos, token, id) rows; out-of-vocab → id 0.
+
+    The vocab is an aggregate of the full token stream but is tiny by
+    construction, so it **broadcasts** back onto the exploded tokens —
+    corpus-side data never reshuffles for the encode. At 100 TB this
+    is the canonical two-pass shape: one partial+final agg for the
+    vocab (bytes of output), one broadcast-join map pass to encode.
+    The vocab rank uses a global window over the (tiny) count table,
+    which is fine because that table is |vocab|-sized, not
+    corpus-sized.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        counts.withColumn("tok_id", F.row_number().over(w).cast("int"))
+        .where(F.col("tok_id") <= 30)
+        .select("tok", "tok_id")
+    )
+    return toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "tok",
+        F.coalesce("tok_id", F.lit(0)).cast("int").alias("tok_id"),
+    )
+
+
+ORACLE_TEXT_TOKENIZE_IDS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text),' ')) AS tok,
+         generate_subscripts(string_split(lower(text),' '), 1) AS pos
+  FROM documents),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INTEGER) AS tok_id
+  FROM counts QUALIFY row_number() OVER (ORDER BY n DESC, tok ASC) <= 30)
+SELECT t.doc_id, t.pos, t.tok, coalesce(v.tok_id, 0) AS tok_id
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+"""
+
+
+QUERIES["text_tokenize_ids"] = text_tokenize_ids
+ORACLE["text_tokenize_ids"] = ORACLE_TEXT_TOKENIZE_IDS
