@@ -1253,3 +1253,44 @@ ORACLE.update(
         "subquery_scalar_corr": ORACLE_SUBQUERY_SCALAR_CORR,
     }
 )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a discount tweak — a pure
+    scan-side query. Every predicate (date band, discount band,
+    quantity cap) pushes into the parquet reader, so at 100 TB this
+    reads only matching row groups via column statistics; the agg is
+    a single partial+final sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
+ORACLE["q6_forecast_revenue"] = ORACLE_Q6

@@ -349,3 +349,42 @@ FROM per_user
 
 QUERIES["events_funnel"] = events_funnel
 ORACLE["events_funnel"] = ORACLE_EVENTS_FUNNEL
+
+
+def events_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling aggregate per user — a RANGE frame over
+    event time (`rangeBetween` on integer microseconds), the window
+    class behind rate-limiting and trailing-feature computation.
+
+    A RANGE frame is defined by order-key *values*, so peer rows with
+    equal timestamps all enter the frame — the result is deterministic
+    with no tiebreak. One shuffle on user_id; the frame scan is a
+    sliding pointer within each sorted partition, O(n) per key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.sum("value").over(w), 4).alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
+ORACLE_EVENTS_TIME_RANGE_WINDOW = """
+SELECT event_id, user_id,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000.0 AS trailing_1h_sum,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trailing_1h_n
+FROM events
+"""
+
+
+QUERIES["events_time_range_window"] = events_time_range_window
+ORACLE["events_time_range_window"] = ORACLE_EVENTS_TIME_RANGE_WINDOW
