@@ -453,3 +453,44 @@ SELECT v1, v2, sim FROM pairs WHERE sim > 0.45
 
 QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
 ORACLE["dedup_embedding_cosine"] = ORACLE_DEDUP_EMBEDDING_COSINE
+
+
+def embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label PCA summary via ``applyInPandas`` — the grouped-map
+    lane of the Pandas UDF API (``mapInPandas`` handles per-partition
+    kernels elsewhere in this pack; this is the per-*group* kernel).
+
+    Each label's embedding matrix is centered and SVD-decomposed in
+    one numpy call; outputs are sign-invariant (explained variance,
+    component norm, centroid norm) so the result is deterministic.
+    One shuffle groups rows by label; at scale each group must fit an
+    executor's memory — for the billion-row case switch to the
+    mergeable covariance-matrix formulation (per-partition X^T X
+    partial sums via mapInPandas, eigendecomposition driver-side on
+    the d×d accumulation), which this synthetic-scale version stands
+    in for. Rows-only check: SVD internals aren't SQL-expressible.
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pca(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        X = np.stack(pdf["embedding"].to_numpy())
+        Xc = X - X.mean(axis=0, keepdims=True)
+        s = np.linalg.svd(Xc, compute_uv=False)
+        total = float((s**2).sum()) or 1.0
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "explained_var_pc1": [round(float(s[0] ** 2 / total), 6)],
+                "centroid_norm": [round(float(np.linalg.norm(X.mean(axis=0))), 6)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        pca, "label int, n_vectors long, explained_var_pc1 double, centroid_norm double"
+    )
+
+
+QUERIES["embedding_pca_by_label"] = embedding_pca_by_label
