@@ -165,3 +165,12 @@ def test_contamination_benchmark_side_is_broadcast(spark):
     p = plan(spark, df)
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_window_topk_uses_group_limit_pushdown(spark):
+    """Spark 4's WindowGroupLimit must prune rows below rank k
+    *before* the full window sort — without it, top-3-per-group
+    materializes every row of a 100 TB fact in the window exchange."""
+    df = relational.window_topk_per_group(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "WindowGroupLimit" in p, p
