@@ -316,3 +316,63 @@ ORACLE = {
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "join_salted": ORACLE_JOIN_SALTED,
 }
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of ``orders``: per-column null count,
+    distinct count, min/max — the validation pass a pipeline runs
+    before training ingest.
+
+    One scan: all metrics for all columns are expressions of a single
+    ``agg`` row (Catalyst plans the multi-``countDistinct`` via one
+    Expand, still one pass over the data), then ``stack`` pivots the
+    wide row to (column, metric…) rows driver-free. Min/max stringify
+    through DECIMAL for doubles — Spark and DuckDB disagree on
+    scientific-notation cutoffs for raw double→string casts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("ck_null"),
+        F.countDistinct("o_custkey").alias("ck_nd"),
+        F.min("o_custkey").cast("string").alias("ck_min"),
+        F.max("o_custkey").cast("string").alias("ck_max"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("tp_null"),
+        F.countDistinct("o_totalprice").alias("tp_nd"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("tp_min"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("tp_max"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("os_null"),
+        F.countDistinct("o_orderstatus").alias("os_nd"),
+        F.min("o_orderstatus").alias("os_min"),
+        F.max("o_orderstatus").alias("os_max"),
+    )
+    return wide.selectExpr(
+        "stack(3, "
+        "  'o_custkey',     ck_null, ck_nd, ck_min, ck_max, "
+        "  'o_totalprice',  tp_null, tp_nd, tp_min, tp_max, "
+        "  'o_orderstatus', os_null, os_nd, os_min, os_max "
+        ") AS (column_name, n_null, n_distinct, min_value, max_value)"
+    )
+
+
+ORACLE_PROFILE_TABLE = """
+SELECT 'o_custkey' AS column_name,
+       count(*) - count(o_custkey) AS n_null,
+       count(DISTINCT o_custkey)   AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_value,
+       CAST(max(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+"""
+
+
+QUERIES["profile_table"] = profile_table
+ORACLE["profile_table"] = ORACLE_PROFILE_TABLE
