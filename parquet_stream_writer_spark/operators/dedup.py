@@ -510,6 +510,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Convergence probe: min-label propagation only ever *decreases*
+    # labels, so sum(label) is strictly monotone until fixpoint —
+    # comparing it round-over-round detects convergence without the
+    # extra join-and-count job per round (one scalar agg action, whose
+    # job the eager localCheckpoint shares work with).
+    prev_sum = None
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges["d2"] == labels["node"])
@@ -524,15 +530,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        label_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
