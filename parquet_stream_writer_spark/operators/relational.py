@@ -1294,3 +1294,34 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
 ORACLE["q6_forecast_revenue"] = ORACLE_Q6
+
+
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates: sample variance/stddev,
+    correlation, covariance per group — one-pass mergeable
+    formulations (Welford/co-moment updates), so they partial+final
+    like any hash agg; no second pass over the data at any scale.
+    Both engines use numerically stable co-moment merges, so results
+    agree to well past the 6-8 dp the oracle rounds to."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        pround(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        pround(F.covar_samp("l_quantity", "l_discount"), 8).alias("cov_qty_disc"),
+    )
+
+
+ORACLE_AGG_MOMENTS = """
+SELECT l_returnflag,
+       floor(var_samp(l_quantity)    * 1000000 + 0.5) / 1000000.0 AS var_qty,
+       floor(stddev_samp(l_quantity) * 1000000 + 0.5) / 1000000.0 AS sd_qty,
+       floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000.0 AS corr_qty_price,
+       floor(covar_samp(l_quantity, l_discount) * 100000000 + 0.5) / 100000000.0 AS cov_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES["agg_moments"] = agg_moments
+ORACLE["agg_moments"] = ORACLE_AGG_MOMENTS
