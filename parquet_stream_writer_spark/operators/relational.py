@@ -1325,3 +1325,48 @@ GROUP BY l_returnflag
 
 QUERIES["agg_moments"] = agg_moments
 ORACLE["agg_moments"] = ORACLE_AGG_MOMENTS
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column predicates spanning
+    both join sides. Catalyst extracts the common `p_brand IN (...)` /
+    quantity bounds it can push below the join, keeps the full
+    disjunction as the post-join filter, and still broadcasts the dim
+    — the shape that punishes engines which give up on OR-predicate
+    pushdown and scan everything."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.where(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT count(*) AS n,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+QUERIES["q19_discounted_revenue"] = q19_discounted_revenue
+ORACLE["q19_discounted_revenue"] = ORACLE_Q19

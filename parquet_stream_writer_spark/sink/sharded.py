@@ -79,6 +79,7 @@ class ShardedDatasetWriter:
         compression: str = "snappy",
         deterministic_names: bool = True,
         partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
         **writer_options: Any,
     ) -> None:
         if shard_size_bytes <= 0:
@@ -90,11 +91,18 @@ class ShardedDatasetWriter:
         self.compression = compression
         self.deterministic_names = deterministic_names
         self.partition_by = list(partition_by) if partition_by else []
+        self.sort_by = list(sort_by) if sort_by else []
         self.writer_options = writer_options
         self.written_files: list[Path] = []
 
     def write(self, df: DataFrame) -> list[Path]:
         rows_per_file = max(1, int(self.shard_size_bytes / estimate_row_bytes(df)))
+        if self.sort_by:
+            # Cluster rows within each task before writing: parquet
+            # stores per-row-group min/max stats, so sorted data turns
+            # downstream range predicates into row-group skips. A
+            # within-partition sort is shuffle-free (unlike orderBy).
+            df = df.sortWithinPartitions(*self.sort_by)
         mode = "overwrite" if self.overwrite else "errorifexists"
         writer = (
             df.write.mode(mode)

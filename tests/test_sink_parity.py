@@ -354,3 +354,24 @@ def test_compact_dataset(tmp_path, spark):
     back = spark.read.parquet(str(dest))
     assert back.count() == 8000
     assert stats["rows"] == 8000
+
+
+def test_sharded_writer_sort_by_clusters_row_groups(tmp_path, spark):
+    """sort_by clusters values within each written file so parquet
+    row-group min/max stats support range skipping downstream."""
+    out = tmp_path / "clustered"
+    df = (
+        spark.range(20000)
+        .selectExpr("(id * 7919) % 20000 as key", "repeat('c', 24) as value")
+        .coalesce(2)
+    )
+    writer = ShardedDatasetWriter(
+        out, shard_size_bytes=200_000, sort_by=["key"]
+    )
+    files = writer.write(df)
+    assert files
+    # within every file the key column must be non-decreasing
+    for p in files:
+        t = pq.read_table(p, columns=["key"])
+        keys = t.column("key").to_pylist()
+        assert keys == sorted(keys), p
