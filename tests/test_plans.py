@@ -174,3 +174,25 @@ def test_window_topk_uses_group_limit_pushdown(spark):
     df = relational.window_topk_per_group(spark, SF_DIR)
     p = plan(spark, df)
     assert "WindowGroupLimit" in p, p
+
+
+def test_q19_disjunction_keeps_broadcast_and_pushes_bounds(spark):
+    """The OR-of-ANDs predicate must not defeat the broadcast join,
+    and the disjunction's common quantity/size bounds should still
+    reach the scans as pushed filters (Catalyst CNF extraction)."""
+    df = relational.q19_discounted_revenue(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    assert "Or(And(" in p or "PushedFilters: [Or(" in p, p
+
+
+def test_tokenize_ids_encodes_via_broadcast(spark):
+    """The vocab must come back to the token stream as a broadcast
+    join — re-shuffling the exploded corpus on `tok` to meet a
+    30-row vocab would shuffle the entire token stream at scale."""
+    from parquet_stream_writer_spark.operators import text
+
+    df = text.text_tokenize_ids(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
