@@ -330,21 +330,37 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL for doubles — Spark and DuckDB disagree on
     scientific-notation cutoffs for raw double→string casts.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    wide = orders.agg(
+    orders = scan_parallel(spark, sf_dir, "orders")
+    # Two aggregates cross-joined (both single-row, so the join is
+    # free): variable-length strings in an aggregation buffer knock
+    # Spark from HashAggregate down to SortAggregate, and the
+    # multi-countDistinct Expand quadruples rows — combined, that's a
+    # full sort of 4× the table. Keeping the string min/max out of
+    # the Expand branch keeps the heavy branch hash-aggregated and
+    # the sort branch un-expanded.
+    numeric = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count("o_custkey")).alias("ck_null"),
         F.countDistinct("o_custkey").alias("ck_nd"),
-        F.min("o_custkey").cast("string").alias("ck_min"),
-        F.max("o_custkey").cast("string").alias("ck_max"),
         (F.count(F.lit(1)) - F.count("o_totalprice")).alias("tp_null"),
         F.countDistinct("o_totalprice").alias("tp_nd"),
-        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("tp_min"),
-        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("tp_max"),
         (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("os_null"),
         F.countDistinct("o_orderstatus").alias("os_nd"),
+        F.min("o_custkey").alias("ck_min_raw"),
+        F.max("o_custkey").alias("ck_max_raw"),
+        F.min("o_totalprice").alias("tp_min_raw"),
+        F.max("o_totalprice").alias("tp_max_raw"),
+    )
+    strings = orders.agg(
         F.min("o_orderstatus").alias("os_min"),
         F.max("o_orderstatus").alias("os_max"),
+    )
+    wide = numeric.crossJoin(strings).select(
+        "*",
+        F.col("ck_min_raw").cast("string").alias("ck_min"),
+        F.col("ck_max_raw").cast("string").alias("ck_max"),
+        F.col("tp_min_raw").cast("decimal(18,2)").cast("string").alias("tp_min"),
+        F.col("tp_max_raw").cast("decimal(18,2)").cast("string").alias("tp_max"),
     )
     return wide.selectExpr(
         "stack(3, "
