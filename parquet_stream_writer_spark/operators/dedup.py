@@ -24,8 +24,10 @@ point on the exactness/scale tradeoff:
 Everything is built-in JVM expressions — no Python UDFs. The hash
 family is md5 (same lowercase hex in Spark and DuckDB), which makes
 even the *approximate* pipelines exactly reproducible by the oracle:
-min-over-hex-strings is a valid uniform MinHash and identical across
-engines.
+min over a fixed-width integer prefix of the digest is a valid
+uniform MinHash, identical across engines, and keeps the signature
+aggregation hash-based (var-length string buffers would demote it to
+a SortAggregate over the full shingle stream).
 """
 
 from __future__ import annotations
@@ -43,6 +45,31 @@ _ROWS_PER_BAND = 3
 _BUCKET_CAP = 50
 #: Exact-Jaccard acceptance threshold for near-dup pairs.
 _J_THRESHOLD = 0.5
+
+
+def _hex_to_int_sql(col: str, width: int) -> str:
+    """Portable SQL: integer value of the first ``width`` hex chars of
+    an md5 digest.
+
+    Both Spark SQL and DuckDB lack a shared hex→int builtin, so build
+    it from ``instr`` over a hex alphabet (identical semantics in
+    both dialects; 1-based, returns 0 when absent — digests only
+    contain [0-9a-f] so every lookup hits).
+    """
+    terms = []
+    for p in range(1, width + 1):
+        # cast the place-value multiplier to BIGINT: at width 8 the
+        # high place is 16^7 and the product overflows INT32 (ANSI
+        # Spark raises; DuckDB would silently widen — keep both long).
+        terms.append(
+            f"(instr('0123456789abcdef', substr({col}, {p}, 1)) - 1)"
+            f" * cast({16 ** (width - p)} as bigint)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hex4_to_int_sql(col: str) -> str:
+    return _hex_to_int_sql(col, 4)
 
 
 def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -195,9 +222,17 @@ WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_J_THRESHOLD}
 def _minhash_signatures(ds: DataFrame) -> DataFrame:
     """K md5-seeded min-hashes per doc: one groupBy(doc_id) computes
     all K mins map-side-partially (Catalyst partial agg), so the
-    shuffle carries one row per doc."""
+    shuffle carries one row per doc.
+
+    The min is over a fixed-width BIGINT (first 8 hex chars of the
+    digest, portable ``instr`` conversion shared with the oracle) —
+    var-length string buffers would force the whole aggregation from
+    HashAggregate down to SortAggregate, a full sort of the shingle
+    stream, the largest relation in the pipeline."""
     mins = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min(F.expr(_hex_to_int_sql(f"md5(concat(shingle, '#{i}'))", 8))).alias(
+            f"h{i}"
+        )
         for i in range(_K)
     ]
     return ds.groupBy("doc_id").agg(*mins)
@@ -287,7 +322,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_core() -> str:
     hcols = ",\n         ".join(
-        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(_K)
+        "min(" + _hex_to_int_sql("md5(shingle || '#%d')" % i, 8) + ") AS h%d" % i
+        for i in range(_K)
     )
     bcols = ",\n         ".join(
         "md5("
@@ -352,22 +388,6 @@ WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_J_THRESHOLD}
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-
-def _hex4_to_int_sql(col: str) -> str:
-    """Portable SQL: value of the first 4 hex chars of an md5 digest.
-
-    Both Spark SQL and DuckDB lack a shared hex→int builtin, so build
-    it from ``instr`` over a hex alphabet (identical semantics in
-    both dialects; 1-based, returns 0 when absent — digests only
-    contain [0-9a-f] so every lookup hits).
-    """
-    terms = []
-    for p in range(1, 5):
-        terms.append(
-            f"(instr('0123456789abcdef', substr({col}, {p}, 1)) - 1) * {16 ** (4 - p)}"
-        )
-    return "(" + " + ".join(terms) + ")"
-
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash buckets: docs whose token-frequency fingerprints
