@@ -196,3 +196,19 @@ def test_tokenize_ids_encodes_via_broadcast(spark):
     p = plan(spark, df)
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_minhash_signatures_hash_aggregate(spark):
+    """The K-wide min-hash signature agg must be a HashAggregate —
+    var-length string buffers would demote it to a SortAggregate,
+    i.e. a full sort of the shingle stream (the largest relation in
+    the dedup pipeline)."""
+    from parquet_stream_writer_spark.operators.dedup import (
+        _minhash_signatures,
+        _shingles,
+    )
+
+    df = _minhash_signatures(_shingles(spark, SF_DIR))
+    p = plan(spark, df, "simple")
+    assert "SortAggregate" not in p, p
+    assert "HashAggregate" in p, p
