@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 #: Tiny function-word list used for the stopword-ratio feature.
@@ -196,11 +197,20 @@ SELECT lang, predicted, count(*) AS n_docs FROM predicted GROUP BY lang, predict
 # ---------------------------------------------------------------------------
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints: hash 4-token k-grams, slide a window of
-    4 consecutive k-gram hashes keeping the minimum, dedup the kept
-    mins per document. Output per-doc fingerprint count and extrema —
-    the compact sketch a plagiarism/near-dup index stores.
+    """Winnowing fingerprints: hash 4-token k-grams to 32-bit ints,
+    slide a window of 4 consecutive k-gram hashes keeping the minimum,
+    dedup the kept mins per document. Output per-doc fingerprint count
+    and extrema — the compact sketch a plagiarism/near-dup index
+    stores.
+
+    Fingerprints are fixed-width BIGINTs (integer prefix of the md5,
+    portable across engines), not hex strings: every downstream
+    shuffle carries 8 bytes instead of 32, and the final min/max
+    aggregation stays a HashAggregate (var-length string buffers
+    would demote it to a sort of the fingerprint stream).
     """
+    from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
+
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
@@ -218,7 +228,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    kg = toks.select("doc_id", "pos", kgram.alias("kh")).where(F.col("kh").isNotNull())
+    kg = (
+        toks.select("doc_id", "pos", kgram.alias("kh_hex"))
+        .where(F.col("kh_hex").isNotNull())
+        .select("doc_id", "pos", F.expr(_hex_to_int_sql("kh_hex", 8)).alias("kh"))
+    )
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     fps = kg.select("doc_id", F.min("kh").over(wmin).alias("fp")).distinct()
     return fps.groupBy("doc_id").agg(
@@ -228,7 +242,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TEXT_FINGERPRINT = """
+ORACLE_TEXT_FINGERPRINT = f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(string_split(lower(text), ' ')) AS tok,
@@ -236,14 +250,14 @@ WITH toks AS (
   FROM documents
 ),
 kg AS (
-  SELECT doc_id, pos, kh FROM (
+  SELECT doc_id, pos, {_hex_to_int_sql("kh_hex", 8)} AS kh FROM (
     SELECT doc_id, pos,
            CASE WHEN lead(tok, 3) OVER w IS NOT NULL THEN
              md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
                      || ' ' || lead(tok, 3) OVER w)
-           END AS kh
+           END AS kh_hex
     FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-  ) WHERE kh IS NOT NULL
+  ) WHERE kh_hex IS NOT NULL
 ),
 fps AS (
   SELECT DISTINCT doc_id, fp FROM (
