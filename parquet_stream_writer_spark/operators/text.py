@@ -1,6 +1,8 @@
 """Text-analysis operators over ``documents`` — the LLM-pipeline
 text lane: token statistics, quality scoring, language identification,
-and document fingerprinting (winnowing).
+document fingerprinting (winnowing), BPE-ish token counting, blocklist
+redaction, sequence packing, benchmark decontamination, Gopher
+repetition filtering, and tokenize-to-ids encoding.
 
 All pure built-in expressions (split/explode/window/agg) — the token
 explode is map-side; every aggregation is partial+final via Catalyst.
