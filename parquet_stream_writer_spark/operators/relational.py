@@ -1370,3 +1370,351 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 
 QUERIES["q19_discounted_revenue"] = q19_discounted_revenue
 ORACLE["q19_discounted_revenue"] = ORACLE_Q19
+
+
+# ---------------------------------------------------------------------------
+# TPC-H deep-shape batch 2: Q4 / Q8 / Q9 / Q13 / Q15 / Q21 / Q22
+# (adapted to the driver schema: lineitem has no commit/receipt dates
+# and there is no partsupp table, so the correlated predicates use
+# l_shipdate lag and a retailprice-derived cost instead)
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority distribution of orders with at least
+    one late-shipped line. The correlated EXISTS with a non-equi
+    cross-table predicate (l_shipdate > o_orderdate + 60 days) becomes
+    a LEFT SEMI join — the fact table is probed once, no duplicate
+    orders survive, and the semi join shuffles only the two join keys
+    at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    o = orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    late = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of PROMO-part revenue
+    inside a region, per order year. Eight relations; nation joins in
+    twice (customer side gates the region, supplier side labels the
+    volume). Every dimension broadcasts, so the only shuffle is the
+    lineitem ⋈ orders fact-fact join; the share is a conditional-sum /
+    sum ratio in one aggregation pass. Numerator and denominator are
+    rounded before the divide so the quotient is bit-identical across
+    engines (IEEE division of identical doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(
+            orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+              li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))),
+                2,
+            ).alias("nation_volume"),
+            pround(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
+
+
+ORACLE_Q8 = """
+SELECT o_year, nation_volume, total_volume,
+       nation_volume / total_volume AS mkt_share
+FROM (
+  SELECT o_year,
+         floor(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) * 100 + 0.5) / 100.0 AS nation_volume,
+         floor(sum(volume) * 100 + 0.5) / 100.0 AS total_volume
+  FROM (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN part      ON l_partkey  = p_partkey
+    JOIN customer  ON o_custkey  = c_custkey
+    JOIN supplier  ON l_suppkey  = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+  ) GROUP BY o_year
+)
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name LIKE filter. The LIKE can't push as a parquet predicate
+    but prunes the broadcast part build side before the join; cost is
+    derived from retailprice (no partsupp table in this schema,
+    reference has no tables at all — SURVEY.md §2b)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part.where(F.col("p_name").like("%red%"))),
+                li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(pround(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       floor(sum(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity) * 100 + 0.5) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey  = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    keeping zero-order customers via LEFT OUTER with the filter inside
+    the join (filter-then-outer-join, not outer-join-then-filter —
+    semantics differ). Two chained aggregations; the second one is
+    tiny (one row per distinct count)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            customer["c_custkey"] == orders["o_custkey"],
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue. The scalar MAX is a one-row aggregate broadcast back over
+    the per-supplier revenue (no window-over-everything, which would
+    funnel all rows through one task at scale); revenue is rounded
+    before the max so both engines pick the same winner."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    revenue = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *only* supplier with a
+    returned line in a multi-supplier finished order. The classic
+    double-correlated EXISTS / NOT EXISTS pair is decorrelated by hand
+    into one order-level aggregate (distinct suppliers, distinct
+    returning suppliers) joined back to the returned lines — one extra
+    shuffle replaces two correlated self-joins of the fact table,
+    which is the rewrite every optimizer hopes to find."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    order_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(order_stats, li["l_orderkey"] == F.col("os_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-dormant customers per nation — a
+    scalar AVG subquery (broadcast single-row threshold) plus a LEFT
+    ANTI join against recent orders. The threshold is rounded to
+    cents before the comparison so the boundary is identical across
+    engines; the anti join only shuffles custkeys."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    pool = customer.where(F.col("c_nationkey").isin(nations))
+    thresh = pool.where(F.col("c_acctbal") > 0.0).agg(
+        pround(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    return (
+        pool.join(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, pool["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT c_nationkey AS cntry, count(*) AS numcust,
+       floor(sum(c_acctbal) * 100 + 0.5) / 100.0 AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (SELECT floor(avg(c_acctbal) * 100 + 0.5) / 100.0 FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES.update(
+    {
+        "q4_order_priority": q4_order_priority,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_global_sales": q22_global_sales,
+    }
+)
+ORACLE.update(
+    {
+        "q4_order_priority": ORACLE_Q4,
+        "q8_market_share": ORACLE_Q8,
+        "q9_product_profit": ORACLE_Q9,
+        "q13_customer_distribution": ORACLE_Q13,
+        "q15_top_supplier": ORACLE_Q15,
+        "q21_waiting_supplier": ORACLE_Q21,
+        "q22_global_sales": ORACLE_Q22,
+    }
+)
