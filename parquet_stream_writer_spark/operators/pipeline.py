@@ -392,3 +392,75 @@ FROM orders
 
 QUERIES["profile_table"] = profile_table
 ORACLE["profile_table"] = ORACLE_PROFILE_TABLE
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing
+# ---------------------------------------------------------------------------
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (the multilingual-sampling
+    rule from the mBERT/XLM-R lineage): per-source weight ∝ size^α
+    (α=0.5), realized as a deterministic md5-bucket keep-rate per
+    source. The per-source sizes and the normalizer are two tiny aggs
+    broadcast back over the corpus — the full table is scanned once
+    for stats and once for the filtered count; no RNG anywhere, so the
+    sample is stable under repartitioning and re-runs (``rand(seed)``
+    is not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ssize = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("sz"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = ssize.agg(F.sum(F.sqrt("sz")).alias("z"))
+    weighted = (
+        ssize.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            pround(F.sqrt("sz") / F.col("z"), 6).alias("weight"),
+        )
+        .withColumn(
+            "rate_pct",
+            F.floor(F.least(F.lit(1.0), F.col("weight") * 5) * 100).cast("int"),
+        )
+    )
+    bucket = F.expr(_bucket_col(spark_side=True))
+    sampled = (
+        docs.join(F.broadcast(weighted.select("source", "rate_pct")), "source")
+        .where(bucket < F.col("rate_pct"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return weighted.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "rate_pct",
+        F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+    )
+
+
+ORACLE_SAMPLE_TEMPERATURE_MIX = f"""
+WITH ssize AS (
+  SELECT source, sum(n_chars) AS sz, count(*) AS n_docs
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(sqrt(sz)) AS z FROM ssize),
+w AS (
+  SELECT source, n_docs,
+         floor(sqrt(sz) / z * 1000000 + 0.5) / 1000000.0 AS weight
+  FROM ssize, tot),
+r AS (
+  SELECT *, CAST(floor(least(1.0, weight * 5) * 100) AS INTEGER) AS rate_pct
+  FROM w),
+sel AS (
+  SELECT d.source, count(*) AS n_sampled
+  FROM documents d JOIN r USING (source)
+  WHERE {_bucket_col(spark_side=False)} < rate_pct
+  GROUP BY d.source)
+SELECT source, n_docs, weight, rate_pct, coalesce(n_sampled, 0) AS n_sampled
+FROM r LEFT JOIN sel USING (source)
+"""
+
+
+QUERIES["sample_temperature_mix"] = sample_temperature_mix
+ORACLE["sample_temperature_mix"] = ORACLE_SAMPLE_TEMPERATURE_MIX

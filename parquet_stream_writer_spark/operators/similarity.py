@@ -494,3 +494,67 @@ def embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_pca_by_label"] = embedding_pca_by_label
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) embedding quantization
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine codebook,
+    255 levels) with reconstruction-error audit per label — the
+    storage-shrink step before an ANN index build (4× smaller than
+    float32). All array math is JVM-side higher-order functions over
+    the embedding column; nothing leaves the row until the tiny
+    per-label error agg, so the op is a single narrow scan plus a
+    5-row aggregate at any scale. Rounding is floor(q + 0.5) on both
+    engines (identical IEEE ops) rather than engine round()."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("dd"),
+        )
+        .withColumn("lo", F.array_min("dd"))
+        .withColumn("hi", F.array_max("dd"))
+        .withColumn("scale", (F.col("hi") - F.col("lo")) / F.lit(255.0))
+    )
+    err = d.withColumn(
+        "max_err",
+        F.array_max(
+            F.expr(
+                "transform(dd, x -> abs(x - (floor((x - lo) / scale + 0.5D)"
+                " * scale + lo)))"
+            )
+        ),
+    )
+    return err.groupBy(F.col("label").cast("int").alias("label")).agg(
+        pround(F.avg("max_err"), 8).alias("avg_max_err"),
+        pround(F.max("max_err"), 8).alias("worst_err"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH q AS (
+  SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS dd FROM embeddings),
+s AS (
+  SELECT label, dd, list_min(dd) AS lo, list_max(dd) AS hi,
+         (list_max(dd) - list_min(dd)) / 255.0 AS scale
+  FROM q),
+e AS (
+  SELECT label,
+         list_max([abs(x - (floor((x - lo) / scale + 0.5) * scale + lo))
+                   for x in dd]) AS max_err
+  FROM s)
+SELECT CAST(label AS INTEGER) AS label,
+       floor(avg(max_err) * 100000000 + 0.5) / 100000000.0 AS avg_max_err,
+       floor(max(max_err) * 100000000 + 0.5) / 100000000.0 AS worst_err,
+       count(*) AS n_vectors
+FROM e GROUP BY label
+"""
+
+
+QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+ORACLE["embedding_quantize_int8"] = ORACLE_EMBEDDING_QUANTIZE

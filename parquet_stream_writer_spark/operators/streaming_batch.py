@@ -388,3 +388,63 @@ FROM events
 
 QUERIES["events_time_range_window"] = events_time_range_window
 ORACLE["events_time_range_window"] = ORACLE_EVENTS_TIME_RANGE_WINDOW
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+#: epoch µs of 2024-01-01T00:00:00Z (events corpus start).
+_EPOCH_2024_US = 1_704_067_200_000_000
+_WEEK_US = 604_800_000_000
+
+
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by their *first* event's
+    type, activity counted as distinct users per (cohort, week).
+
+    The first-event pick is a row_number window (one shuffle on
+    user_id); the activity join re-uses that same user_id partitioning
+    so Catalyst can reuse the exchange. DISTINCT before the final agg
+    keeps the count per cell exact without a countDistinct over the
+    raw event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("cohort"))
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor((us - F.lit(_EPOCH_2024_US)) / F.lit(_WEEK_US))
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_no").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+ORACLE_EVENTS_RETENTION = f"""
+WITH firsts AS (
+  SELECT user_id, event_type AS cohort
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) = 1),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(floor((epoch_us(e.ts) - {_EPOCH_2024_US}) / {_WEEK_US}) AS INTEGER) AS week_no
+  FROM events e JOIN firsts f USING (user_id))
+SELECT cohort, week_no, count(*) AS active_users
+FROM activity GROUP BY cohort, week_no
+"""
+
+
+QUERIES["events_retention_cohort"] = events_retention_cohort
+ORACLE["events_retention_cohort"] = ORACLE_EVENTS_RETENTION

@@ -600,3 +600,73 @@ FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
 
 QUERIES["text_tokenize_ids"] = text_tokenize_ids
 ORACLE["text_tokenize_ids"] = ORACLE_TEXT_TOKENIZE_IDS
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span fraction (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 8-gram token spans that occur in more
+    than one document — the Lee-et-al exact-substring dedup signal at
+    fixed-gram granularity. Spans are md5-hashed to fixed-width 48-bit
+    ints *before* the shuffle (both engines use the identical digest,
+    so the rare hash collision merges the same spans on both sides):
+    the global gram-frequency agg and the join back stay hash-based
+    and move 8 bytes per gram instead of ~50-byte strings. Flagged =
+    more than 5% of a doc's spans appear elsewhere."""
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 8
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 7),"
+                " i -> md5(array_join(slice(t, i, 8), ' ')))"
+            )
+        ).alias("gh"),
+    ).select("doc_id", F.expr(_hex_to_int_sql("gh", 12)).alias("g"))
+    gcount = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        grams.join(gcount, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            (F.col("n_dup") / F.col("n_grams")).alias("dup_frac"),
+            (F.col("n_dup") / F.col("n_grams") > 0.05).alias("flagged"),
+        )
+    )
+
+
+ORACLE_TEXT_DUP_SPAN = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 8),
+grams AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(t[i:i+7], ' '))
+                 for i in generate_series(1, len(t) - 7)]) AS gh
+  FROM toks),
+g AS (SELECT doc_id, {_hex_to_int_sql('gh', 12)} AS g FROM grams),
+gcount AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM g JOIN gcount USING (g) GROUP BY doc_id)
+SELECT doc_id, n_grams, n_dup,
+       n_dup / n_grams AS dup_frac,
+       n_dup / n_grams > 0.05 AS flagged
+FROM per_doc
+"""
+
+
+QUERIES["text_dup_span_fraction"] = text_dup_span_fraction
+ORACLE["text_dup_span_fraction"] = ORACLE_TEXT_DUP_SPAN
