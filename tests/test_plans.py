@@ -212,3 +212,51 @@ def test_minhash_signatures_hash_aggregate(spark):
     p = plan(spark, df, "simple")
     assert "SortAggregate" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_q8_market_share_broadcasts_all_seven_dims(spark):
+    """Q8 joins eight relations; all seven non-fact sides (orders is
+    the co-fact) must broadcast — the only shuffle in the plan is the
+    lineitem ⋈ orders fact join plus the final one-row agg."""
+    df = relational.q8_market_share(spark, SF_DIR)
+    p = plan(spark, df, "simple")
+    assert p.count("BroadcastHashJoin") == 7, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q4_exists_is_hash_semi_join(spark):
+    """The correlated non-equi EXISTS must decorrelate onto its equi
+    key (orderkey) as a hash/merge LeftSemi — never a nested-loop
+    join, which would be quadratic at scale."""
+    df = relational.q4_order_priority(spark, SF_DIR)
+    p = plan(spark, df, "simple")
+    assert "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_dup_span_grams_stay_hash_aggregated(spark):
+    """Span fingerprints are fixed-width ints before the shuffle: the
+    global gram-frequency agg must stay HashAggregate (a string key in
+    the agg *buffer* would demote it to SortAggregate = full sort)."""
+    from parquet_stream_writer_spark.operators import text
+
+    df = text.text_dup_span_fraction(spark, SF_DIR)
+    p = plan(spark, df, "simple")
+    assert "SortAggregate" not in p, p
+
+
+def test_retention_reuses_user_partitioning(spark):
+    """The first-event window and the activity join both key on
+    user_id; Catalyst must not insert a second user_id exchange for
+    the join (ReusedExchange / single shuffle on user_id)."""
+    from parquet_stream_writer_spark.operators import streaming_batch
+
+    df = streaming_batch.events_retention_cohort(spark, SF_DIR)
+    p = plan(spark, df, "simple")
+    import re
+
+    user_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", p))
+    assert user_exchanges <= 2, p
+    assert "SortAggregate" not in p, p
