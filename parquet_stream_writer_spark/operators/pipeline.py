@@ -464,3 +464,67 @@ FROM r LEFT JOIN sel USING (source)
 
 QUERIES["sample_temperature_mix"] = sample_temperature_mix
 ORACLE["sample_temperature_mix"] = ORACLE_SAMPLE_TEMPERATURE_MIX
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (SCD-style)
+# ---------------------------------------------------------------------------
+
+def merge_upsert_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a full-outer join: an updates batch
+    (derived deterministically from the target so the op is
+    self-contained) is merged into ``orders`` — matched keys take the
+    update's values, unmatched-source keys insert, unmatched-target
+    keys keep, and every row is tagged with its action. This is the
+    batch skeleton of lakehouse upsert: one shuffle on the merge key,
+    then pure row-local coalesce/case projection; at scale the updates
+    side is usually small enough to broadcast, turning the merge into
+    a map-side operation over the target."""
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("u_key"),
+            F.lit("X").alias("new_status"),
+            (F.col("o_totalprice") * 1.1).alias("new_price"),
+        )
+        .unionAll(
+            orders.where(F.col("o_orderkey") % 1000 == 7).select(
+                (F.col("o_orderkey") + 10_000_000).alias("u_key"),
+                F.lit("N").alias("new_status"),
+                F.lit(100.0).alias("new_price"),
+            )
+        )
+    )
+    merged = orders.join(upd, orders["o_orderkey"] == upd["u_key"], "full_outer")
+    action = (
+        F.when(F.col("u_key").isNull(), "keep")
+        .when(F.col("o_orderkey").isNull(), "insert")
+        .otherwise("update")
+    )
+    return merged.select(
+        F.coalesce("u_key", "o_orderkey").alias("key"),
+        F.coalesce("new_status", "o_orderstatus").alias("status"),
+        pround(F.coalesce("new_price", "o_totalprice"), 2).alias("price"),
+        action.alias("action"),
+    )
+
+
+ORACLE_MERGE_UPSERT_SCD = """
+WITH updates AS (
+  SELECT o_orderkey AS u_key, 'X' AS new_status, o_totalprice * 1.1 AS new_price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', 100.0 FROM orders WHERE o_orderkey % 1000 = 7)
+SELECT coalesce(u.u_key, o.o_orderkey) AS key,
+       coalesce(u.new_status, o.o_orderstatus) AS status,
+       floor(coalesce(u.new_price, o.o_totalprice) * 100 + 0.5) / 100.0 AS price,
+       CASE WHEN u.u_key IS NULL THEN 'keep'
+            WHEN o.o_orderkey IS NULL THEN 'insert'
+            ELSE 'update' END AS action
+FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.u_key
+"""
+
+
+QUERIES["merge_upsert_scd"] = merge_upsert_scd
+ORACLE["merge_upsert_scd"] = ORACLE_MERGE_UPSERT_SCD

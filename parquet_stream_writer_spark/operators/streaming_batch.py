@@ -448,3 +448,63 @@ FROM activity GROUP BY cohort, week_no
 
 QUERIES["events_retention_cohort"] = events_retention_cohort
 ORACLE["events_retention_cohort"] = ORACLE_EVENTS_RETENTION
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score outlier flags: each event scored
+    against the mean/stddev of its previous ≤20 events (ROWS frame
+    ending at 1 PRECEDING, so the current value never contaminates its
+    own baseline). One shuffle on user_id; the frame is a sliding
+    scan within each sorted partition. Baseline mean/stddev are
+    rounded to 6dp before the z division so both engines (whose
+    sliding-frame accumulation orders differ) score from identical
+    baselines."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(-20, -1)
+    )
+    st = (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            pround(F.avg("value").over(w), 6).alias("mu"),
+            pround(F.stddev_samp("value").over(w), 6).alias("sd"),
+            F.count(F.lit(1)).over(w).alias("n_prev"),
+        )
+        .where((F.col("n_prev") >= 5) & (F.col("sd") > 0))
+    )
+    z = pround((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return st.select(
+        "event_id",
+        "user_id",
+        z.alias("z"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+ORACLE_EVENTS_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         floor(avg(value)         OVER w * 1000000 + 0.5) / 1000000.0 AS mu,
+         floor(stddev_samp(value) OVER w * 1000000 + 0.5) / 1000000.0 AS sd,
+         count(*) OVER w AS n_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id,
+       floor((value - mu) / sd * 10000 + 0.5) / 10000.0 AS z,
+       abs(floor((value - mu) / sd * 10000 + 0.5) / 10000.0) > 3.0 AS is_anomaly
+FROM stats WHERE n_prev >= 5 AND sd > 0
+"""
+
+
+QUERIES["events_anomaly_zscore"] = events_anomaly_zscore
+ORACLE["events_anomaly_zscore"] = ORACLE_EVENTS_ANOMALY_ZSCORE

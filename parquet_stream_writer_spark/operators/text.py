@@ -670,3 +670,46 @@ FROM per_doc
 
 QUERIES["text_dup_span_fraction"] = text_dup_span_fraction
 ORACLE["text_dup_span_fraction"] = ORACLE_TEXT_DUP_SPAN
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy
+# ---------------------------------------------------------------------------
+
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring with a corpus-trained unigram LM: token
+    surprisal is -ln(count/total) from one global frequency pass, and
+    each doc is scored by its mean surprisal (high = improbable text).
+    The vocabulary agg is tiny (distinct tokens) and broadcasts back
+    over the exploded token stream — the same two-pass train/apply
+    shape as ``text_tokenize_ids``, with the totals row carried on the
+    broadcast side so no second scan of the corpus is needed."""
+    toks = _tokens(spark, sf_dir).select("doc_id", "tok")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    scored = toks.join(F.broadcast(vocab.crossJoin(tot)), "tok").select(
+        "doc_id", (-F.log(F.col("c") / F.col("n"))).alias("nll")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        pround(F.avg("nll"), 6).alias("avg_neg_logp"),
+    )
+
+
+ORACLE_TEXT_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id, -ln(v.c / tot.n) AS nll
+  FROM toks t JOIN vocab v USING (tok), tot)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS avg_neg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
+QUERIES["text_perplexity_proxy"] = text_perplexity_proxy
+ORACLE["text_perplexity_proxy"] = ORACLE_TEXT_PERPLEXITY
