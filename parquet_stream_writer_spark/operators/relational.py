@@ -1718,3 +1718,38 @@ ORACLE.update(
         "q22_global_sales": ORACLE_Q22,
     }
 )
+
+
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by
+    price. Catalyst decorrelates the per-row ORDER BY … LIMIT into a
+    row_number window over o_custkey plus one join — the rewrite that
+    turns an O(customers × orders) nested loop into two shuffles, and
+    exactly how a hand-written window top-k-per-group would plan. The
+    tie-break on o_orderkey keeps the top-2 deterministic."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               floor(o.o_totalprice * 100 + 0.5) / double(100) AS totalprice
+        FROM lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
+
+
+ORACLE_SUBQUERY_LATERAL = """
+SELECT c.c_custkey, o.o_orderkey,
+       floor(o.o_totalprice * 100 + 0.5) / 100.0 AS totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+QUERIES["subquery_lateral_topn"] = subquery_lateral_topn
+ORACLE["subquery_lateral_topn"] = ORACLE_SUBQUERY_LATERAL

@@ -260,3 +260,48 @@ def test_retention_reuses_user_partitioning(spark):
     user_exchanges = len(re.findall(r"Exchange hashpartitioning\(user_id", p))
     assert user_exchanges <= 2, p
     assert "SortAggregate" not in p, p
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    """JOIN LATERAL (… ORDER BY … LIMIT 2) must rewrite to a
+    row_number window + join — never a per-row nested loop."""
+    df = relational.subquery_lateral_topn(spark, SF_DIR)
+    p = plan(spark, df, "simple")
+    assert "Window" in p and "row_number" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_selective_fact_join_injects_bloom_filter(spark):
+    """With broadcast off (the 100 TB fact-fact case), a selective
+    filter on one join side must inject a runtime Bloom filter that
+    prunes the probe-side scan before the shuffle. The size-threshold
+    confs are lowered because the test files are tiny; at real scale
+    the defaults (10 MB creation side / 10 GB application side)
+    trigger on their own."""
+    from pyspark.sql import functions as F
+
+    from parquet_stream_writer_spark.sources import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        p = plan(spark, j, "simple")
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in p and "bloom_filter_agg" in p, p
