@@ -91,6 +91,10 @@ def test_shingle_build_has_no_window_exchange(spark):
     posexplode+lead shape crept back in."""
     from parquet_stream_writer_spark.operators.dedup import _shingles
 
+    # Other suites may have cached the shingle relation; a cached plan
+    # explains as InMemoryRelation(materialization plan) and double-
+    # counts its exchanges. Clear so we pin the *logical* shape.
+    spark.catalog.clearCache()
     df = _shingles(spark, SF_DIR)
     p = plan(spark, df)
     assert "Window" not in p, p
