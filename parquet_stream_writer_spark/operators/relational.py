@@ -1753,3 +1753,26 @@ FROM customer c, LATERAL (
 
 QUERIES["subquery_lateral_topn"] = subquery_lateral_topn
 ORACLE["subquery_lateral_topn"] = ORACLE_SUBQUERY_LATERAL
+
+
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-priority HLL sketches
+    of o_custkey union into one global estimate without rescanning —
+    the property that lets 1000 executors (or 1000 daily partitions)
+    keep running distinct counts as tiny mergeable state instead of
+    shuffling raw keys. Output carries the exact distinct alongside
+    for error auditing. Rows-only check (estimates are
+    sketch-implementation-specific; Datasketches HLL here)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_custs")
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct_custs"))
+    return merged.crossJoin(exact)
+
+
+QUERIES["agg_hll_mergeable"] = agg_hll_mergeable
+# intentionally no ORACLE entry: sketch estimates are engine-specific.

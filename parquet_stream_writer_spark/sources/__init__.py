@@ -73,3 +73,55 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    header: bool = True,
+    strict: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source with a declared schema (never inferred — matching
+    the reference's fixed-schema contract, writer.py:119).
+
+    ``strict=True`` uses FAILFAST mode so malformed rows raise (the
+    Arrow `ArrowInvalid` analog, reference writer.py:216); otherwise
+    PERMISSIVE nulls them. Schema inference is deliberately not
+    offered: at 100 TB an inference pass is a full extra scan, and a
+    drifting inferred schema breaks downstream casts."""
+    reader = (
+        spark.read.format("csv")
+        .schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    strict: bool = True,
+    **options,
+) -> DataFrame:
+    """JSON-lines source with a declared schema (never inferred).
+
+    Same contract as :func:`read_csv`: FAILFAST surfaces corrupt
+    records as errors, PERMISSIVE nulls them. One JSON object per
+    line is the only splittable JSON layout — multiline JSON forces
+    one task per file, which is why training corpora ship as JSONL."""
+    reader = (
+        spark.read.format("json")
+        .schema(schema)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

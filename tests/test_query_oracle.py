@@ -29,3 +29,15 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
 
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_hll_merged_estimate_tracks_exact(spark, sf_dir):
+    """Sketch estimates are engine-specific (no oracle), but a merged
+    HLL must land within 5% of the exact distinct at this scale."""
+    from parquet_stream_writer_spark.operators.relational import agg_hll_mergeable
+
+    r = agg_hll_mergeable(spark, sf_dir).collect()[0]
+    assert (
+        abs(r.est_distinct_custs - r.exact_distinct_custs)
+        <= 0.05 * r.exact_distinct_custs
+    )
