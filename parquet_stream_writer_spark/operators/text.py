@@ -713,3 +713,53 @@ FROM scored GROUP BY doc_id
 
 QUERIES["text_perplexity_proxy"] = text_perplexity_proxy
 ORACLE["text_perplexity_proxy"] = ORACLE_TEXT_PERPLEXITY
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking
+# ---------------------------------------------------------------------------
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunker: overlapping 16-token windows with
+    stride 8 per document. Chunk starts come from ``sequence`` (no
+    join, no shuffle — pure map-side explode of a generated range),
+    so at 100 TB this is a single narrow pass whose output lands
+    directly in the sink; contrast ``text_pack_sequences``, which
+    packs *across* docs and needs a global prefix sum. Runt chunks
+    (<4 tokens) are dropped."""
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, greatest(size(t) - 7, 1), 8)")).alias("start"),
+        "t",
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            ((F.col("start") - 1) / 8).cast("int").alias("chunk_idx"),
+            F.expr("array_join(slice(t, start, 16), ' ')").alias("chunk_text"),
+            F.expr("size(slice(t, start, 16))").cast("int").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= 4)
+    )
+
+
+ORACLE_TEXT_CHUNK_WINDOWS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(t) - 7, 1), 8)) AS start,
+         t
+  FROM toks)
+SELECT doc_id, CAST((start - 1) / 8 AS INTEGER) AS chunk_idx,
+       array_to_string(t[start:start+15], ' ') AS chunk_text,
+       CAST(len(t[start:start+15]) AS INTEGER) AS n_tokens
+FROM chunks
+WHERE len(t[start:start+15]) >= 4
+"""
+
+
+QUERIES["text_chunk_windows"] = text_chunk_windows
+ORACLE["text_chunk_windows"] = ORACLE_TEXT_CHUNK_WINDOWS
