@@ -558,3 +558,128 @@ FROM e GROUP BY label
 
 QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
 ORACLE["embedding_quantize_int8"] = ORACLE_EMBEDDING_QUANTIZE
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm, fixed iterations)
+# ---------------------------------------------------------------------------
+
+#: Cluster count and unrolled Lloyd iterations for the k-means op.
+_KM_K = 8
+_KM_ITERS = 3
+
+#: Strict left-fold squared-distance — Spark's ``aggregate`` and
+#: DuckDB's ``list_reduce`` both fold left element-by-element, so the
+#: partial-sum sequence (and thus the resulting double) is
+#: bit-identical across engines, which keeps the argmin assignment
+#: deterministic without any rounding of distances.
+_KM_DIST_SPARK = (
+    "aggregate(zip_with(dd, c, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as double), (acc, e) -> acc + e)"
+)
+
+
+def _km_dist_duck() -> str:
+    return (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " i -> (e.dd[i] - c.c[i]) * (e.dd[i] - c.c[i])), (a, b) -> a + b)"
+    )
+
+
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding table: k=8 seeded
+    from the lowest vec_ids, three unrolled assign/update rounds, then
+    a final assignment reported as per-cluster sizes and inertia.
+
+    Each round is one broadcast of the (k × dim) centroid table over
+    the point set — the fact side never shuffles for assignment; the
+    only shuffles are the tiny (cid, pos) mean aggregations. That is
+    exactly the 100 TB shape: centroids are KBs regardless of corpus
+    size, so iteration cost is a narrow scan per round. Centroid
+    means are rounded to 6dp each round so both engines iterate from
+    identical codebooks (group-order float drift stays below the
+    rounding grid)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("dd"),
+    )
+    cents = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("dd").alias("c")
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        # Project down to (vec_id, cid, dist) BEFORE the argmin window:
+        # the ×k replicated shuffle then moves 24-byte rows, not the
+        # vectors (those re-join by vec_id afterwards, reusing the
+        # window's partitioning).
+        a = points.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", F.expr(_KM_DIST_SPARK).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            a.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "dist")
+        )
+
+    for _ in range(_KM_ITERS):
+        b = assign(emb, cents)
+        pts = b.join(emb, "vec_id").select(
+            "cid", F.posexplode("dd").alias("pos", "x")
+        )
+        m = pts.groupBy("cid", "pos").agg(pround(F.avg("x"), 6).alias("m"))
+        cents = m.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("c")
+        )
+    final = assign(emb, cents)
+    return final.groupBy(F.col("cid").cast("int").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        pround(F.sum("dist"), 4).alias("inertia"),
+    )
+
+
+def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`embedding_kmeans_lloyd`."""
+    dist = _km_dist_duck()
+    parts = [
+        "WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding]"
+        " AS dd FROM embeddings),\n"
+        f"cents0 AS (SELECT vec_id AS cid, dd AS c FROM emb WHERE vec_id < {k})"
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT e.vec_id, c.cid, {dist} AS dist
+  FROM emb e, cents{it - 1} c),
+b{it} AS (
+  SELECT vec_id, cid FROM a{it}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+m{it} AS (
+  SELECT b.cid, s.pos, floor(avg(s.x) * 1000000 + 0.5) / 1000000.0 AS m
+  FROM b{it} b JOIN (SELECT vec_id, unnest(dd) AS x,
+                            generate_subscripts(dd, 1) AS pos FROM emb) s
+       USING (vec_id)
+  GROUP BY b.cid, s.pos),
+cents{it} AS (SELECT cid, list(m ORDER BY pos) AS c FROM m{it} GROUP BY cid)"""
+        )
+        parts.append(
+            f"""af AS (
+  SELECT e.vec_id, c.cid, {dist} AS dist FROM emb e, cents{iters} c),
+bf AS (
+  SELECT vec_id, cid, dist FROM af
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
+SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_members,
+       floor(sum(dist) * 10000 + 0.5) / 10000.0 AS inertia
+FROM bf GROUP BY cid"""
+            if it == iters
+            else ""
+        )
+    return ",\n".join(p for p in parts if p)
+
+
+ORACLE_EMBEDDING_KMEANS = _kmeans_oracle_sql()
+
+QUERIES["embedding_kmeans_lloyd"] = embedding_kmeans_lloyd
+ORACLE["embedding_kmeans_lloyd"] = ORACLE_EMBEDDING_KMEANS
