@@ -309,3 +309,29 @@ def test_selective_fact_join_injects_bloom_filter(spark):
         for k, v in prev.items():
             spark.conf.set(k, v)
     assert "might_contain" in p and "bloom_filter_agg" in p, p
+
+
+def test_partitioned_dataset_prunes_on_read(spark, tmp_path):
+    """A lang-filtered read of a hive-partitioned dataset must prune
+    at the *directory* level: the filter shows up as a
+    PartitionFilter (not a data filter), and only the matching
+    partition's files are scanned. At 100 TB this is the difference
+    between listing one directory and scanning the corpus."""
+    from parquet_stream_writer_spark.sink import ShardedDatasetWriter
+    from parquet_stream_writer_spark.sources import load_table
+
+    out = tmp_path / "docs_by_lang"
+    docs = load_table(spark, SF_DIR, "documents")
+    ShardedDatasetWriter(
+        out, shard_size_bytes=1 << 20, partition_by=["lang"]
+    ).write(docs)
+    back = spark.read.parquet(str(out)).where("lang = 'en'").select("doc_id")
+    p = plan(spark, back)
+    part_line = next(line for line in p.splitlines() if "PartitionFilters" in line)
+    assert "lang" in part_line, p
+    # the lang predicate must NOT appear as a data-level pushed filter
+    # (a partition-only scan often omits the PushedFilters line entirely)
+    pushed = next((line for line in p.splitlines() if "PushedFilters" in line), "")
+    assert "lang" not in pushed, p
+    assert back.count() == docs.where("lang = 'en'").count()
+    assert "docs_by_lang" in p
