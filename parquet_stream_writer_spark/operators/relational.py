@@ -1776,3 +1776,37 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_hll_mergeable"] = agg_hll_mergeable
 # intentionally no ORACLE entry: sketch estimates are engine-specific.
+
+
+def agg_kll_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Datasketches KLL): per-returnflag
+    sketches of l_extendedprice fold into one global sketch via the
+    binary merge, then serve p50/p90 — the same partial-state pattern
+    as ``agg_hll_mergeable`` but for order statistics, which is how a
+    1000-partition corpus keeps percentile dashboards without ever
+    re-sorting raw values. Exact percentiles ride along for error
+    audit. Rows-only (sketch estimates are implementation-specific)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk")
+    )
+    merged = per.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("mk")
+    )
+    est = merged.select(
+        F.kll_sketch_get_quantile_double("mk", F.lit(0.5)).alias("est_p50"),
+        F.kll_sketch_get_quantile_double("mk", F.lit(0.9)).alias("est_p90"),
+        F.kll_sketch_get_n_double("mk").alias("sketch_n"),
+    )
+    exact = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("exact_p90"),
+    )
+    return est.crossJoin(exact)
+
+
+QUERIES["agg_kll_quantile_mergeable"] = agg_kll_quantile_mergeable
+# intentionally no ORACLE entry: sketch estimates are engine-specific.

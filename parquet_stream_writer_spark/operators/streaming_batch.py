@@ -508,3 +508,55 @@ FROM stats WHERE n_prev >= 5 AND sd > 0
 
 QUERIES["events_anomaly_zscore"] = events_anomaly_zscore
 ORACLE["events_anomaly_zscore"] = ORACLE_EVENTS_ANOMALY_ZSCORE
+
+
+_DAY_US = 86_400_000_000
+
+
+def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users (WAU) for high-value purchase
+    activity. Rolling *distinct* counts can't use a range frame
+    (DISTINCT isn't frame-mergeable), so each (day, user) pair is
+    exploded map-side into the ≤7 window-days it contributes to, and
+    one distinct-agg per window-day finishes the job — shuffle volume
+    is 7× the *daily-distinct* pairs (tiny), never 7× the raw events.
+    The alternative people reach for — self-joining the event table
+    against a day grid — shuffles raw events and dies at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.floor((us - F.lit(_EPOCH_2024_US)) / F.lit(_DAY_US)).cast("int")
+    du = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 140))
+        .select(day.alias("day"), "user_id")
+        .distinct()
+    )
+    mx = du.agg(F.max("day").alias("max_day"))
+    contrib = du.crossJoin(F.broadcast(mx)).select(
+        F.explode(F.expr("sequence(day, least(day + 6, max_day))")).alias("wday"),
+        "user_id",
+    )
+    return (
+        contrib.where(F.col("wday") >= 6)
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+ORACLE_EVENTS_WAU = f"""
+WITH day_users AS (
+  SELECT DISTINCT CAST(floor((epoch_us(ts) - {_EPOCH_2024_US}) / {_DAY_US}) AS INTEGER) AS day,
+         user_id
+  FROM events WHERE event_type = 'purchase' AND value > 140),
+bounds AS (SELECT max(day) AS max_day FROM day_users),
+contrib AS (
+  SELECT unnest(generate_series(day, least(day + 6, (SELECT max_day FROM bounds)))) AS wday,
+         user_id
+  FROM day_users)
+SELECT wday AS day, count(DISTINCT user_id) AS wau
+FROM contrib WHERE wday >= 6
+GROUP BY wday
+"""
+
+
+QUERIES["events_wau_rolling"] = events_wau_rolling
+ORACLE["events_wau_rolling"] = ORACLE_EVENTS_WAU

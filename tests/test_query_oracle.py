@@ -41,3 +41,17 @@ def test_hll_merged_estimate_tracks_exact(spark, sf_dir):
         abs(r.est_distinct_custs - r.exact_distinct_custs)
         <= 0.05 * r.exact_distinct_custs
     )
+
+
+def test_kll_merged_quantiles_track_exact(spark, sf_dir):
+    """Merged KLL sketches must estimate p50/p90 within 2% of exact
+    and account for every input row."""
+    from parquet_stream_writer_spark.operators.relational import (
+        agg_kll_quantile_mergeable,
+    )
+    from parquet_stream_writer_spark.sources import load_table
+
+    r = agg_kll_quantile_mergeable(spark, sf_dir).collect()[0]
+    assert abs(r.est_p50 - r.exact_p50) <= 0.02 * r.exact_p50
+    assert abs(r.est_p90 - r.exact_p90) <= 0.02 * r.exact_p90
+    assert r.sketch_n == load_table(spark, sf_dir, "lineitem").count()
