@@ -1810,3 +1810,44 @@ def agg_kll_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_kll_quantile_mergeable"] = agg_kll_quantile_mergeable
 # intentionally no ORACLE entry: sketch estimates are engine-specific.
+
+
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on theta sketches: estimated union / intersection /
+    difference of the 1996-vs-1997 buyer sets from two one-pass
+    sketches — the capability HLL lacks (HLL only unions). At scale
+    each cohort's sketch is built in its own partition-parallel pass
+    and the algebra happens on KB-sized state; the exact counts ride
+    along for the accuracy audit. Rows-only (estimates are
+    Datasketches-specific)."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    s96 = orders.where(yr == 1996).agg(
+        F.theta_sketch_agg("o_custkey").alias("s96")
+    )
+    s97 = orders.where(yr == 1997).agg(
+        F.theta_sketch_agg("o_custkey").alias("s97")
+    )
+    est = s96.crossJoin(s97).select(
+        F.expr("theta_sketch_estimate(theta_union(s96, s97))").alias("est_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(s96, s97))").alias(
+            "est_both_years"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(s96, s97))").alias(
+            "est_only_1996"
+        ),
+    )
+    flags = orders.where(yr.isin(1996, 1997)).groupBy("o_custkey").agg(
+        F.max((yr == 1996).cast("int")).alias("in96"),
+        F.max((yr == 1997).cast("int")).alias("in97"),
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in96") * F.col("in97")).alias("exact_both_years"),
+        F.sum(F.col("in96") * (1 - F.col("in97"))).alias("exact_only_1996"),
+    )
+    return est.crossJoin(exact)
+
+
+QUERIES["agg_theta_sketch_setops"] = agg_theta_sketch_setops
+# intentionally no ORACLE entry: sketch estimates are engine-specific.

@@ -55,3 +55,19 @@ def test_kll_merged_quantiles_track_exact(spark, sf_dir):
     assert abs(r.est_p50 - r.exact_p50) <= 0.02 * r.exact_p50
     assert abs(r.est_p90 - r.exact_p90) <= 0.02 * r.exact_p90
     assert r.sketch_n == load_table(spark, sf_dir, "lineitem").count()
+
+
+def test_theta_setops_track_exact(spark, sf_dir):
+    """Theta-sketch union/intersection/difference estimates must land
+    within 5% of the exact cohort arithmetic."""
+    from parquet_stream_writer_spark.operators.relational import (
+        agg_theta_sketch_setops,
+    )
+
+    r = agg_theta_sketch_setops(spark, sf_dir).collect()[0]
+    for est, exact in [
+        (r.est_union, r.exact_union),
+        (r.est_both_years, r.exact_both_years),
+        (r.est_only_1996, r.exact_only_1996),
+    ]:
+        assert abs(est - exact) <= max(0.05 * exact, 2), (est, exact)
