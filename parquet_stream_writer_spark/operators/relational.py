@@ -1851,3 +1851,47 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_theta_sketch_setops"] = agg_theta_sketch_setops
 # intentionally no ORACLE entry: sketch estimates are engine-specific.
+
+
+def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lines bucketed by ship lag (>90 days = slow;
+    the driver schema has no l_shipmode, so the lag bucket plays its
+    role), with conditional counts of high- vs low-priority orders
+    per bucket. The date-band filter pushes to the lineitem scan; the
+    ship-lag CASE needs both join sides so it evaluates post-join;
+    the whole query is one fact-fact join plus a 2-row conditional
+    aggregation. Lag is computed on epoch µs (never per-timestamp
+    second truncation — cross-engine ±1s trap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    lag_us = F.unix_micros(F.col("l_shipdate").cast("timestamp")) - F.unix_micros(
+        F.col("o_orderdate").cast("timestamp")
+    )
+    mode = F.when(lag_us > 90 * 86_400_000_000, "slow").otherwise("fast")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) > 90 * 86400000000
+            THEN 'slow' ELSE 'fast' END AS ship_mode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+QUERIES["q12_ship_priority_class"] = q12_ship_priority_class
+ORACLE["q12_ship_priority_class"] = ORACLE_Q12
