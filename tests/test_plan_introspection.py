@@ -1,0 +1,58 @@
+"""Tests for the plans introspection module itself — the audit tool
+our plan-pinning tests and library users rely on must report the
+same facts `.explain` prints.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_stream_writer_spark.operators import relational
+from parquet_stream_writer_spark.plans import (
+    assert_scan_pruned,
+    explain_string,
+    summarize,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_summarize_counts_star_join_broadcasts(spark):
+    s = summarize(relational.join_broadcast_star(spark, SF_DIR))
+    assert s.nodes.get("BroadcastHashJoin", 0) >= 3
+    assert "SortMergeJoin" not in s.nodes
+    assert s.broadcast_exchanges >= 3
+    assert not s.has_nested_loop()
+
+
+def test_summarize_sees_pushed_filters_and_schema(spark):
+    s = summarize(relational.scan_filter_project(spark, SF_DIR))
+    assert any("l_quantity" in f for f in s.pushed_filters)
+    assert s.read_schemas and all(r.startswith("struct<") for r in s.read_schemas)
+
+
+def test_assert_scan_pruned_passes_on_pruned_scan(spark):
+    df = relational.scan_filter_project(spark, SF_DIR)
+    s = assert_scan_pruned(df, max_columns=6, require_pushed="l_quantity")
+    assert s.pushed_filters
+
+
+def test_assert_scan_pruned_fails_on_wide_scan(spark):
+    from parquet_stream_writer_spark.sources import load_table
+
+    df = load_table(spark, SF_DIR, "lineitem")  # full 11-column scan
+    with pytest.raises(AssertionError):
+        assert_scan_pruned(df, max_columns=6)
+
+
+def test_window_not_confused_with_group_limit(spark):
+    s = summarize(relational.window_topk_per_group(spark, SF_DIR))
+    assert s.nodes.get("WindowGroupLimit", 0) >= 1
+    # the Window count excludes the WindowGroupLimit mentions
+    assert s.nodes.get("Window", 0) >= 1
+
+
+def test_explain_string_modes_differ(spark):
+    df = relational.topk_global(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in explain_string(df, "simple")
+    assert "ReadSchema" in explain_string(df, "formatted")
