@@ -56,3 +56,49 @@ def test_explain_string_modes_differ(spark):
     df = relational.topk_global(spark, SF_DIR)
     assert "TakeOrderedAndProject" in explain_string(df, "simple")
     assert "ReadSchema" in explain_string(df, "formatted")
+
+
+#: Queries whose plans legitimately contain a SortAggregate — the
+#: deliberately isolated var-length string min/max branch.
+_SORT_AGG_OK = {"profile_table"}
+
+#: Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+#: single-row scalar broadcasts (thresholds, totals, sketch/exact
+#: audit cross joins), k-row codebook broadcasts, or the genuinely
+#: non-equi range join. Every build side is O(1)–O(k) rows.
+_NLJ_OK = {
+    "agg_hll_mergeable",
+    "agg_kll_quantile_mergeable",
+    "agg_theta_sketch_setops",
+    "embedding_kmeans_lloyd",
+    "events_wau_rolling",
+    "join_range_bands",
+    "profile_table",
+    "q22_global_sales",
+    "sample_temperature_mix",
+    "similarity_cosine_topk",
+    "similarity_ivf",
+    "text_perplexity_proxy",
+}
+
+
+def test_full_pack_plan_sweep(spark):
+    """Every query in the pack planned, summarized, and checked for
+    the two silent 100 TB regressions: a SortAggregate (a string in
+    an agg buffer demotes the hash agg → full sort of the input) and
+    an unexpected nested-loop join (a broadcast hint lost → quadratic
+    join). Whitelists name the deliberate exceptions; a new query
+    landing here unannounced fails the sweep."""
+    import __spark_entry__ as entry
+
+    spark.catalog.clearCache()
+    offenders = {}
+    for name, fn in sorted(entry.queries().items()):
+        s = summarize(fn(spark, SF_DIR))
+        if s.nodes.get("SortAggregate") and name not in _SORT_AGG_OK:
+            offenders.setdefault(name, []).append("SortAggregate")
+        if s.nodes.get("BroadcastNestedLoopJoin") and name not in _NLJ_OK:
+            offenders.setdefault(name, []).append("BroadcastNestedLoopJoin")
+        if s.nodes.get("CartesianProduct"):
+            offenders.setdefault(name, []).append("CartesianProduct")
+    assert not offenders, offenders
