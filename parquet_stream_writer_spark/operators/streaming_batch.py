@@ -560,3 +560,54 @@ GROUP BY wday
 
 QUERIES["events_wau_rolling"] = events_wau_rolling
 ORACLE["events_wau_rolling"] = ORACLE_EVENTS_WAU
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() pairs each event with its predecessor (one
+    shuffle on user_id), then a global pair count and a per-source
+    normalization give P(next | prev). The probability divides two
+    exact integer counts, so it is bit-identical across engines with
+    no rounding needed — the pattern for any sequence-mining op
+    (next-action prediction, session flow graphs) at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.col("total")).alias("p"),
+    )
+
+
+ORACLE_EVENTS_MARKOV = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_type
+    FROM events)
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+totals AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS total FROM pairs GROUP BY prev_type)
+SELECT prev_type, next_type, n, n / total AS p
+FROM pairs JOIN totals USING (prev_type)
+"""
+
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+ORACLE["events_markov_transitions"] = ORACLE_EVENTS_MARKOV
