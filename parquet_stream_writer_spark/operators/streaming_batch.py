@@ -611,3 +611,61 @@ FROM pairs JOIN totals USING (prev_type)
 
 QUERIES["events_markov_transitions"] = events_markov_transitions
 ORACLE["events_markov_transitions"] = ORACLE_EVENTS_MARKOV
+
+
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    (ntile over deterministic total orders) cross-tabulated into
+    segment cells. The windows run over the *aggregated* per-customer
+    relation — orders of magnitude smaller than the fact table — and
+    all three ntiles share one shuffle of that relation. At extreme
+    scale (billions of customers) the global-order window becomes the
+    bottleneck and the boundaries would come from approx-percentile
+    joins instead, trading ntile's exact equal-count semantics for
+    parallelism; at any realistic customer cardinality this exact
+    formulation is the right plan. Monetary is rounded to cents
+    before ranking so tier assignment is engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_us"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        pround(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_us"), F.asc("custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    tiers = per_cust.select(
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_tier"),
+        F.ntile(5).over(f_w).alias("f_tier"),
+        F.ntile(5).over(m_w).alias("m_tier"),
+    )
+    return tiers.groupBy("r_tier", "f_tier", "m_tier").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        pround(F.avg("monetary"), 2).alias("avg_monetary"),
+    )
+
+
+ORACLE_EVENTS_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(epoch_us(o_orderdate)) AS last_us,
+         count(*) AS frequency,
+         floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS monetary
+  FROM orders GROUP BY o_custkey),
+tiers AS (
+  SELECT monetary,
+         CAST(ntile(5) OVER (ORDER BY last_us DESC, custkey) AS INTEGER) AS r_tier,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INTEGER) AS f_tier,
+         CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS INTEGER) AS m_tier
+  FROM per_cust)
+SELECT r_tier, f_tier, m_tier, count(*) AS n_customers,
+       floor(avg(monetary) * 100 + 0.5) / 100.0 AS avg_monetary
+FROM tiers GROUP BY r_tier, f_tier, m_tier
+"""
+
+
+QUERIES["events_rfm_segmentation"] = events_rfm_segmentation
+ORACLE["events_rfm_segmentation"] = ORACLE_EVENTS_RFM

@@ -763,3 +763,56 @@ WHERE len(t[start:start+15]) >= 4
 
 QUERIES["text_chunk_windows"] = text_chunk_windows
 ORACLE["text_chunk_windows"] = ORACLE_TEXT_CHUNK_WINDOWS
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-term extraction
+# ---------------------------------------------------------------------------
+
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's most characteristic term by TF-IDF. Two tiny
+    vocabulary-sized aggs (term frequency per doc, document frequency
+    per term) plus a broadcast join carry the whole computation; the
+    per-doc argmax is a WindowGroupLimit-prunable row_number. Scores
+    are rounded to 6dp *before* ranking so the (tfidf, term) order —
+    and therefore the winner — is identical across engines."""
+    toks = _tokens(spark, sf_dir).select("doc_id", "tok")
+    docs = load_table(spark, sf_dir, "documents")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(dfreq.crossJoin(n)), "tok").select(
+        "doc_id",
+        "tok",
+        pround(
+            F.col("f") * F.log(F.col("n_docs") / F.col("dfreq")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
+
+
+ORACLE_TEXT_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS f FROM toks GROUP BY doc_id, tok),
+df AS (
+  SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok,
+         floor(t.f * ln(n.n_docs / dfreq) * 1000000 + 0.5) / 1000000.0 AS tfidf
+  FROM tf t JOIN df USING (tok), n)
+SELECT doc_id, tok AS top_term, tfidf
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) = 1
+"""
+
+
+QUERIES["text_tfidf_top_term"] = text_tfidf_top_term
+ORACLE["text_tfidf_top_term"] = ORACLE_TEXT_TFIDF

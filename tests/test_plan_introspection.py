@@ -79,6 +79,7 @@ _NLJ_OK = {
     "similarity_cosine_topk",
     "similarity_ivf",
     "text_perplexity_proxy",
+    "text_tfidf_top_term",
 }
 
 
