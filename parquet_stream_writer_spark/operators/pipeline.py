@@ -1,5 +1,6 @@
 """Training-data pipeline operators: temporal joins, deterministic
-sampling, and skew-handling join strategies.
+sampling, temperature-weighted source mixing, MERGE-style upserts,
+data profiling, and skew-handling join strategies.
 
 The reference has no relational surface at all (SURVEY.md §2b); these
 extend the north-star LLM-pipeline pack with the ops a 100 TB corpus

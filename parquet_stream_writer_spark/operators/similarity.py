@@ -1,6 +1,7 @@
-"""Similarity search over the ``embeddings`` table (array<float> × 64).
-
-Three lanes, each a different scale strategy:
+"""Similarity search and embedding ops over the ``embeddings`` table
+(array<float> × 64): exact/LSH/IVF retrieval, global pair mining,
+grouped-map PCA, int8 scalar quantization, and distributed Lloyd
+k-means. The retrieval lanes, each a different scale strategy:
 
 - ``similarity_cosine_topk``  — exact brute-force top-k for a small
   query set: broadcast the queries, fold the dot product with JVM
