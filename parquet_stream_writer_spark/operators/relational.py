@@ -1895,3 +1895,131 @@ GROUP BY 1
 
 QUERIES["q12_ship_priority_class"] = q12_ship_priority_class
 ORACLE["q12_ship_priority_class"] = ORACLE_Q12
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier per part inside a region
+    (the driver schema has no partsupp, so the catalog derives from
+    observed lineitem unit prices). The correlated MIN becomes a tiny
+    (part, supplier)-grain aggregate plus a min-per-part join-back —
+    both keyed on partkey so they share a shuffle — then every
+    dimension broadcasts. Unit prices round to 4dp *before* the min
+    and the equality join so both engines elect the same winner."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    catalog = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        pround(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_price"
+        )
+    )
+    best = catalog.groupBy("partkey").agg(F.min("unit_price").alias("min_price"))
+    return (
+        catalog.join(
+            best,
+            (catalog["partkey"] == best["partkey"])
+            & (catalog["unit_price"] == best["min_price"]),
+        )
+        .drop(best["partkey"])
+        .join(F.broadcast(part.where(F.col("p_size") >= 40)),
+              F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "unit_price",
+        )
+        .orderBy("unit_price", "p_partkey", "s_name")
+        .limit(10)
+    )
+
+
+ORACLE_Q2 = """
+WITH catalog AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         floor(avg(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000.0 AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT partkey, min(unit_price) AS min_price FROM catalog GROUP BY partkey)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation, c.unit_price
+FROM catalog c
+JOIN best b     ON c.partkey = b.partkey AND c.unit_price = b.min_price
+JOIN part p     ON c.partkey = p.p_partkey
+JOIN supplier s ON c.suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size >= 40 AND r.r_name = 'ASIA'
+ORDER BY c.unit_price, p.p_partkey, s.s_name
+LIMIT 10
+"""
+
+
+def q20_excess_volume_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping well above the per-part
+    average of a name-filtered part family — the nested-aggregate
+    (agg of an agg) pattern Q20 exercises through its IN-subquery
+    chain, decorrelated here into a (part, supplier) rollup joined
+    against its own per-part average. Quantities round to 2dp before
+    the 1.5× threshold so the boundary is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part.where(F.col("p_name").like("%red%"))),
+                li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("l_partkey").alias("partkey"),
+                 F.col("l_suppkey").alias("suppkey"))
+        .agg(pround(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    avg_part = shipped.groupBy(F.col("partkey").alias("ap_key")).agg(
+        pround(F.avg("qty"), 2).alias("avg_qty")
+    )
+    return (
+        shipped.join(avg_part, F.col("partkey") == F.col("ap_key"))
+        .where(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .join(F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+
+
+ORACLE_Q20 = """
+WITH shipped AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         floor(sum(l_quantity) * 100 + 0.5) / 100.0 AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY l_partkey, l_suppkey),
+avg_part AS (
+  SELECT partkey, floor(avg(qty) * 100 + 0.5) / 100.0 AS avg_qty
+  FROM shipped GROUP BY partkey)
+SELECT s_suppkey, s_name, count(*) AS n_excess_parts
+FROM supplier
+JOIN shipped  ON s_suppkey = suppkey
+JOIN avg_part USING (partkey)
+WHERE qty > 1.5 * avg_qty
+GROUP BY s_suppkey, s_name
+"""
+
+
+QUERIES.update(
+    {
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q20_excess_volume_supplier": q20_excess_volume_supplier,
+    }
+)
+ORACLE.update(
+    {
+        "q2_min_cost_supplier": ORACLE_Q2,
+        "q20_excess_volume_supplier": ORACLE_Q20,
+    }
+)
