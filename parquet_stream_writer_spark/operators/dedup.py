@@ -579,3 +579,58 @@ FROM reach GROUP BY a
 
 QUERIES["dedup_connected_components"] = dedup_connected_components
 ORACLE["dedup_connected_components"] = ORACLE_DEDUP_CONNECTED_COMPONENTS
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (edit distance with length blocking)
+# ---------------------------------------------------------------------------
+
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate candidates among part names: pairs within edit
+    distance 3. The naive formulation is an all-pairs nested loop;
+    here each name emits three length-block keys (len..len+2) so the
+    candidate join is hash-equi on the block key — only pairs whose
+    lengths differ by ≤2 (a necessary condition for distance ≤3 when
+    names differ mostly by substitution) ever meet, and the O(n·m)
+    levenshtein kernel runs on the surviving candidates only. The
+    same blocking discipline (on length, prefix, or phonetic key) is
+    how fuzzy entity resolution stays subquadratic at scale."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        "p_name", F.length("p_name").alias("ln")
+    )
+    blocked = names.select(
+        "p_name", "ln", F.explode(F.expr("sequence(ln, ln + 2)")).alias("blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("a.p_name") < F.col("b.p_name"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 2)
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 3)
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+ORACLE_DEDUP_FUZZY = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM names a JOIN names b
+    ON a.p_name < b.p_name
+   AND abs(len(a.p_name) - len(b.p_name)) <= 2)
+SELECT name_a, name_b, CAST(dist AS INTEGER) AS dist
+FROM pairs WHERE dist <= 3
+"""
+
+
+QUERIES["dedup_fuzzy_levenshtein"] = dedup_fuzzy_levenshtein
+ORACLE["dedup_fuzzy_levenshtein"] = ORACLE_DEDUP_FUZZY
