@@ -50,3 +50,72 @@ def running_user_profile(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming anomaly scoring (Welford state per key)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, value double, z double, is_anomaly boolean"
+)
+#: Welford accumulator: count, mean, M2 (sum of squared deviations).
+_ZSCORE_STATE_SCHEMA = "n long, mean double, m2 double"
+
+#: Minimum prior observations before a z-score is emitted.
+_MIN_BASELINE = 5
+
+
+def _update_zscore(key, pdf_iter, state: GroupState):
+    """Score each event against the user's *prior* running baseline,
+    then fold it in (Welford's online update — the streaming analog of
+    the batch operator's trailing-frame exclusion of the current row).
+    """
+    import math
+
+    import pandas as pd
+
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    out = {"user_id": [], "event_id": [], "value": [], "z": [], "is_anomaly": []}
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for event_id, value in zip(pdf["event_id"], pdf["value"]):
+            v = float(value)
+            if n >= _MIN_BASELINE and m2 > 0:
+                sd = math.sqrt(m2 / (n - 1))
+                z = (v - mean) / sd
+                out["user_id"].append(key[0])
+                out["event_id"].append(int(event_id))
+                out["value"].append(v)
+                out["z"].append(z)
+                out["is_anomaly"].append(abs(z) > 3.0)
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame(out)
+
+
+def streaming_anomaly_zscore(stream: DataFrame) -> DataFrame:
+    """Per-user streaming z-score anomaly flags with O(1) state.
+
+    The batch twin (``operators.streaming_batch.events_anomaly_zscore``)
+    keeps a 20-row trailing frame; the streaming form compresses the
+    baseline to a three-scalar Welford accumulator per user — constant
+    memory per key regardless of stream length, the textbook shape for
+    fleet-wide metric monitoring. Each event is scored against the
+    baseline *before* being folded in, so a burst of outliers cannot
+    mask itself.
+    """
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_zscore,
+            outputStructType=_ZSCORE_OUTPUT_SCHEMA,
+            stateStructType=_ZSCORE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
