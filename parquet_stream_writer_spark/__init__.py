@@ -21,6 +21,9 @@ pipeline operator surface mandated by the project north star:
 - ``functions``  — reusable column expressions (cosine similarity,
                    tokenization, portable hashing shared with the
                    DuckDB oracle dialect).
+- ``plans``      — physical-plan introspection (``summarize``,
+                   ``assert_scan_pruned``) for auditing pushdown,
+                   broadcast choice, and shuffle counts.
 
 Everything is DataFrame-API first: plans are declared declaratively so
 Catalyst handles pushdown, pruning, join selection, and AQE; Python
