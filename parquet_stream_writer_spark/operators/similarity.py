@@ -684,3 +684,47 @@ ORACLE_EMBEDDING_KMEANS = _kmeans_oracle_sql()
 
 QUERIES["embedding_kmeans_lloyd"] = embedding_kmeans_lloyd
 ORACLE["embedding_kmeans_lloyd"] = ORACLE_EMBEDDING_KMEANS
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit
+# ---------------------------------------------------------------------------
+
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute-force ground
+    truth, per query — the eval every ANN deployment runs before
+    trusting its index (nprobe/ncells tuning is a recall-vs-cost
+    dial; this op is the recall side of that dial). Both retrievals
+    are the already-oracled operators, so the audit itself is one
+    semi-join-shaped LEFT JOIN and a per-query ratio of two exact
+    integer counts."""
+    exact = similarity_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    approx = similarity_ivf(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("vec_id").alias("avid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["qid"] == approx["aqid"]) & (exact["vec_id"] == approx["avid"]),
+        "left_outer",
+    )
+    return joined.groupBy("qid").agg(
+        F.count("avid").alias("hits"),
+        F.count(F.lit(1)).alias("k"),
+        (F.count("avid") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+ORACLE_SIMILARITY_IVF_RECALL = f"""
+WITH exact AS ({ORACLE_SIMILARITY_COSINE_TOPK}),
+approx AS ({ORACLE_SIMILARITY_IVF})
+SELECT e.qid,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       count(*) AS k,
+       count(a.vec_id) / count(*) AS recall
+FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
+GROUP BY e.qid
+"""
+
+
+QUERIES["similarity_ivf_recall"] = similarity_ivf_recall
+ORACLE["similarity_ivf_recall"] = ORACLE_SIMILARITY_IVF_RECALL

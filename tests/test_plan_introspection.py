@@ -78,6 +78,7 @@ _NLJ_OK = {
     "sample_temperature_mix",
     "similarity_cosine_topk",
     "similarity_ivf",
+    "similarity_ivf_recall",
     "text_perplexity_proxy",
     "text_tfidf_top_term",
 }
