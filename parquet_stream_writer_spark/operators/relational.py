@@ -2023,3 +2023,37 @@ ORACLE.update(
         "q20_excess_volume_supplier": ORACLE_Q20,
     }
 )
+
+
+def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg surface: ordered CSV of supplier names per
+    nation. Spark has no ordered string_agg aggregate, so the
+    deterministic formulation is collect_list → array_sort →
+    array_join — same partial/final hash-agg plan as any collect, with
+    the ordering imposed row-locally after the merge (never a global
+    sort). Group cardinality bounds the state, so this is safe
+    exactly where LISTAGG is safe in any engine."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_csv"
+            ),
+        )
+    )
+
+
+ORACLE_AGG_STRING_LISTAGG = """
+SELECT n_name, count(*) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES["agg_string_listagg"] = agg_string_listagg
+ORACLE["agg_string_listagg"] = ORACLE_AGG_STRING_LISTAGG
