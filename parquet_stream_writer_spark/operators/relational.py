@@ -2057,3 +2057,42 @@ GROUP BY n_name
 
 QUERIES["agg_string_listagg"] = agg_string_listagg
 ORACLE["agg_string_listagg"] = ORACLE_AGG_STRING_LISTAGG
+
+
+def nested_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-customer priority→count maps built with
+    ``map_from_entries`` over a sorted entry list, inspected with
+    ``map_keys``, and exploded back to relational rows (scalar output
+    — array/map columns don't survive order-insensitive comparison,
+    so the map round-trips *inside* the plan). Proves the engine's
+    nested-map construction, interrogation, and flattening paths; the
+    oracle reproduces the same relation without the map detour."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("prio_map")
+    )
+    return m.select(
+        "o_custkey",
+        F.explode("prio_map").alias("priority", "n_orders"),
+        F.size(F.map_keys(F.col("prio_map"))).cast("long").alias("n_distinct_prios"),
+    ).select("o_custkey", "priority", "n_orders", "n_distinct_prios")
+
+
+ORACLE_NESTED_MAP_OPS = """
+WITH per AS (
+  SELECT o_custkey, o_orderpriority AS priority, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey, o_orderpriority),
+k AS (
+  SELECT o_custkey, count(*) AS n_distinct_prios FROM per GROUP BY o_custkey)
+SELECT p.o_custkey, p.priority, p.n_orders, k.n_distinct_prios
+FROM per p JOIN k USING (o_custkey)
+"""
+
+
+QUERIES["nested_map_ops"] = nested_map_ops
+ORACLE["nested_map_ops"] = ORACLE_NESTED_MAP_OPS
