@@ -148,7 +148,7 @@ frames AS (
   WHERE i * {_FRAME_STRIDE} < n
 )
 SELECT doc_id, count(*) AS n_frames,
-       sum(frame_bytes) AS total_frame_bytes,
+       CAST(sum(frame_bytes) AS BIGINT) AS total_frame_bytes,
        max("offset") AS last_offset
 FROM frames GROUP BY doc_id
 """

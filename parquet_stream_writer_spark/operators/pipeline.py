@@ -252,7 +252,7 @@ WITH b AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        floor((sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0 AS kept_ratio
 FROM b GROUP BY lang
 """

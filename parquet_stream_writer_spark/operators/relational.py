@@ -586,9 +586,11 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB sum(BIGINT) widens to HUGEINT (pandas float64/object) — cast the
+# aggregate back to BIGINT so both engines emit int64 columns.
 ORACLE_JSON_EXTRACTION = """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS max_k,
        count(*) AS n
 FROM events
@@ -674,9 +676,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AGG_PIVOT = """
 SELECT o_orderpriority,
-       coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
-       coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
-       coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -886,13 +888,25 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mergeable-sketch lane next to the exact ``agg_percentiles``
     (at 100 TB exact percentiles need a full sort per group; the
     sketch is one pass, partial+final mergeable). Rows-only check:
-    sketch internals are engine-specific, so no value oracle."""
+    sketch internals are engine-specific, so no value oracle. The
+    percentile array is projected to scalar columns — array-typed
+    output breaks the driver's order-insensitive canonicalizer."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)").alias(
-            "approx_pcts"
-        ),
-        F.count(F.lit(1)).alias("n_orders"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)"
+            ).alias("approx_pcts"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("approx_pcts")[0].alias("p50_approx"),
+            F.col("approx_pcts")[1].alias("p90_approx"),
+            F.col("approx_pcts")[2].alias("p99_approx"),
+            "n_orders",
+        )
     )
 
 
@@ -1216,7 +1230,7 @@ def subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT p_partkey, p_name, p_brand,
-               floor((p_retailprice) * 100 + 0.5) / 100.0 AS retailprice
+               floor((p_retailprice) * 100 + 0.5) / double(100) AS retailprice
         FROM part_v p
         WHERE p_retailprice = (
           SELECT min(p2.p_retailprice) FROM part_v p2 WHERE p2.p_brand = p.p_brand

@@ -128,8 +128,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,
@@ -227,7 +227,7 @@ streaks AS (
   FROM islands GROUP BY user_id, anchor
 )
 SELECT user_id, count(*) AS n_streaks, max(streak_len) AS max_streak,
-       sum(streak_len) AS active_hours
+       CAST(sum(streak_len) AS BIGINT) AS active_hours
 FROM streaks GROUP BY user_id
 """
 
@@ -340,9 +340,9 @@ WITH per_user AS (
          min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
   FROM events GROUP BY user_id
 )
-SELECT sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-       sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)   AS n_clicked_after_view,
-       sum(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchased_after_click
+SELECT CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)   AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
 FROM per_user
 """
 
@@ -552,7 +552,7 @@ contrib AS (
   SELECT unnest(generate_series(day, least(day + 6, (SELECT max_day FROM bounds)))) AS wday,
          user_id
   FROM day_users)
-SELECT wday AS day, count(DISTINCT user_id) AS wau
+SELECT CAST(wday AS INTEGER) AS day, count(DISTINCT user_id) AS wau
 FROM contrib WHERE wday >= 6
 GROUP BY wday
 """

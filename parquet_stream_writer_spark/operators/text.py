@@ -403,7 +403,7 @@ placed AS (
   FROM toks
 )
 SELECT CAST(floor((cum - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS chunk_id,
-       count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM placed GROUP BY 1
 """

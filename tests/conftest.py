@@ -14,7 +14,10 @@ import pytest
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default to sf0.01 — the scale the round driver checks at.  Round 1's
+# sf0.001 default let sf0.01-only divergences (DECIMAL typing, HUGEINT
+# widening) through to the driver unseen.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -52,7 +55,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # tz-strip and unit-normalize (Spark ns vs DuckDB us) — the
+            # driver hash compares timestamp values, not storage unit.
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -63,6 +68,13 @@ def assert_results_match(spark_df, oracle_con, sql: str, float_tol: float = 1e-9
         f"column mismatch: spark={list(left.columns)} oracle={list(right.columns)}"
     )
     assert len(left) == len(right), f"row count: spark={len(left)} oracle={len(right)}"
+    # Driver-faithful dtype strictness: the driver's value hash separates
+    # a Spark float64 from a DuckDB Decimal/HUGEINT column even when the
+    # numbers compare equal, so a dtype divergence must fail here too.
+    for c in left.columns:
+        assert str(left[c].dtype) == str(right[c].dtype), (
+            f"dtype mismatch on {c}: spark={left[c].dtype} oracle={right[c].dtype}"
+        )
     for c in left.columns:
         lv, rv = left[c].tolist(), right[c].tolist()
         for i, (a, b) in enumerate(zip(lv, rv)):

@@ -23,8 +23,15 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     if name in ORACLES:
         assert_results_match(df, oracle_con, ORACLES[name])
     else:
-        assert df.count() >= 0  # rows-only: runs and has a stable schema
+        # Rows-only: runs, has a stable schema, AND survives the driver's
+        # canonicalizer (sort rows by every column) — array-typed output
+        # columns crash that sort with "unhashable type" driver-side.
+        pdf = df.toPandas()
         assert len(df.schema.fields) > 0
+        if len(pdf.columns):
+            pdf.reindex(sorted(pdf.columns), axis=1).sort_values(
+                by=sorted(pdf.columns), ignore_index=True
+            )
 
 
 def test_oracle_keys_subset_of_queries():
