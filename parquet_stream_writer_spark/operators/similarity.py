@@ -14,12 +14,14 @@ k-means. The retrieval lanes, each a different scale strategy:
   of all-pairs. Planes are fixed literals so the DuckDB oracle
   reproduces the exact buckets.
 - ``similarity_pair_topk``    — global most-similar pairs via a
-  vectorized numpy kernel in ``mapInPandas`` (Arrow-batched): each
-  partition matmuls its rows against the broadcast corpus matrix and
-  emits its local top-k, then a global top-k reduces. Demonstrates
-  the sanctioned Python fast path (BLAS beats per-row JVM folds for
-  dense linear algebra); still oracle-checkable because the math is
-  double-precision on both sides.
+  block-partitioned exact all-pairs search: vectors replicate to a
+  2D grid of block-pair groups (``_pair_blocks``), each group runs a
+  BLAS matmul kernel in ``applyInPandas`` (Arrow-batched) and emits
+  its local top-k, then a global top-k reduces. No full-corpus
+  collect or broadcast anywhere; per-task memory is O(n/B · d).
+  Demonstrates the sanctioned Python fast path (BLAS beats per-row
+  JVM folds for dense linear algebra); still oracle-checkable
+  because the math is double-precision on both sides.
 
 All similarities are computed in float64 after casting the float32
 input (both engines see identical inputs) and rounded to 4 decimals
@@ -193,55 +195,92 @@ FROM ranked WHERE rk <= {_TOP_K}
 # Global most-similar pairs — vectorized numpy kernel
 # ---------------------------------------------------------------------------
 
-def similarity_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most similar distinct pairs (v1 < v2), computed with a
-    blocked numpy matmul inside ``mapInPandas``.
+#: Block-grid width for distributed all-pairs mining.  Work is split
+#: into B(B+1)/2 block-pair tasks; each task holds ≤ 2·n/B rows.  At
+#: 100 TB scale B grows with the corpus so a block stays executor-sized
+#: (n/B ≈ 100k rows × 64 dims ≈ 50 MB); replication factor is exactly B.
+_N_BLOCKS = 8
 
-    The corpus matrix is collected once (n × 64 float64 — ~1 MB at
-    sf0.1) and captured by the Arrow-batched kernel; each partition
-    multiplies its row block against it and emits a local top-k, then
-    a global ``orderBy().limit()`` (TakeOrderedAndProject) reduces.
-    At 100 TB the collect becomes an IVF/LSH-partitioned block join
-    (see ``similarity_ann_lsh``); the kernel shape is unchanged.
+
+def _pair_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate each vector to the ``_N_BLOCKS`` block-pair groups it
+    participates in — the 2D-grid decomposition of distributed all-pairs
+    (distributed GEMM shape).  A vector in block ``i`` lands in group
+    ``(min(i,j), max(i,j))`` once for every ``j``; shuffle volume is
+    ``n × B`` rows, never ``n²``, and no driver-side collect exists
+    anywhere in the lineage.
     """
+    emb = _emb(spark, sf_dir).select("vec_id", "emb")
+    peers = F.array(*[F.lit(i) for i in range(_N_BLOCKS)])
+    return (
+        emb.withColumn("blk", (F.col("vec_id") % _N_BLOCKS).cast("int"))
+        .withColumn("peer", F.explode(peers))
+        .select(
+            F.least("blk", "peer").alias("bi"),
+            F.greatest("blk", "peer").alias("bj"),
+            "blk",
+            "vec_id",
+            "emb",
+        )
+    )
+
+
+def _pair_sims_kernel(threshold: float | None, topk: int | None):
+    """Per-block-pair numpy kernel: cosine over the valid cross/intra
+    pairs of the group, 4-dp half-up rounding applied **before** any
+    selection, deterministic (−sim, v1, v2) lexsort tie-break."""
     import pandas as pd
 
-    emb = _emb(spark, sf_dir).select("vec_id", "emb")
-    rows = emb.toArrow()
-    ids = np.asarray(rows.column("vec_id"))
-    mat = np.asarray(rows.column("emb").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    sc = spark.sparkContext
-    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+    def kernel(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        mat = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        # Same arithmetic as the DuckDB oracle's cosine (dot / |a||b|),
+        # kept bit-identical so 4-dp rounding can't flip a boundary.
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+        mask = ids[None, :] > ids[:, None]  # distinct pairs, v1 < v2
+        if bi != bj:
+            mask &= blks[None, :] != blks[:, None]  # cross-block only
+        p, q = np.nonzero(mask)
+        v1, v2, s = ids[p].astype(np.int64), ids[q].astype(np.int64), sims[p, q]
+        if threshold is not None:
+            keep = s > threshold
+            v1, v2, s = v1[keep], v2[keep], s[keep]
+        if topk is not None and len(s) > topk:
+            # Primary key last in lexsort: order by −sim, then v1, v2.
+            sel = np.lexsort((v2, v1, -s))[:topk]
+            v1, v2, s = v1[sel], v2[sel], s[sel]
+        return pd.DataFrame({"v1": v1, "v2": v2, "sim": s})
 
-    def kernel(batches):
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        order = np.argsort(all_ids)
-        for pdf in batches:
-            block = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
-            v1 = pdf["vec_id"].to_numpy()
-            sims = (block @ all_mat.T) / np.outer(
-                np.linalg.norm(block, axis=1), all_norms
-            )
-            out_v1, out_v2, out_s = [], [], []
-            for i in range(len(v1)):
-                mask = all_ids > v1[i]  # distinct pairs only, v1 < v2
-                if not mask.any():
-                    continue
-                cand_s = sims[i][mask]
-                cand_id = all_ids[mask]
-                top = np.argsort(-cand_s)[:_N_PAIRS]
-                out_v1.extend([int(v1[i])] * len(top))
-                out_v2.extend(cand_id[top].astype(int).tolist())
-                out_s.extend(cand_s[top].tolist())
-            yield pd.DataFrame({"v1": out_v1, "v2": out_v2, "s": out_s})
+    return kernel
 
-    local_tops = emb.mapInPandas(kernel, schema="v1 long, v2 long, s double")
-    return (
-        local_tops.select("v1", "v2", pround(F.col("s"), 4).alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("v1"), F.asc("v2"))
-        .limit(_N_PAIRS)
+
+def similarity_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar distinct pairs (v1 < v2), computed as a
+    block-partitioned exact all-pairs search.
+
+    Each of the B(B+1)/2 block-pair groups matmuls its two row blocks
+    with BLAS inside ``applyInPandas`` and emits its local top-20
+    under the global ordering (sim desc, v1, v2 — rounded *before*
+    selection, so rounding ties can't drop boundary pairs); a global
+    ``orderBy().limit()`` (TakeOrderedAndProject) reduces.  The global
+    top-20 is a subset of the union of per-group top-20s, so the
+    result is exact.  No full-corpus collect or broadcast exists —
+    this is the shape that survives 100 TB (grow ``_N_BLOCKS`` with
+    the corpus; per-task memory stays ``O(n/B · d)``).
+    """
+    local_tops = (
+        _pair_blocks(spark, sf_dir)
+        .groupBy("bi", "bj")
+        .applyInPandas(
+            _pair_sims_kernel(threshold=None, topk=_N_PAIRS),
+            schema="v1 long, v2 long, sim double",
+        )
     )
+    return local_tops.orderBy(F.desc("sim"), F.asc("v1"), F.asc("v2")).limit(_N_PAIRS)
 
 
 ORACLE_SIMILARITY_PAIR_TOPK = f"""
@@ -398,47 +437,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs: cosine > 0.45 over all
     distinct pairs (v1 < v2).
 
-    Same blocked-matmul shape as :func:`similarity_pair_topk`: the
-    corpus matrix is broadcast once and each partition multiplies its
-    row block against it with BLAS inside ``mapInPandas`` — ~50×
-    faster than a theta-join with per-pair JVM ``aggregate`` folds.
-    The 100 TB path swaps the broadcast corpus for LSH-bucketed
-    blocks (see ``similarity_ann_lsh``) so each block only meets its
-    candidate buckets; the kernel is unchanged.
+    Same block-partitioned all-pairs decomposition as
+    :func:`similarity_pair_topk` (shared ``_pair_blocks`` /
+    ``_pair_sims_kernel``): B(B+1)/2 block-pair tasks, BLAS matmul per
+    task inside ``applyInPandas``, threshold applied on the 4-dp
+    half-up-rounded similarity so the compare matches the DuckDB
+    oracle exactly.  No full-corpus collect or broadcast — per-task
+    memory is ``O(n/B · d)`` and the shape survives 100 TB.  An
+    LSH-bucketed variant (only candidate buckets meet) trades exactness
+    for less work at extreme scale — see ``similarity_ann_lsh``.
     """
-    import pandas as pd
-
-    emb = _emb(spark, sf_dir).select("vec_id", "emb")
-    rows = emb.toArrow()
-    ids = np.asarray(rows.column("vec_id"))
-    mat = np.asarray(rows.column("emb").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    sc = spark.sparkContext
-    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
-
-    def kernel(batches):
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            block = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
-            v1 = pdf["vec_id"].to_numpy()
-            sims = (block @ all_mat.T) / np.outer(
-                np.linalg.norm(block, axis=1), all_norms
-            )
-            # Same half-up 4-decimal rounding as ``pround`` so the
-            # threshold compare matches the DuckDB oracle exactly.
-            sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
-            # Distinct pairs only (v1 < v2), above threshold.
-            pair_mask = (all_ids[None, :] > v1[:, None]) & (sims > 0.45)
-            bi, ci = np.nonzero(pair_mask)
-            yield pd.DataFrame(
-                {
-                    "v1": v1[bi].astype(np.int64),
-                    "v2": all_ids[ci].astype(np.int64),
-                    "sim": sims[bi, ci],
-                }
-            )
-
-    return emb.mapInPandas(kernel, schema="v1 long, v2 long, sim double")
+    return (
+        _pair_blocks(spark, sf_dir)
+        .groupBy("bi", "bj")
+        .applyInPandas(
+            _pair_sims_kernel(threshold=0.45, topk=None),
+            schema="v1 long, v2 long, sim double",
+        )
+    )
 
 
 ORACLE_DEDUP_EMBEDDING_COSINE = """
