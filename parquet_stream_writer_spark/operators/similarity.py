@@ -473,40 +473,62 @@ ORACLE["dedup_embedding_cosine"] = ORACLE_DEDUP_EMBEDDING_COSINE
 
 
 def embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label PCA summary via ``applyInPandas`` — the grouped-map
-    lane of the Pandas UDF API (``mapInPandas`` handles per-partition
-    kernels elsewhere in this pack; this is the per-*group* kernel).
+    """Per-label PCA summary via mergeable sufficient statistics.
 
-    Each label's embedding matrix is centered and SVD-decomposed in
-    one numpy call; outputs are sign-invariant (explained variance,
-    component norm, centroid norm) so the result is deterministic.
-    One shuffle groups rows by label; at scale each group must fit an
-    executor's memory — for the billion-row case switch to the
-    mergeable covariance-matrix formulation (per-partition X^T X
-    partial sums via mapInPandas, eigendecomposition driver-side on
-    the d×d accumulation), which this synthetic-scale version stands
-    in for. Rows-only check: SVD internals aren't SQL-expressible.
+    PCA's spectrum depends only on ``(n, Σx, XᵀX)``, which merge by
+    addition — so no label group is ever materialized whole.  Stage 1
+    (``mapInPandas``) folds each *partition's* rows into one
+    ``(label, n, Σx, XᵀX)`` partial per label (d=64 → 32 KB each);
+    stage 2 shuffles only those partials (≤ one per label per
+    partition) and the finalize kernel sums them, forms the d×d
+    covariance ``Σxx^T − n·μμ^T``, and eigendecomposes it.  Per-task
+    memory is O(d²) regardless of group size — the billion-row shape.
+    Outputs are sign-invariant (explained variance, centroid norm) and
+    rounded to 6 dp.  Rows-only check: eigensolvers aren't
+    SQL-expressible.
     """
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    d = _DIM
 
-    def pca(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        X = np.stack(pdf["embedding"].to_numpy())
-        Xc = X - X.mean(axis=0, keepdims=True)
-        s = np.linalg.svd(Xc, compute_uv=False)
-        total = float((s**2).sum()) or 1.0
+    def partials(batches):
+        for pdf in batches:
+            for label, grp in pdf.groupby("label"):
+                X = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame(
+                    {
+                        "label": [int(label)],
+                        "n": [len(grp)],
+                        "sum_vec": [X.sum(axis=0).tolist()],
+                        "xtx": [(X.T @ X).ravel().tolist()],
+                    }
+                )
+
+    parts = emb.mapInPandas(
+        partials, schema="label int, n long, sum_vec array<double>, xtx array<double>"
+    )
+
+    def finalize(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = int(pdf["n"].sum())
+        s = np.sum(np.stack(pdf["sum_vec"].to_numpy()), axis=0)
+        xtx = np.sum(np.stack(pdf["xtx"].to_numpy()), axis=0).reshape(d, d)
+        mu = s / n
+        cov = xtx - n * np.outer(mu, mu)
+        evals = np.linalg.eigvalsh((cov + cov.T) / 2.0)
+        total = float(evals.sum()) or 1.0
         return pd.DataFrame(
             {
-                "label": [int(pdf["label"].iloc[0])],
-                "n_vectors": [len(pdf)],
-                "explained_var_pc1": [round(float(s[0] ** 2 / total), 6)],
-                "centroid_norm": [round(float(np.linalg.norm(X.mean(axis=0))), 6)],
+                "label": [int(key[0])],
+                "n_vectors": [n],
+                "explained_var_pc1": [round(float(evals[-1] / total), 6)],
+                "centroid_norm": [round(float(np.linalg.norm(mu)), 6)],
             }
         )
 
-    return emb.groupBy("label").applyInPandas(
-        pca, "label int, n_vectors long, explained_var_pc1 double, centroid_norm double"
+    return parts.groupBy("label").applyInPandas(
+        finalize,
+        "label int, n_vectors long, explained_var_pc1 double, centroid_norm double",
     )
 
 

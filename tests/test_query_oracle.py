@@ -64,6 +64,29 @@ def test_kll_merged_quantiles_track_exact(spark, sf_dir):
     assert r.sketch_n == load_table(spark, sf_dir, "lineitem").count()
 
 
+def test_pca_merged_stats_match_direct_svd(spark, sf_dir):
+    """The mergeable (n, Σx, XᵀX) formulation must reproduce the
+    direct centered-SVD spectrum per label to float precision."""
+    import numpy as np
+
+    from parquet_stream_writer_spark.operators.similarity import (
+        embedding_pca_by_label,
+    )
+    from parquet_stream_writer_spark.sources import load_table
+
+    got = {r.label: r for r in embedding_pca_by_label(spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "embeddings").select("label", "embedding").toPandas()
+    assert set(got) == set(pdf["label"].unique())
+    for label, grp in pdf.groupby("label"):
+        X = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        s = np.linalg.svd(X - X.mean(axis=0, keepdims=True), compute_uv=False)
+        expl = float(s[0] ** 2 / (s**2).sum())
+        r = got[int(label)]
+        assert r.n_vectors == len(grp)
+        assert abs(r.explained_var_pc1 - expl) < 1e-4
+        assert abs(r.centroid_norm - float(np.linalg.norm(X.mean(axis=0)))) < 1e-4
+
+
 def test_theta_setops_track_exact(spark, sf_dir):
     """Theta-sketch union/intersection/difference estimates must land
     within 5% of the exact cohort arithmetic."""
