@@ -75,7 +75,8 @@ class ParquetStreamWriter:
     row_group_size:
         Forwarded to the Parquet writer per flush.
     file_prefix:
-        Shard filename prefix; defaults to the output directory name.
+        Shard filename prefix; defaults to the output directory name
+        verbatim (suffix included), matching the reference.
     overwrite:
         Replace an existing file/dir instead of raising
         ``FileExistsError``.
@@ -110,7 +111,10 @@ class ParquetStreamWriter:
 
         self._path = Path(path)
         self._sharding = shard_size_bytes is not None
-        self.file_prefix = file_prefix or self._path.name.removesuffix(".parquet")
+        # Reference parity (writer.py:137-139): the default prefix is the
+        # directory name *verbatim* — a dir named "out.parquet" produces
+        # shards "out.parquet-0.parquet", not "out-0.parquet".
+        self.file_prefix = file_prefix if file_prefix is not None else self._path.name
 
         # Buffered state: pending Arrow batches + their uncompressed bytes.
         self._pending: list[pa.RecordBatch] = []

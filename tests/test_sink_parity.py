@@ -62,6 +62,18 @@ def test_custom_file_prefix(tmp_path):
     assert all(p.name.startswith("chunk-") for p in out.glob("*.parquet"))
 
 
+def test_default_prefix_keeps_dir_suffix(tmp_path):
+    """Reference parity (writer.py:137-139): the default shard prefix is
+    the directory name verbatim, even when it ends in ``.parquet``."""
+    out = tmp_path / "out.parquet"
+    nb = batch_nbytes()
+    with ParquetStreamWriter(out, SCHEMA, shard_size_bytes=nb, buffer_size_bytes=1) as w:
+        for i in range(3):
+            w.write_batch(padded_batch(i))
+    names = sorted(p.name for p in out.glob("*.parquet"))
+    assert names and all(n.startswith("out.parquet-") for n in names)
+
+
 # -- manifest (ref tests.py:73-86) -----------------------------------------
 
 def test_written_files_tracking(tmp_path):
