@@ -20,12 +20,30 @@ import json
 
 
 def load(path: str) -> dict:
+    """Load a bench result: either bench.py's own one-line JSON or the
+    driver's BENCH_r{N}.json wrapper, whose "tail" holds a (possibly
+    truncated) fragment of that line — recover per-query times from it
+    with a regex."""
+    import re
+
     with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-    raise ValueError(f"no JSON line found in {path}")
+        text = fh.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict) and "queries" in doc:
+        return doc
+    tail = (doc or {}).get("tail", text)
+    queries = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)
+        if m.group(1) not in ("value", "sf", "metric")
+    }
+    total = queries.pop("value", None)
+    for k in ("sf", "n", "rc", "cpus"):
+        queries.pop(k, None)
+    return {"queries": queries, "value": total}
 
 
 def main() -> int:
