@@ -529,3 +529,94 @@ FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.u_key
 
 QUERIES["merge_upsert_scd"] = merge_upsert_scd
 ORACLE["merge_upsert_scd"] = ORACLE_MERGE_UPSERT_SCD
+
+
+# ---------------------------------------------------------------------------
+# Per-group reservoir sampling (exact k per stratum, deterministic)
+# ---------------------------------------------------------------------------
+
+#: Reservoir size per language.
+_RESERVOIR_K = 10
+
+
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-``k``-per-group sampling: the ``k`` documents per language
+    with the lowest content-hash rank — a deterministic reservoir
+    (same sample under re-runs, repartitioning, and scale-out, unlike
+    ``rand()``-based reservoirs).  One shuffle on (lang, hash); the
+    per-group ``row_number`` top-k is the standard window top-k that
+    AQE plans as a partial sort.  Complements ``sample_stratified``
+    (rate-based) with count-based strata quotas — the "exactly 1M docs
+    per language" curation shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_bucket_col(spark_side=True))
+    w = Window.partitionBy("lang").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= _RESERVOIR_K)
+        .select("lang", "rk", "doc_id", F.col("h").cast("int").alias("bucket"))
+    )
+
+
+ORACLE_SAMPLE_RESERVOIR = f"""
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY {_bucket_col(spark_side=False)}, doc_id)
+            AS INTEGER) AS rk,
+       doc_id,
+       CAST({_bucket_col(spark_side=False)} AS INTEGER) AS bucket
+FROM documents
+QUALIFY rk <= {_RESERVOIR_K}
+"""
+
+
+QUERIES["sample_reservoir_per_group"] = sample_reservoir_per_group
+ORACLE["sample_reservoir_per_group"] = ORACLE_SAMPLE_RESERVOIR
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training-order permutation)
+# ---------------------------------------------------------------------------
+
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a deterministic pseudorandom *global*
+    training position: order by md5(doc_id) — the reproducible corpus
+    shuffle every epoch-0 data loader needs.
+
+    A naive global ``row_number`` puts the whole corpus in ONE window
+    partition (single-task sort).  Scale-safe shape instead: bucket by
+    the hash's top byte, count per bucket, turn counts into bucket
+    start offsets (a 256-row cumulative sum — fixed-size, never
+    corpus-sized), broadcast-join the offsets back, and finish with a
+    per-bucket ``row_number``.  position = offset + in-bucket rank.
+    Sort work is fully parallel across buckets; no corpus-wide sort or
+    single-partition window anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+    hashed = docs.select("doc_id", h.alias("h")).withColumn("b", bucket)
+    counts = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    # 256-row window: bounded by the bucket-id domain, not the corpus.
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset")
+    )
+    wb = Window.partitionBy("b").orderBy("h", "doc_id")
+    return (
+        hashed.join(F.broadcast(offsets), "b")
+        .withColumn("pos", (F.col("offset") + F.row_number().over(wb)).cast("bigint"))
+        .select("doc_id", "pos")
+    )
+
+
+ORACLE_SAMPLE_GLOBAL_SHUFFLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS pos
+FROM documents
+"""
+
+
+QUERIES["sample_global_shuffle"] = sample_global_shuffle
+ORACLE["sample_global_shuffle"] = ORACLE_SAMPLE_GLOBAL_SHUFFLE

@@ -669,3 +669,61 @@ FROM tiers GROUP BY r_tier, f_tier, m_tier
 
 QUERIES["events_rfm_segmentation"] = events_rfm_segmentation
 ORACLE["events_rfm_segmentation"] = ORACLE_EVENTS_RFM
+
+
+# ---------------------------------------------------------------------------
+# Hourly OHLC rollup (time-series candlesticks)
+# ---------------------------------------------------------------------------
+
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour open/high/low/close of ``value`` — the candlestick
+    rollup every metering/market pipeline runs, and in streaming form
+    the canonical tumbling-window aggregate.
+
+    Open/close are the first/last values under the total order
+    (ts, event_id); two opposite-direction ``row_number`` windows pick
+    them deterministically (timestamp ties broken by event_id), then a
+    single hash aggregate finishes min/max/count.  One shuffle on the
+    hour key; the windows sort within hour partitions only — no global
+    sort.  No float arithmetic happens, so the oracle needs no
+    rounding: every output value is an exact input double."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("hr").orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("hr").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ev.select(hr.alias("hr"), "ts", "event_id", "value").select(
+        "hr",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return ranked.groupBy("hr").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_EVENTS_HOURLY_OHLC = """
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS hr, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY epoch_us(ts) ASC, event_id ASC) AS ra,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT hr,
+       max(CASE WHEN ra = 1 THEN value END) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       max(CASE WHEN rd = 1 THEN value END) AS close_v,
+       count(*) AS n_events
+FROM ranked GROUP BY hr
+"""
+
+
+QUERIES["events_hourly_ohlc"] = events_hourly_ohlc
+ORACLE["events_hourly_ohlc"] = ORACLE_EVENTS_HOURLY_OHLC

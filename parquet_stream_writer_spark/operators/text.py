@@ -816,3 +816,99 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) = 1
 
 QUERIES["text_tfidf_top_term"] = text_tfidf_top_term
 ORACLE["text_tfidf_top_term"] = ORACLE_TEXT_TFIDF
+
+
+# ---------------------------------------------------------------------------
+# Winsorized quality statistics
+# ---------------------------------------------------------------------------
+
+def text_winsorize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized length statistics: clip ``n_chars`` at
+    the language's exact p05/p95 and report raw vs clipped means — the
+    outlier-robust normalization step quality filters run before
+    thresholding, so one 10 MB pathological document can't drag a
+    language's mean.  Quantiles are one aggregation over the stats
+    column; the clip is a broadcast join back (the quantile table has
+    one row per language — never corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    clipped = docs.join(F.broadcast(q), "lang").withColumn(
+        "clipped",
+        F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")),
+    )
+    return clipped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pround(F.avg("n_chars"), 4).alias("mean_raw"),
+        pround(F.avg("clipped"), 4).alias("mean_winsorized"),
+        pround(F.min("lo"), 4).alias("p05"),
+        pround(F.max("hi"), 4).alias("p95"),
+    )
+
+
+ORACLE_TEXT_WINSORIZE_QUALITY = """
+WITH q AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       floor(avg(d.n_chars) * 10000 + 0.5) / 10000.0 AS mean_raw,
+       floor(avg(least(greatest(CAST(d.n_chars AS DOUBLE), q.lo), q.hi)) * 10000 + 0.5) / 10000.0
+         AS mean_winsorized,
+       floor(min(q.lo) * 10000 + 0.5) / 10000.0 AS p05,
+       floor(max(q.hi) * 10000 + 0.5) / 10000.0 AS p95
+FROM documents d JOIN q USING (lang)
+GROUP BY d.lang
+"""
+
+
+QUERIES["text_winsorize_quality"] = text_winsorize_quality
+ORACLE["text_winsorize_quality"] = ORACLE_TEXT_WINSORIZE_QUALITY
+
+
+# ---------------------------------------------------------------------------
+# PII-style numeric scrubbing (runs on events.props — the digit-bearing
+# free-text column of the corpus)
+# ---------------------------------------------------------------------------
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub digit runs from the ``props`` payloads (the stand-in for
+    PII removal: phone/account/ID numbers) and audit the impact per
+    event type: match counts and byte deltas.  Pure map-side
+    ``regexp_replace`` + one aggregation — the redaction itself never
+    shuffles; only the tiny audit rollup does."""
+    ev = load_table(spark, sf_dir, "events")
+    scrubbed = F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>")
+    per_row = ev.select(
+        "event_type",
+        F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long").alias("n_num"),
+        F.length("props").cast("long").alias("len_raw"),
+        F.length(scrubbed).cast("long").alias("len_scrubbed"),
+    )
+    return per_row.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_num").alias("n_numbers"),
+        F.sum("len_raw").alias("total_len_raw"),
+        F.sum("len_scrubbed").alias("total_len_scrubbed"),
+    )
+
+
+ORACLE_TEXT_PII_SCRUB = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_numbers,
+       CAST(sum(length(props)) AS BIGINT) AS total_len_raw,
+       CAST(sum(length(regexp_replace(props, '[0-9]+', '<NUM>', 'g'))) AS BIGINT)
+         AS total_len_scrubbed
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES["text_pii_scrub"] = text_pii_scrub
+ORACLE["text_pii_scrub"] = ORACLE_TEXT_PII_SCRUB
