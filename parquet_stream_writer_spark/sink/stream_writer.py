@@ -40,12 +40,15 @@ through the same buffering/rollover path.
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from shutil import rmtree
 from typing import Any, Iterable
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+logger = logging.getLogger(__name__)
 
 try:  # Spark is optional for this class: plain Arrow input needs no JVM.
     from pyspark.sql import DataFrame as SparkDataFrame
@@ -130,8 +133,10 @@ class ParquetStreamWriter:
                 raise FileExistsError(f"output already exists: {self._path}")
             if self._path.is_dir():
                 rmtree(self._path)
+                logger.info("Removed existing directory '%s'", self._path)
             else:
                 self._path.unlink()
+                logger.info("Removed existing file '%s'", self._path)
         if not self._path.parent.exists():
             raise FileNotFoundError(
                 f"parent directory does not exist: {self._path.parent}"
@@ -204,6 +209,7 @@ class ParquetStreamWriter:
         self.flush()
         if self._writer is not None:
             self._writer.close()
+            logger.info("Closed file '%s'", self._current_target())
             self._writer = None
         self._closed = True
 
@@ -247,11 +253,15 @@ class ParquetStreamWriter:
     def _open_writer(self) -> pq.ParquetWriter:
         target = self._current_target()
         self.written_files.append(target.absolute())
+        # Observability parity: the reference logs every file open/close
+        # (writer.py:190,301) so operators can trace shard rollover.
+        logger.info("Opening file '%s'", target)
         return pq.ParquetWriter(target, self.schema, **self._writer_options)
 
     def _rotate_shard(self) -> None:
         if self._writer is not None:
             self._writer.close()
+            logger.info("Closed file '%s'", self._current_target())
             self._writer = None
         self._shard_index += 1
         self._shard_flushed_bytes = 0
