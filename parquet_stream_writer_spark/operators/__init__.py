@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 # round-1 window never reached — are listed first so they land inside the
 # window; the already-driver-green relational pack trails.  Round-1 green
 # keys that fall out of the window keep their recorded verdict.
+# On top of this static seed order, ``_prioritized`` consults the recorded
+# CORRECTNESS_r*.json verdicts and floats every key without a green row to
+# the front, so the window rotates itself each round.
 _PRIORITY = [
     # Round-1 driver-red, fixed in round 2 — need re-verification first.
     "json_extraction",
@@ -106,9 +109,41 @@ def _modules():
     return (relational, dedup, similarity, text, streaming_batch, multimodal, pipeline)
 
 
+def _driver_green_keys() -> frozenset[str]:
+    """Keys with a recorded green driver verdict in any round's
+    CORRECTNESS_r*.json: hash-green for oracled queries, a completed
+    rows-only check for no-oracle queries.  Red/errored/never-checked
+    keys are absent, so they sort into the driver's prefix window."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                green.add(key)
+    return frozenset(green)
+
+
 def _prioritized(merged: dict) -> dict:
-    ordered = {k: merged[k] for k in _PRIORITY if k in merged}
-    ordered.update({k: v for k, v in merged.items() if k not in ordered})
+    seeded = {k: merged[k] for k in _PRIORITY if k in merged}
+    seeded.update({k: v for k, v in merged.items() if k not in seeded})
+    green = _driver_green_keys()
+    ordered = {k: v for k, v in seeded.items() if k not in green}
+    ordered.update({k: v for k, v in seeded.items() if k not in ordered})
     return ordered
 
 

@@ -101,3 +101,19 @@ def test_theta_setops_track_exact(spark, sf_dir):
         (r.est_only_1996, r.exact_only_1996),
     ]:
         assert abs(est - exact) <= max(0.05 * exact, 2), (est, exact)
+
+
+def test_registry_fronts_unverified_queries():
+    """The driver's CORRECTNESS gate checks a prefix window of the
+    registry, so every key without a recorded green driver verdict must
+    sort before every key that has one."""
+    from parquet_stream_writer_spark.operators import _driver_green_keys
+
+    keys = list(QUERIES)
+    green = _driver_green_keys()
+    if not green:  # fresh checkout without CORRECTNESS files
+        return
+    first_green = min(i for i, k in enumerate(keys) if k in green)
+    assert all(k in green for k in keys[first_green:]), (
+        "an unverified query sorted after a verified one"
+    )
