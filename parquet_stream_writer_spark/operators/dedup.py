@@ -634,3 +634,140 @@ FROM pairs WHERE dist <= 3
 
 QUERIES["dedup_fuzzy_levenshtein"] = dedup_fuzzy_levenshtein
 ORACLE["dedup_fuzzy_levenshtein"] = ORACLE_DEDUP_FUZZY
+
+
+# ---------------------------------------------------------------------------
+# Canonical representative per near-dup cluster (dedup collapse step)
+# ---------------------------------------------------------------------------
+
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each near-dup component to one canonical document —
+    the decision step that turns dedup *detection* into dedup
+    *execution* in a training-data pipeline.
+
+    Policy: keep the longest document (``n_chars`` desc), tie-broken
+    by lowest ``doc_id`` — "longest member" is the usual choice when
+    near-dups are truncations of one another. Emits per component the
+    kept doc, the member count and the chars that would be dropped.
+
+    Scale shape: the component labels come from
+    :func:`dedup_connected_components` (bucketed LSH pairs, Pregel
+    propagation); this step adds one broadcast-sized join (components
+    are a minuscule fraction of the corpus) plus a per-component
+    window whose partitions are component-sized (tiny by the
+    ``_BUCKET_CAP`` skew guard upstream).
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = labels.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    stats = members.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    reps = ranked.where(F.col("rk") == 1).select(
+        "component",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_chars").cast("long").alias("rep_chars"),
+    )
+    return reps.join(stats, "component").select(
+        "component",
+        "rep_doc_id",
+        "n_members",
+        (F.col("total_chars") - F.col("rep_chars")).alias("chars_dropped"),
+    )
+
+
+ORACLE_DEDUP_CLUSTER_REPRESENTATIVE = f"""
+WITH RECURSIVE pairs AS (
+{ORACLE_DEDUP_MINHASH_LSH}
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+members AS (
+  SELECT c.component, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT component, doc_id, n_chars,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM members
+),
+stats AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM members GROUP BY component
+)
+SELECT r.component, r.doc_id AS rep_doc_id, s.n_members,
+       s.total_chars - CAST(r.n_chars AS BIGINT) AS chars_dropped
+FROM ranked r JOIN stats s USING (component)
+WHERE r.rk = 1
+"""
+
+
+QUERIES["dedup_cluster_representative"] = dedup_cluster_representative
+ORACLE["dedup_cluster_representative"] = ORACLE_DEDUP_CLUSTER_REPRESENTATIVE
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination / overlap matrix
+# ---------------------------------------------------------------------------
+
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus sources: for every
+    source pair (a < b), how many distinct 3-token shingles appear in
+    both — the signal behind "source B is a scrape of source A"
+    curation calls and train/eval cross-contamination audits.
+
+    Scale shape: shingles are hashed to fixed-width 8-hex ints
+    map-side, deduped to (source, h) — at most |sources| × |distinct
+    shingles| narrow rows — then self-joined hash-equi on ``h``. The
+    shuffle carries 8-byte keys, never shingle text; per-key fan-out
+    is bounded by the source count (20), so no key explodes the join.
+    """
+    sh = _shingles(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sharded = (
+        sh.join(src, "doc_id")
+        .select("source", F.expr(_hex_to_int_sql("md5(shingle)", 8)).alias("h"))
+        .distinct()
+    )
+    a, b = sharded.alias("a"), sharded.alias("b")
+    return (
+        a.join(b, "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
+    )
+
+
+ORACLE_DEDUP_CROSS_SOURCE_OVERLAP = f"""
+WITH {_SQL_SHINGLES},
+sharded AS (
+  SELECT DISTINCT d.source, {_hex_to_int_sql("md5(ds.shingle)", 8)} AS h
+  FROM ds JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_shingles
+FROM sharded a JOIN sharded b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+QUERIES["dedup_cross_source_overlap"] = dedup_cross_source_overlap
+ORACLE["dedup_cross_source_overlap"] = ORACLE_DEDUP_CROSS_SOURCE_OVERLAP

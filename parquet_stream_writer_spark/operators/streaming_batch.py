@@ -727,3 +727,123 @@ FROM ranked GROUP BY hr
 
 QUERIES["events_hourly_ohlc"] = events_hourly_ohlc
 ORACLE["events_hourly_ohlc"] = ORACLE_EVENTS_HOURLY_OHLC
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+#: Count-min geometry: depth (independent hash rows) × width (cells).
+#: Width is deliberately small so hash collisions are *possible* and
+#: the min-over-rows estimate is doing real work; estimates are still
+#: exact whenever at least one row is collision-free for a key.
+_CMS_DEPTH = 3
+_CMS_WIDTH = 16
+
+
+def _cms_cell_sql(key_col: str, depth: int) -> str:
+    """Engine-portable cell index for one sketch row: first 4 hex chars
+    of md5(key + '#' + depth), mod width — identical arithmetic in
+    Spark SQL and DuckDB (see ``_hex_to_int_sql``)."""
+    from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql
+
+    digest = f"md5(concat({key_col}, '#{depth}'))"
+    return f"({_hex4_to_int_sql(digest)} % {_CMS_WIDTH})"
+
+
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over ``event_type`` frequencies, audited
+    against exact counts: build the d×w cell-count sketch, then
+    estimate each key's frequency as the min over its d cells.
+
+    The sketch build is ONE partial+final hash aggregate over (depth,
+    cell) — d·w counters total, mergeable across partitions, executors
+    and days by plain addition, which is the whole point of a CMS in a
+    100 TB pipeline (the sketch is bytes; the stream is never
+    re-read). The probe side joins the distinct keys (already an
+    aggregate, tiny) to the sketch cells and takes the min — both
+    joins are broadcast-sized. Overcount = estimate − exact is the
+    standard CMS error audit (always ≥ 0; > 0 iff every row hashed the
+    key into a collision)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    depths = F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])).alias("depth")
+    cells = (
+        ev.select("event_type", depths)
+        .select(
+            "depth",
+            F.expr(
+                "CASE "
+                + " ".join(
+                    f"WHEN depth = {d} THEN {_cms_cell_sql('event_type', d)}"
+                    for d in range(_CMS_DEPTH)
+                )
+                + " END"
+            ).alias("cell"),
+        )
+        .groupBy("depth", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probes = exact.select(
+        "event_type",
+        "exact_count",
+        F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])).alias("depth"),
+    ).select(
+        "event_type",
+        "exact_count",
+        "depth",
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN depth = {d} THEN {_cms_cell_sql('event_type', d)}"
+                for d in range(_CMS_DEPTH)
+            )
+            + " END"
+        ).alias("cell"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["depth", "cell"])
+        .groupBy("event_type", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "event_type",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+def _oracle_cms() -> str:
+    cell_exprs = " UNION ALL ".join(
+        f"SELECT event_type, {d} AS depth, {_cms_cell_sql('event_type', d)} AS cell FROM events"
+        for d in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH keyed AS ({cell_exprs}),
+cells AS (
+  SELECT depth, cell, CAST(count(*) AS BIGINT) AS c
+  FROM keyed GROUP BY depth, cell
+),
+exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY event_type
+),
+probes AS (
+  SELECT DISTINCT event_type, depth, cell FROM keyed
+),
+est AS (
+  SELECT p.event_type, min(c.c) AS cms_estimate
+  FROM probes p JOIN cells c USING (depth, cell)
+  GROUP BY p.event_type
+)
+SELECT e.event_type, e.exact_count, s.cms_estimate,
+       s.cms_estimate - e.exact_count AS overcount
+FROM exact e JOIN est s USING (event_type)
+"""
+
+
+QUERIES["events_heavy_hitters_cms"] = events_heavy_hitters_cms
+ORACLE["events_heavy_hitters_cms"] = _oracle_cms()

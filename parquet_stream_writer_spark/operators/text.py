@@ -912,3 +912,204 @@ GROUP BY event_type
 
 QUERIES["text_pii_scrub"] = text_pii_scrub
 ORACLE["text_pii_scrub"] = ORACLE_TEXT_PII_SCRUB
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel (chained curation filters with drop accounting)
+# ---------------------------------------------------------------------------
+
+#: Funnel thresholds, expressed as integer ratios (pct) so every stage
+#: predicate is exact integer arithmetic — no float drift between
+#: engines. Chosen so each stage drops a real slice of this corpus.
+_FUNNEL_MIN_CHARS = 120
+_FUNNEL_MAX_DUP_BIGRAM_PCT = 5    # dup-bigram fraction <= 5%
+_FUNNEL_MAX_TOP_TOK_PCT = 12      # top-token dominance <= 12%
+_FUNNEL_MIN_STOPWORD_PCT = 2      # stopword ratio >= 2%
+
+
+def text_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel every pretraining corpus goes through:
+    length → repetition → top-token dominance → stopword-density
+    filters applied in sequence, with per-stage kept/dropped
+    accounting (the numbers a data card reports).
+
+    Every stage predicate is a shuffle-free array expression over the
+    in-row token array, compared with integer cross-multiplication
+    (``dup_bigrams * 100 <= 5 * n_bigrams``) so both engines decide
+    boundaries identically. The whole funnel is ONE map pass + one
+    4-value aggregate: adding stages adds columns, not passes — at
+    100 TB the corpus is read once regardless of funnel depth.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = "split(lower(text), ' ')"
+    feats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"size({toks})").alias("n_tok"),
+        F.expr(
+            f"array_max(transform(array_distinct({toks}), "
+            f"  t -> size(filter({toks}, x -> x = t))))"
+        ).alias("max_tok_cnt"),
+        F.expr(
+            f"size(transform(sequence(1, size({toks}) - 1), "
+            f"  i -> array_join(slice({toks}, i, 2), ' ')))"
+        ).alias("n_bigrams"),
+        F.expr(
+            f"size(array_distinct(transform(sequence(1, size({toks}) - 1), "
+            f"  i -> array_join(slice({toks}, i, 2), ' '))))"
+        ).alias("n_distinct_bigrams"),
+        F.expr(
+            f"size(filter({toks}, t -> array_contains(array"
+            + str(tuple(_STOPWORDS)).replace('"', "'")
+            + ", t)))"
+        ).alias("n_stop"),
+    )
+    s1 = F.col("n_chars") >= _FUNNEL_MIN_CHARS
+    s2 = s1 & (
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 100
+        <= _FUNNEL_MAX_DUP_BIGRAM_PCT * F.col("n_bigrams")
+    )
+    s3 = s2 & (F.col("max_tok_cnt") * 100 <= _FUNNEL_MAX_TOP_TOK_PCT * F.col("n_tok"))
+    s4 = s3 & (F.col("n_stop") * 100 >= _FUNNEL_MIN_STOPWORD_PCT * F.col("n_tok"))
+    one = F.count(F.lit(1))
+    agg = feats.agg(
+        one.alias("c0"),
+        F.sum(s1.cast("long")).alias("c1"),
+        F.sum(s2.cast("long")).alias("c2"),
+        F.sum(s3.cast("long")).alias("c3"),
+        F.sum(s4.cast("long")).alias("c4"),
+    )
+    funnel = agg.select(
+        F.expr(
+            "stack(4, "
+            "1, 'min_length',        c0, c1, "
+            "2, 'dup_bigram_frac',   c1, c2, "
+            "3, 'top_token_frac',    c2, c3, "
+            "4, 'stopword_density',  c3, c4) "
+            "AS (stage_idx, stage, docs_in, docs_kept)"
+        )
+    )
+    return funnel.select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("docs_in").cast("long").alias("docs_in"),
+        F.col("docs_kept").cast("long").alias("docs_kept"),
+        (F.col("docs_in") - F.col("docs_kept")).cast("long").alias("docs_dropped"),
+    )
+
+
+ORACLE_TEXT_QUALITY_FILTER_FUNNEL = f"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         [toks[i] || ' ' || toks[i+1] for i in range(1, len(string_split(lower(text), ' ')))] AS bigrams
+  FROM documents),
+f2 AS (
+  SELECT doc_id, n_chars, n_tok,
+         list_max([len(list_filter(toks, x -> x = t)) for t in list_distinct(toks)]) AS max_tok_cnt,
+         len(bigrams) AS n_bigrams,
+         len(list_distinct(bigrams)) AS n_distinct_bigrams,
+         len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS n_stop
+  FROM feat),
+flags AS (
+  SELECT
+    (n_chars >= {_FUNNEL_MIN_CHARS}) AS s1,
+    (n_chars >= {_FUNNEL_MIN_CHARS}
+     AND (n_bigrams - n_distinct_bigrams) * 100 <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams) AS s2,
+    (n_chars >= {_FUNNEL_MIN_CHARS}
+     AND (n_bigrams - n_distinct_bigrams) * 100 <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams
+     AND max_tok_cnt * 100 <= {_FUNNEL_MAX_TOP_TOK_PCT} * n_tok) AS s3,
+    (n_chars >= {_FUNNEL_MIN_CHARS}
+     AND (n_bigrams - n_distinct_bigrams) * 100 <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams
+     AND max_tok_cnt * 100 <= {_FUNNEL_MAX_TOP_TOK_PCT} * n_tok
+     AND n_stop * 100 >= {_FUNNEL_MIN_STOPWORD_PCT} * n_tok) AS s4
+  FROM f2),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM flags)
+SELECT CAST(1 AS INTEGER) AS stage_idx, 'min_length' AS stage,
+       c0 AS docs_in, c1 AS docs_kept, c0 - c1 AS docs_dropped FROM counts
+UNION ALL
+SELECT 2, 'dup_bigram_frac',  c1, c2, c1 - c2 FROM counts
+UNION ALL
+SELECT 3, 'top_token_frac',   c2, c3, c2 - c3 FROM counts
+UNION ALL
+SELECT 4, 'stopword_density', c3, c4, c3 - c4 FROM counts
+"""
+
+
+QUERIES["text_quality_filter_funnel"] = text_quality_filter_funnel
+ORACLE["text_quality_filter_funnel"] = ORACLE_TEXT_QUALITY_FILTER_FUNNEL
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing efficiency report
+# ---------------------------------------------------------------------------
+
+#: Context length for the packing-efficiency report (tokens per
+#: training sequence). Small enough that documents of this corpus
+#: span 1-4 sequences, exercising the ceil arithmetic.
+_PACK_SEQ_LEN = 32
+
+
+def text_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report per language: how much context-window
+    budget padding wastes under one-doc-per-sequence versus
+    concat-and-chunk packing at ``_PACK_SEQ_LEN`` tokens — the number
+    that decides whether a packing stage is worth running.
+
+    One map pass (token counts from the in-row array) + one hash
+    aggregate; the ceil arithmetic is integer division on both
+    engines, and the efficiency ratios are the only floats (rounded
+    4-dp via the shared convention).
+    """
+    L = _PACK_SEQ_LEN
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    per_doc = docs.select(
+        "lang", F.expr("size(split(lower(text), ' '))").cast("long").alias("n_tok")
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.expr(f"(n_tok + {L - 1}) div {L}")).alias("naive_seqs"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "naive_seqs",
+        F.expr(f"(total_tokens + {L - 1}) div {L}").alias("packed_seqs"),
+        pround(F.col("total_tokens") / (F.col("naive_seqs") * L), 4).alias("naive_eff"),
+        pround(
+            F.col("total_tokens")
+            / (F.expr(f"(total_tokens + {L - 1}) div {L}") * L),
+            4,
+        ).alias("packed_eff"),
+    )
+
+
+ORACLE_TEXT_PACK_EFFICIENCY = f"""
+WITH per_doc AS (
+  SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum((n_tok + {_PACK_SEQ_LEN - 1}) // {_PACK_SEQ_LEN}) AS BIGINT) AS naive_seqs
+  FROM per_doc GROUP BY lang)
+SELECT lang, n_docs, total_tokens, naive_seqs,
+       (total_tokens + {_PACK_SEQ_LEN - 1}) // {_PACK_SEQ_LEN} AS packed_seqs,
+       floor((total_tokens * 1.0 / (naive_seqs * {_PACK_SEQ_LEN})) * 10000 + 0.5) / 10000.0 AS naive_eff,
+       floor((total_tokens * 1.0 / (((total_tokens + {_PACK_SEQ_LEN - 1}) // {_PACK_SEQ_LEN}) * {_PACK_SEQ_LEN})) * 10000 + 0.5) / 10000.0 AS packed_eff
+FROM agg
+"""
+
+
+QUERIES["text_pack_efficiency"] = text_pack_efficiency
+ORACLE["text_pack_efficiency"] = ORACLE_TEXT_PACK_EFFICIENCY
