@@ -2110,3 +2110,86 @@ FROM per p JOIN k USING (o_custkey)
 
 QUERIES["nested_map_ops"] = nested_map_ops
 ORACLE["nested_map_ops"] = ORACLE_NESTED_MAP_OPS
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (part co-occurrence lift)
+# ---------------------------------------------------------------------------
+
+#: Minimum pair co-occurrence to report (support floor). Bounds the
+#: output and — at scale — the shuffle of the pair aggregation.
+_BASKET_MIN_COOC = 2
+
+
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis over order line items: for every part
+    pair co-purchased in at least ``_BASKET_MIN_COOC`` orders, the
+    co-occurrence count and the lift
+    ``P(a,b) / (P(a)·P(b))`` — the classic affinity score behind
+    "frequently bought together".
+
+    Scale shape: the pair generation is a self-join hash-equi on
+    ``l_orderkey`` — fan-out is quadratic only in the per-order item
+    count (bounded small by the schema), never in the catalog. Part
+    supports and the order total are separate tiny aggregates joined
+    back broadcast; all counts are integers so lift is the only float
+    (rounded 4-dp on both engines).
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .where(F.col("cooc") >= _BASKET_MIN_COOC)
+    )
+    support = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("sup")
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    sa = support.select(F.col("l_partkey").alias("p1"), F.col("sup").alias("sup1"))
+    sb = support.select(F.col("l_partkey").alias("p2"), F.col("sup").alias("sup2"))
+    return (
+        pairs.join(F.broadcast(sa), "p1")
+        .join(F.broadcast(sb), "p2")
+        .select(
+            "p1",
+            "p2",
+            "cooc",
+            "sup1",
+            "sup2",
+            pround(
+                F.col("cooc") * F.lit(float(n_orders)) / (F.col("sup1") * F.col("sup2")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_ORDERS_BASKET_AFFINITY = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS cooc
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_BASKET_MIN_COOC}),
+support AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY l_partkey),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM items)
+SELECT p.p1, p.p2, p.cooc, sa.sup AS sup1, sb.sup AS sup2,
+       floor((p.cooc * n.n_orders / (sa.sup * sb.sup)) * 10000 + 0.5) / 10000.0 AS lift
+FROM pairs p
+JOIN support sa ON sa.l_partkey = p.p1
+JOIN support sb ON sb.l_partkey = p.p2
+CROSS JOIN n
+"""
+
+
+QUERIES["orders_basket_affinity"] = orders_basket_affinity
+ORACLE["orders_basket_affinity"] = ORACLE_ORDERS_BASKET_AFFINITY

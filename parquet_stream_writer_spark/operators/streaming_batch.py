@@ -847,3 +847,58 @@ FROM exact e JOIN est s USING (event_type)
 
 QUERIES["events_heavy_hitters_cms"] = events_heavy_hitters_cms
 ORACLE["events_heavy_hitters_cms"] = _oracle_cms()
+
+
+# ---------------------------------------------------------------------------
+# Touch attribution (first/last non-purchase touch before each purchase)
+# ---------------------------------------------------------------------------
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: for every ``purchase``
+    event, which event type opened the user's journey and which one
+    immediately preceded the purchase, plus how many prior touches the
+    journey had.
+
+    One window over (user, time) with a ``[unbounded, -1]`` ROWS frame
+    — the purchase row itself is excluded by the frame, not a
+    self-join. Partitions are per-user (no skew beyond a user's own
+    history); ordering ties break on ``event_id`` so both engines pick
+    the same first/last rows at µs-identical timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.first("event_type").over(w).alias("first_touch"),
+            F.last("event_type").over(w).alias("last_touch"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_touches"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "first_touch", "last_touch", "n_touches")
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = """
+WITH ordered AS (
+  SELECT event_id, user_id, event_type,
+         first_value(event_type) OVER w AS first_touch,
+         last_value(event_type)  OVER w AS last_touch,
+         CAST(count(*) OVER w AS BIGINT) AS n_touches
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, first_touch, last_touch, n_touches
+FROM ordered WHERE event_type = 'purchase'
+"""
+
+
+QUERIES["events_attribution"] = events_attribution
+ORACLE["events_attribution"] = ORACLE_EVENTS_ATTRIBUTION
