@@ -766,3 +766,143 @@ GROUP BY e.qid
 
 QUERIES["similarity_ivf_recall"] = similarity_ivf_recall
 ORACLE["similarity_ivf_recall"] = ORACLE_SIMILARITY_IVF_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ codebook training + distortion audit)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: m subspaces × subdim dims (m · subdim = 64), k codes
+#: per subspace, unrolled Lloyd iterations per sub-codebook.
+_PQ_M = 4
+_PQ_SUBDIM = 16
+_PQ_K = 8
+_PQ_ITERS = 2
+
+_PQ_DIST_SPARK = (
+    "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as double), (acc, e) -> acc + e)"
+)
+
+
+def _pq_dist_duck() -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_PQ_SUBDIM}),"
+        " i -> (e.sv[i] - c.c[i]) * (e.sv[i] - c.c[i])), (a, b) -> a + b)"
+    )
+
+
+def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: split every embedding
+    into ``_PQ_M`` subvectors, run Lloyd k-means independently per
+    subspace (k=``_PQ_K``, seeded from the lowest vec_ids, means
+    rounded 6dp per round so both engines iterate from identical
+    codebooks), and report per (subspace, code) the assignment count
+    and distortion. A vector's PQ code is its per-subspace argmin
+    sequence — 4 bytes replacing 256, the compression that makes a
+    100 TB embedding store rerankable in memory.
+
+    Scale shape: identical to :func:`embedding_kmeans_lloyd` but keyed
+    by (subspace, cluster) — every round broadcasts the m·k×subdim
+    codebook (KBs regardless of corpus size) over the subvector
+    relation; the only shuffles are the tiny (sub, cid, pos) mean
+    aggregations. The subvector explode multiplies rows ×m but each
+    row narrows to 1/m of the dims: bytes shuffled stay constant.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("dd")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("sub"),
+        "dd",
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(dd, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sv"),
+    )
+    cents = subs.where(F.col("vec_id") < _PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    )
+
+    def assign(points: DataFrame, codebook: DataFrame) -> DataFrame:
+        a = points.join(F.broadcast(codebook), "sub").select(
+            "vec_id", "sub", "cid", F.expr(_PQ_DIST_SPARK).alias("dist")
+        )
+        w = Window.partitionBy("sub", "vec_id").orderBy("dist", "cid")
+        return (
+            a.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "sub", "cid", "dist")
+        )
+
+    for _ in range(_PQ_ITERS):
+        b = assign(subs, cents)
+        pts = b.join(subs, ["vec_id", "sub"]).select(
+            "sub", "cid", F.posexplode("sv").alias("pos", "x")
+        )
+        m = pts.groupBy("sub", "cid", "pos").agg(pround(F.avg("x"), 6).alias("m"))
+        cents = m.groupBy("sub", "cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("c")
+        )
+    final = assign(subs, cents)
+    return final.groupBy(
+        F.col("sub").cast("int").alias("subspace"),
+        F.col("cid").cast("int").alias("code"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        pround(F.sum("dist"), 4).alias("distortion"),
+    )
+
+
+def _pq_oracle_sql(m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`embedding_pq_train` — the
+    k-means oracle with a ``sub`` (subspace) key threaded through
+    every join and aggregation."""
+    dist = _pq_dist_duck()
+    sd = _PQ_SUBDIM
+    parts = [
+        "WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding]"
+        " AS dd FROM embeddings),\n"
+        f"subs AS (SELECT vec_id, s.sub,"
+        f" array_slice(dd, s.sub * {sd} + 1, s.sub * {sd} + {sd}) AS sv"
+        f" FROM emb, (SELECT unnest(range({m})) AS sub) s),\n"
+        f"cents0 AS (SELECT sub, vec_id AS cid, sv AS c FROM subs WHERE vec_id < {k})"
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT e.vec_id, e.sub, c.cid, {dist} AS dist
+  FROM subs e JOIN cents{it - 1} c USING (sub)),
+b{it} AS (
+  SELECT vec_id, sub, cid FROM a{it}
+  QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY dist, cid) = 1),
+m{it} AS (
+  SELECT b.sub, b.cid, s.pos, floor(avg(s.x) * 1000000 + 0.5) / 1000000.0 AS m
+  FROM b{it} b JOIN (SELECT vec_id, sub, unnest(sv) AS x,
+                            generate_subscripts(sv, 1) AS pos FROM subs) s
+       USING (vec_id, sub)
+  GROUP BY b.sub, b.cid, s.pos),
+cents{it} AS (SELECT sub, cid, list(m ORDER BY pos) AS c FROM m{it} GROUP BY sub, cid)"""
+        )
+    parts.append(
+        f"""af AS (
+  SELECT e.vec_id, e.sub, c.cid, {dist} AS dist
+  FROM subs e JOIN cents{iters} c USING (sub)),
+bf AS (
+  SELECT vec_id, sub, cid, dist FROM af
+  QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY dist, cid) = 1)
+SELECT CAST(sub AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code,
+       count(*) AS n_assigned,
+       floor(sum(dist) * 10000 + 0.5) / 10000.0 AS distortion
+FROM bf GROUP BY sub, cid"""
+    )
+    return ",\n".join(parts)
+
+
+ORACLE_EMBEDDING_PQ_TRAIN = _pq_oracle_sql()
+
+QUERIES["embedding_pq_train"] = embedding_pq_train
+ORACLE["embedding_pq_train"] = ORACLE_EMBEDDING_PQ_TRAIN

@@ -751,6 +751,32 @@ def _cms_cell_sql(key_col: str, depth: int) -> str:
     return f"({_hex4_to_int_sql(digest)} % {_CMS_WIDTH})"
 
 
+def _cms_hash_case_expr(key_col: str):
+    return F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN depth = {d} THEN {_cms_cell_sql(key_col, d)}"
+            for d in range(_CMS_DEPTH)
+        )
+        + " END"
+    )
+
+
+def cms_cells(keys: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """The mergeable half of the count-min sketch: (depth, cell, c)
+    cell counts for a batch (or micro-batch) of keys. Two sketches
+    merge by summing ``c`` on (depth, cell) — the streaming tests
+    foreachBatch-accumulate partial sketches and assert equality with
+    the single-pass batch sketch."""
+    depths = F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])).alias("depth")
+    return (
+        keys.select(key_col, depths)
+        .select("depth", _cms_hash_case_expr(key_col).alias("cell"))
+        .groupBy("depth", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over ``event_type`` frequencies, audited
     against exact counts: build the d×w cell-count sketch, then
@@ -766,23 +792,7 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard CMS error audit (always ≥ 0; > 0 iff every row hashed the
     key into a collision)."""
     ev = load_table(spark, sf_dir, "events").select("event_type")
-    depths = F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])).alias("depth")
-    cells = (
-        ev.select("event_type", depths)
-        .select(
-            "depth",
-            F.expr(
-                "CASE "
-                + " ".join(
-                    f"WHEN depth = {d} THEN {_cms_cell_sql('event_type', d)}"
-                    for d in range(_CMS_DEPTH)
-                )
-                + " END"
-            ).alias("cell"),
-        )
-        .groupBy("depth", "cell")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    cells = cms_cells(ev)
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
@@ -794,14 +804,7 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_count",
         "depth",
-        F.expr(
-            "CASE "
-            + " ".join(
-                f"WHEN depth = {d} THEN {_cms_cell_sql('event_type', d)}"
-                for d in range(_CMS_DEPTH)
-            )
-            + " END"
-        ).alias("cell"),
+        _cms_hash_case_expr("event_type").alias("cell"),
     )
     est = (
         probes.join(F.broadcast(cells), ["depth", "cell"])

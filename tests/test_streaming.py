@@ -219,3 +219,34 @@ def test_stateful_streaming_zscore(spark, events_stream_dir):
     assert set(got) == set(expected)
     for eid, z in got.items():
         assert math.isclose(z, expected[eid], rel_tol=1e-9), eid
+
+
+def test_streaming_cms_partial_sketches_merge(spark, sf_dir, events_stream_dir):
+    """Sketch mergeability across micro-batches: foreachBatch builds a
+    partial count-min sketch per micro-batch; summing the partials on
+    (depth, cell) must reproduce the single-pass batch sketch exactly
+    — the property that lets a 100 TB stream keep one tiny sketch
+    instead of re-reading history."""
+    from collections import Counter
+
+    from parquet_stream_writer_spark.operators.streaming_batch import cms_cells
+
+    acc: Counter = Counter()
+
+    def merge(batch_df, _bid):
+        for r in cms_cells(batch_df.select("event_type")).collect():
+            acc[(r["depth"], r["cell"])] += r["c"]
+
+    stream = _events_stream(spark, events_stream_dir)
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch = Counter(
+        {
+            (r["depth"], r["cell"]): r["c"]
+            for r in cms_cells(
+                load_events(spark, sf_dir).select("event_type")
+            ).collect()
+        }
+    )
+    assert acc == batch and len(batch) > 0
