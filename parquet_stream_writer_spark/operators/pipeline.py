@@ -620,3 +620,72 @@ FROM documents
 
 QUERIES["sample_global_shuffle"] = sample_global_shuffle
 ORACLE["sample_global_shuffle"] = ORACLE_SAMPLE_GLOBAL_SHUFFLE
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest dedup (new batch vs historical corpus)
+# ---------------------------------------------------------------------------
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup decision: split the corpus into a
+    "history" (already-ingested) and an "incoming" batch by the
+    deterministic hash bucket, then admit an incoming doc only if its
+    normalized text matches neither history (anti-join) nor an
+    earlier-admitted doc of the same batch (keep-lowest window).
+    Emits every incoming doc with its verdict and the reason.
+
+    Scale shape: the history side collapses to DISTINCT keys before
+    the join — at 100 TB that relation is the dedup index, orders of
+    magnitude smaller than the corpus, and the anti-join is hash-equi
+    on a fixed-width key (here the text itself keeps the oracle
+    trivial; production would use ``xxhash64(text)``). The within-
+    batch window partitions by the same key, so both passes share one
+    partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_col(spark_side=True))
+    key = F.lower(F.trim(F.col("text")))
+    tagged = docs.select("doc_id", key.alias("k"), bucket.alias("b"))
+    history = tagged.where(F.col("b") < 80).select("k").distinct()
+    incoming = tagged.where(F.col("b") >= 80)
+    hit = incoming.join(history.withColumn("in_hist", F.lit(1)), "k", "left")
+    w = Window.partitionBy("k").orderBy("doc_id")
+    verdict = (
+        hit.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("in_hist").isNotNull(), "dup_of_history")
+            .when(F.col("rk") > 1, "dup_in_batch")
+            .otherwise("admitted")
+            .alias("verdict"),
+        )
+    )
+    return verdict.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL_INGEST = f"""
+WITH tagged AS (
+  SELECT doc_id, lower(trim(text)) AS k,
+         {_bucket_col(spark_side=False)} AS b
+  FROM documents),
+history AS (SELECT DISTINCT k FROM tagged WHERE b < 80),
+incoming AS (SELECT doc_id, k FROM tagged WHERE b >= 80),
+verdicts AS (
+  SELECT i.doc_id,
+         CASE WHEN h.k IS NOT NULL THEN 'dup_of_history'
+              WHEN row_number() OVER (PARTITION BY i.k ORDER BY i.doc_id) > 1
+                THEN 'dup_in_batch'
+              ELSE 'admitted' END AS verdict
+  FROM incoming i LEFT JOIN history h ON i.k = h.k)
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM verdicts GROUP BY verdict
+"""
+
+
+QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
+ORACLE["dedup_incremental_ingest"] = ORACLE_DEDUP_INCREMENTAL_INGEST
