@@ -335,3 +335,58 @@ def test_partitioned_dataset_prunes_on_read(spark, tmp_path):
     assert "lang" not in pushed, p
     assert back.count() == docs.where("lang = 'en'").count()
     assert "docs_by_lang" in p
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing as shuffle elimination: two tables bucketed on the
+    join key into the same bucket count join with ZERO exchanges —
+    each bucket pair is co-located by construction. At 100 TB this is
+    the standing optimization for repeated fact-fact joins: pay the
+    bucketed write once, skip the join shuffle forever after."""
+    from parquet_stream_writer_spark.sources import load_table
+
+    warehouse = tmp_path / "wh"
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .option("path", str(warehouse / "orders_b"))
+            .saveAsTable("orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .option("path", str(warehouse / "lineitem_b"))
+            .saveAsTable("lineitem_b")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (
+                spark.table("orders_b")
+                .join(
+                    spark.table("lineitem_b"),
+                    spark.table("orders_b")["o_orderkey"]
+                    == spark.table("lineitem_b")["l_orderkey"],
+                )
+                .groupBy("o_orderstatus")
+                .agg({"l_quantity": "sum"})
+            )
+            p = plan(spark, joined, "formatted")
+            assert "SortMergeJoin" in p and "Bucketed: true" in p, p
+            # the fact-fact join reads co-located buckets: NO exchange on
+            # either join key (the only exchange is the tiny group-by).
+            assert "hashpartitioning(o_orderkey" not in p, p
+            assert "hashpartitioning(l_orderkey" not in p, p
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
