@@ -689,3 +689,134 @@ FROM verdicts GROUP BY verdict
 
 QUERIES["dedup_incremental_ingest"] = dedup_incremental_ingest
 ORACLE["dedup_incremental_ingest"] = ORACLE_DEDUP_INCREMENTAL_INGEST
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (funnel → dedup → split) in one plan
+# ---------------------------------------------------------------------------
+
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-curation pipeline as ONE Catalyst plan:
+    quality filters → exact dedup (keep-lowest per normalized text) →
+    deterministic train-bucket selection, reported as a per-source
+    funnel (raw → quality → deduped → train docs, plus admitted
+    chars). The point of expressing it as a single DataFrame is that
+    Catalyst fuses the stages: the quality predicates and the dup-rank
+    window and the bucket filter all ride the same scan — the corpus
+    is read once, and only the dedup window shuffles it.
+
+    Stage predicates reuse the funnel's integer-ratio arithmetic
+    (:mod:`text` module) so both engines decide boundaries
+    identically.
+    """
+    from parquet_stream_writer_spark.operators.text import (
+        _FUNNEL_MAX_DUP_BIGRAM_PCT,
+        _FUNNEL_MAX_TOP_TOK_PCT,
+        _FUNNEL_MIN_CHARS,
+        _FUNNEL_MIN_STOPWORD_PCT,
+        _STOPWORDS,
+    )
+
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = "split(lower(text), ' ')"
+    feats = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lower(F.trim(F.col("text"))).alias("k"),
+        F.expr(f"size({toks})").alias("n_tok"),
+        F.expr(
+            f"array_max(transform(array_distinct({toks}), "
+            f"  t -> size(filter({toks}, x -> x = t))))"
+        ).alias("max_tok_cnt"),
+        F.expr(
+            f"size(transform(sequence(1, size({toks}) - 1), "
+            f"  i -> array_join(slice({toks}, i, 2), ' ')))"
+        ).alias("n_bigrams"),
+        F.expr(
+            f"size(array_distinct(transform(sequence(1, size({toks}) - 1), "
+            f"  i -> array_join(slice({toks}, i, 2), ' '))))"
+        ).alias("n_distinct_bigrams"),
+        F.expr(
+            f"size(filter({toks}, t -> array_contains(array"
+            + str(tuple(_STOPWORDS)).replace('"', "'")
+            + ", t)))"
+        ).alias("n_stop"),
+        F.expr(_bucket_col(spark_side=True)).alias("b"),
+    )
+    quality = (
+        (F.col("n_chars") >= _FUNNEL_MIN_CHARS)
+        & (
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 100
+            <= _FUNNEL_MAX_DUP_BIGRAM_PCT * F.col("n_bigrams")
+        )
+        & (F.col("max_tok_cnt") * 100 <= _FUNNEL_MAX_TOP_TOK_PCT * F.col("n_tok"))
+        & (F.col("n_stop") * 100 >= _FUNNEL_MIN_STOPWORD_PCT * F.col("n_tok"))
+    )
+    w = Window.partitionBy("k").orderBy("doc_id")
+    staged = feats.withColumn("quality_ok", quality).withColumn(
+        "dup_rk", F.row_number().over(w)
+    )
+    is_q = F.col("quality_ok")
+    is_d = is_q & (F.col("dup_rk") == 1)
+    is_t = is_d & (F.col("b") < 80)
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_raw"),
+        F.sum(is_q.cast("long")).alias("docs_quality"),
+        F.sum(is_d.cast("long")).alias("docs_deduped"),
+        F.sum(is_t.cast("long")).alias("docs_train"),
+        F.sum(F.when(is_t, F.col("n_chars")).otherwise(F.lit(0))).alias("train_chars"),
+    )
+
+
+def _curation_oracle_sql() -> str:
+    from parquet_stream_writer_spark.operators.text import (
+        _FUNNEL_MAX_DUP_BIGRAM_PCT,
+        _FUNNEL_MAX_TOP_TOK_PCT,
+        _FUNNEL_MIN_CHARS,
+        _FUNNEL_MIN_STOPWORD_PCT,
+        _STOPWORDS,
+    )
+
+    return f"""
+WITH feat AS (
+  SELECT doc_id, source, n_chars, lower(trim(text)) AS k,
+         string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         [toks[i] || ' ' || toks[i+1]
+          for i in range(1, len(string_split(lower(text), ' ')))] AS bigrams,
+         {_bucket_col(spark_side=False)} AS b
+  FROM documents),
+f2 AS (
+  SELECT doc_id, source, n_chars, k, n_tok, b,
+         list_max([len(list_filter(toks, x -> x = t))
+                   for t in list_distinct(toks)]) AS max_tok_cnt,
+         len(bigrams) AS n_bigrams,
+         len(list_distinct(bigrams)) AS n_distinct_bigrams,
+         len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS n_stop
+  FROM feat),
+staged AS (
+  SELECT source, n_chars,
+         (n_chars >= {_FUNNEL_MIN_CHARS}
+          AND (n_bigrams - n_distinct_bigrams) * 100
+              <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams
+          AND max_tok_cnt * 100 <= {_FUNNEL_MAX_TOP_TOK_PCT} * n_tok
+          AND n_stop * 100 >= {_FUNNEL_MIN_STOPWORD_PCT} * n_tok) AS quality_ok,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id) AS dup_rk,
+         b
+  FROM f2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_raw,
+       CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality,
+       CAST(sum(CASE WHEN quality_ok AND dup_rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_deduped,
+       CAST(sum(CASE WHEN quality_ok AND dup_rk = 1 AND b < 80 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_train,
+       CAST(sum(CASE WHEN quality_ok AND dup_rk = 1 AND b < 80 THEN n_chars
+                ELSE 0 END) AS BIGINT) AS train_chars
+FROM staged GROUP BY source
+"""
+
+
+QUERIES["pipeline_curation_e2e"] = pipeline_curation_e2e
+ORACLE["pipeline_curation_e2e"] = _curation_oracle_sql()
