@@ -2132,8 +2132,9 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``l_orderkey`` — fan-out is quadratic only in the per-order item
     count (bounded small by the schema), never in the catalog. Part
     supports and the order total are separate tiny aggregates joined
-    back broadcast; all counts are integers so lift is the only float
-    (rounded 4-dp on both engines).
+    back broadcast (the order total as a broadcast single-row cross
+    join — no driver action anywhere in the lineage); all counts are
+    integers so lift is the only float (rounded 4-dp on both engines).
     """
     items = (
         load_table(spark, sf_dir, "lineitem")
@@ -2151,12 +2152,15 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     support = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("sup")
     )
-    n_orders = items.select("l_orderkey").distinct().count()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
     sa = support.select(F.col("l_partkey").alias("p1"), F.col("sup").alias("sup1"))
     sb = support.select(F.col("l_partkey").alias("p2"), F.col("sup").alias("sup2"))
     return (
         pairs.join(F.broadcast(sa), "p1")
         .join(F.broadcast(sb), "p2")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "p1",
             "p2",
@@ -2164,7 +2168,7 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sup1",
             "sup2",
             pround(
-                F.col("cooc") * F.lit(float(n_orders)) / (F.col("sup1") * F.col("sup2")),
+                F.col("cooc") * F.col("n_orders") / (F.col("sup1") * F.col("sup2")),
                 4,
             ).alias("lift"),
         )

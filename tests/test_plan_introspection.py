@@ -68,6 +68,7 @@ _SORT_AGG_OK = {"profile_table"}
 #: non-equi range join. Every build side is O(1)–O(k) rows.
 _NLJ_OK = {
     "agg_hll_mergeable",
+    "orders_basket_affinity",
     "agg_kll_quantile_mergeable",
     "agg_theta_sketch_setops",
     "embedding_kmeans_lloyd",
