@@ -558,8 +558,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
-ORACLE_DEDUP_CONNECTED_COMPONENTS = f"""
-WITH RECURSIVE pairs AS (
+#: Shared transitive-closure CTE chain over the MinHash pair set
+#: (``pairs`` → symmetric ``edges`` → recursive ``reach`` → ``comp``
+#: labels). Interpolated into every oracle that builds on components.
+_SQL_CC_COMPONENTS = f"""pairs AS (
 {ORACLE_DEDUP_MINHASH_LSH}
 ),
 edges AS (
@@ -571,9 +573,14 @@ reach AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS doc_id, least(a, min(b)) AS component
-FROM reach GROUP BY a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+)"""
+
+ORACLE_DEDUP_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_CC_COMPONENTS}
+SELECT doc_id, component FROM comp
 """
 
 
@@ -653,49 +660,32 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the component labels come from
     :func:`dedup_connected_components` (bucketed LSH pairs, Pregel
     propagation); this step adds one broadcast-sized join (components
-    are a minuscule fraction of the corpus) plus a per-component
-    window whose partitions are component-sized (tiny by the
-    ``_BUCKET_CAP`` skew guard upstream).
+    are a minuscule fraction of the corpus) plus ONE per-component
+    window shuffle — the rank and the member/char aggregates all ride
+    the same component partitioning (no separate groupBy or re-join),
+    and partitions are component-sized (tiny by the ``_BUCKET_CAP``
+    skew guard upstream).
     """
     labels = dedup_connected_components(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = labels.join(docs, "doc_id")
-    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = members.withColumn("rk", F.row_number().over(w))
-    stats = members.groupBy("component").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
+    wo = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wa = Window.partitionBy("component")
+    ranked = (
+        members.withColumn("rk", F.row_number().over(wo))
+        .withColumn("n_members", F.count(F.lit(1)).over(wa).cast("long"))
+        .withColumn("total_chars", F.sum("n_chars").over(wa).cast("long"))
     )
-    reps = ranked.where(F.col("rk") == 1).select(
+    return ranked.where(F.col("rk") == 1).select(
         "component",
         F.col("doc_id").alias("rep_doc_id"),
-        F.col("n_chars").cast("long").alias("rep_chars"),
-    )
-    return reps.join(stats, "component").select(
-        "component",
-        "rep_doc_id",
         "n_members",
-        (F.col("total_chars") - F.col("rep_chars")).alias("chars_dropped"),
+        (F.col("total_chars") - F.col("n_chars").cast("long")).alias("chars_dropped"),
     )
 
 
 ORACLE_DEDUP_CLUSTER_REPRESENTATIVE = f"""
-WITH RECURSIVE pairs AS (
-{ORACLE_DEDUP_MINHASH_LSH}
-),
-edges AS (
-  SELECT d1 AS a, d2 AS b FROM pairs
-  UNION
-  SELECT d2 AS a, d1 AS b FROM pairs
-),
-reach AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-comp AS (
-  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
-),
+WITH RECURSIVE {_SQL_CC_COMPONENTS},
 members AS (
   SELECT c.component, c.doc_id, d.n_chars
   FROM comp c JOIN documents d USING (doc_id)
@@ -703,18 +693,14 @@ members AS (
 ranked AS (
   SELECT component, doc_id, n_chars,
          row_number() OVER (PARTITION BY component
-                            ORDER BY n_chars DESC, doc_id) AS rk
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+         CAST(sum(n_chars) OVER (PARTITION BY component) AS BIGINT) AS total_chars
   FROM members
-),
-stats AS (
-  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
-         CAST(sum(n_chars) AS BIGINT) AS total_chars
-  FROM members GROUP BY component
 )
-SELECT r.component, r.doc_id AS rep_doc_id, s.n_members,
-       s.total_chars - CAST(r.n_chars AS BIGINT) AS chars_dropped
-FROM ranked r JOIN stats s USING (component)
-WHERE r.rk = 1
+SELECT component, doc_id AS rep_doc_id, n_members,
+       total_chars - CAST(n_chars AS BIGINT) AS chars_dropped
+FROM ranked WHERE rk = 1
 """
 
 

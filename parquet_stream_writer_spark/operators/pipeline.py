@@ -705,60 +705,38 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and the bucket filter all ride the same scan — the corpus
     is read once, and only the dedup window shuffles it.
 
-    Stage predicates reuse the funnel's integer-ratio arithmetic
-    (:mod:`text` module) so both engines decide boundaries
-    identically.
+    Stage predicates reuse the funnel's shared feature/predicate
+    builders (:mod:`text` module) so both operators can never desync.
+    Dedup ranks **among quality survivors** (running count of
+    ``quality_ok`` over the key partition) — a duplicate whose
+    lowest-id copy failed quality still keeps its best surviving copy,
+    exactly like running the stages one after another.
     """
     from parquet_stream_writer_spark.operators.text import (
-        _FUNNEL_MAX_DUP_BIGRAM_PCT,
-        _FUNNEL_MAX_TOP_TOK_PCT,
-        _FUNNEL_MIN_CHARS,
-        _FUNNEL_MIN_STOPWORD_PCT,
-        _STOPWORDS,
+        funnel_feature_cols,
+        funnel_stage_preds,
     )
 
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
-    toks = "split(lower(text), ' ')"
     feats = docs.select(
         "doc_id",
         "source",
         "n_chars",
         F.lower(F.trim(F.col("text"))).alias("k"),
-        F.expr(f"size({toks})").alias("n_tok"),
-        F.expr(
-            f"array_max(transform(array_distinct({toks}), "
-            f"  t -> size(filter({toks}, x -> x = t))))"
-        ).alias("max_tok_cnt"),
-        F.expr(
-            f"size(transform(sequence(1, size({toks}) - 1), "
-            f"  i -> array_join(slice({toks}, i, 2), ' ')))"
-        ).alias("n_bigrams"),
-        F.expr(
-            f"size(array_distinct(transform(sequence(1, size({toks}) - 1), "
-            f"  i -> array_join(slice({toks}, i, 2), ' '))))"
-        ).alias("n_distinct_bigrams"),
-        F.expr(
-            f"size(filter({toks}, t -> array_contains(array"
-            + str(tuple(_STOPWORDS)).replace('"', "'")
-            + ", t)))"
-        ).alias("n_stop"),
+        *funnel_feature_cols(),
         F.expr(_bucket_col(spark_side=True)).alias("b"),
     )
-    quality = (
-        (F.col("n_chars") >= _FUNNEL_MIN_CHARS)
-        & (
-            (F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 100
-            <= _FUNNEL_MAX_DUP_BIGRAM_PCT * F.col("n_bigrams")
-        )
-        & (F.col("max_tok_cnt") * 100 <= _FUNNEL_MAX_TOP_TOK_PCT * F.col("n_tok"))
-        & (F.col("n_stop") * 100 >= _FUNNEL_MIN_STOPWORD_PCT * F.col("n_tok"))
+    quality = funnel_stage_preds()[-1]
+    w = (
+        Window.partitionBy("k")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy("k").orderBy("doc_id")
     staged = feats.withColumn("quality_ok", quality).withColumn(
-        "dup_rk", F.row_number().over(w)
+        "dup_rk_q", F.sum(F.col("quality_ok").cast("long")).over(w)
     )
     is_q = F.col("quality_ok")
-    is_d = is_q & (F.col("dup_rk") == 1)
+    is_d = is_q & (F.col("dup_rk_q") == 1)
     is_t = is_d & (F.col("b") < 80)
     return staged.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("docs_raw"),
@@ -771,48 +749,33 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curation_oracle_sql() -> str:
     from parquet_stream_writer_spark.operators.text import (
-        _FUNNEL_MAX_DUP_BIGRAM_PCT,
-        _FUNNEL_MAX_TOP_TOK_PCT,
-        _FUNNEL_MIN_CHARS,
-        _FUNNEL_MIN_STOPWORD_PCT,
-        _STOPWORDS,
+        sql_funnel_feats,
+        sql_quality_pred,
     )
 
+    feats = sql_funnel_feats(
+        extra_feat=f"source, lower(trim(text)) AS k, {_bucket_col(spark_side=False)} AS b,",
+        extra_f2="source, k, b,",
+    )
     return f"""
-WITH feat AS (
-  SELECT doc_id, source, n_chars, lower(trim(text)) AS k,
-         string_split(lower(text), ' ') AS toks,
-         len(string_split(lower(text), ' ')) AS n_tok,
-         [toks[i] || ' ' || toks[i+1]
-          for i in range(1, len(string_split(lower(text), ' ')))] AS bigrams,
-         {_bucket_col(spark_side=False)} AS b
-  FROM documents),
-f2 AS (
-  SELECT doc_id, source, n_chars, k, n_tok, b,
-         list_max([len(list_filter(toks, x -> x = t))
-                   for t in list_distinct(toks)]) AS max_tok_cnt,
-         len(bigrams) AS n_bigrams,
-         len(list_distinct(bigrams)) AS n_distinct_bigrams,
-         len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS n_stop
-  FROM feat),
+WITH {feats},
+flagged AS (
+  SELECT doc_id, source, n_chars, k, b, {sql_quality_pred()} AS quality_ok
+  FROM f2),
 staged AS (
-  SELECT source, n_chars,
-         (n_chars >= {_FUNNEL_MIN_CHARS}
-          AND (n_bigrams - n_distinct_bigrams) * 100
-              <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams
-          AND max_tok_cnt * 100 <= {_FUNNEL_MAX_TOP_TOK_PCT} * n_tok
-          AND n_stop * 100 >= {_FUNNEL_MIN_STOPWORD_PCT} * n_tok) AS quality_ok,
-         row_number() OVER (PARTITION BY k ORDER BY doc_id) AS dup_rk,
-         b
-  FROM f2)
+  SELECT source, n_chars, quality_ok, b,
+         sum(CASE WHEN quality_ok THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dup_rk_q
+  FROM flagged)
 SELECT source,
        CAST(count(*) AS BIGINT) AS docs_raw,
        CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality,
-       CAST(sum(CASE WHEN quality_ok AND dup_rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN quality_ok AND dup_rk_q = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS docs_deduped,
-       CAST(sum(CASE WHEN quality_ok AND dup_rk = 1 AND b < 80 THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN quality_ok AND dup_rk_q = 1 AND b < 80 THEN 1 ELSE 0 END)
             AS BIGINT) AS docs_train,
-       CAST(sum(CASE WHEN quality_ok AND dup_rk = 1 AND b < 80 THEN n_chars
+       CAST(sum(CASE WHEN quality_ok AND dup_rk_q = 1 AND b < 80 THEN n_chars
                 ELSE 0 END) AS BIGINT) AS train_chars
 FROM staged GROUP BY source
 """

@@ -864,9 +864,12 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One window over (user, time) with a ``[unbounded, -1]`` ROWS frame
     — the purchase row itself is excluded by the frame, not a
-    self-join. Partitions are per-user (no skew beyond a user's own
-    history); ordering ties break on ``event_id`` so both engines pick
-    the same first/last rows at µs-identical timestamps.
+    self-join — and prior purchases are excluded from the journey by
+    null-masking them under ``first/last(..., ignorenulls)`` rather
+    than filtering (filtering would also shift the frame). Partitions
+    are per-user (no skew beyond a user's own history); ordering ties
+    break on ``event_id`` so both engines pick the same rows at
+    µs-identical timestamps.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -874,14 +877,15 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
     return (
         ev.select(
             "event_id",
             "user_id",
             "event_type",
-            F.first("event_type").over(w).alias("first_touch"),
-            F.last("event_type").over(w).alias("last_touch"),
-            F.count(F.lit(1)).over(w).cast("long").alias("n_touches"),
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+            F.count(touch).over(w).cast("long").alias("n_touches"),
         )
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "first_touch", "last_touch", "n_touches")
@@ -891,9 +895,12 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_ATTRIBUTION = """
 WITH ordered AS (
   SELECT event_id, user_id, event_type,
-         first_value(event_type) OVER w AS first_touch,
-         last_value(event_type)  OVER w AS last_touch,
-         CAST(count(*) OVER w AS BIGINT) AS n_touches
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS) OVER w AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS last_touch,
+         CAST(count(CASE WHEN event_type <> 'purchase' THEN event_type END)
+              OVER w AS BIGINT) AS n_touches
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

@@ -507,9 +507,13 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_max(transform(array_distinct(split(lower(text), ' ')), "
         "  t -> size(filter(split(lower(text), ' '), x -> x = t))))"
     )
+    # Guarded for single-token docs: Spark's sequence(1, 0) counts
+    # DOWN (slice(…, 0) crash); DuckDB's range(1, 1) is empty.
     bigrams = F.expr(
+        "case when size(split(lower(text), ' ')) >= 2 then "
         "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
-        "  i -> array_join(slice(split(lower(text), ' '), i, 2), ' '))"
+        "  i -> array_join(slice(split(lower(text), ' '), i, 2), ' ')) "
+        "else cast(array() as array<string>) end"
     )
     return docs.select(
         "doc_id",
@@ -927,6 +931,87 @@ _FUNNEL_MAX_TOP_TOK_PCT = 12      # top-token dominance <= 12%
 _FUNNEL_MIN_STOPWORD_PCT = 2      # stopword ratio >= 2%
 
 
+def funnel_feature_cols() -> list:
+    """The per-document funnel feature columns, shared by the funnel
+    and the fused curation pipeline (``pipeline_curation_e2e``) so a
+    threshold/expression change can never desync the two.
+
+    The bigram array is guarded for single-token documents: Spark's
+    ``sequence(1, 0)`` counts DOWN (yielding [1, 0] and a slice(…, 0)
+    crash), while DuckDB's ``range(1, 1)`` is empty — the guard makes
+    both engines agree on zero bigrams.
+    """
+    toks = "split(lower(text), ' ')"
+    bigrams = (
+        f"case when size({toks}) >= 2 then "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"  i -> array_join(slice({toks}, i, 2), ' ')) "
+        f"else cast(array() as array<string>) end"
+    )
+    stop_arr = "array" + str(tuple(_STOPWORDS)).replace('"', "'")
+    return [
+        F.expr(f"size({toks})").alias("n_tok"),
+        F.expr(
+            f"array_max(transform(array_distinct({toks}), "
+            f"  t -> size(filter({toks}, x -> x = t))))"
+        ).alias("max_tok_cnt"),
+        F.expr(f"size({bigrams})").alias("n_bigrams"),
+        F.expr(f"size(array_distinct({bigrams}))").alias("n_distinct_bigrams"),
+        F.expr(f"size(filter({toks}, t -> array_contains({stop_arr}, t)))").alias(
+            "n_stop"
+        ),
+    ]
+
+
+def funnel_stage_preds() -> list:
+    """Cumulative stage predicates [s1, s2, s3, s4] over the columns
+    produced by :func:`funnel_feature_cols`; ``funnel_stage_preds()[-1]``
+    is the full quality gate."""
+    s1 = F.col("n_chars") >= _FUNNEL_MIN_CHARS
+    s2 = s1 & (
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 100
+        <= _FUNNEL_MAX_DUP_BIGRAM_PCT * F.col("n_bigrams")
+    )
+    s3 = s2 & (F.col("max_tok_cnt") * 100 <= _FUNNEL_MAX_TOP_TOK_PCT * F.col("n_tok"))
+    s4 = s3 & (F.col("n_stop") * 100 >= _FUNNEL_MIN_STOPWORD_PCT * F.col("n_tok"))
+    return [s1, s2, s3, s4]
+
+
+#: Oracle twins of the stage predicates (over the SQL feature CTE's
+#: columns); cumulative AND-prefixes mirror ``funnel_stage_preds``.
+SQL_STAGE_PREDS = [
+    f"n_chars >= {_FUNNEL_MIN_CHARS}",
+    f"(n_bigrams - n_distinct_bigrams) * 100 <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams",
+    f"max_tok_cnt * 100 <= {_FUNNEL_MAX_TOP_TOK_PCT} * n_tok",
+    f"n_stop * 100 >= {_FUNNEL_MIN_STOPWORD_PCT} * n_tok",
+]
+
+
+def sql_quality_pred() -> str:
+    """The full 4-stage quality gate as one SQL predicate."""
+    return "(" + " AND ".join(SQL_STAGE_PREDS) + ")"
+
+
+def sql_funnel_feats(extra_feat: str = "", extra_f2: str = "") -> str:
+    """Oracle twin of :func:`funnel_feature_cols` as a ``feat``/``f2``
+    CTE pair. ``extra_feat``/``extra_f2`` thread additional columns
+    through each CTE (both must end with a trailing comma when set)."""
+    return f"""feat AS (
+  SELECT doc_id, n_chars, {extra_feat}
+         string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         [toks[i] || ' ' || toks[i+1]
+          for i in range(1, len(string_split(lower(text), ' ')))] AS bigrams
+  FROM documents),
+f2 AS (
+  SELECT doc_id, n_chars, n_tok, {extra_f2}
+         list_max([len(list_filter(toks, x -> x = t)) for t in list_distinct(toks)]) AS max_tok_cnt,
+         len(bigrams) AS n_bigrams,
+         len(list_distinct(bigrams)) AS n_distinct_bigrams,
+         len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS n_stop
+  FROM feat)"""
+
+
 def text_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel every pretraining corpus goes through:
     length → repetition → top-token dominance → stopword-density
@@ -941,36 +1026,8 @@ def text_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the corpus is read once regardless of funnel depth.
     """
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
-    toks = "split(lower(text), ' ')"
-    feats = docs.select(
-        "doc_id",
-        "n_chars",
-        F.expr(f"size({toks})").alias("n_tok"),
-        F.expr(
-            f"array_max(transform(array_distinct({toks}), "
-            f"  t -> size(filter({toks}, x -> x = t))))"
-        ).alias("max_tok_cnt"),
-        F.expr(
-            f"size(transform(sequence(1, size({toks}) - 1), "
-            f"  i -> array_join(slice({toks}, i, 2), ' ')))"
-        ).alias("n_bigrams"),
-        F.expr(
-            f"size(array_distinct(transform(sequence(1, size({toks}) - 1), "
-            f"  i -> array_join(slice({toks}, i, 2), ' '))))"
-        ).alias("n_distinct_bigrams"),
-        F.expr(
-            f"size(filter({toks}, t -> array_contains(array"
-            + str(tuple(_STOPWORDS)).replace('"', "'")
-            + ", t)))"
-        ).alias("n_stop"),
-    )
-    s1 = F.col("n_chars") >= _FUNNEL_MIN_CHARS
-    s2 = s1 & (
-        (F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 100
-        <= _FUNNEL_MAX_DUP_BIGRAM_PCT * F.col("n_bigrams")
-    )
-    s3 = s2 & (F.col("max_tok_cnt") * 100 <= _FUNNEL_MAX_TOP_TOK_PCT * F.col("n_tok"))
-    s4 = s3 & (F.col("n_stop") * 100 >= _FUNNEL_MIN_STOPWORD_PCT * F.col("n_tok"))
+    feats = docs.select("doc_id", "n_chars", *funnel_feature_cols())
+    s1, s2, s3, s4 = funnel_stage_preds()
     one = F.count(F.lit(1))
     agg = feats.agg(
         one.alias("c0"),
@@ -998,32 +1055,16 @@ def text_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_FLAG_COLS = ",\n    ".join(
+    "(" + " AND ".join(SQL_STAGE_PREDS[: i + 1]) + f") AS s{i + 1}"
+    for i in range(len(SQL_STAGE_PREDS))
+)
+
 ORACLE_TEXT_QUALITY_FILTER_FUNNEL = f"""
-WITH feat AS (
-  SELECT doc_id, n_chars,
-         string_split(lower(text), ' ') AS toks,
-         len(string_split(lower(text), ' ')) AS n_tok,
-         [toks[i] || ' ' || toks[i+1] for i in range(1, len(string_split(lower(text), ' ')))] AS bigrams
-  FROM documents),
-f2 AS (
-  SELECT doc_id, n_chars, n_tok,
-         list_max([len(list_filter(toks, x -> x = t)) for t in list_distinct(toks)]) AS max_tok_cnt,
-         len(bigrams) AS n_bigrams,
-         len(list_distinct(bigrams)) AS n_distinct_bigrams,
-         len(list_filter(toks, t -> list_contains({list(_STOPWORDS)!r}, t))) AS n_stop
-  FROM feat),
+WITH {sql_funnel_feats()},
 flags AS (
   SELECT
-    (n_chars >= {_FUNNEL_MIN_CHARS}) AS s1,
-    (n_chars >= {_FUNNEL_MIN_CHARS}
-     AND (n_bigrams - n_distinct_bigrams) * 100 <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams) AS s2,
-    (n_chars >= {_FUNNEL_MIN_CHARS}
-     AND (n_bigrams - n_distinct_bigrams) * 100 <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams
-     AND max_tok_cnt * 100 <= {_FUNNEL_MAX_TOP_TOK_PCT} * n_tok) AS s3,
-    (n_chars >= {_FUNNEL_MIN_CHARS}
-     AND (n_bigrams - n_distinct_bigrams) * 100 <= {_FUNNEL_MAX_DUP_BIGRAM_PCT} * n_bigrams
-     AND max_tok_cnt * 100 <= {_FUNNEL_MAX_TOP_TOK_PCT} * n_tok
-     AND n_stop * 100 >= {_FUNNEL_MIN_STOPWORD_PCT} * n_tok) AS s4
+    {_SQL_FLAG_COLS}
   FROM f2),
 counts AS (
   SELECT CAST(count(*) AS BIGINT) AS c0,
@@ -1078,18 +1119,18 @@ def text_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.sum(F.expr(f"(n_tok + {L - 1}) div {L}")).alias("naive_seqs"),
     )
-    return agg.select(
+    return agg.withColumn(
+        "packed_seqs", F.expr(f"(total_tokens + {L - 1}) div {L}")
+    ).select(
         "lang",
         "n_docs",
         "total_tokens",
         "naive_seqs",
-        F.expr(f"(total_tokens + {L - 1}) div {L}").alias("packed_seqs"),
+        "packed_seqs",
         pround(F.col("total_tokens") / (F.col("naive_seqs") * L), 4).alias("naive_eff"),
-        pround(
-            F.col("total_tokens")
-            / (F.expr(f"(total_tokens + {L - 1}) div {L}") * L),
-            4,
-        ).alias("packed_eff"),
+        pround(F.col("total_tokens") / (F.col("packed_seqs") * L), 4).alias(
+            "packed_eff"
+        ),
     )
 
 

@@ -117,3 +117,48 @@ def test_registry_fronts_unverified_queries():
     assert all(k in green for k in keys[first_green:]), (
         "an unverified query sorted after a verified one"
     )
+
+
+def test_curation_e2e_dedup_ranks_among_quality_survivors(spark, tmp_path):
+    """A duplicate pair whose lowest-doc_id copy fails quality must
+    still keep its surviving copy — the fused plan must equal the
+    staged funnel-then-dedup pipeline, not dedup-then-funnel (the
+    driver corpus has no duplicate texts, so this needs constructed
+    data)."""
+    import duckdb
+
+    from parquet_stream_writer_spark.operators.pipeline import pipeline_curation_e2e
+    from parquet_stream_writer_spark.operators import all_oracles
+
+    text = "the quick brown fox jumps over lazy dogs near riverbank today"
+    rows = [
+        # dup pair: doc 1 fails min-length (n_chars=50), doc 2 passes.
+        (1, text, "en", "srcA", 50),
+        (2, text, "en", "srcA", 200),
+        # a unique doc that passes everything.
+        (3, text + " again", "en", "srcA", 200),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    out = {
+        r["source"]: r
+        for r in pipeline_curation_e2e(spark, str(sf)).collect()
+    }
+    got = out["srcA"]
+    assert got["docs_raw"] == 3
+    assert got["docs_quality"] == 2          # docs 2 and 3
+    assert got["docs_deduped"] == 2          # doc 2 survives its dup pair
+    # oracle agreement on the same constructed data
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle = con.sql(all_oracles()["pipeline_curation_e2e"]).df()
+    orow = oracle[oracle["source"] == "srcA"].iloc[0]
+    assert int(orow["docs_deduped"]) == 2 and int(orow["docs_quality"]) == 2
+    con.close()
