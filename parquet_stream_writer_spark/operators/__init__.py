@@ -109,17 +109,26 @@ def _modules():
     return (relational, dedup, similarity, text, streaming_batch, multimodal, pipeline)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _driver_green_keys() -> frozenset[str]:
-    """Keys with a recorded green driver verdict in any round's
-    CORRECTNESS_r*.json: hash-green for oracled queries, a completed
-    rows-only check for no-oracle queries.  Red/errored/never-checked
-    keys are absent, so they sort into the driver's prefix window."""
+    """Keys whose LATEST recorded driver verdict (across the
+    CORRECTNESS_r*.json files, in round order) is green: hash-green
+    for oracled queries, a completed rows-only check for no-oracle
+    queries.  Later rounds override earlier ones, so a query that
+    regresses from green to red rotates back into the driver's prefix
+    window for re-verification.  Red/errored/never-checked keys are
+    absent, so they sort into the window.  Cached: the files only
+    change between rounds, and the driver calls ``queries()`` and
+    ``oracle_sql()`` back to back."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    verdict: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -131,11 +140,10 @@ def _driver_green_keys() -> frozenset[str]:
         for key, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or (
+            verdict[key] = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            ):
-                green.add(key)
-    return frozenset(green)
+            )
+    return frozenset(k for k, ok in verdict.items() if ok)
 
 
 def _prioritized(merged: dict) -> dict:

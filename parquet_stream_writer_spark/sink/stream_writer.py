@@ -117,7 +117,11 @@ class ParquetStreamWriter:
         # Reference parity (writer.py:137-139): the default prefix is the
         # directory name *verbatim* — a dir named "out.parquet" produces
         # shards "out.parquet-0.parquet", not "out-0.parquet".
-        self.file_prefix = file_prefix if file_prefix is not None else self._path.name
+        # Falsy ("" or None) falls back to the directory name, matching
+        # the reference's `if file_prefix is None` plus its implicit
+        # never-empty invariant (an empty prefix would emit
+        # "-0.parquet" files that downstream "prefix-*" globs miss).
+        self.file_prefix = file_prefix or self._path.name
 
         # Buffered state: pending Arrow batches + their uncompressed bytes.
         self._pending: list[pa.RecordBatch] = []

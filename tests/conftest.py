@@ -19,9 +19,7 @@ os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 # widening) through to the driver unseen.
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from parquet_stream_writer_spark.sources import TABLES  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -38,11 +38,18 @@ def load(path: str) -> dict:
     queries = {
         m.group(1): float(m.group(2))
         for m in re.finditer(r'"([a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', tail)
-        if m.group(1) not in ("value", "sf", "metric")
+        if m.group(1) not in ("value", "sf", "metric", "n", "rc", "cpus")
     }
-    total = queries.pop("value", None)
-    for k in ("sf", "n", "rc", "cpus"):
-        queries.pop(k, None)
+    # The wrapper's per-query fragment excludes "value" above, so the
+    # total must come from the tail's own "value" field (or stays None
+    # for a truncated tail that lost it).
+    m = re.search(r'"value":\s*(-?\d+(?:\.\d+)?)', tail)
+    if m:
+        total = float(m.group(1))
+    else:
+        # Front-truncated tails lose the "value" field; the per-query
+        # sum (over whatever survived truncation) is the best estimate.
+        total = round(sum(t for t in queries.values() if t >= 0), 3) if queries else None
     return {"queries": queries, "value": total}
 
 

@@ -27,9 +27,12 @@ import sys
 import duckdb
 import pandas as pd
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+from parquet_stream_writer_spark.sources import TABLES  # noqa: E402
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -46,7 +49,10 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         # round-1 proof: q3_shipping_priority was hash-green with this
         # exact difference. Normalize so only real divergences fail.
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[ns]")
+            # tz-strip BEFORE the unit cast, exactly like the pytest
+            # normalizer (tests/conftest.py): astype("datetime64[ns]")
+            # on a tz-aware column raises in pandas 2.x.
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
