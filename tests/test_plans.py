@@ -390,3 +390,74 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_zorder_layout_bounds_file_stats_on_both_dims(spark, tmp_path):
+    """Z-order (bit-interleaved) clustering as multi-dimensional data
+    skipping: range-partitioning lineitem by the interleaved
+    (l_partkey, l_suppkey) z-value bounds each output file's min/max
+    on BOTH columns, so a filter on either dimension can skip most
+    files from footer stats alone — single-column sorting buys this
+    for one dimension only. At 100 TB this is the layout decision that
+    turns point-ish queries from full scans into a handful of files."""
+    import pyarrow.parquet as pq
+
+    from parquet_stream_writer_spark.sources import load_table
+
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+    # Interleave RANK buckets, not raw values: the two key domains have
+    # very different widths (parts ≫ suppliers), and raw-bit interleaving
+    # would let the wider dimension dominate the z-value. 64 equal-count
+    # buckets per dim = 6 bits each. (Production z-order derives the
+    # bucket bounds from sampled quantiles instead of a global ntile.)
+    bits = 6
+    li = li.withColumn(
+        "b1", F.ntile(1 << bits).over(W.orderBy("l_partkey")) - 1
+    ).withColumn("b2", F.ntile(1 << bits).over(W.orderBy("l_suppkey")) - 1)
+    z = " + ".join(
+        f"(shiftleft(shiftright(b1, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright(b2, {i}) & 1, {2 * i + 1}))"
+        for i in range(bits)
+    )
+    n_files = 16
+
+    zdir, ndir = tmp_path / "zorder", tmp_path / "natural"
+    (
+        li.withColumn("z", F.expr(z))
+        .repartitionByRange(n_files, "z")
+        .drop("z", "b1", "b2")
+        .write.parquet(str(zdir))
+    )
+    li.drop("b1", "b2").repartition(n_files).write.parquet(str(ndir))
+
+    def overlapping(d, col, lo, hi):
+        hit = total = 0
+        for f in d.glob("part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mn = min(
+                md.row_group(g).column(names[col]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(names[col]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if mx >= lo and mn <= hi:
+                hit += 1
+        return hit, total
+
+    for col in ("l_partkey", "l_suppkey"):
+        lo = 1
+        hi = lo + 10  # a narrow band on either dimension
+        z_hit, z_total = overlapping(zdir, col, lo, hi)
+        n_hit, n_total = overlapping(ndir, col, lo, hi)
+        # natural (hash-shuffled) files all span the full key range;
+        # z-ordered files bound both dims, so most are skippable.
+        assert n_hit == n_total, (col, n_hit, n_total)
+        assert z_hit <= z_total // 2, (col, z_hit, z_total)
