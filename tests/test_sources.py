@@ -98,3 +98,18 @@ def test_formats_roundtrip_parquet_equivalent(spark, tmp_path):
     base = docs.orderBy("doc_id").collect()
     assert from_csv.orderBy("doc_id").collect() == base
     assert from_json.orderBy("doc_id").collect() == base
+
+
+def test_orc_roundtrip_parquet_equivalent(spark, tmp_path):
+    """ORC as an alternate columnar source: a full documents round-trip
+    through Spark's native ORC reader/writer must be value-identical to
+    the parquet original (columnar pushdown/pruning work the same way,
+    so a corpus delivered as ORC plugs into every operator unchanged)."""
+    from parquet_stream_writer_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    orc_path = str(tmp_path / "docs_orc")
+    docs.write.orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert back.schema == docs.schema
+    assert back.orderBy("doc_id").collect() == docs.orderBy("doc_id").collect()
