@@ -387,3 +387,17 @@ def test_sharded_writer_sort_by_clusters_row_groups(tmp_path, spark):
         t = pq.read_table(p, columns=["key"])
         keys = t.column("key").to_pylist()
         assert keys == sorted(keys), p
+
+
+def test_empty_file_prefix_falls_back_to_dir_name(tmp_path):
+    """A falsy prefix ("" as well as None) must fall back to the
+    directory name — an empty prefix would emit dash-leading
+    "-0.parquet" files that "prefix-*" globs miss."""
+    out = tmp_path / "shards"
+    nb = batch_nbytes()
+    with ParquetStreamWriter(
+        out, SCHEMA, shard_size_bytes=nb, buffer_size_bytes=1, file_prefix=""
+    ) as w:
+        for i in range(3):
+            w.write_batch(padded_batch(i))
+    assert all(p.name.startswith("shards-") for p in out.glob("*.parquet"))
