@@ -912,3 +912,48 @@ FROM ordered WHERE event_type = 'purchase'
 
 QUERIES["events_attribution"] = events_attribution
 ORACLE["events_attribution"] = ORACLE_EVENTS_ATTRIBUTION
+
+
+# ---------------------------------------------------------------------------
+# Windowed event dedup (batch twin of dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+def events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicate events by (user, type) within each 1-hour tumbling
+    window — the batch twin of streaming
+    ``dropDuplicatesWithinWatermark``: a replayed/at-least-once feed
+    keeps one event per key per window instead of one per key forever
+    (which would need unbounded state). Keeps the earliest event per
+    (window, user, type), deterministic via (ts, event_id) ordering;
+    reports per-window kept/duplicate counts.
+
+    One shuffle on the (window, user, type) key; the window bound is
+    what makes the streaming-state version O(keys per window) instead
+    of O(all keys ever)."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy(hr, "user_id", "event_type").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy(hr.alias("w_start")).agg(
+        F.sum((F.col("rk") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rk") > 1).cast("long")).alias("n_dups"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+ORACLE_EVENTS_WINDOWED_DEDUP = """
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS w_start,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rk
+  FROM events)
+SELECT w_start,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked GROUP BY w_start
+"""
+
+
+QUERIES["events_windowed_dedup"] = events_windowed_dedup
+ORACLE["events_windowed_dedup"] = ORACLE_EVENTS_WINDOWED_DEDUP
