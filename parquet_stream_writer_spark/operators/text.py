@@ -1154,3 +1154,93 @@ FROM agg
 
 QUERIES["text_pack_efficiency"] = text_pack_efficiency
 ORACLE["text_pack_efficiency"] = ORACLE_TEXT_PACK_EFFICIENCY
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law measurement)
+# ---------------------------------------------------------------------------
+
+#: Number of corpus prefixes on the vocabulary-growth curve.
+_VOCAB_CURVE_POINTS = 10
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law measurement: vocabulary size as a function of corpus
+    size, at ``_VOCAB_CURVE_POINTS`` doc-count prefixes of the corpus
+    (in doc_id order) — the curve that tells you whether more data
+    keeps buying new vocabulary or has saturated.
+
+    Cumulative-distinct is not windowable at scale; the trick is that
+    a token contributes to prefix k iff its FIRST occurrence (min
+    doc_id) falls inside — so one hash aggregate per distinct token
+    (min doc_id), a map-side bucket assignment, one tiny aggregate,
+    and a running sum over the ``_VOCAB_CURVE_POINTS``-row result.
+    Token totals per prefix ride the same pattern on the raw stream.
+    """
+    n = _VOCAB_CURVE_POINTS
+    toks = _tokens(spark, sf_dir).select("doc_id", "tok")
+    # doc_id → prefix bucket 1..n (doc_ids are dense 0-based here; the
+    # ntile-free arithmetic keeps it one map-side expression).
+    counts = toks.groupBy().agg(F.max("doc_id").alias("mx")).select(
+        (F.col("mx") + 1).alias("n_docs")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_per_bucket = (
+        first_seen.crossJoin(F.broadcast(counts))
+        .select(
+            F.least(
+                F.lit(n),
+                (F.col("first_doc") * n / F.col("n_docs") + 1).cast("int"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    toks_per_bucket = (
+        toks.crossJoin(F.broadcast(counts))
+        .select(
+            F.least(
+                F.lit(n), (F.col("doc_id") * n / F.col("n_docs") + 1).cast("int")
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        new_per_bucket.join(toks_per_bucket, "bucket")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.sum("bucket_tokens").over(w).alias("corpus_tokens"),
+            F.sum("new_types").over(w).alias("vocab_size"),
+        )
+    )
+
+
+ORACLE_TEXT_VOCAB_GROWTH = f"""
+WITH {_SQL_TOKENS},
+n AS (SELECT max(doc_id) + 1 AS n_docs FROM toks),
+first_seen AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+new_per_bucket AS (
+  SELECT least({_VOCAB_CURVE_POINTS},
+               CAST(first_doc * {_VOCAB_CURVE_POINTS} / n.n_docs + 1 AS INTEGER)) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM first_seen, n GROUP BY 1),
+toks_per_bucket AS (
+  SELECT least({_VOCAB_CURVE_POINTS},
+               CAST(doc_id * {_VOCAB_CURVE_POINTS} / n.n_docs + 1 AS INTEGER)) AS bucket,
+         CAST(count(*) AS BIGINT) AS bucket_tokens
+  FROM toks, n GROUP BY 1)
+SELECT CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(sum(t.bucket_tokens) OVER (ORDER BY b.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS corpus_tokens,
+       CAST(sum(b.new_types) OVER (ORDER BY b.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM new_per_bucket b JOIN toks_per_bucket t USING (bucket)
+"""
+
+
+QUERIES["text_vocab_growth"] = text_vocab_growth
+ORACLE["text_vocab_growth"] = ORACLE_TEXT_VOCAB_GROWTH
