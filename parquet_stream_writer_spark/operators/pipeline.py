@@ -332,13 +332,13 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     scientific-notation cutoffs for raw double→string casts.
     """
     orders = scan_parallel(spark, sf_dir, "orders")
-    # Two aggregates cross-joined (both single-row, so the join is
-    # free): variable-length strings in an aggregation buffer knock
-    # Spark from HashAggregate down to SortAggregate, and the
-    # multi-countDistinct Expand quadruples rows — combined, that's a
-    # full sort of 4× the table. Keeping the string min/max out of
-    # the Expand branch keeps the heavy branch hash-aggregated and
-    # the sort branch un-expanded.
+    # ONE scan, ONE HashAggregate: the multi-countDistinct Expand (4×
+    # rows) is the unavoidable price of exact distincts, but keeping
+    # every aggregation buffer primitive keeps it hash-aggregated.
+    # o_orderstatus is a char(1) status code, so its min/max ride the
+    # same agg as ascii codes and decode back to chars afterwards — no
+    # variable-length string buffer, hence no SortAggregate fallback
+    # and no second scan of orders.
     numeric = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count("o_custkey")).alias("ck_null"),
@@ -351,17 +351,17 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_custkey").alias("ck_max_raw"),
         F.min("o_totalprice").alias("tp_min_raw"),
         F.max("o_totalprice").alias("tp_max_raw"),
+        F.min(F.ascii("o_orderstatus")).alias("os_min_code"),
+        F.max(F.ascii("o_orderstatus")).alias("os_max_code"),
     )
-    strings = orders.agg(
-        F.min("o_orderstatus").alias("os_min"),
-        F.max("o_orderstatus").alias("os_max"),
-    )
-    wide = numeric.crossJoin(strings).select(
+    wide = numeric.select(
         "*",
         F.col("ck_min_raw").cast("string").alias("ck_min"),
         F.col("ck_max_raw").cast("string").alias("ck_max"),
         F.col("tp_min_raw").cast("decimal(18,2)").cast("string").alias("tp_min"),
         F.col("tp_max_raw").cast("decimal(18,2)").cast("string").alias("tp_max"),
+        F.char(F.col("os_min_code")).alias("os_min"),
+        F.char(F.col("os_max_code")).alias("os_max"),
     )
     return wide.selectExpr(
         "stack(3, "

@@ -373,16 +373,42 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk: docs packed, tokens, fill ratio — the packing-efficiency
     audit before pretraining.
 
-    One global running sum (window without partition — at 100 TB
-    partition the cumsum by shard and offset by per-shard totals, the
-    standard two-pass distributed prefix sum)."""
+    Two-pass distributed prefix sum (same shape as
+    ``sample_global_shuffle``): range-bucket doc_id into a FIXED number
+    of buckets, aggregate per-bucket token totals, turn those into
+    bucket start offsets via a bucket-count-sized window (256 rows,
+    never corpus-sized), broadcast the offsets back, and finish with a
+    per-bucket partitioned running sum.  cum = offset + in-bucket
+    cumsum; no unpartitioned corpus-wide window anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    placed = toks.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
-        "chunk_id", F.floor((F.col("cum") - F.col("n_tok")) / _PACK_BUDGET).cast("long")
+    nb = 256
+    n = toks.groupBy().agg((F.max("doc_id") + 1).alias("n_docs"))
+    bucketed = toks.crossJoin(F.broadcast(n)).withColumn(
+        "b",
+        F.least(
+            F.lit(nb - 1), F.floor(F.col("doc_id") * nb / F.col("n_docs"))
+        ).cast("int"),
+    )
+    per_bucket = bucketed.groupBy("b").agg(F.sum("n_tok").alias("tok_sum"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "b", F.coalesce(F.sum("tok_sum").over(wo), F.lit(0)).alias("offset")
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        bucketed.join(F.broadcast(offsets), "b")
+        .withColumn("cum", F.col("offset") + F.sum("n_tok").over(wb))
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / _PACK_BUDGET).cast("long"),
+        )
     )
     return placed.groupBy("chunk_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1185,12 +1211,15 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mx") + 1).alias("n_docs")
     )
     first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    # Explicit floor() on BOTH engines: Spark's cast-to-int truncates
+    # while DuckDB's CAST rounds to nearest, so the bare `x + 1`
+    # double diverges one bucket either way — floor pins them.
     new_per_bucket = (
         first_seen.crossJoin(F.broadcast(counts))
         .select(
             F.least(
                 F.lit(n),
-                (F.col("first_doc") * n / F.col("n_docs") + 1).cast("int"),
+                (F.floor(F.col("first_doc") * n / F.col("n_docs")) + 1).cast("int"),
             ).alias("bucket")
         )
         .groupBy("bucket")
@@ -1200,19 +1229,25 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.crossJoin(F.broadcast(counts))
         .select(
             F.least(
-                F.lit(n), (F.col("doc_id") * n / F.col("n_docs") + 1).cast("int")
+                F.lit(n),
+                (F.floor(F.col("doc_id") * n / F.col("n_docs")) + 1).cast("int"),
             ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("bucket_tokens"))
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # Drive from toks_per_bucket (every non-empty bucket has tokens) so
+    # a bucket where no NEW type first appears still contributes its
+    # token count to the running corpus_tokens sum.
     return (
-        new_per_bucket.join(toks_per_bucket, "bucket")
+        toks_per_bucket.join(new_per_bucket, "bucket", "left")
         .select(
             F.col("bucket").cast("int").alias("bucket"),
             F.sum("bucket_tokens").over(w).alias("corpus_tokens"),
-            F.sum("new_types").over(w).alias("vocab_size"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0))).over(w).alias(
+                "vocab_size"
+            ),
         )
     )
 
@@ -1223,22 +1258,22 @@ n AS (SELECT max(doc_id) + 1 AS n_docs FROM toks),
 first_seen AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
 new_per_bucket AS (
   SELECT least({_VOCAB_CURVE_POINTS},
-               CAST(first_doc * {_VOCAB_CURVE_POINTS} / n.n_docs + 1 AS INTEGER)) AS bucket,
+               CAST(floor(first_doc * {_VOCAB_CURVE_POINTS} / n.n_docs) AS INTEGER) + 1) AS bucket,
          CAST(count(*) AS BIGINT) AS new_types
   FROM first_seen, n GROUP BY 1),
 toks_per_bucket AS (
   SELECT least({_VOCAB_CURVE_POINTS},
-               CAST(doc_id * {_VOCAB_CURVE_POINTS} / n.n_docs + 1 AS INTEGER)) AS bucket,
+               CAST(floor(doc_id * {_VOCAB_CURVE_POINTS} / n.n_docs) AS INTEGER) + 1) AS bucket,
          CAST(count(*) AS BIGINT) AS bucket_tokens
   FROM toks, n GROUP BY 1)
-SELECT CAST(b.bucket AS INTEGER) AS bucket,
-       CAST(sum(t.bucket_tokens) OVER (ORDER BY b.bucket
+SELECT CAST(t.bucket AS INTEGER) AS bucket,
+       CAST(sum(t.bucket_tokens) OVER (ORDER BY t.bucket
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS corpus_tokens,
-       CAST(sum(b.new_types) OVER (ORDER BY b.bucket
+       CAST(sum(coalesce(b.new_types, 0)) OVER (ORDER BY t.bucket
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS vocab_size
-FROM new_per_bucket b JOIN toks_per_bucket t USING (bucket)
+FROM toks_per_bucket t LEFT JOIN new_per_bucket b USING (bucket)
 """
 
 

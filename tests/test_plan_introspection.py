@@ -58,15 +58,18 @@ def test_explain_string_modes_differ(spark):
     assert "ReadSchema" in explain_string(df, "formatted")
 
 
-#: Queries whose plans legitimately contain a SortAggregate — the
-#: deliberately isolated var-length string min/max branch.
-_SORT_AGG_OK = {"profile_table"}
+#: Queries whose plans legitimately contain a SortAggregate.
+#: (profile_table earned its way out: char(1) min/max now rides the
+#: hash aggregate as ascii codes, so no string-buffer fallback.)
+_SORT_AGG_OK = set()
 
 #: Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
 #: single-row scalar broadcasts (thresholds, totals, sketch/exact
 #: audit cross joins), k-row codebook broadcasts, or the genuinely
 #: non-equi range join. Every build side is O(1)–O(k) rows.
 _NLJ_OK = {
+    "text_vocab_growth",
+    "text_pack_sequences",
     "agg_hll_mergeable",
     "orders_basket_affinity",
     "agg_kll_quantile_mergeable",
