@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -35,24 +36,25 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
 
-    # Best-of-N per query: single-shot wall times on a shared machine
-    # jitter by 2-3x; the minimum is the stable estimate of what the
-    # plan actually costs.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # Median-of-N per query: single-shot wall times on a shared machine
+    # jitter by 2-3x; the median is robust to one-off stalls in either
+    # direction (round-2 burned attention on ~17 noise "regressions"
+    # from n<=2 sampling).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):
-        best = None
+        runs: list[float] = []
+        failed = False
         for _ in range(repeats):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                elapsed = time.perf_counter() - t0
+                runs.append(time.perf_counter() - t0)
             except Exception as exc:  # keep the bench alive; flag the query
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                best = -1.0
+                failed = True
                 break
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        timings[name] = -1.0 if failed or not runs else round(statistics.median(runs), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -112,24 +112,44 @@ def _modules():
 import functools
 
 
-@functools.lru_cache(maxsize=1)
+def _correctness_snapshot() -> tuple[tuple[str, float], ...]:
+    """(path, mtime) fingerprint of the CORRECTNESS files — the cache
+    key for :func:`_driver_green_keys_cached`, so a long-lived process
+    that writes a new CORRECTNESS_r*.json sees fresh verdicts on the
+    next registry call instead of a stale lru_cache hit."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            out.append((path, os.path.getmtime(path)))
+        except OSError:
+            continue
+    return tuple(out)
+
+
 def _driver_green_keys() -> frozenset[str]:
+    return _driver_green_keys_cached(_correctness_snapshot())
+
+
+@functools.lru_cache(maxsize=4)
+def _driver_green_keys_cached(
+    snapshot: tuple[tuple[str, float], ...]
+) -> frozenset[str]:
     """Keys whose LATEST recorded driver verdict (across the
     CORRECTNESS_r*.json files, in round order) is green: hash-green
     for oracled queries, a completed rows-only check for no-oracle
     queries.  Later rounds override earlier ones, so a query that
     regresses from green to red rotates back into the driver's prefix
     window for re-verification.  Red/errored/never-checked keys are
-    absent, so they sort into the window.  Cached: the files only
-    change between rounds, and the driver calls ``queries()`` and
-    ``oracle_sql()`` back to back."""
-    import glob
+    absent, so they sort into the window.  Cached on the files'
+    (path, mtime) snapshot, so new driver results invalidate it."""
     import json
-    import os
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     verdict: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path, _mtime in snapshot:
         try:
             with open(path) as fh:
                 data = json.load(fh)

@@ -181,9 +181,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
+    # No broadcast hint on `sizes`: it is one row PER DOCUMENT, so at
+    # 100 TB it is corpus-sized — let the planner shuffle-join it on
+    # doc_id (candidates are already keyed by doc_id; AQE may still
+    # pick broadcast at small SF where it genuinely fits).
     jac = (
-        inter.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .select(
             "d1",
             "d2",
@@ -306,9 +310,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
+    # `sizes` is one row per document — never broadcast at scale (see
+    # dedup_ngram_jaccard); plain equi-joins keyed on doc_id.
     jac = (
-        inter.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .select(
             "d1",
             "d2",

@@ -1924,6 +1924,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # Push the part predicate BELOW the heavy (part, supplier) catalog
+    # aggregate: p_size >= 40 keeps ~1/5 of parts, and min_price is
+    # per-partkey, so semi-joining lineitem against the broadcast
+    # filtered part keys first shrinks the aggregate 5× without
+    # changing any surviving row.
+    keep = part.where(F.col("p_size") >= 40).select("p_partkey")
+    li = li.join(
+        F.broadcast(keep), li["l_partkey"] == keep["p_partkey"], "left_semi"
+    )
     catalog = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(

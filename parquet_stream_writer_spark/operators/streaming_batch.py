@@ -618,13 +618,14 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ntile over deterministic total orders) cross-tabulated into
     segment cells. The windows run over the *aggregated* per-customer
     relation — orders of magnitude smaller than the fact table — and
-    all three ntiles share one shuffle of that relation. At extreme
-    scale (billions of customers) the global-order window becomes the
-    bottleneck and the boundaries would come from approx-percentile
-    joins instead, trading ntile's exact equal-count semantics for
-    parallelism; at any realistic customer cardinality this exact
-    formulation is the right plan. Monetary is rounded to cents
-    before ranking so tier assignment is engine-identical."""
+    the three ntiles are melted into ONE metric-partitioned window so
+    the plan has a single Window node whose partition-local sorts run
+    in parallel. At extreme scale (billions of customers) exact ntile
+    would yield to approx-percentile boundary joins, trading exact
+    equal-count semantics for parallelism; at any realistic customer
+    cardinality this exact formulation is the right plan. Monetary is
+    rounded to cents before ranking so tier assignment is
+    engine-identical."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
@@ -633,18 +634,55 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         pround(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r_w = Window.orderBy(F.desc("last_us"), F.asc("custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    tiers = per_cust.select(
+    # One Window node, not three: melt (metric, value) so the three
+    # exact ntiles share a single metric-PARTITIONED window — three
+    # partition-local sorts running in parallel instead of three
+    # sequential single-partition passes over the whole relation.
+    # Values ride one double column (epoch-µs < 2^53, counts and
+    # cent-rounded sums exact in double), ties broken by custkey as
+    # before, then a custkey pivot-back re-assembles the tier triple.
+    melted = per_cust.select(
+        "custkey",
         "monetary",
-        F.ntile(5).over(r_w).alias("r_tier"),
-        F.ntile(5).over(f_w).alias("f_tier"),
-        F.ntile(5).over(m_w).alias("m_tier"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("last_us").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    F.col("frequency").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    F.col("monetary").cast("double").alias("v"),
+                ),
+            )
+        ).alias("mv"),
+    ).select(
+        "custkey", "monetary", F.col("mv.metric").alias("metric"), F.col("mv.v").alias("v")
     )
+    w = Window.partitionBy("metric").orderBy(F.desc("v"), F.asc("custkey"))
+    tiered = melted.select(
+        "custkey", "monetary", "metric", F.ntile(5).over(w).alias("tier")
+    )
+    tiers = tiered.groupBy("custkey").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("tier"))).alias("r_tier"),
+        F.max(F.when(F.col("metric") == "f", F.col("tier"))).alias("f_tier"),
+        F.max(F.when(F.col("metric") == "m", F.col("tier"))).alias("m_tier"),
+        F.max("monetary").alias("monetary"),
+    )
+    # avg over exact integer cents, not doubles: a double SUM is
+    # float-order-dependent across partitionings, and at a ±1ulp
+    # rounding boundary the cent digit flips between engines. The
+    # long sum is exact, so sum/n is the same double everywhere.
+    cents = F.floor(F.col("monetary") * 100 + F.lit(0.5)).cast("long")
     return tiers.groupBy("r_tier", "f_tier", "m_tier").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        pround(F.avg("monetary"), 2).alias("avg_monetary"),
+        (
+            F.floor(F.sum(cents) / F.count(F.lit(1)) + F.lit(0.5)) / 100.0
+        ).alias("avg_monetary"),
     )
 
 
@@ -662,7 +700,8 @@ tiers AS (
          CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS INTEGER) AS m_tier
   FROM per_cust)
 SELECT r_tier, f_tier, m_tier, count(*) AS n_customers,
-       floor(avg(monetary) * 100 + 0.5) / 100.0 AS avg_monetary
+       floor(sum(CAST(floor(monetary * 100 + 0.5) AS BIGINT)) * 1.0
+             / count(*) + 0.5) / 100.0 AS avg_monetary
 FROM tiers GROUP BY r_tier, f_tier, m_tier
 """
 

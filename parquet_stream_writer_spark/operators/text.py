@@ -589,9 +589,9 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side data never reshuffles for the encode. At 100 TB this
     is the canonical two-pass shape: one partial+final agg for the
     vocab (bytes of output), one broadcast-join map pass to encode.
-    The vocab rank uses a global window over the (tiny) count table,
-    which is fine because that table is |vocab|-sized, not
-    corpus-sized.
+    The top-30 selection is a ``limit`` (TakeOrderedAndProject) so the
+    corpus-vocabulary-sized count table is never single-partitioned;
+    only the 30 winners see a rank window.
     """
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
@@ -599,11 +599,16 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # Top-30 by (count desc, tok asc) via limit → TakeOrderedAndProject
+    # (per-partition top-k + merge), NOT a row_number window over the
+    # full corpus-vocabulary-sized count table — that would funnel all
+    # distinct tokens through one partition just to discard them.
+    # Only the 30 surviving rows get the (now trivially small) rank
+    # window.
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(30)
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    vocab = (
-        counts.withColumn("tok_id", F.row_number().over(w).cast("int"))
-        .where(F.col("tok_id") <= 30)
-        .select("tok", "tok_id")
+    vocab = top.withColumn("tok_id", F.row_number().over(w).cast("int")).select(
+        "tok", "tok_id"
     )
     return toks.join(F.broadcast(vocab), "tok", "left").select(
         "doc_id",

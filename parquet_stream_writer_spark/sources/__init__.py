@@ -46,11 +46,15 @@ def scan_parallel(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> Da
     The driver's test files are single-row-group parquet, so the raw
     scan is one input split no matter what ``maxPartitionBytes`` says
     — row-multiplying work downstream would run on one thread. At
-    real scale the scan has many splits and this repartition becomes
-    a cheap keyed co-location that per-key aggs downstream reuse.
+    real scale the scan already has many splits, so the exchange is
+    pure overhead — the repartition only fires when the scan's split
+    count is below ``defaultParallelism`` (checked from the physical
+    scan's partitioning, a file-listing-only operation — no job).
     """
     df = load_table(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 

@@ -392,7 +392,13 @@ def test_sharded_writer_sort_by_clusters_row_groups(tmp_path, spark):
 def test_empty_file_prefix_falls_back_to_dir_name(tmp_path):
     """A falsy prefix ("" as well as None) must fall back to the
     directory name — an empty prefix would emit dash-leading
-    "-0.parquet" files that "prefix-*" globs miss."""
+    "-0.parquet" files that "prefix-*" globs miss.
+
+    INTENTIONAL DIVERGENCE from the reference (writer.py:137-139),
+    which falls back only on ``None`` and with ``file_prefix=''``
+    happily writes "-0.parquet" shards. We treat that as a footgun,
+    not a behavior worth reproducing: this test pins the divergence
+    so it reads as a decision, not an accident."""
     out = tmp_path / "shards"
     nb = batch_nbytes()
     with ParquetStreamWriter(
