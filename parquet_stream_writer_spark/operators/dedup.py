@@ -763,3 +763,64 @@ GROUP BY a.source, b.source
 
 QUERIES["dedup_cross_source_overlap"] = dedup_cross_source_overlap
 ORACLE["dedup_cross_source_overlap"] = ORACLE_DEDUP_CROSS_SOURCE_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# Directional shingle containment (subset-duplicate detection)
+# ---------------------------------------------------------------------------
+
+#: Containment acceptance threshold: |S(A) ∩ S(B)| / |S(A)| >= this.
+_CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)|:
+    the near-dup signal Jaccard misses — a short document wholly
+    quoted inside a long one has tiny Jaccard but containment ≈ 1.
+    Standard in curation stacks for dropping subset-duplicates while
+    keeping the superset document.
+
+    Same inverted-index shape as ``dedup_ngram_jaccard`` (candidate
+    pairs come from the shared-shingle equi self-join, never n²), but
+    the pair orientation is kept (d1≠d2 both ways) because the metric
+    is asymmetric. `sizes` is one row per doc — joined by key, never
+    broadcast (see dedup_ngram_jaccard)."""
+    ds = _shingles(spark, sf_dir).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    cont = inter.join(s1, F.col("d1") == F.col("s1.doc_id")).select(
+        "d1", "d2", (F.col("n_common") / F.col("s1.n")).alias("c")
+    )
+    return cont.where(F.col("c") >= _CONTAINMENT_THRESHOLD).select(
+        "d1", "d2", pround(F.col("c"), 6).alias("containment")
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       floor((n_common * 1.0 / s1.n) * 1000000 + 0.5) / 1000000.0 AS containment
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+WHERE n_common * 1.0 / s1.n >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLE["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT

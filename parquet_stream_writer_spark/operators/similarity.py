@@ -906,3 +906,133 @@ ORACLE_EMBEDDING_PQ_TRAIN = _pq_oracle_sql()
 
 QUERIES["embedding_pq_train"] = embedding_pq_train
 ORACLE["embedding_pq_train"] = ORACLE_EMBEDDING_PQ_TRAIN
+
+
+# ---------------------------------------------------------------------------
+# Cosine range search (threshold retrieval, the top-k twin)
+# ---------------------------------------------------------------------------
+
+#: Cosine acceptance threshold for range retrieval.
+_RANGE_TAU = 0.30
+
+
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range retrieval: every corpus vector with cosine >= τ to any of
+    the 5 query vectors — the "give me everything similar enough"
+    mode (dedup sweeps, recall-oriented retrieval), vs top-k's fixed
+    budget. Same scale shape as ``similarity_cosine_topk``: queries
+    broadcast, corpus scanned once, zero Python; the threshold filter
+    applies to the 4dp-rounded similarity so the acceptance boundary
+    is engine-identical."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        pround(cosine_similarity(F.col("qemb"), F.col("emb")), 4).alias("sim"),
+    )
+    return scored.where(F.col("sim") >= _RANGE_TAU)
+
+
+ORACLE_SIMILARITY_RANGE_SEARCH = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM emb WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         floor(list_cosine_similarity(q.qemb, e.emb) * 10000 + 0.5) / 10000.0 AS sim
+  FROM emb e JOIN q ON e.vec_id <> q.qid
+)
+SELECT qid, vec_id, sim FROM scored WHERE sim >= {_RANGE_TAU}
+"""
+
+
+QUERIES["similarity_range_search"] = similarity_range_search
+ORACLE["similarity_range_search"] = ORACLE_SIMILARITY_RANGE_SEARCH
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid outliers (embedding-space label noise audit)
+# ---------------------------------------------------------------------------
+
+#: Outliers reported per label.
+_N_OUTLIERS = 3
+#: Fixed-point scale for the centroid mean (see docstring).
+_CENT_SCALE = 10_000_000
+
+
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: the ``_N_OUTLIERS`` vectors least similar to
+    their own label's centroid — the standard embedding-space screen
+    for mislabeled / off-distribution rows before training.
+
+    Scale shape: centroids are mergeable sufficient stats — one
+    partial+final hash agg over the exploded (label, dim) stream
+    compresses the corpus to k×d rows, reassembled into k centroid
+    arrays and **broadcast** (KBs regardless of corpus size) for a
+    single map-side cosine pass; the only other shuffle is the tiny
+    per-label bottom-k window. Centroid components average in exact
+    fixed-point (floor(val·1e7+0.5) longs — float32 inputs carry <8
+    significant decimals, so the quantization is below input noise):
+    a double SUM is partition-order-dependent in the last ulp, and
+    the hash gate needs both engines to see bit-identical centroids.
+    """
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        "label", F.posexplode("emb").alias("idx", "val")
+    ).select(
+        "label",
+        "idx",
+        F.floor(F.col("val") * _CENT_SCALE + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    cent = ex.groupBy("label", "idx").agg(
+        (F.sum("qv") / (F.count(F.lit(1)) * F.lit(float(_CENT_SCALE)))).alias("cv")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cv"))), lambda s: s["cv"]
+        ).alias("cemb")
+    )
+    sims = e.join(F.broadcast(cent_arr), "label").select(
+        "label",
+        "vec_id",
+        pround(cosine_similarity(F.col("emb"), F.col("cemb")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _N_OUTLIERS)
+        .select("label", "vec_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_EMBEDDING_CENTROID_OUTLIERS = f"""
+WITH e AS (
+  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings),
+q AS (SELECT vec_id, label, idx,
+             CAST(floor(val * {_CENT_SCALE} + 0.5) AS BIGINT) AS qv, val
+      FROM e),
+cent AS (
+  SELECT label, idx, sum(qv) * 1.0 / (count(*) * {_CENT_SCALE}.0) AS cv
+  FROM q GROUP BY label, idx),
+cent_arr AS (
+  SELECT label, list(cv ORDER BY idx) AS cemb FROM cent GROUP BY label),
+emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+sims AS (
+  SELECT m.label, m.vec_id,
+         floor(list_cosine_similarity(m.emb, c.cemb) * 10000 + 0.5) / 10000.0 AS sim
+  FROM emb m JOIN cent_arr c USING (label)),
+ranked AS (
+  SELECT label, vec_id, sim,
+         row_number() OVER (PARTITION BY label ORDER BY sim ASC, vec_id ASC) AS rk
+  FROM sims)
+SELECT label, vec_id, sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {_N_OUTLIERS}
+"""
+
+
+QUERIES["embedding_centroid_outliers"] = embedding_centroid_outliers
+ORACLE["embedding_centroid_outliers"] = ORACLE_EMBEDDING_CENTROID_OUTLIERS

@@ -1284,3 +1284,92 @@ FROM toks_per_bucket t LEFT JOIN new_per_bucket b USING (bucket)
 
 QUERIES["text_vocab_growth"] = text_vocab_growth
 ORACLE["text_vocab_growth"] = ORACLE_TEXT_VOCAB_GROWTH
+
+
+# ---------------------------------------------------------------------------
+# Quality-distribution drift across sources (PSI)
+# ---------------------------------------------------------------------------
+
+#: Numerical guard for empty PSI bins (identical literal both engines).
+_PSI_EPS = 1e-6
+
+
+def text_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the lexical-diversity score per
+    source vs the whole corpus — the drift monitor a production
+    pipeline runs on every new crawl batch; PSI > 0.2 conventionally
+    flags a source whose quality profile shifted.
+
+    Scale shape: the per-document score (distinct-token ratio) is one
+    map-side array expression (no explode, no shuffle); the corpus
+    then collapses to a (source × 10 bins) hash agg — everything after
+    is arithmetic on that bounded cell frame: per-source totals, the
+    zero-filled bin grid via a ``sequence`` explode (no cross join),
+    and global bin shares from a 10-row window. One corpus scan, one
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    bin_ = F.least(F.lit(9), F.floor(ratio * 10).cast("int")).alias("bin")
+    cells = (
+        docs.select(F.col("source"), bin_)
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_sb"))
+    )
+    stot = cells.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
+    grid = stot.select(
+        "source", "n_s", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    filled = grid.join(cells, ["source", "bin"], "left").select(
+        "source", "n_s", "bin", F.coalesce(F.col("n_sb"), F.lit(0)).alias("n_sb")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    btot = (
+        cells.groupBy("bin")
+        .agg(F.sum("n_sb").alias("n_b"))
+        .select("bin", (F.col("n_b") / F.sum("n_b").over(wall)).alias("q"))
+    )
+    p = F.col("n_sb") / F.col("n_s")
+    term = (p - F.col("q")) * F.log((p + _PSI_EPS) / (F.col("q") + _PSI_EPS))
+    return (
+        filled.join(F.broadcast(btot), "bin")
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            pround(F.sum(term), 6).alias("psi"),
+        )
+    )
+
+
+ORACLE_TEXT_QUALITY_PSI = f"""
+WITH f AS (
+  SELECT source,
+         least(9, CAST(floor(
+           len(list_distinct(string_split(lower(text), ' '))) * 1.0
+           / len(string_split(lower(text), ' ')) * 10) AS INTEGER)) AS bin
+  FROM documents),
+cells AS (SELECT source, bin, count(*) AS n_sb FROM f GROUP BY 1, 2),
+stot AS (SELECT source, sum(n_sb) AS n_s FROM cells GROUP BY source),
+grid AS (
+  SELECT s.source, s.n_s, b.bin
+  FROM stot s CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
+filled AS (
+  SELECT g.source, g.n_s, g.bin, coalesce(c.n_sb, 0) AS n_sb
+  FROM grid g LEFT JOIN cells c ON g.source = c.source AND g.bin = c.bin),
+btot AS (
+  SELECT bin, n_b * 1.0 / sum(n_b) OVER () AS q
+  FROM (SELECT bin, sum(n_sb) AS n_b FROM cells GROUP BY bin))
+SELECT fl.source, CAST(max(fl.n_s) AS BIGINT) AS n_docs,
+       floor(sum(
+         (fl.n_sb * 1.0 / fl.n_s - b.q)
+         * ln((fl.n_sb * 1.0 / fl.n_s + {_PSI_EPS}) / (b.q + {_PSI_EPS}))
+       ) * 1000000 + 0.5) / 1000000.0 AS psi
+FROM filled fl JOIN btot b USING (bin)
+GROUP BY fl.source
+"""
+
+
+QUERIES["text_quality_psi"] = text_quality_psi
+ORACLE["text_quality_psi"] = ORACLE_TEXT_QUALITY_PSI

@@ -81,6 +81,7 @@ _NLJ_OK = {
     "q22_global_sales",
     "sample_temperature_mix",
     "similarity_cosine_topk",
+    "similarity_range_search",
     "similarity_ivf",
     "similarity_ivf_recall",
     "text_perplexity_proxy",
