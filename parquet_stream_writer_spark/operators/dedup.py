@@ -548,13 +548,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("d1")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Lazy checkpoint: the convergence-probe aggregate below is the
+        # round's ONE action and doubles as the checkpoint
+        # materializer — an eager checkpoint here would run a second,
+        # redundant job per round (measurable driver overhead when the
+        # pair set is tiny and every round is sub-100ms of real work).
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["d1"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         label_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels

@@ -1815,11 +1815,69 @@ def agg_kll_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("mk", F.lit(0.9)).alias("est_p90"),
         F.kll_sketch_get_n_double("mk").alias("sketch_n"),
     )
-    exact = li.agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("exact_p90"),
+    exact = _exact_percentiles_distributed(
+        li.select(F.col("l_extendedprice").alias("v")), {"exact_p50": 0.5, "exact_p90": 0.9}
     )
     return est.crossJoin(exact)
+
+
+def _exact_percentiles_distributed(vals: DataFrame, out: dict[str, float]) -> DataFrame:
+    """EXACT interpolated percentiles (percentile_cont semantics) as a
+    1-row DataFrame, computed with range buckets + per-bucket ranks
+    instead of Spark's hash-map ``percentile`` aggregate.
+
+    The built-in exact percentile materializes a value→count map per
+    partial and merges them single-threaded — at 100 TB the map IS the
+    column. This shape never holds more than a bucket of values in one
+    task: (1) count/min/max, (2) 256-way range bucketing → per-bucket
+    counts → bucket rank offsets (256-row window), (3) per-bucket sort
+    for in-bucket rank, (4) equi-join the ≤2 global target ranks per
+    percentile (broadcast) and blend ``v[lo]·(1−frac) + v[hi]·frac``.
+    Ties across ranks are value-identical so row_number tie-order
+    can't change the result.
+    """
+    nb = 256
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / nb
+    b = vals.crossJoin(F.broadcast(stats)).select(
+        "v",
+        F.when(F.col("mx") > F.col("mn"),
+               F.least(F.lit(nb - 1), F.floor((F.col("v") - F.col("mn")) / width).cast("int")))
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    bcnt = b.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = bcnt.select("b", F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off"))
+    wb = Window.partitionBy("b").orderBy("v")
+    ranked = b.join(F.broadcast(off), "b").select(
+        "v", (F.col("off") + F.row_number().over(wb) - 1).alias("r")
+    )
+    # Target ranks: per percentile p emit (floor(h), 1−frac) and
+    # (ceil(h), frac) with h=(n−1)p; when h is integral the pair
+    # collapses to weights (1, 0) on the same rank, so the weighted
+    # sum below is always the interpolated value.
+    h = {name: (F.col("n") - 1) * p for name, p in out.items()}
+    structs = []
+    for name in out:
+        frac = h[name] - F.floor(h[name])
+        structs.append(F.struct(F.lit(name).alias("p"),
+                                F.floor(h[name]).cast("long").alias("rank"),
+                                (1 - frac).alias("w")))
+        structs.append(F.struct(F.lit(name).alias("p"),
+                                F.ceil(h[name]).cast("long").alias("rank"),
+                                frac.alias("w")))
+    tgt = stats.select(F.explode(F.array(*structs)).alias("t")).select("t.*")
+    per_p = (
+        ranked.join(F.broadcast(tgt), ranked["r"] == tgt["rank"])
+        .groupBy("p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("val"))
+    )
+    return per_p.agg(
+        *[F.max(F.when(F.col("p") == name, F.col("val"))).alias(name) for name in out]
+    )
 
 
 QUERIES["agg_kll_quantile_mergeable"] = agg_kll_quantile_mergeable
