@@ -461,3 +461,95 @@ def test_zorder_layout_bounds_file_stats_on_both_dims(spark, tmp_path):
         # z-ordered files bound both dims, so most are skippable.
         assert n_hit == n_total, (col, n_hit, n_total)
         assert z_hit <= z_total // 2, (col, z_hit, z_total)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 scale-fix pins
+# ---------------------------------------------------------------------------
+
+def test_q2_part_filter_pushed_below_catalog_agg(spark):
+    """The p_size predicate must reach the part scan AND gate lineitem
+    through a semi-join BEFORE the (part, supplier) catalog aggregate
+    — un-pinning this re-aggregates the full catalog only to throw
+    4/5 of it away."""
+    df = relational.q2_min_cost_supplier(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "LeftSemi" in p, p
+    assert "GreaterThanOrEqual(p_size,40)" in p, p
+
+
+def test_tokenize_vocab_topk_is_take_ordered(spark):
+    """Vocab selection must be a limit (TakeOrderedAndProject), not a
+    row_number window over the full corpus-vocabulary-sized count
+    table (single-partition sort of every distinct token)."""
+    from parquet_stream_writer_spark.operators import text
+    from parquet_stream_writer_spark.plans import summarize
+
+    s = summarize(text.text_tokenize_ids(spark, SF_DIR))
+    assert s.nodes.get("TakeOrderedAndProject", 0) >= 1, s.nodes
+    # the only remaining window ranks the 30 limit survivors
+    assert s.nodes.get("Window", 0) == 1, s.nodes
+
+
+def test_rfm_single_window_node(spark):
+    """The three RFM ntiles must share ONE metric-partitioned Window
+    node — three separate unpartitioned windows = three sequential
+    single-partition sorts of the whole customer relation."""
+    from parquet_stream_writer_spark.operators import streaming_batch
+    from parquet_stream_writer_spark.plans import summarize
+
+    s = summarize(streaming_batch.events_rfm_segmentation(spark, SF_DIR))
+    assert s.nodes.get("Window", 0) == 1, s.nodes
+
+
+def test_dedup_verify_sizes_join_not_hinted_broadcast(spark):
+    """`sizes` is one row per document (corpus-sized at 100 TB): the
+    verify joins must carry NO broadcast hint — the planner may still
+    CHOOSE broadcast at small SF from size estimates (that's AQE
+    doing its job), but a hint would force it at any scale."""
+    from parquet_stream_writer_spark.operators import dedup
+
+    for fn in (dedup.dedup_ngram_jaccard, dedup.dedup_minhash_lsh,
+               dedup.dedup_containment):
+        df = fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, fn.__name__
+
+
+def test_kll_exact_audit_avoids_hash_map_percentile(spark):
+    """The exact p50/p90 audit must use the distributed range-bucket
+    percentile — the builtin `percentile` aggregate materializes a
+    value→count map of the whole column in one task."""
+    df = relational.agg_kll_quantile_mergeable(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "percentile(" not in p, p
+
+
+def test_scan_parallel_skips_repartition_when_splits_suffice(spark, tmp_path):
+    """scan_parallel's repartition exists for single-split local test
+    files; when the scan already yields >= defaultParallelism input
+    splits (the 100 TB case) it must NOT add an exchange."""
+    from parquet_stream_writer_spark.sources import scan_parallel
+    from parquet_stream_writer_spark.plans import summarize
+
+    spark.range(0, 100_000).withColumnRenamed("id", "doc_id").repartition(
+        8
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    prev_m = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_o = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+    try:
+        df = scan_parallel(spark, str(tmp_path), "documents")
+        n = spark.sparkContext.defaultParallelism
+        assert df.rdd.getNumPartitions() >= n
+        assert summarize(df).shuffle_exchanges == 0, "unneeded exchange"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_m)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_o)
+    # and the single-split driver corpus still fans out (round-robin
+    # exchange, which shuffle_exchanges deliberately doesn't count)
+    fanned = scan_parallel(spark, SF_DIR, "documents")
+    assert (
+        fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
