@@ -829,3 +829,88 @@ WHERE n_common * 1.0 / s1.n >= {_CONTAINMENT_THRESHOLD}
 
 QUERIES["dedup_containment"] = dedup_containment
 ORACLE["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit (exact Jaccard ground truth vs banded-LSH output)
+# ---------------------------------------------------------------------------
+
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantify what the banded-LSH shortcut loses: exact-Jaccard
+    pairs (the ground truth) vs the pairs MinHash+LSH surfaced, as one
+    audit row — the dedup twin of ``similarity_ivf_recall``, and the
+    number you tune ``_BANDS``/``_ROWS_PER_BAND`` against before
+    trusting LSH on the full corpus. Precision is 1 by construction
+    (LSH candidates are exact-verified), so the audit is recall plus
+    the pair inventories.
+
+    Scale shape: both inputs are the already-subquadratic pipelines;
+    the comparison itself is a tiny (pair-key) left join + one
+    singleton aggregate."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("hit")
+    )
+    joined = exact.join(lsh, ["d1", "d2"], "left")
+    n_lsh = lsh.groupBy().agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    return (
+        joined.groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_matched"),
+        )
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_exact_pairs",
+            F.col("n_lsh_pairs").cast("long").alias("n_lsh_pairs"),
+            "n_matched",
+            pround(F.col("n_matched") / F.col("n_exact_pairs"), 6).alias("recall"),
+        )
+    )
+
+
+#: One flat CTE chain: the shared shingle/minhash cores define
+#: toks/shingled/ds and sig/.../candidates once, then the exact and
+#: LSH pair sets are derived side by side from `ds`/`candidates`.
+ORACLE_DEDUP_LSH_RECALL_AUDIT = f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_core().strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter_exact AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact_pairs AS (
+  SELECT d1, d2 FROM inter_exact
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_J_THRESHOLD}
+),
+inter_lsh AS (
+  SELECT c.d1, c.d2, count(*) AS n_common
+  FROM candidates c
+  JOIN ds a ON c.d1 = a.doc_id
+  JOIN ds b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+  GROUP BY c.d1, c.d2
+),
+lsh_pairs AS (
+  SELECT d1, d2 FROM inter_lsh
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_J_THRESHOLD}
+)
+SELECT CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact_pairs,
+       CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_lsh_pairs,
+       CAST((SELECT count(*) FROM exact_pairs e
+             JOIN lsh_pairs l ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT)
+         AS n_matched,
+       floor(((SELECT count(*) FROM exact_pairs e
+               JOIN lsh_pairs l ON e.d1 = l.d1 AND e.d2 = l.d2) * 1.0
+              / (SELECT count(*) FROM exact_pairs)) * 1000000 + 0.5) / 1000000.0
+         AS recall
+"""
+
+
+QUERIES["dedup_lsh_recall_audit"] = dedup_lsh_recall_audit
+ORACLE["dedup_lsh_recall_audit"] = ORACLE_DEDUP_LSH_RECALL_AUDIT

@@ -783,3 +783,53 @@ FROM staged GROUP BY source
 
 QUERIES["pipeline_curation_e2e"] = pipeline_curation_e2e
 ORACLE["pipeline_curation_e2e"] = _curation_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling (balance to the rarest class)
+# ---------------------------------------------------------------------------
+
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class balancing: downsample every language to the
+    size of the RAREST language — the "equalize strata before
+    fine-tuning" step, done with content-hash ranks so the kept set is
+    identical under re-runs and any partitioning (no RNG state).
+
+    Scale shape: one tiny per-class count agg whose min broadcasts as
+    a single row, then the same one-shuffle (lang, hash) window top-k
+    as ``sample_reservoir_per_group`` — the quota is data-derived
+    instead of a constant, everything else rides the identical plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kmin = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("k"))
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(kmin))
+        .where(F.col("rk") <= F.col("k"))
+        .select("lang", "rk", "doc_id")
+    )
+
+
+ORACLE_SAMPLE_CLASS_BALANCED = """
+WITH kmin AS (
+  SELECT min(n) AS k FROM (SELECT count(*) AS n FROM documents GROUP BY lang)
+)
+SELECT lang, rk, doc_id FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              AS INTEGER) AS rk
+  FROM documents
+), kmin WHERE rk <= k
+"""
+
+
+QUERIES["sample_class_balanced"] = sample_class_balanced
+ORACLE["sample_class_balanced"] = ORACLE_SAMPLE_CLASS_BALANCED

@@ -68,6 +68,8 @@ _SORT_AGG_OK = set()
 #: audit cross joins), k-row codebook broadcasts, or the genuinely
 #: non-equi range join. Every build side is O(1)–O(k) rows.
 _NLJ_OK = {
+    "dedup_lsh_recall_audit",
+    "sample_class_balanced",
     "text_vocab_growth",
     "text_pack_sequences",
     "agg_hll_mergeable",
