@@ -242,16 +242,9 @@ def _minhash_signatures(ds: DataFrame) -> DataFrame:
     return ds.groupBy("doc_id").agg(*mins)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup pairs, exact-Jaccard-verified (j >= 0.5).
-
-    Pipeline: shingles → K-wide signature (1 shuffle, 1 row/doc) →
-    band keys (md5 of r concatenated mins) → bucket self-join within
-    (band, key) with a ``_BUCKET_CAP`` skew guard → distinct candidate
-    pairs → exact verification via the inverted index. Only the last
-    step touches raw shingles again, and only for candidates.
-    """
-    ds = _shingles(spark, sf_dir).cache()
+def _lsh_candidates(ds: DataFrame) -> DataFrame:
+    """Distinct banded-LSH candidate pairs (d1 < d2) from the shingle
+    relation: signature → band keys → capped bucket self-join."""
     sig = _minhash_signatures(ds)
     band_cols = [
         F.md5(
@@ -287,7 +280,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = pruned.alias("l")
     r = pruned.alias("r")
-    candidates = (
+    return (
         l.join(
             r,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -297,6 +290,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
         .distinct()
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs, exact-Jaccard-verified (j >= 0.5).
+
+    Pipeline: shingles → K-wide signature (1 shuffle, 1 row/doc) →
+    band keys (md5 of r concatenated mins) → bucket self-join within
+    (band, key) with a ``_BUCKET_CAP`` skew guard → distinct candidate
+    pairs → exact verification via the inverted index. Only the last
+    step touches raw shingles again, and only for candidates.
+    """
+    ds = _shingles(spark, sf_dir).cache()
+    candidates = _lsh_candidates(ds)
 
     # Exact verification restricted to candidates.
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -836,42 +842,65 @@ ORACLE["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT
 # ---------------------------------------------------------------------------
 
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantify what the banded-LSH shortcut loses: exact-Jaccard
-    pairs (the ground truth) vs the pairs MinHash+LSH surfaced, as one
-    audit row — the dedup twin of ``similarity_ivf_recall``, and the
-    number you tune ``_BANDS``/``_ROWS_PER_BAND`` against before
-    trusting LSH on the full corpus. Precision is 1 by construction
-    (LSH candidates are exact-verified), so the audit is recall plus
-    the pair inventories.
+    """Quantify the banded-LSH shortcut against ground truth: exact
+    Jaccard pairs vs the LSH candidate set, as one audit row — the
+    dedup twin of ``similarity_ivf_recall``, and the numbers you tune
+    ``_BANDS``/``_ROWS_PER_BAND``/``_BUCKET_CAP`` against before
+    trusting LSH on the full corpus. Because verified LSH output is by
+    construction `candidates ∩ exact_pairs`, recall = matched/exact;
+    candidate_precision = matched/candidates is the verify-pass rate
+    (how much exact-verification work the banding wastes).
 
-    Scale shape: both inputs are the already-subquadratic pipelines;
-    the comparison itself is a tiny (pair-key) left join + one
-    singleton aggregate."""
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    lsh = dedup_minhash_lsh(spark, sf_dir).select(
-        "d1", "d2", F.lit(1).alias("hit")
+    Scale shape: exact pairs and candidates are both already
+    subquadratic; the audit itself never re-verifies — one full-outer
+    pair-key join + a singleton aggregate, with each heavy pipeline
+    appearing exactly once in the DAG (reusing the cached shingle
+    relation)."""
+    ds = _shingles(spark, sf_dir).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    joined = exact.join(lsh, ["d1", "d2"], "left")
-    n_lsh = lsh.groupBy().agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
-    return (
-        joined.groupBy()
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_matched"),
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    exact = (
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .where(
+            F.col("n_common") / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+            >= _J_THRESHOLD
         )
-        .crossJoin(F.broadcast(n_lsh))
-        .select(
-            "n_exact_pairs",
-            F.col("n_lsh_pairs").cast("long").alias("n_lsh_pairs"),
-            "n_matched",
-            pround(F.col("n_matched") / F.col("n_exact_pairs"), 6).alias("recall"),
-        )
+        .select("d1", "d2", F.lit(1).alias("ex"))
+    )
+    cand = _lsh_candidates(ds).select("d1", "d2", F.lit(1).alias("cd"))
+    full = exact.join(cand, ["d1", "d2"], "full")
+    return full.groupBy().agg(
+        F.sum(F.coalesce(F.col("ex"), F.lit(0))).cast("long").alias("n_exact_pairs"),
+        F.sum(F.coalesce(F.col("cd"), F.lit(0))).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.coalesce(F.col("ex"), F.lit(0)) * F.coalesce(F.col("cd"), F.lit(0)))
+        .cast("long")
+        .alias("n_matched"),
+    ).select(
+        "n_exact_pairs",
+        "n_candidate_pairs",
+        "n_matched",
+        pround(F.col("n_matched") / F.col("n_exact_pairs"), 6).alias("recall"),
+        pround(F.col("n_matched") / F.col("n_candidate_pairs"), 6).alias(
+            "candidate_precision"
+        ),
     )
 
 
 #: One flat CTE chain: the shared shingle/minhash cores define
-#: toks/shingled/ds and sig/.../candidates once, then the exact and
-#: LSH pair sets are derived side by side from `ds`/`candidates`.
+#: toks/shingled/ds and sig/.../candidates once, then exact pairs and
+#: the candidate set full-outer join into one audit row.
 ORACLE_DEDUP_LSH_RECALL_AUDIT = f"""
 WITH {_SQL_SHINGLES},
 {_sql_minhash_core().strip()},
@@ -882,33 +911,25 @@ inter_exact AS (
   GROUP BY 1, 2
 ),
 exact_pairs AS (
-  SELECT d1, d2 FROM inter_exact
+  SELECT d1, d2, 1 AS ex FROM inter_exact
   JOIN sizes s1 ON d1 = s1.doc_id
   JOIN sizes s2 ON d2 = s2.doc_id
   WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_J_THRESHOLD}
 ),
-inter_lsh AS (
-  SELECT c.d1, c.d2, count(*) AS n_common
-  FROM candidates c
-  JOIN ds a ON c.d1 = a.doc_id
-  JOIN ds b ON c.d2 = b.doc_id AND a.shingle = b.shingle
-  GROUP BY c.d1, c.d2
-),
-lsh_pairs AS (
-  SELECT d1, d2 FROM inter_lsh
-  JOIN sizes s1 ON d1 = s1.doc_id
-  JOIN sizes s2 ON d2 = s2.doc_id
-  WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {_J_THRESHOLD}
+cand AS (SELECT d1, d2, 1 AS cd FROM candidates),
+full_pairs AS (
+  SELECT coalesce(e.ex, 0) AS ex, coalesce(c.cd, 0) AS cd
+  FROM exact_pairs e FULL OUTER JOIN cand c
+    ON e.d1 = c.d1 AND e.d2 = c.d2
 )
-SELECT CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact_pairs,
-       CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_lsh_pairs,
-       CAST((SELECT count(*) FROM exact_pairs e
-             JOIN lsh_pairs l ON e.d1 = l.d1 AND e.d2 = l.d2) AS BIGINT)
-         AS n_matched,
-       floor(((SELECT count(*) FROM exact_pairs e
-               JOIN lsh_pairs l ON e.d1 = l.d1 AND e.d2 = l.d2) * 1.0
-              / (SELECT count(*) FROM exact_pairs)) * 1000000 + 0.5) / 1000000.0
-         AS recall
+SELECT CAST(sum(ex) AS BIGINT) AS n_exact_pairs,
+       CAST(sum(cd) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(ex * cd) AS BIGINT) AS n_matched,
+       floor((sum(ex * cd) * 1.0 / sum(ex)) * 1000000 + 0.5) / 1000000.0
+         AS recall,
+       floor((sum(ex * cd) * 1.0 / sum(cd)) * 1000000 + 0.5) / 1000000.0
+         AS candidate_precision
+FROM full_pairs
 """
 
 

@@ -53,9 +53,22 @@ def scan_parallel(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> Da
     """
     df = load_table(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    # Memoize the split-count probe per (dir, table, parallelism): the
+    # .rdd conversion costs tens of ms of driver time per call, and
+    # iterative queries re-scan the same table many times while the
+    # file layout never changes mid-process.
+    key = (sf_dir, name, n)
+    enough = _SPLITS_ENOUGH.get(key)
+    if enough is None:
+        enough = df.rdd.getNumPartitions() >= n
+        _SPLITS_ENOUGH[key] = enough
+    if enough:
         return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
+#: scan_parallel's memoized "scan already has enough splits" probe.
+_SPLITS_ENOUGH: dict[tuple[str, str, int], bool] = {}
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
