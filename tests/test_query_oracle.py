@@ -162,3 +162,39 @@ def test_curation_e2e_dedup_ranks_among_quality_survivors(spark, tmp_path):
     orow = oracle[oracle["source"] == "srcA"].iloc[0]
     assert int(orow["docs_deduped"]) == 2 and int(orow["docs_quality"]) == 2
     con.close()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_distributed_exact_percentile_matches_numpy(spark, values):
+    """The range-bucket two-pass percentile must reproduce linear-
+    interpolation (percentile_cont) semantics on arbitrary inputs —
+    including all-equal values (zero bucket width) and single rows."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_stream_writer_spark.operators.relational import (
+        _exact_percentiles_distributed,
+    )
+
+    vals = spark.createDataFrame([(float(v),) for v in values], "v double")
+    row = _exact_percentiles_distributed(vals, {"p50": 0.5, "p90": 0.9}).first()
+    want50 = float(np.percentile(values, 50))
+    want90 = float(np.percentile(values, 90))
+    assert math.isclose(row["p50"], want50, rel_tol=1e-9, abs_tol=1e-6), (
+        row["p50"], want50, values)
+    assert math.isclose(row["p90"], want90, rel_tol=1e-9, abs_tol=1e-6), (
+        row["p90"], want90, values)
