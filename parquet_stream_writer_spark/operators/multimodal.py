@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
@@ -237,3 +237,89 @@ GROUP BY doc_id, (pos - 1) // {_AUDIO_FRAME}
 
 QUERIES["multimodal_audio_features"] = multimodal_audio_features
 ORACLE["multimodal_audio_features"] = ORACLE_MULTIMODAL_AUDIO_FEATURES
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style shard manifest (training-data layout planning)
+# ---------------------------------------------------------------------------
+
+#: Target shard payload size in bytes (tiny for the test corpus; a
+#: real pipeline uses ~100MB-1GB).
+_SHARD_BYTES = 4096
+
+
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan the WebDataset-style shard layout for a multimodal corpus:
+    samples are laid out in doc_id order on a byte axis and a sample
+    belongs to the shard where it starts (``floor(offset / target)``)
+    — the manifest every large-scale training-data writer produces
+    before cutting tar shards. Reports per shard: sample count, bytes,
+    id range — the dataloader's index.
+
+    Scale shape: the running byte offset is the same bucketed two-pass
+    prefix sum as ``text_pack_sequences``/``sample_global_shuffle``
+    (fixed 256-bucket totals → bucket offsets from a 256-row window →
+    per-bucket partitioned cumsum) — no corpus-wide single-partition
+    window; payload sizes are a map-side expression over the binary
+    column."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.length(F.col("text").cast("binary")).cast("long").alias("nbytes"),
+    )
+    nb = 256
+    n = sized.groupBy().agg((F.max("doc_id") + 1).alias("n_docs"))
+    bucketed = sized.crossJoin(F.broadcast(n)).withColumn(
+        "b",
+        F.least(
+            F.lit(nb - 1), F.floor(F.col("doc_id") * nb / F.col("n_docs"))
+        ).cast("int"),
+    )
+    per_bucket = bucketed.groupBy("b").agg(F.sum("nbytes").alias("byte_sum"))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "b", F.coalesce(F.sum("byte_sum").over(wo), F.lit(0)).alias("offset")
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        bucketed.join(F.broadcast(offsets), "b")
+        .withColumn("cum", F.col("offset") + F.sum("nbytes").over(wb))
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("cum") - F.col("nbytes")) / _SHARD_BYTES).cast("long"),
+        )
+    )
+    return placed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("nbytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_MULTIMODAL_SHARD_MANIFEST = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, nbytes,
+         sum(nbytes) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM sized
+)
+SELECT CAST(floor((cum - nbytes) / {_SHARD_BYTES}) AS BIGINT) AS shard_id,
+       count(*) AS n_samples,
+       CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM placed GROUP BY 1
+"""
+
+
+QUERIES["multimodal_shard_manifest"] = multimodal_shard_manifest
+ORACLE["multimodal_shard_manifest"] = ORACLE_MULTIMODAL_SHARD_MANIFEST

@@ -69,6 +69,7 @@ _SORT_AGG_OK = set()
 #: non-equi range join. Every build side is O(1)–O(k) rows.
 _NLJ_OK = {
     "dedup_lsh_recall_audit",
+    "multimodal_shard_manifest",
     "sample_class_balanced",
     "text_vocab_growth",
     "text_pack_sequences",
