@@ -1835,6 +1835,12 @@ def _exact_percentiles_distributed(vals: DataFrame, out: dict[str, float]) -> Da
     percentile (broadcast) and blend ``v[lo]·(1−frac) + v[hi]·frac``.
     Ties across ranks are value-identical so row_number tie-order
     can't change the result.
+
+    Skew caveat: a heavily-duplicated value range can concentrate one
+    bucket (worst case: one task sorts most rows). For such columns
+    add a second pass that re-buckets the hot bucket by value hash for
+    counting and only sorts the two target buckets; the driver corpus
+    (and most metric columns) spread fine over 256 range buckets.
     """
     nb = 256
     stats = vals.agg(
