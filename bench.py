@@ -41,11 +41,17 @@ def main() -> None:
     # direction (round-2 burned attention on ~17 noise "regressions"
     # from n<=2 sampling).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # Soft wall-clock budget: a complete single-rep sweep always beats
+    # a timed-out multi-rep one, so once the budget is spent the
+    # remaining queries run once instead of N times.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    t_start = time.perf_counter()
     timings: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):
+        reps = repeats if (time.perf_counter() - t_start) < budget else 1
         runs: list[float] = []
         failed = False
-        for _ in range(repeats):
+        for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
