@@ -2208,11 +2208,20 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     back broadcast (the order total as a broadcast single-row cross
     join — no driver action anywhere in the lineage); all counts are
     integers so lift is the only float (rounded 4-dp on both engines).
+
+    The deduped item set fans out to three consumers (pair self-join,
+    support agg, order-count agg), so it is ``localCheckpoint``-ed
+    lazily: one lineitem scan + one distinct shuffle total, with the
+    fan-out re-reading executor-local blocks instead of re-scanning
+    the fact table three times. (On a real cluster prefer
+    ``persist(DISK_ONLY)`` or a reliable checkpoint dir for the same
+    effect with lineage-recovery semantics.)
     """
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a, b = items.alias("a"), items.alias("b")
     pairs = (

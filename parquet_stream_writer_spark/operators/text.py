@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import pround
-from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
+from parquet_stream_writer_spark.operators.dedup import _hex_prefix_int, _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 #: Tiny function-word list used for the stopword-ratio feature.
@@ -211,8 +211,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation stays a HashAggregate (var-length string buffers
     would demote it to a sort of the fingerprint stream).
     """
-    from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
-
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
@@ -233,7 +231,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = (
         toks.select("doc_id", "pos", kgram.alias("kh_hex"))
         .where(F.col("kh_hex").isNotNull())
-        .select("doc_id", "pos", F.expr(_hex_to_int_sql("kh_hex", 8)).alias("kh"))
+        .select("doc_id", "pos", _hex_prefix_int("kh_hex", 8).alias("kh"))
     )
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     fps = kg.select("doc_id", F.min("kh").over(wmin).alias("fp")).distinct()
@@ -662,7 +660,7 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> md5(array_join(slice(t, i, 8), ' ')))"
             )
         ).alias("gh"),
-    ).select("doc_id", F.expr(_hex_to_int_sql("gh", 12)).alias("g"))
+    ).select("doc_id", _hex_prefix_int("gh", 12).alias("g"))
     gcount = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         grams.join(gcount, "g")

@@ -11,6 +11,8 @@ what DuckDB does when it reads the same file.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_stream_writer_spark.session import apply_runtime_confs
@@ -53,11 +55,18 @@ def scan_parallel(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> Da
     """
     df = load_table(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
-    # Memoize the split-count probe per (dir, table, parallelism): the
-    # .rdd conversion costs tens of ms of driver time per call, and
-    # iterative queries re-scan the same table many times while the
-    # file layout never changes mid-process.
-    key = (sf_dir, name, n)
+    # Memoize the split-count probe: the .rdd conversion costs tens of
+    # ms of driver time per call, and iterative queries re-scan the
+    # same table many times. The key carries everything the split
+    # count depends on — (dir, table, parallelism), the file-split
+    # confs, and a cheap stat() fingerprint of the table path — so an
+    # in-process conf change or table rewrite (both happen in tests)
+    # invalidates the entry instead of reusing a stale decision.
+    confs = tuple(
+        spark.conf.get(c, None)
+        for c in ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    )
+    key = (sf_dir, name, n, confs, table_fingerprint(sf_dir, name))
     enough = _SPLITS_ENOUGH.get(key)
     if enough is None:
         enough = df.rdd.getNumPartitions() >= n
@@ -68,7 +77,34 @@ def scan_parallel(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> Da
 
 
 #: scan_parallel's memoized "scan already has enough splits" probe.
-_SPLITS_ENOUGH: dict[tuple[str, str, int], bool] = {}
+_SPLITS_ENOUGH: dict[tuple, bool] = {}
+
+
+def clear_scan_cache() -> None:
+    """Drop all memoized split-count probes (test hook)."""
+    _SPLITS_ENOUGH.clear()
+
+
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap identity fingerprint of a table's parquet path: (name,
+    mtime_ns, size) of the file, or of every direct child for a
+    directory layout. Pure ``stat()`` — no Spark job, no file reads —
+    so it is safe to call on every memo lookup; a rewrite of the
+    table in-process changes the fingerprint and invalidates any
+    memoized decision keyed on it."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            entries = []
+            with os.scandir(path) as it:
+                for e in it:
+                    s = e.stat()
+                    entries.append((e.name, s.st_mtime_ns, s.st_size))
+            return tuple(sorted(entries))
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -509,11 +509,28 @@ def test_dedup_verify_sizes_join_not_hinted_broadcast(spark):
     doing its job), but a hint would force it at any scale."""
     from parquet_stream_writer_spark.operators import dedup
 
-    for fn in (dedup.dedup_ngram_jaccard, dedup.dedup_minhash_lsh,
+    # dedup_minhash_lsh's public return is the memoized checkpoint
+    # (a LogicalRDD scan), so pin its *builder* plan instead.
+    for fn in (dedup.dedup_ngram_jaccard, dedup._verified_pairs_plan,
                dedup.dedup_containment):
         df = fn(spark, SF_DIR)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed, fn.__name__
+
+
+def test_cc_edges_keep_hash_partitioning(spark):
+    """The connected-components edge set must stay hash-partitioned on
+    the propagation join key — a single-partition collapse
+    (repartition(1)) turns every convergence round into one task at
+    scale."""
+    from parquet_stream_writer_spark.operators.dedup import _symmetric_edges
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1 int, d2 int"
+    )
+    p = plan(spark, _symmetric_edges(pairs))
+    assert "hashpartitioning(d2" in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_kll_exact_audit_avoids_hash_map_percentile(spark):
