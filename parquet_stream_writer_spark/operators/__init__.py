@@ -130,26 +130,29 @@ def _correctness_snapshot() -> tuple[tuple[str, float], ...]:
     return tuple(out)
 
 
-def _driver_green_keys() -> frozenset[str]:
-    return _driver_green_keys_cached(_correctness_snapshot())
+def _verdicts() -> dict[str, tuple[bool, int]]:
+    return dict(_verdicts_cached(_correctness_snapshot()))
 
 
 @functools.lru_cache(maxsize=4)
-def _driver_green_keys_cached(
+def _verdicts_cached(
     snapshot: tuple[tuple[str, float], ...]
-) -> frozenset[str]:
-    """Keys whose LATEST recorded driver verdict (across the
-    CORRECTNESS_r*.json files, in round order) is green: hash-green
-    for oracled queries, a completed rows-only check for no-oracle
-    queries.  Later rounds override earlier ones, so a query that
-    regresses from green to red rotates back into the driver's prefix
-    window for re-verification.  Red/errored/never-checked keys are
-    absent, so they sort into the window.  Cached on the files'
-    (path, mtime) snapshot, so new driver results invalidate it."""
+) -> tuple[tuple[str, tuple[bool, int]], ...]:
+    """Per key, the LATEST recorded driver verdict across the
+    CORRECTNESS_r*.json files as (green, round): green = hash-match
+    for oracled queries or a completed rows-only check for no-oracle
+    queries; round = the round number parsed from the file name.
+    Later rounds override earlier ones, so a query that regresses
+    from green to red rotates back into the driver's prefix window
+    for re-verification.  Cached on the files' (path, mtime)
+    snapshot, so new driver results invalidate it."""
     import json
+    import re
 
-    verdict: dict[str, bool] = {}
+    verdict: dict[str, tuple[bool, int]] = {}
     for path, _mtime in snapshot:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -160,19 +163,79 @@ def _driver_green_keys_cached(
         for key, row in data.items():
             if not isinstance(row, dict):
                 continue
-            verdict[key] = row.get("hash_match") is True or (
+            green = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
-    return frozenset(k for k, ok in verdict.items() if ok)
+            verdict[key] = (green, rnd)
+    return tuple(verdict.items())
+
+
+#: Committed snapshot of each query function's source hash, written by
+#: ``tools/record_query_hashes.py`` at the end of a round.  A key whose
+#: CURRENT source hash differs from the snapshot was edited after its
+#: last driver verdict, so its green verdict is stale and it floats
+#: back into the verification window.
+_HASH_SNAPSHOT = "QUERY_SOURCE_HASHES.json"
+
+
+def query_source_hash(fn) -> str:
+    """sha256 of a query function's source text.  Function-level only:
+    edits to shared helpers don't trip it (verdict-age rotation is the
+    backstop for shared-infra changes)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return "unhashable"
+    return hashlib.sha256(src.encode()).hexdigest()
+
+
+def _source_stale_keys(merged: dict) -> frozenset[str]:
+    """Keys whose implementation changed since the committed hash
+    snapshot (i.e. since their last driver verdict was recorded)."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(os.path.dirname(root), _HASH_SNAPSHOT)
+    try:
+        with open(path) as fh:
+            recorded = json.load(fh).get("hashes", {})
+    except (OSError, ValueError):
+        return frozenset()
+    return frozenset(
+        k
+        for k, fn in merged.items()
+        if k in recorded and recorded[k] != query_source_hash(fn)
+    )
 
 
 def _prioritized(merged: dict) -> dict:
+    """Order the registry so the driver's 50-key prefix window always
+    covers the keys most in need of a fresh verdict:
+
+    1. keys with no green verdict, or whose source changed since the
+       committed hash snapshot (regressions / new / edited queries);
+    2. green keys, OLDEST verdict round first — so stale r1/r2
+       verdicts rotate through the window before recently-verified
+       keys burn a slot.
+
+    Within each tier the static ``_PRIORITY`` seed order is kept
+    (Python's sort is stable)."""
     seeded = {k: merged[k] for k in _PRIORITY if k in merged}
     seeded.update({k: v for k, v in merged.items() if k not in seeded})
-    green = _driver_green_keys()
-    ordered = {k: v for k, v in seeded.items() if k not in green}
-    ordered.update({k: v for k, v in seeded.items() if k not in ordered})
-    return ordered
+    verdicts = _verdicts()
+    stale = _source_stale_keys(merged)
+
+    def rank(key: str) -> tuple[int, int]:
+        green, rnd = verdicts.get(key, (False, 0))
+        if not green or key in stale:
+            return (0, 0)
+        return (1, rnd)
+
+    return {k: seeded[k] for k in sorted(seeded, key=rank)}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1993,10 +1993,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partkey, so semi-joining lineitem against the broadcast
     # filtered part keys first shrinks the aggregate 5× without
     # changing any surviving row.
+    # No broadcast hint on the key set: part keys are O(SF) rows, so a
+    # forced broadcast would be wrong at the 100 TB end even though
+    # part is dimension-like at test scale — the planner's size
+    # estimate (and AQE) still elects broadcast whenever it fits.
     keep = part.where(F.col("p_size") >= 40).select("p_partkey")
-    li = li.join(
-        F.broadcast(keep), li["l_partkey"] == keep["p_partkey"], "left_semi"
-    )
+    li = li.join(keep, li["l_partkey"] == keep["p_partkey"], "left_semi")
     catalog = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(

@@ -103,20 +103,31 @@ def test_theta_setops_track_exact(spark, sf_dir):
         assert abs(est - exact) <= max(0.05 * exact, 2), (est, exact)
 
 
-def test_registry_fronts_unverified_queries():
+def test_registry_fronts_unverified_and_stale_queries():
     """The driver's CORRECTNESS gate checks a prefix window of the
-    registry, so every key without a recorded green driver verdict must
-    sort before every key that has one."""
-    from parquet_stream_writer_spark.operators import _driver_green_keys
-
-    keys = list(QUERIES)
-    green = _driver_green_keys()
-    if not green:  # fresh checkout without CORRECTNESS files
-        return
-    first_green = min(i for i, k in enumerate(keys) if k in green)
-    assert all(k in green for k in keys[first_green:]), (
-        "an unverified query sorted after a verified one"
+    registry: keys without a green driver verdict (or whose source
+    changed since the verdict) must sort first, then green keys by
+    ascending verdict round — so the oldest verdicts rotate through
+    the window."""
+    from parquet_stream_writer_spark.operators import (
+        _source_stale_keys,
+        _verdicts,
+        all_queries,
     )
+
+    merged = all_queries()
+    keys = list(merged)
+    verdicts = _verdicts()
+    if not verdicts:  # fresh checkout without CORRECTNESS files
+        return
+    stale = _source_stale_keys(merged)
+
+    def rank(key):
+        green, rnd = verdicts.get(key, (False, 0))
+        return (0, 0) if (not green or key in stale) else (1, rnd)
+
+    ranks = [rank(k) for k in keys]
+    assert ranks == sorted(ranks), "registry not ordered by verdict need"
 
 
 def test_curation_e2e_dedup_ranks_among_quality_survivors(spark, tmp_path):
