@@ -711,6 +711,12 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quality_ok`` over the key partition) — a duplicate whose
     lowest-id copy failed quality still keeps its best surviving copy,
     exactly like running the stages one after another.
+
+    The ~0.3s local cost inherited from the shared funnel feature
+    builders (round 3) is accepted; the shape — one scan, one
+    dedup-key-partitioned window, no single-partition exchange — is
+    plan-pinned in
+    tests/test_plans.py::test_curation_e2e_single_keyed_window.
     """
     from parquet_stream_writer_spark.operators.text import (
         funnel_feature_cols,

@@ -1624,30 +1624,45 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the *only* supplier with a
     returned line in a multi-supplier finished order. The classic
     double-correlated EXISTS / NOT EXISTS pair is decorrelated by hand
-    into one order-level aggregate (distinct suppliers, distinct
-    returning suppliers) joined back to the returned lines — one extra
-    shuffle replaces two correlated self-joins of the fact table,
-    which is the rewrite every optimizer hopes to find."""
+    into a two-level aggregate, so the fact table is scanned ONCE and
+    never joined back to itself:
+
+    1. per (order, supplier): returned-line count — map-side partial
+       agg, so the shuffle carries at most one row per (order,
+       supplier) pair per map task (no Expand tripling from multiple
+       countDistinct aggregates);
+    2. per order, over that tiny intermediate: supplier count,
+       returning-supplier count, THE returning supplier's key (unique
+       when n_ret_supp = 1), and its returned-line count — which IS
+       the order's numwait contribution, so no probe back into
+       lineitem is needed.
+
+    Qualifying orders then join finished orders (shuffle keyed on the
+    orderkey partitioning the aggregate already produced) and the
+    broadcast supplier dimension."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
-    order_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("rl")
+    )
+    order_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("rl") > 0, 1).otherwise(0)).alias("n_ret_supp"),
+        F.min(F.when(F.col("rl") > 0, F.col("l_suppkey"))).alias("ret_supp"),
+        F.sum("rl").alias("n_ret_lines"),
+    )
+    qualified = order_stats.where(
+        (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
     )
     return (
-        li.where(F.col("l_returnflag") == "R")
-        .join(
+        qualified.join(
             orders.where(F.col("o_orderstatus") == "F"),
-            li["l_orderkey"] == orders["o_orderkey"],
+            qualified["l_orderkey"] == orders["o_orderkey"],
         )
-        .join(order_stats, li["l_orderkey"] == F.col("os_orderkey"))
-        .where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
-        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(supplier), F.col("ret_supp") == supplier["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_ret_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )

@@ -518,6 +518,51 @@ def test_dedup_verify_sizes_join_not_hinted_broadcast(spark):
         assert "ResolvedHint" not in analyzed, fn.__name__
 
 
+def test_pack_sequences_bucketed_prefix_sum_shape(spark):
+    """Sequence packing must keep the two-pass bucketed prefix sum:
+    exactly two Windows (bucket offsets over the <=256-row per-bucket
+    aggregate + the per-bucket running sum), with the running sum
+    partitioned on the bucket key.  A plan with one unpartitioned
+    Window over the corpus would be faster at local SF (the shape r2
+    shipped, ~0.2s vs ~0.44s) — that cost is ACCEPTED: the bucketed
+    shape is the one that survives 100 TB, so this pin stops the
+    regression churn on these keys."""
+    from parquet_stream_writer_spark.operators import text
+    from parquet_stream_writer_spark.plans import summarize
+
+    df = text.text_pack_sequences(spark, SF_DIR)
+    s = summarize(df)
+    assert s.nodes.get("Window", 0) == 2, s.nodes
+    assert "hashpartitioning(b" in plan(spark, df)
+
+
+def test_curation_e2e_single_keyed_window(spark):
+    """The fused curation pipeline must stay one corpus scan with ONE
+    dedup-key-partitioned Window and no single-partition exchange —
+    the inherited ~0.3s local cost of the funnel's shared feature
+    builders is accepted; the shape is the contract."""
+    from parquet_stream_writer_spark.operators import pipeline
+    from parquet_stream_writer_spark.plans import summarize
+
+    df = pipeline.pipeline_curation_e2e(spark, SF_DIR)
+    s = summarize(df)
+    p = plan(spark, df)
+    assert s.nodes.get("Window", 0) == 1, s.nodes
+    assert "SinglePartition" not in p, p
+    assert p.count("documents.parquet") == 1
+
+
+def test_q21_single_fact_scan_no_expand(spark):
+    """Q21's two-level aggregate must scan lineitem ONCE (the old
+    decorrelation joined the fact table back to its own aggregate —
+    two scans) and carry no Expand node (multiple countDistinct
+    aggregates would triple the shuffled row count)."""
+    df = relational.q21_waiting_supplier(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "Expand" not in p, p
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+
+
 def test_cc_edges_keep_hash_partitioning(spark):
     """The connected-components edge set must stay hash-partitioned on
     the propagation join key — a single-partition collapse

@@ -23,9 +23,19 @@ def load(path: str) -> dict:
     """Load a bench result: either bench.py's own one-line JSON or the
     driver's BENCH_r{N}.json wrapper, whose "tail" holds a (possibly
     truncated) fragment of that line — recover per-query times from it
-    with a regex."""
+    with a regex.  When a BENCH_r{N}.json has a sibling
+    bench_full_r{N}.json (written by bench.py itself, never
+    truncated), prefer the sibling."""
+    import os
     import re
 
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    if m:
+        sibling = os.path.join(
+            os.path.dirname(path), f"bench_full_r{int(m.group(1)):02d}.json"
+        )
+        if os.path.exists(sibling):
+            path = sibling
     with open(path) as fh:
         text = fh.read()
     try:
