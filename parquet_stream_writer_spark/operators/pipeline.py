@@ -178,9 +178,16 @@ GROUP BY b.band
 
 def _bucket_col(spark_side: bool) -> str:
     """Engine-specific SQL for the sampling bucket: first 4 hex chars
-    of md5(doc_id-as-text), mod 100. Same digest both engines."""
-    cast = "cast(doc_id as string)" if spark_side else "CAST(doc_id AS VARCHAR)"
-    return f"({_hex4_to_int_sql(f'md5({cast})')} % {_N_BUCKETS})"
+    of md5(doc_id-as-text), mod 100. Same VALUE both engines; the
+    Spark side uses the conv() fast path (one md5 per row — DuckDB
+    has no conv, so its side keeps the portable instr-sum; see
+    dedup._hex_prefix_int)."""
+    if spark_side:
+        return (
+            f"(cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)"
+            f" as bigint) % {_N_BUCKETS})"
+        )
+    return f"({_hex4_to_int_sql('md5(CAST(doc_id AS VARCHAR))')} % {_N_BUCKETS})"
 
 
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import pround, sql_round
 
-from parquet_stream_writer_spark.sources import load_table
+from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -764,18 +764,35 @@ def nested_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The fold in ``aggregate`` runs in linenumber order, so
     the float sum is bit-identical to DuckDB's ordered list_aggregate.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    # Keyed scan_parallel: the local test file is 3 splits, which
+    # would run the collect_list aggregate 3-wide; pre-partitioning on
+    # the group key spreads it across all cores AND satisfies the
+    # groupBy's distribution (no second exchange). At real scale the
+    # scan already has enough splits and this is a plain scan.
+    li = scan_parallel(spark, sf_dir, "lineitem", "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
     arr = F.array_sort(
         F.collect_list(F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("q")))
     )
     grouped = li.groupBy("l_orderkey").agg(arr.alias("arr"))
-    qarr = F.transform(F.col("arr"), lambda x: x["q"])
-    return grouped.select(
+    # Materialize the quantity projection ONCE in its own Project:
+    # three consumers reference it, and higher-order lambdas run
+    # interpreted — CollapseProject keeps a multiply-referenced
+    # non-cheap expression in its own stage instead of inlining the
+    # transform three times.
+    qarr = grouped.select(
         "l_orderkey",
         F.size(F.col("arr")).cast("long").alias("n_items"),
-        F.size(F.filter(qarr, lambda q: q > 25)).cast("long").alias("n_big"),
-        pround(F.aggregate(qarr, F.lit(0.0), lambda acc, q: acc + q), 2).alias("total_qty"),
-        F.array_max(qarr).alias("max_qty"),
+        F.transform(F.col("arr"), lambda x: x["q"]).alias("qarr"),
+    )
+    q = F.col("qarr")
+    return qarr.select(
+        "l_orderkey",
+        "n_items",
+        F.size(F.filter(q, lambda v: v > 25)).cast("long").alias("n_big"),
+        pround(F.aggregate(q, F.lit(0.0), lambda acc, v: acc + v), 2).alias("total_qty"),
+        F.array_max(q).alias("max_qty"),
     )
 
 

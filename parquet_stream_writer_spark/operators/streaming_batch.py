@@ -781,20 +781,30 @@ _CMS_WIDTH = 16
 
 
 def _cms_cell_sql(key_col: str, depth: int) -> str:
-    """Engine-portable cell index for one sketch row: first 4 hex chars
-    of md5(key + '#' + depth), mod width — identical arithmetic in
-    Spark SQL and DuckDB (see ``_hex_to_int_sql``)."""
+    """DuckDB-portable cell index for one sketch row: first 4 hex
+    chars of md5(key + '#' + depth), mod width (instr-sum — DuckDB
+    has no conv; see ``_hex_to_int_sql``)."""
     from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql
 
     digest = f"md5(concat({key_col}, '#{depth}'))"
     return f"({_hex4_to_int_sql(digest)} % {_CMS_WIDTH})"
 
 
+def _cms_cell_expr(key_col: str, depth: int) -> str:
+    """Spark-side cell index: same VALUE as :func:`_cms_cell_sql` via
+    the conv() fast path — one md5 evaluation per row instead of one
+    per hex digit (see dedup._hex_prefix_int)."""
+    return (
+        f"(cast(conv(substring(md5(concat({key_col}, '#{depth}')), 1, 4), 16, 10)"
+        f" as bigint) % {_CMS_WIDTH})"
+    )
+
+
 def _cms_hash_case_expr(key_col: str):
     return F.expr(
         "CASE "
         + " ".join(
-            f"WHEN depth = {d} THEN {_cms_cell_sql(key_col, d)}"
+            f"WHEN depth = {d} THEN {_cms_cell_expr(key_col, d)}"
             for d in range(_CMS_DEPTH)
         )
         + " END"
