@@ -78,6 +78,17 @@ def _memo(
     )
     df = _MEMO.get(key)
     if df is None:
+        # Evict superseded entries for the same (stage, app, dir) —
+        # a rewritten corpus (test suites do this repeatedly) must not
+        # accumulate dead cached/checkpointed DataFrames for the
+        # process lifetime.  Unpersist the cache eagerly; checkpoint
+        # blocks are freed when the dropped reference is GC'd.
+        for old_key in [k for k in _MEMO if k[:3] == key[:3]]:
+            stale_df = _MEMO.pop(old_key)
+            try:
+                stale_df.unpersist()
+            except Exception:
+                pass
         df = build()
         _MEMO[key] = df
     return df
