@@ -1090,3 +1090,147 @@ FROM full_pairs
 
 QUERIES["dedup_lsh_recall_audit"] = dedup_lsh_recall_audit
 ORACLE["dedup_lsh_recall_audit"] = ORACLE_DEDUP_LSH_RECALL_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Cluster-size profile (dedup threshold report)
+# ---------------------------------------------------------------------------
+
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes — the report you eyeball
+    before committing a dedup threshold: per cluster size, how many
+    clusters and how many documents they hold (size 1 = singletons,
+    docs with no near-dup at all).
+
+    Scale shape: rides the memoized CC labels (:func:`_cc_labels`, no
+    re-mining); the size histogram is two tiny aggregates over the
+    label set plus two single-row corpus counts broadcast into the
+    singleton row — the corpus itself is scanned once for a count.
+    """
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    total = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    labeled = labels.agg(F.count(F.lit(1)).alias("n_labeled"))
+    singletons = (
+        total.crossJoin(F.broadcast(labeled))
+        .select((F.col("n_total") - F.col("n_labeled")).alias("n_single"))
+        .where(F.col("n_single") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n_single").cast("long").alias("n_clusters"),
+            F.col("n_single").cast("long").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singletons)
+
+
+ORACLE_DEDUP_CLUSTER_SIZE_PROFILE = f"""
+WITH RECURSIVE {_SQL_CC_COMPONENTS},
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+hist AS (
+  SELECT CAST(sz AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(sz) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY sz
+),
+counts AS (
+  SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+           AS n_single
+)
+SELECT * FROM hist
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(n_single AS BIGINT), CAST(n_single AS BIGINT)
+FROM counts WHERE n_single > 0
+"""
+
+
+QUERIES["dedup_cluster_size_profile"] = dedup_cluster_size_profile
+ORACLE["dedup_cluster_size_profile"] = ORACLE_DEDUP_CLUSTER_SIZE_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (dup clusters never straddle splits)
+# ---------------------------------------------------------------------------
+
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split that CANNOT leak near-duplicates
+    across splits: every document is bucketed by the hash of its dup
+    GROUP (the CC component label for clustered docs, its own doc_id
+    for singletons), so all members of a near-dup cluster land in the
+    same split — the guard against a test document whose near-copy
+    sits in train, which a plain per-doc hash split
+    (``sample_hash_split``) does not provide. Reports per split the
+    doc totals, how many docs are near-dup members, and distinct
+    groups.
+
+    Scale shape: the label set is a minuscule fraction of the corpus
+    (bucketed-LSH pairs upstream), so the label join is key-equi on
+    doc_id; bucket arithmetic is the same md5-prefix mod 100 as
+    ``sample_hash_split`` (conv fast path Spark-side, instr-sum in
+    the oracle — identical values); one final tiny aggregate.
+    """
+    labels = _cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("grp_label")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    grouped = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.col("grp_label").isNotNull().alias("is_dup_member"),
+        F.coalesce("grp_label", "doc_id").alias("grp"),
+    )
+    bucket = F.expr(
+        "(cast(conv(substring(md5(cast(grp as string)), 1, 4), 16, 10)"
+        " as bigint) % 100)"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        grouped.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_dup_member").cast("long"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.countDistinct("grp").cast("long").alias("n_groups"),
+        )
+    )
+
+
+def _sql_grp_bucket() -> str:
+    return "(" + _hex4_to_int_sql("md5(CAST(grp AS VARCHAR))") + " % 100)"
+
+
+ORACLE_SAMPLE_SPLIT_LEAKAGE_SAFE = f"""
+WITH RECURSIVE {_SQL_CC_COMPONENTS},
+grouped AS (
+  SELECT d.doc_id,
+         c.component IS NOT NULL AS is_dup_member,
+         coalesce(c.component, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+bucketed AS (
+  SELECT doc_id, is_dup_member, grp,
+         CASE WHEN {_sql_grp_bucket()} < 80 THEN 'train'
+              WHEN {_sql_grp_bucket()} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM grouped
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_dup_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+FROM bucketed GROUP BY split
+"""
+
+
+QUERIES["sample_split_leakage_safe"] = sample_split_leakage_safe
+ORACLE["sample_split_leakage_safe"] = ORACLE_SAMPLE_SPLIT_LEAKAGE_SAFE

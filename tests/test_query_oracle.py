@@ -103,6 +103,31 @@ def test_theta_setops_track_exact(spark, sf_dir):
         assert abs(est - exact) <= max(0.05 * exact, 2), (est, exact)
 
 
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """Every near-dup component must land wholly inside ONE split —
+    the property sample_split_leakage_safe exists for (a per-doc
+    hash split can put a doc in test while its near-copy trains)."""
+    from pyspark.sql import functions as F
+
+    from parquet_stream_writer_spark.operators.dedup import _cc_labels
+
+    labels = _cc_labels(spark, sf_dir)
+    bucket = F.expr(
+        "(cast(conv(substring(md5(cast(label as string)), 1, 4), 16, 10)"
+        " as bigint) % 100)"
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    spread = (
+        labels.withColumn("split", split)
+        .groupBy("label")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").alias("worst"))
+        .first()
+    )
+    if spread["worst"] is not None:  # corpus has at least one dup pair
+        assert spread["worst"] == 1
+
+
 def test_registry_fronts_unverified_and_stale_queries():
     """The driver's CORRECTNESS gate checks a prefix window of the
     registry: keys without a green driver verdict (or whose source
