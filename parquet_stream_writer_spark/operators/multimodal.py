@@ -64,18 +64,17 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
     return 16 + n % 64, 16 + (n // 64) % 64
 
 
-def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document image metadata extraction over a binary column.
+def image_meta(docs: DataFrame) -> DataFrame:
+    """Image-metadata kernel over any ``(doc_id long, payload binary)``
+    DataFrame — the payload-level entry point a production caller uses
+    with real image bytes (the decode tiers in :func:`_decode_image`
+    handle Pillow-readable formats and raw PNG headers).
 
-    ``payload`` is a true ``BinaryType`` column; the kernel receives
-    Arrow-backed pandas batches (bytes objects), decodes, and emits a
-    typed metadata frame. Partition-parallel, no driver round-trip.
+    The kernel receives Arrow-backed pandas batches (bytes objects),
+    decodes, and emits a typed metadata frame. Partition-parallel, no
+    driver round-trip.
     """
     import pandas as pd
-
-    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
 
     def kernel(batches):
         for pdf in batches:
@@ -97,6 +96,16 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_pixels", (F.col("width") * F.col("height")).cast("long"))
 
 
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document image metadata extraction over a binary column
+    (the corpus query: text bytes standing in for image payloads;
+    :func:`image_meta` is the payload-level operator)."""
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return image_meta(docs)
+
+
 ORACLE_MULTIMODAL_IMAGE_META = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -109,17 +118,13 @@ FROM documents
 """
 
 
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling from a "video" payload: take ``_FRAME_LEN``-byte
-    frames every ``_FRAME_STRIDE`` bytes, emit one row per frame
-    (doc_id, frame_idx, frame_bytes, offset), then aggregate. The
-    explode-shaped kernel is the template for real frame extraction
-    (one input row → many output rows through mapInPandas)."""
+def frame_sample(docs: DataFrame) -> DataFrame:
+    """Frame-sampling kernel over any ``(doc_id long, payload binary)``
+    DataFrame: ``_FRAME_LEN``-byte frames every ``_FRAME_STRIDE``
+    bytes, one output row per frame — the explode-shaped template for
+    real frame extraction (one input row → many output rows through
+    ``mapInPandas``)."""
     import pandas as pd
-
-    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
 
     def kernel(batches):
         for pdf in batches:
@@ -147,6 +152,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_bytes").alias("total_frame_bytes"),
         F.max("offset").alias("last_offset"),
     )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document frame-sampling summary over the corpus stand-in
+    payloads (:func:`frame_sample` is the payload-level operator)."""
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return frame_sample(docs)
 
 
 ORACLE_MULTIMODAL_FRAME_SAMPLE = f"""
@@ -212,26 +226,15 @@ def _decode_audio(payload: bytes):
     return np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
 
 
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction over a binary "waveform": interpret
-    the payload bytes as 8-bit PCM samples, frame them into
-    ``_AUDIO_FRAME``-sample windows, and compute per-frame energy /
-    peak / sample count with a vectorized numpy kernel (the
-    spectrogram-pipeline shape; swap the stub interpretation for a
-    real codec + FFT in production — the Spark plumbing is
-    unchanged).
-
-    One row in → many frame rows out through ``mapInPandas``; the
-    per-frame math is numpy over a single contiguous buffer. The
-    oracle reproduces it exactly because the corpus is ASCII, so
-    byte values == character codes (see :func:`_decode_audio` — a
-    RIFF/WAVE payload takes the real stdlib decode path instead).
-    """
+def audio_features(docs: DataFrame) -> DataFrame:
+    """Audio-feature kernel over any ``(doc_id long, payload binary)``
+    DataFrame: decode to unsigned-8-bit samples (:func:`_decode_audio`
+    — real stdlib WAV parsing for RIFF/WAVE payloads, raw 8-bit PCM
+    interpretation otherwise), frame into ``_AUDIO_FRAME``-sample
+    windows, and compute per-frame energy / peak / sample count with a
+    vectorized numpy kernel (the spectrogram-pipeline shape; swap in a
+    codec + FFT in production — the Spark plumbing is unchanged)."""
     import pandas as pd
-
-    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
 
     def kernel(batches):
         for pdf in batches:
@@ -259,6 +262,17 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="doc_id long, frame_idx int, n_samples int, energy long, peak int",
     )
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio features over the corpus stand-in payloads
+    (ASCII text bytes == 8-bit PCM samples, exactly reproducible by
+    the oracle's ``ascii()``; :func:`audio_features` is the
+    payload-level operator)."""
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return audio_features(docs)
 
 
 ORACLE_MULTIMODAL_AUDIO_FEATURES = f"""

@@ -105,3 +105,45 @@ def test_decode_audio_raw_bytes_match_oracle_ascii():
     which the oracle computes as ascii(ch)."""
     text = b"the quick brown fox"
     assert _decode_audio(text).tolist() == list(text)
+
+
+def test_image_meta_real_png_through_spark(spark):
+    """End-to-end: REAL PNG bytes ride a BinaryType column through
+    Arrow into the mapInPandas kernel and come back with their true
+    dimensions — the production path, not the corpus stand-in."""
+    from parquet_stream_writer_spark.operators.multimodal import image_meta
+
+    rows = [(1, make_png(5, 3)), (2, make_png(640, 480)), (3, b"not an image")]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in image_meta(docs).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (5, 3)
+    assert (out[2]["width"], out[2]["height"]) == (640, 480)
+    assert out[2]["n_pixels"] == 640 * 480
+    n = len(b"not an image")
+    assert (out[3]["width"], out[3]["height"]) == (16 + n % 64, 16 + (n // 64) % 64)
+
+
+def test_audio_features_real_wav_through_spark(spark):
+    """End-to-end: a REAL WAV container through the Spark kernel must
+    produce the same per-frame energy/peak as direct numpy over the
+    samples it encodes."""
+    import numpy as np
+
+    from parquet_stream_writer_spark.operators.multimodal import (
+        _AUDIO_FRAME,
+        audio_features,
+    )
+
+    samples = bytes([(i * 7) % 256 for i in range(100)])
+    docs = spark.createDataFrame(
+        [(1, make_wav(samples, sampwidth=1))], "doc_id long, payload binary"
+    )
+    got = {r["frame_idx"]: r for r in audio_features(docs).collect()}
+    arr = np.frombuffer(samples, dtype=np.uint8).astype(np.int64)
+    n_frames = -(-len(arr) // _AUDIO_FRAME)
+    assert set(got) == set(range(n_frames))
+    for f in range(n_frames):
+        frame = arr[f * _AUDIO_FRAME : (f + 1) * _AUDIO_FRAME]
+        assert got[f]["energy"] == int((frame * frame).sum())
+        assert got[f]["peak"] == int(frame.max())
+        assert got[f]["n_samples"] == len(frame)
