@@ -32,6 +32,7 @@ a SortAggregate over the full shingle stream).
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -65,6 +66,7 @@ _J_THRESHOLD = 0.5
 #: SparkContext gets a fresh applicationId and therefore fresh
 #: entries (localCheckpoint blocks die with their context).
 _MEMO: dict[tuple, DataFrame] = {}
+_MEMO_LOCK = threading.RLock()
 
 
 def _memo(
@@ -76,21 +78,26 @@ def _memo(
         sf_dir,
         table_fingerprint(sf_dir, "documents"),
     )
-    df = _MEMO.get(key)
-    if df is None:
-        # Evict superseded entries for the same (stage, app, dir) —
-        # a rewritten corpus (test suites do this repeatedly) must not
-        # accumulate dead cached/checkpointed DataFrames for the
-        # process lifetime.  Unpersist the cache eagerly; checkpoint
-        # blocks are freed when the dropped reference is GC'd.
-        for old_key in [k for k in _MEMO if k[:3] == key[:3]]:
-            stale_df = _MEMO.pop(old_key)
-            try:
-                stale_df.unpersist()
-            except Exception:
-                pass
-        df = build()
-        _MEMO[key] = df
+    # RLock: a concurrent harness must not double-build (two eager
+    # mining jobs) or observe a half-evicted dict; builds nest (_cc_labels
+    # -> _verified_pairs -> shingles), hence reentrant.
+    with _MEMO_LOCK:
+        df = _MEMO.get(key)
+        if df is None:
+            # Evict superseded entries for the same (stage, app, dir) —
+            # a rewritten corpus (test suites do this repeatedly) must
+            # not accumulate dead cached/checkpointed DataFrames for
+            # the process lifetime.  Unpersist the cache eagerly;
+            # checkpoint blocks are freed when the dropped reference
+            # is GC'd.
+            for old_key in [k for k in _MEMO if k[:3] == key[:3]]:
+                stale_df = _MEMO.pop(old_key)
+                try:
+                    stale_df.unpersist()
+                except Exception:
+                    pass
+            df = build()
+            _MEMO[key] = df
     return df
 
 
