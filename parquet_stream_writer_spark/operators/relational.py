@@ -2237,11 +2237,16 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair generation is a self-join hash-equi on
     ``l_orderkey`` — fan-out is quadratic only in the per-order item
-    count (bounded small by the schema), never in the catalog. Part
-    supports and the order total are separate tiny aggregates joined
-    back broadcast (the order total as a broadcast single-row cross
-    join — no driver action anywhere in the lineage); all counts are
-    integers so lift is the only float (rounded 4-dp on both engines).
+    count (bounded small by the schema), never in the catalog. The
+    order total joins back as a broadcast single-row cross join (no
+    driver action anywhere in the lineage). The per-part support
+    relation carries **no broadcast hint**: it is one row per part —
+    dimension-sized at test scale but O(catalog) = billions of rows at
+    the 100 TB end, where a forced broadcast OOMs the executors. The
+    planner's size estimate (and AQE) still elects broadcast whenever
+    the support side actually fits, same rationale as
+    :func:`q2_min_cost_supplier`. All counts are integers so lift is
+    the only float (rounded 4-dp on both engines).
 
     The deduped item set fans out to three consumers (pair self-join,
     support agg, order-count agg), so it is ``localCheckpoint``-ed
@@ -2274,8 +2279,8 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = support.select(F.col("l_partkey").alias("p1"), F.col("sup").alias("sup1"))
     sb = support.select(F.col("l_partkey").alias("p2"), F.col("sup").alias("sup2"))
     return (
-        pairs.join(F.broadcast(sa), "p1")
-        .join(F.broadcast(sb), "p2")
+        pairs.join(sa, "p1")
+        .join(sb, "p2")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "p1",
