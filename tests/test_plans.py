@@ -563,6 +563,17 @@ def test_q21_single_fact_scan_no_expand(spark):
     assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
 
 
+def test_basket_affinity_support_join_not_hinted_broadcast(spark):
+    """The per-part support relation is one row per part — catalog-
+    sized at 100 TB — so the lift joins must carry NO broadcast hint.
+    The planner may still CHOOSE broadcast at small SF from size
+    estimates; the pin only bans forcing it at any scale. The single
+    allowed hint is the 1-row n_orders aggregate."""
+    df = relational.orders_basket_affinity(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
 def test_cc_edges_keep_hash_partitioning(spark):
     """The connected-components edge set must stay hash-partitioned on
     the propagation join key — a single-partition collapse
