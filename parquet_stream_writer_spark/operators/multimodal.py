@@ -31,22 +31,68 @@ _FRAME_STRIDE = 256
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: JPEG frame-header (SOFn) markers that carry image dimensions —
+#: every SOF except DHT(C4)/DAC(CC)/RST(D0-D7) per ITU T.81 §B.2.2.
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG byte stream, or None.
+
+    Dependency-free segment walk per ITU T.81: after the FFD8 SOI,
+    each segment is FF <marker> <len:2> <body>; the first SOFn body is
+    ``precision:1 height:2 width:2 ...``. Stops at SOS (entropy-coded
+    data follows — a SOF after that would be a second image)."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:  # resync (padding bytes are legal)
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            body = payload[i + 4 : i + 2 + seg_len]
+            if len(body) < 5:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            return (w, h) if w and h else None
+        if marker == 0xDA:  # SOS — no dimensions found before the scan
+            return None
+        i += 2 + seg_len
+    return None
+
 
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """Decode (width, height) from an image payload.
 
-    Three tiers, most capable first:
+    Four tiers, most capable first:
 
     1. Pillow when importable (any format Pillow reads);
     2. a dependency-free PNG IHDR parse (width/height live at fixed
        offsets 16..24 of every valid PNG) — REAL metadata decode for
        the most common training-corpus format, even in containers
        without image libs;
-    3. a deterministic stand-in derived from the byte length (STUB —
+    3. a dependency-free JPEG SOF0/SOF2 segment walk
+       (:func:`_jpeg_dimensions`) — same guarantee for the other
+       dominant corpus format;
+    4. a deterministic stand-in derived from the byte length (STUB —
        for the driver corpus, whose payloads are text bytes; the
        arithmetic is mirrored in the SQL oracle).
     """
-    try:  # pragma: no cover - Pillow absent in this environment
+    try:
         import io
 
         from PIL import Image  # type: ignore
@@ -60,6 +106,9 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
 
         w, h = struct.unpack(">II", payload[16:24])
         return int(w), int(h)
+    jpeg = _jpeg_dimensions(payload)
+    if jpeg is not None:
+        return jpeg
     n = len(payload)
     return 16 + n % 64, 16 + (n // 64) % 64
 
@@ -199,7 +248,7 @@ ORACLE = {
 _AUDIO_FRAME = 32
 
 
-def _decode_audio(payload: bytes):
+def _decode_audio(payload: bytes, sniff_containers: bool = True):
     """Unsigned-8-bit sample array from an audio payload.
 
     A RIFF/WAVE container takes the REAL decode path — stdlib
@@ -207,10 +256,16 @@ def _decode_audio(payload: bytes):
     rescaled to the unsigned-8-bit domain the feature math expects.
     Any other payload (the driver corpus ships text bytes) is
     interpreted as raw 8-bit PCM, which the SQL oracle reproduces
-    via ``ascii()``."""
+    via ``ascii()``.
+
+    ``sniff_containers=False`` forces the raw-PCM interpretation: the
+    RIFF/WAVE magic is pure ASCII, so a *text* payload that happens to
+    start with ``RIFF....WAVE`` would otherwise take the WAV path and
+    diverge from an ``ascii()``-based oracle. Callers that KNOW the
+    payloads are raw samples (the corpus query) disable sniffing."""
     import numpy as np
 
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    if sniff_containers and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
         import wave
 
@@ -226,21 +281,24 @@ def _decode_audio(payload: bytes):
     return np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
 
 
-def audio_features(docs: DataFrame) -> DataFrame:
+def audio_features(docs: DataFrame, sniff_containers: bool = True) -> DataFrame:
     """Audio-feature kernel over any ``(doc_id long, payload binary)``
     DataFrame: decode to unsigned-8-bit samples (:func:`_decode_audio`
     — real stdlib WAV parsing for RIFF/WAVE payloads, raw 8-bit PCM
     interpretation otherwise), frame into ``_AUDIO_FRAME``-sample
     windows, and compute per-frame energy / peak / sample count with a
     vectorized numpy kernel (the spectrogram-pipeline shape; swap in a
-    codec + FFT in production — the Spark plumbing is unchanged)."""
+    codec + FFT in production — the Spark plumbing is unchanged).
+
+    ``sniff_containers=False`` treats every payload as raw 8-bit PCM
+    (see :func:`_decode_audio`)."""
     import pandas as pd
 
     def kernel(batches):
         for pdf in batches:
             ids, idxs, ns, energies, peaks = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                samples = _decode_audio(payload)
+                samples = _decode_audio(payload, sniff_containers)
                 for f in range(0, len(samples), _AUDIO_FRAME):
                     frame = samples[f : f + _AUDIO_FRAME]
                     ids.append(doc_id)
@@ -268,11 +326,14 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame audio features over the corpus stand-in payloads
     (ASCII text bytes == 8-bit PCM samples, exactly reproducible by
     the oracle's ``ascii()``; :func:`audio_features` is the
-    payload-level operator)."""
+    payload-level operator). Container sniffing is OFF here: the
+    corpus payloads are text, and a document that happened to start
+    with ``RIFF....WAVE`` must not take the WAV decode path the
+    ``ascii()`` oracle can't follow."""
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return audio_features(docs)
+    return audio_features(docs, sniff_containers=False)
 
 
 ORACLE_MULTIMODAL_AUDIO_FEATURES = f"""

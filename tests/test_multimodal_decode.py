@@ -47,6 +47,25 @@ def make_png(width: int, height: int) -> bytes:
     )
 
 
+def make_jpeg(width: int, height: int, progressive: bool = False) -> bytes:
+    """Minimal structurally-valid JPEG marker stream (stdlib only):
+    SOI + JFIF APP0 + SOF0 (or SOF2 when progressive) + SOS + EOI.
+    Dimension parsers only need the header segments."""
+    app0_body = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_body)) + app0_body
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof_body = (
+        b"\x08"  # precision
+        + struct.pack(">HH", height, width)
+        + b"\x03"  # 3 components
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    sof = sof_marker + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    sos_body = b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 2 + len(sos_body)) + sos_body
+    return b"\xff\xd8" + app0 + sof + sos + b"\xff\xd9"
+
+
 def make_wav(samples: bytes, sampwidth: int = 1) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
@@ -65,16 +84,62 @@ def test_decode_image_real_png_header():
     assert _decode_image(make_png(640, 480)) == (640, 480)
 
 
-def test_decode_image_pillow_branch():
-    """When Pillow is importable it must agree with the IHDR parse
-    (and handle the PNG end-to-end, not just the header)."""
-    pytest.importorskip("PIL")
-    from PIL import Image
+def test_decode_image_pillow_branch(monkeypatch):
+    """The Pillow tier's plumbing (import, Image.open on a BytesIO,
+    context-managed width/height read) must execute and win over the
+    fallback tiers. Pillow isn't shipped in this container, so inject
+    a minimal fake PIL via sys.modules — when a real Pillow is
+    present the injection still overrides it, so the test is
+    deterministic in every environment."""
+    import sys
+    import types
+
+    opened = []
+
+    class _FakeImage:
+        width, height = 123, 45
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    def _open(fobj):
+        opened.append(fobj.read(8))
+        return _FakeImage()
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = _open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
 
     png = make_png(7, 2)
-    with Image.open(io.BytesIO(png)) as im:
-        assert (im.width, im.height) == (7, 2)
-    assert _decode_image(png) == (7, 2)
+    assert _decode_image(png) == (123, 45)  # Pillow tier won, not IHDR
+    assert opened and opened[0] == png[:8]  # got the payload as a stream
+
+
+def test_decode_image_real_jpeg_header():
+    """A structurally-valid JPEG decodes to its true SOF dimensions
+    via the dependency-free segment walk — baseline and progressive."""
+    assert _decode_image(make_jpeg(31, 17)) == (31, 17)
+    assert _decode_image(make_jpeg(1920, 1080, progressive=True)) == (1920, 1080)
+
+
+def test_jpeg_walker_rejects_non_jpeg_and_truncated():
+    from parquet_stream_writer_spark.operators.multimodal import _jpeg_dimensions
+
+    assert _jpeg_dimensions(b"plain text payload") is None
+    assert _jpeg_dimensions(b"\xff\xd8\xff") is None  # truncated after SOI
+    jpeg = make_jpeg(31, 17)
+    sof_at = jpeg.index(b"\xff\xc0")
+    assert _jpeg_dimensions(jpeg[: sof_at + 4]) is None  # cut mid-SOF
+    # SOS before any SOF: no dimensions, walker must stop (not scan
+    # entropy-coded bytes for false markers)
+    no_sof = jpeg[:sof_at] + jpeg[jpeg.index(b"\xff\xda") :]
+    assert _jpeg_dimensions(no_sof) is None
 
 
 def test_decode_image_stub_matches_oracle_arithmetic():
@@ -107,13 +172,31 @@ def test_decode_audio_raw_bytes_match_oracle_ascii():
     assert _decode_audio(text).tolist() == list(text)
 
 
+def test_decode_audio_sniff_off_forces_raw_pcm():
+    """The RIFF/WAVE magic is pure ASCII, so a *text* document can
+    collide with it. With sniffing disabled (the corpus query's mode)
+    such a payload must decode byte-for-byte as raw PCM — the
+    interpretation the ascii() oracle uses — not as a WAV container."""
+    trap = b"RIFFxxxxWAVE and then ordinary prose"
+    assert _decode_audio(trap, sniff_containers=False).tolist() == list(trap)
+    # sanity: with sniffing ON the same bytes take the container path
+    # (and fail WAV parsing — proving the two modes actually diverge)
+    with pytest.raises(Exception):
+        _decode_audio(trap)
+
+
 def test_image_meta_real_png_through_spark(spark):
     """End-to-end: REAL PNG bytes ride a BinaryType column through
     Arrow into the mapInPandas kernel and come back with their true
     dimensions — the production path, not the corpus stand-in."""
     from parquet_stream_writer_spark.operators.multimodal import image_meta
 
-    rows = [(1, make_png(5, 3)), (2, make_png(640, 480)), (3, b"not an image")]
+    rows = [
+        (1, make_png(5, 3)),
+        (2, make_png(640, 480)),
+        (3, b"not an image"),
+        (4, make_jpeg(800, 600)),
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in image_meta(docs).collect()}
     assert (out[1]["width"], out[1]["height"]) == (5, 3)
@@ -121,6 +204,7 @@ def test_image_meta_real_png_through_spark(spark):
     assert out[2]["n_pixels"] == 640 * 480
     n = len(b"not an image")
     assert (out[3]["width"], out[3]["height"]) == (16 + n % 64, 16 + (n // 64) % 64)
+    assert (out[4]["width"], out[4]["height"]) == (800, 600)
 
 
 def test_audio_features_real_wav_through_spark(spark):
