@@ -33,6 +33,7 @@ a SortAggregate over the full shingle stream).
 from __future__ import annotations
 
 import threading
+from collections import OrderedDict
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -46,6 +47,12 @@ _BANDS = 4
 _ROWS_PER_BAND = 3
 #: Skip LSH buckets with more than this many docs (skew guard).
 _BUCKET_CAP = 50
+#: Exact-Jaccard inverted index: drop shingles appearing in more than
+#: this many documents (the analogue of ``_BUCKET_CAP`` for the exact
+#: path — a stop-phrase shingle shared by f docs alone contributes
+#: f(f-1)/2 join rows, so the self-join is bounded at
+#: O(#shingles · CAP²) instead of quadratic in the corpus).
+_NGRAM_DF_CAP = 200
 #: Exact-Jaccard acceptance threshold for near-dup pairs.
 _J_THRESHOLD = 0.5
 
@@ -65,45 +72,77 @@ _J_THRESHOLD = 0.5
 #: entries when a test rewrites the corpus in-process; a new
 #: SparkContext gets a fresh applicationId and therefore fresh
 #: entries (localCheckpoint blocks die with their context).
-_MEMO: dict[tuple, DataFrame] = {}
-_MEMO_LOCK = threading.RLock()
+_MEMO: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+#: Guards the memo DICTIONARIES only — never held across a build().
+_MEMO_LOCK = threading.Lock()
+#: One lock per memo key: concurrent queries on UNRELATED stages (or
+#: corpora) proceed in parallel; only same-key callers wait for the
+#: in-flight build. Builds nest (_cc_labels -> _verified_pairs ->
+#: shingles) on DIFFERENT keys in a fixed DAG order, so there is no
+#: lock cycle; RLock covers same-thread same-key reentry.
+_BUILD_LOCKS: dict[tuple, threading.RLock] = {}
+#: Max memoized DataFrames across all corpora (4 stages per corpus; a
+#: long pytest session touches many tmp corpora — the LRU bound keeps
+#: the process flat instead of accumulating dead checkpoint refs).
+_MEMO_CAP = 16
+
+
+def _drop_entry(key: tuple) -> None:
+    """Pop + unpersist one memo entry (caller holds ``_MEMO_LOCK``)."""
+    stale_df = _MEMO.pop(key, None)
+    _BUILD_LOCKS.pop(key, None)
+    if stale_df is not None:
+        try:
+            stale_df.unpersist()
+        except Exception:
+            pass
 
 
 def _memo(
     spark: SparkSession, sf_dir: str, stage: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    key = (
-        stage,
-        spark.sparkContext.applicationId,
-        sf_dir,
-        table_fingerprint(sf_dir, "documents"),
-    )
-    # RLock: a concurrent harness must not double-build (two eager
-    # mining jobs) or observe a half-evicted dict; builds nest (_cc_labels
-    # -> _verified_pairs -> shingles), hence reentrant.
+    app_id = spark.sparkContext.applicationId
+    key = (stage, app_id, sf_dir, table_fingerprint(sf_dir, "documents"))
     with _MEMO_LOCK:
         df = _MEMO.get(key)
-        if df is None:
-            # Evict superseded entries for the same (stage, app, dir) —
-            # a rewritten corpus (test suites do this repeatedly) must
-            # not accumulate dead cached/checkpointed DataFrames for
-            # the process lifetime.  Unpersist the cache eagerly;
-            # checkpoint blocks are freed when the dropped reference
-            # is GC'd.
+        if df is not None:
+            _MEMO.move_to_end(key)
+            return df
+        build_lock = _BUILD_LOCKS.setdefault(key, threading.RLock())
+    with build_lock:
+        # Double-check: another thread may have finished this key's
+        # build while we waited on its lock.
+        with _MEMO_LOCK:
+            df = _MEMO.get(key)
+            if df is not None:
+                _MEMO.move_to_end(key)
+                return df
+        # The (possibly eager — localCheckpoint + convergence probes)
+        # build runs OUTSIDE the dict lock: unrelated stages never
+        # serialize behind it, and a build failure leaves the old
+        # entries untouched (eviction is deferred until success).
+        df = build()
+        with _MEMO_LOCK:
+            # Superseded same-(stage, app, dir) entries: the corpus
+            # was rewritten, their checkpoints describe dead data.
             for old_key in [k for k in _MEMO if k[:3] == key[:3]]:
-                stale_df = _MEMO.pop(old_key)
-                try:
-                    stale_df.unpersist()
-                except Exception:
-                    pass
-            df = build()
+                _drop_entry(old_key)
+            # Entries from stopped SparkContexts: their localCheckpoint
+            # blocks died with the context; the DataFrames only pin GC.
+            for old_key in [k for k in _MEMO if k[1] != app_id]:
+                _drop_entry(old_key)
             _MEMO[key] = df
+            while len(_MEMO) > _MEMO_CAP:  # LRU bound
+                _drop_entry(next(iter(_MEMO)))
     return df
 
 
 def clear_dedup_memo() -> None:
     """Drop all memoized dedup intermediates (test hook)."""
-    _MEMO.clear()
+    with _MEMO_LOCK:
+        for key in list(_MEMO):
+            _drop_entry(key)
+        _BUILD_LOCKS.clear()
 
 
 def _shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,10 +287,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation = self-join on shared shingle (inverted
     index), so cost is bounded by shingle co-occurrence, not n².
+    Hot shingles — document frequency above ``_NGRAM_DF_CAP`` — are
+    dropped from the shingle universe before anything else (a DF-200
+    stop-phrase shingle alone would emit ~20k join rows; the cap
+    bounds the self-join at O(#shingles · CAP²) the same way
+    ``_BUCKET_CAP`` bounds the LSH buckets). The cap defines the
+    universe for BOTH the intersection and the union sizes, so the
+    reported value is the exact Jaccard over non-degenerate shingles
+    — and the oracle replicates the cap, keeping results
+    bit-identical. The window count shares the per-shingle shuffle
+    with the self-join key, so the cap adds no extra exchange.
     Still the exact method — at 100 TB use ``dedup_minhash_lsh``;
     this one is the correctness yardstick.
     """
-    ds = _shingles_shared(spark, sf_dir)
+    wdf = Window.partitionBy("shingle")
+    ds = (
+        _shingles_shared(spark, sf_dir)
+        .withColumn("df", F.count(F.lit(1)).over(wdf))
+        .where(F.col("df") <= _NGRAM_DF_CAP)
+        .drop("df")
+    )
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -285,10 +340,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM ds
+  ) WHERE df <= {_NGRAM_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2,

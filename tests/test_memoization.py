@@ -105,6 +105,97 @@ def test_clear_dedup_memo_forces_rebuild(spark, tmp_path):
     assert dedup._verified_pairs(spark, str(sf)) is not first
 
 
+def test_memo_failed_build_keeps_old_entries(spark, tmp_path):
+    """Eviction is deferred until a build SUCCEEDS: a failing rebuild
+    (e.g. corpus rewritten mid-flight) must not destroy the previous
+    entry (ADVICE r4)."""
+    import pytest
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs(spark, sf, [(1, _BASE, "en", "a", 60)])
+    dedup.clear_dedup_memo()
+    first = dedup._verified_pairs(spark, str(sf))
+    n_before = len(dedup._MEMO)
+    time.sleep(0.05)
+    _write_docs(spark, sf, [(1, _BASE, "en", "a", 60), (2, _BASE, "en", "a", 60)])
+
+    def boom():
+        raise RuntimeError("build failed")
+
+    with pytest.raises(RuntimeError):
+        dedup._memo(spark, str(sf), "pairs", boom)
+    assert len(dedup._MEMO) == n_before, "failed build evicted live entries"
+    assert dedup._verified_pairs(spark, str(sf)) is not first  # rebuilds fine
+
+
+def test_memo_unrelated_stages_do_not_serialize(spark, tmp_path):
+    """A long-running build of one stage must NOT block a different
+    stage's memo access (per-key locks, ADVICE r4: a concurrent
+    harness serialized every dedup query behind the CC build)."""
+    import threading
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs(spark, sf, [(1, _BASE, "en", "a", 60)])
+    dedup.clear_dedup_memo()
+
+    slow_started = threading.Event()
+    release_slow = threading.Event()
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+
+    def slow_build():
+        slow_started.set()
+        assert release_slow.wait(timeout=30), "deadlock: slow build never released"
+        return docs
+
+    t = threading.Thread(
+        target=lambda: dedup._memo(spark, str(sf), "slow_stage", slow_build)
+    )
+    t.start()
+    try:
+        assert slow_started.wait(timeout=30)
+        # while slow_stage's build is in flight, another stage completes
+        out = dedup._memo(spark, str(sf), "fast_stage", lambda: docs)
+        assert out is docs
+    finally:
+        release_slow.set()
+        t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_memo_evicts_dead_application_entries(spark, tmp_path):
+    """Entries recorded under a stopped SparkContext's applicationId
+    are evicted on the next successful build — their checkpoint blocks
+    died with the context (ADVICE r4)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs(spark, sf, [(1, _BASE, "en", "a", 60)])
+    dedup.clear_dedup_memo()
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    dead_key = ("shingles", "app-long-gone", str(sf), ("x",))
+    with dedup._MEMO_LOCK:
+        dedup._MEMO[dead_key] = docs
+    dedup._memo(spark, str(sf), "other_stage", lambda: docs)
+    assert dead_key not in dedup._MEMO
+
+
+def test_memo_size_is_bounded(spark, tmp_path):
+    """The memo never exceeds _MEMO_CAP entries (LRU), so long test
+    sessions over many tmp corpora stay flat."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _write_docs(spark, sf, [(1, _BASE, "en", "a", 60)])
+    dedup.clear_dedup_memo()
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    for i in range(dedup._MEMO_CAP + 5):
+        dedup._memo(spark, str(sf), f"stage_{i}", lambda: docs)
+    assert len(dedup._MEMO) <= dedup._MEMO_CAP
+    # most-recently-used entries survive
+    assert any(k[0] == f"stage_{dedup._MEMO_CAP + 4}" for k in dedup._MEMO)
+    dedup.clear_dedup_memo()
+
+
 def test_scan_parallel_probe_invalidated_by_conf_change(spark, tmp_path):
     """The split-probe memo keys on the file-split confs: shrinking
     maxPartitionBytes so one file yields many splits must re-probe,
