@@ -178,18 +178,74 @@ def _verdicts_cached(
 _HASH_SNAPSHOT = "QUERY_SOURCE_HASHES.json"
 
 
-def query_source_hash(fn) -> str:
-    """sha256 of a query function's source text.  Function-level only:
-    edits to shared helpers don't trip it (verdict-age rotation is the
-    backstop for shared-infra changes)."""
+def _module_helper_hash(mod) -> str:
+    """sha256 of an operator module's HELPER text: the full module
+    source minus the registered query functions' own bodies.  Editing
+    one query function therefore floats only that key, while editing
+    shared helpers (the dedup mining core, a decode kernel, an oracle
+    CTE, a module constant) floats every key of the module — the
+    round-4 gap where a mining-core rewrite left its dependents'
+    driver verdicts stale (VERDICT r4 §missing-2)."""
     import hashlib
     import inspect
 
     try:
-        src = inspect.getsource(fn)
+        text = inspect.getsource(mod)
     except (OSError, TypeError):
         return "unhashable"
-    return hashlib.sha256(src.encode()).hexdigest()
+    for fn in getattr(mod, "QUERIES", {}).values():
+        try:
+            text = text.replace(inspect.getsource(fn), "", 1)
+        except (OSError, TypeError):
+            continue
+    return hashlib.sha256(text.encode()).hexdigest()
+
+
+def _xmodule_helper_sources(mod) -> list[str]:
+    """Source of the private helpers ``mod`` imports from SIBLING
+    operator modules at module level (manual dependency map) — so a
+    rewrite of e.g. the shared hex→int kernels floats the keys of the
+    modules that execute them, not just dedup's own."""
+    import inspect
+
+    from parquet_stream_writer_spark.operators import dedup
+
+    deps = {
+        "pipeline": (dedup._hex4_to_int_sql, dedup._hex_to_int_sql),
+        "streaming_batch": (dedup._hex4_to_int_sql, dedup._hex_to_int_sql),
+        "text": (dedup._hex_prefix_int, dedup._hex_to_int_sql),
+    }.get(mod.__name__.rsplit(".", 1)[-1], ())
+    out = []
+    for fn in deps:
+        try:
+            out.append(inspect.getsource(fn))
+        except (OSError, TypeError):
+            out.append("unhashable")
+    return out
+
+
+def query_source_hash(fn) -> str:
+    """sha256 over everything a query key executes that lives in the
+    operator pack: the query function's own source, its defining
+    module's helper hash (:func:`_module_helper_hash`), and the source
+    of cross-module helpers from the manual dependency map
+    (:func:`_xmodule_helper_sources`).  Package-level shared infra
+    (``sources``, ``functions``, ``session``) is deliberately NOT
+    folded in — a change there invalidates all 132 keys at once, which
+    the window can't absorb; verdict-age rotation is the backstop."""
+    import hashlib
+    import inspect
+    import sys
+
+    try:
+        parts = [inspect.getsource(fn)]
+    except (OSError, TypeError):
+        return "unhashable"
+    mod = sys.modules.get(getattr(fn, "__module__", None))
+    if mod is not None and hasattr(mod, "QUERIES"):
+        parts.append(_module_helper_hash(mod))
+        parts.extend(_xmodule_helper_sources(mod))
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
 def _source_stale_keys(merged: dict) -> frozenset[str]:

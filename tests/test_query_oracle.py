@@ -155,6 +155,68 @@ def test_registry_fronts_unverified_and_stale_queries():
     assert ranks == sorted(ranks), "registry not ordered by verdict need"
 
 
+def test_query_hash_covers_module_helpers(tmp_path):
+    """A key's source hash must change when a SHARED helper of its
+    module changes (the round-4 gap: a mining-core rewrite left
+    dependents' verdicts stale), but editing one query function must
+    float only that key."""
+    import importlib.util
+    import linecache
+    import sys
+
+    from parquet_stream_writer_spark.operators import query_source_hash
+
+    def write_and_load(helper_body: str, q2_body: str):
+        mod_path = tmp_path / "fake_ops.py"
+        mod_path.write_text(
+            f"def helper(x):\n    return {helper_body}\n\n"
+            f"def q1(spark, sf_dir):\n    return helper(1)\n\n"
+            f"def q2(spark, sf_dir):\n    return {q2_body}\n\n"
+            "QUERIES = {'k1': q1, 'k2': q2}\n"
+        )
+        linecache.checkcache(str(mod_path))
+        spec = importlib.util.spec_from_file_location("fake_ops", mod_path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["fake_ops"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    try:
+        v1 = write_and_load("x + 1", "helper(2)")
+        h1_q1, h1_q2 = query_source_hash(v1.q1), query_source_hash(v1.q2)
+
+        # editing q2 floats only k2
+        v2 = write_and_load("x + 1", "helper(3)")
+        assert query_source_hash(v2.q1) == h1_q1
+        assert query_source_hash(v2.q2) != h1_q2
+
+        # editing the shared helper floats BOTH keys
+        v3 = write_and_load("x + 99", "helper(2)")
+        assert query_source_hash(v3.q1) != h1_q1
+        assert query_source_hash(v3.q2) != h1_q2
+    finally:
+        sys.modules.pop("fake_ops", None)
+
+
+def test_query_hash_covers_cross_module_hex_helpers():
+    """Keys of modules that execute dedup's hex→int kernels must fold
+    those kernels' source into their hash (manual dependency map)."""
+    import sys
+
+    from parquet_stream_writer_spark.operators import (
+        _xmodule_helper_sources,
+        text,
+        pipeline,
+        streaming_batch,
+        relational,
+    )
+
+    for mod in (text, pipeline, streaming_batch):
+        srcs = _xmodule_helper_sources(mod)
+        assert srcs and all("def _hex" in s for s in srcs), mod.__name__
+    assert _xmodule_helper_sources(relational) == []
+
+
 def test_curation_e2e_dedup_ranks_among_quality_survivors(spark, tmp_path):
     """A duplicate pair whose lowest-doc_id copy fails quality must
     still keep its surviving copy — the fused plan must equal the

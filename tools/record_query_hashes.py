@@ -16,9 +16,13 @@ driver's verification window even though an old green verdict exists.
 (Per ADVICE r3: plan rewrites to previously-green queries must not
 ride a stale verdict out of the re-verification window.)
 
-The snapshot is function-level — edits to shared helpers don't trip
-it; the verdict-age rotation in ``operators._prioritized`` is the
-backstop for shared-infra changes.
+The snapshot covers, per key: the query function's source, its
+module's helper text (module source minus the registered query
+functions), and the cross-module helpers from the manual dependency
+map — so a rewrite of a shared mining core or decode kernel floats
+every dependent key, not just same-function edits (VERDICT r4 item
+2).  Package-level infra (``sources``/``functions``/``session``) is
+excluded; verdict-age rotation is the backstop there.
 """
 
 from __future__ import annotations
