@@ -8,6 +8,22 @@
 Each query is materialized with the ``noop`` sink (full execution, no
 write cost). The session is warmed with one tiny action first so JVM
 startup isn't billed to the first query.
+
+Cross-query state: the dedup-family queries share the in-session
+mining memo, so per-query numbers are RUN-ORDER dependent (the first
+family query pays the shared mining cost; the rest ride warm
+checkpoint blocks). The payload marks those keys in ``memo_shared``.
+``--cold`` (or SPARK_GRAFT_BENCH_COLD=1) clears the memo before every
+repetition for standalone per-query timings — the default stays warm
+because the driver's headline metric is the total pack wall time,
+which the memo legitimately reduces.
+
+The full payload persists to ``bench_full_r{N}.json``. N is derived
+as max(BENCH_r*.json)+1, which assumes bench runs BEFORE the driver
+writes this round's BENCH artifact; pass SPARK_GRAFT_BENCH_ROUND=N to
+pin it explicitly. A derived N never overwrites an existing file
+(collision → warn + skip), so a double run can't clobber the artifact
+``tools/bench_compare.py`` pairs with the driver's BENCH_r{N}.json.
 """
 
 from __future__ import annotations
@@ -22,7 +38,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from parquet_stream_writer_spark.operators import all_queries  # noqa: E402
+from parquet_stream_writer_spark.operators import all_queries, dedup  # noqa: E402
 from parquet_stream_writer_spark.session import get_session  # noqa: E402
 
 
@@ -30,6 +46,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     sf = float(Path(sf_dir).name.removeprefix("sf") or 0) if "sf" in Path(sf_dir).name else 0.1
+    cold = "--cold" in sys.argv[1:] or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+
+    # Count memo traffic per query so the payload can mark which keys
+    # rode (or populated) the shared dedup mining memo — their
+    # per-query numbers are run-order dependent in warm mode.
+    memo_calls = {"n": 0}
+    _orig_memo = dedup._memo
+
+    def _counting_memo(*args, **kwargs):
+        memo_calls["n"] += 1
+        return _orig_memo(*args, **kwargs)
+
+    dedup._memo = _counting_memo
 
     spark = get_session("bench")
     # Warm the JVM + vectorized parquet read path so the first timed
@@ -48,11 +77,15 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
     t_start = time.perf_counter()
     timings: dict[str, float] = {}
+    memo_shared: list[str] = []
     for name, fn in sorted(all_queries().items()):
         reps = repeats if (time.perf_counter() - t_start) < budget else 1
         runs: list[float] = []
         failed = False
+        calls_before = memo_calls["n"]
         for _ in range(reps):
+            if cold:
+                dedup.clear_dedup_memo()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -62,6 +95,8 @@ def main() -> None:
                 failed = True
                 break
         timings[name] = -1.0 if failed or not runs else round(statistics.median(runs), 3)
+        if memo_calls["n"] > calls_before:
+            memo_shared.append(name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
@@ -73,6 +108,11 @@ def main() -> None:
         # diffs over that transition read as regressions).
         "agg": "median",
         "repeats": repeats,
+        # Keys whose lineage touched the shared dedup mining memo:
+        # their per-query numbers are run-order dependent unless
+        # mode == "cold" (ADVICE r4).
+        "memo_shared": sorted(memo_shared),
+        "mode": "cold" if cold else "warm",
         "queries": timings,
         "sf": sf,
     }
@@ -84,13 +124,29 @@ def main() -> None:
     # driver artifacts alone.  N = next round after the recorded ones.
     try:
         here = Path(__file__).resolve().parent
-        rounds = [
-            int(m.group(1))
-            for p in here.glob("BENCH_r*.json")
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p.name))
-        ]
-        n_round = max(rounds, default=0) + 1
-        (here / f"bench_full_r{n_round:02d}.json").write_text(json.dumps(payload))
+        pinned = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+        if pinned is not None:
+            n_round = int(pinned)  # explicit round may overwrite
+            (here / f"bench_full_r{n_round:02d}.json").write_text(json.dumps(payload))
+        else:
+            rounds = [
+                int(m.group(1))
+                for p in here.glob("BENCH_r*.json")
+                if (m := re.search(r"BENCH_r(\d+)\.json$", p.name))
+            ]
+            n_round = max(rounds, default=0) + 1
+            target = here / f"bench_full_r{n_round:02d}.json"
+            if target.exists():
+                # A second run this round (or the driver already wrote
+                # BENCH_r{N}) — never clobber the artifact
+                # bench_compare.py pairs with the driver's file.
+                print(
+                    f"bench: {target.name} exists; NOT overwriting "
+                    "(pin SPARK_GRAFT_BENCH_ROUND to force)",
+                    file=sys.stderr,
+                )
+            else:
+                target.write_text(json.dumps(payload))
     except OSError as exc:
         print(f"bench: could not persist bench_full: {exc}", file=sys.stderr)
     spark.stop()

@@ -11,12 +11,21 @@ Prints queries whose best-of-N time moved by more than ``--threshold``
 (default 2.0×) in either direction, plus totals.  Exit code 1 iff any
 query regressed beyond the threshold (new queries and sub-threshold
 moves are informational only).
+
+Per-query ratios are normalized by the MEDIAN ratio across all
+comparable queries ("load factor") before thresholding: two runs from
+different harnesses routinely differ by a uniform ~1.2-1.5× (round 4:
+builder 73.0 s vs driver 89.1 s with every untouched trivial query
+shifted by the same ratio), and without normalization that uniform
+shift reads as dozens of fake regressions.  ``--no-normalize``
+restores raw ratios.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 
 
 def load(path: str) -> dict:
@@ -68,22 +77,31 @@ def main() -> int:
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument(
+        "--no-normalize",
+        action="store_true",
+        help="threshold raw ratios instead of load-factor-normalized ones",
+    )
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    ratios = {
+        name: nq[name] / oq[name]
+        for name in nq
+        if oq.get(name) is not None and oq[name] > 0 and nq[name] > 0
+    }
+    load_factor = 1.0
+    if not args.no_normalize and len(ratios) >= 5:
+        load_factor = statistics.median(ratios.values())
     regressed = []
     improved = []
-    for name in sorted(nq):
-        t_new = nq[name]
-        t_old = oq.get(name)
-        if t_old is None or t_old <= 0 or t_new <= 0:
-            continue
-        ratio = t_new / t_old
+    for name, raw in sorted(ratios.items()):
+        ratio = raw / load_factor
         if ratio >= args.threshold:
-            regressed.append((ratio, name, t_old, t_new))
+            regressed.append((ratio, name, oq[name], nq[name]))
         elif ratio <= 1 / args.threshold:
-            improved.append((ratio, name, t_old, t_new))
+            improved.append((ratio, name, oq[name], nq[name]))
     for ratio, name, t_old, t_new in sorted(regressed, reverse=True):
         print(f"REGRESSED {ratio:5.2f}x  {name}: {t_old}s -> {t_new}s")
     for ratio, name, t_old, t_new in sorted(improved):
@@ -91,6 +109,8 @@ def main() -> int:
     print(
         f"totals: old={old.get('value')}s ({len(oq)} queries) "
         f"new={new.get('value')}s ({len(nq)} queries); "
+        f"load_factor={round(load_factor, 3)} "
+        f"(normalized={not args.no_normalize and len(ratios) >= 5}); "
         f"{len(regressed)} regressed / {len(improved)} improved beyond "
         f"{args.threshold}x"
     )
