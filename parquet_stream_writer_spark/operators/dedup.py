@@ -1302,3 +1302,68 @@ FROM bucketed GROUP BY split
 
 QUERIES["sample_split_leakage_safe"] = sample_split_leakage_safe
 ORACLE["sample_split_leakage_safe"] = ORACLE_SAMPLE_SPLIT_LEAKAGE_SAFE
+
+
+# ---------------------------------------------------------------------------
+# Boundary overlap (chunk-split document detection)
+# ---------------------------------------------------------------------------
+
+#: Tokens compared at each document boundary (head = first N tokens,
+#: tail = last N).
+_BOUNDARY_TOKENS = 3
+
+
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect document pairs where one doc's TAIL equals another's
+    HEAD (first/last ``_BOUNDARY_TOKENS`` tokens) — the signature of a
+    document split into chunks by an upstream extractor, or of
+    boilerplate stitched across records. Near-dup methods miss these
+    (two halves of a split share few shingles overall); training on
+    them double-counts the seam text and leaks continuations across
+    splits.
+
+    Emits (lead_doc, follow_doc, boundary): ``lead_doc``'s last N
+    tokens == ``follow_doc``'s first N. Scale shape: one corpus scan
+    derives both boundary keys map-side (array ``slice`` on the token
+    array — no explode), then a single hash-equi self-join on the
+    boundary string. At 100 TB key on ``xxhash64(boundary)`` to keep
+    the shuffle fixed-width; the raw string keeps the oracle trivial
+    here (same tradeoff as :func:`dedup_exact`).
+    """
+    n = _BOUNDARY_TOKENS
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).where(F.size("t") >= n)
+    head = F.concat_ws(" ", F.slice("t", 1, n))
+    tail = F.concat_ws(" ", F.slice("t", -n, n))
+    heads = docs.select(F.col("doc_id").alias("follow_doc"), head.alias("boundary"))
+    tails = docs.select(F.col("doc_id").alias("lead_doc"), tail.alias("boundary"))
+    return (
+        tails.join(heads, "boundary")
+        .where(F.col("lead_doc") != F.col("follow_doc"))
+        .select("lead_doc", "follow_doc", "boundary")
+    )
+
+
+ORACLE_DEDUP_BOUNDARY_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {_BOUNDARY_TOKENS}),
+heads AS (
+  SELECT doc_id AS follow_doc,
+         array_to_string(list_slice(t, 1, {_BOUNDARY_TOKENS}), ' ') AS boundary
+  FROM sized),
+tails AS (
+  SELECT doc_id AS lead_doc,
+         array_to_string(list_slice(t, n - {_BOUNDARY_TOKENS} + 1, n), ' ')
+           AS boundary
+  FROM sized)
+SELECT t.lead_doc, h.follow_doc, t.boundary
+FROM tails t JOIN heads h USING (boundary)
+WHERE t.lead_doc <> h.follow_doc
+"""
+
+
+QUERIES["dedup_boundary_overlap"] = dedup_boundary_overlap
+ORACLE["dedup_boundary_overlap"] = ORACLE_DEDUP_BOUNDARY_OVERLAP

@@ -846,3 +846,72 @@ SELECT lang, rk, doc_id FROM (
 
 QUERIES["sample_class_balanced"] = sample_class_balanced
 ORACLE["sample_class_balanced"] = ORACLE_SAMPLE_CLASS_BALANCED
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling (quality-proportional, deterministic)
+# ---------------------------------------------------------------------------
+
+#: Acceptance probability at the maximum weight (the longest doc).
+_IMP_BASE_RATE = 0.5
+#: Fine-grained bucket space for fractional acceptance thresholds.
+_IMP_BUCKETS = 10000
+
+
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a deterministic accept rule: each doc
+    is kept with probability proportional to a quality weight — here
+    ``sqrt(n_chars / max_chars)`` (sub-linear, the standard tempering
+    that favors substantive documents without letting the longest
+    dominate) scaled so the best doc is kept at ``_IMP_BASE_RATE``.
+
+    No RNG anywhere: accept iff ``hash_bucket(doc_id) < threshold``,
+    with the bucket the same content-hash used by every sampler in
+    this pack — stable under re-runs, repartitioning, and scale-out,
+    and exactly reproducible by the oracle (thresholds are computed
+    with the shared 0.5-rounding so both engines make identical
+    accept decisions at every boundary). The max weight is a 1-row
+    aggregate joined back broadcast; everything else is map-side over
+    one scan. Emits the accepted docs with their audit columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    bucket = F.expr(
+        f"(cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)"
+        f" as bigint) % {_IMP_BUCKETS})"
+    )
+    threshold = F.floor(
+        F.lit(_IMP_BASE_RATE * _IMP_BUCKETS)
+        * F.sqrt(F.col("n_chars") / F.col("max_chars"))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            bucket.cast("long").alias("bucket"),
+            threshold.alias("threshold"),
+        )
+        .where(F.col("bucket") < F.col("threshold"))
+    )
+
+
+ORACLE_SAMPLE_IMPORTANCE_WEIGHTED = f"""
+WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents),
+scored AS (
+  SELECT doc_id, source, n_chars,
+         CAST({_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % {_IMP_BUCKETS}
+              AS BIGINT) AS bucket,
+         CAST(floor({_IMP_BASE_RATE * _IMP_BUCKETS}
+                    * sqrt(n_chars * 1.0 / max_chars) + 0.5) AS BIGINT)
+           AS threshold
+  FROM documents CROSS JOIN mx)
+SELECT doc_id, source, n_chars, bucket, threshold
+FROM scored WHERE bucket < threshold
+"""
+
+
+QUERIES["sample_importance_weighted"] = sample_importance_weighted
+ORACLE["sample_importance_weighted"] = ORACLE_SAMPLE_IMPORTANCE_WEIGHTED

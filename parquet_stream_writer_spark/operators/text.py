@@ -1377,3 +1377,79 @@ GROUP BY fl.source
 
 QUERIES["text_quality_psi"] = text_quality_psi
 ORACLE["text_quality_psi"] = ORACLE_TEXT_QUALITY_PSI
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality filter
+# ---------------------------------------------------------------------------
+
+#: Docs whose character-level Shannon entropy (bits) falls below this
+#: are flagged — the classic gibberish/boilerplate screen (encoded
+#: blobs and repeated-character spam sit far below natural text's
+#: ~4.1-4.3 bits/char; the threshold splits the synthetic corpus too).
+_ENTROPY_MIN_BITS = 4.0
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) and a
+    low-entropy verdict — the C4/Gopher-family screen for encoded
+    blobs, repeated-character spam, and template boilerplate, which
+    token-level heuristics miss.
+
+    One identity: ``H = log2(T) - (Σ c·log2 c)/T`` over per-character
+    counts ``c`` (total ``T``), so the whole computation is two hash
+    aggregations — explode to (doc_id, char), count, then one per-doc
+    fold. Both aggregations partial-aggregate map-side, so the only
+    shuffle rows are the ≤ ~100 distinct (doc, char) pairs per
+    document, NOT the exploded character stream — the shape that
+    survives a 100 TB corpus. The verdict thresholds the 6-dp ROUNDED
+    entropy so both engines classify identically at the boundary.
+    """
+    chars = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    entropy = pround(
+        F.log2("n_chars_counted") - F.col("s") / F.col("n_chars_counted"), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        entropy.alias("entropy_bits"),
+        F.when(entropy < _ENTROPY_MIN_BITS, F.lit("low_entropy"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )
+
+
+ORACLE_TEXT_CHAR_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_chars_counted,
+         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         sum(c * log2(c)) AS s
+  FROM counts GROUP BY doc_id),
+scored AS (
+  SELECT doc_id, n_chars_counted, n_distinct_chars,
+         floor((log2(n_chars_counted) - s / n_chars_counted) * 1000000 + 0.5)
+           / 1000000.0 AS entropy_bits
+  FROM per_doc)
+SELECT doc_id, n_chars_counted, n_distinct_chars, entropy_bits,
+       CASE WHEN entropy_bits < {_ENTROPY_MIN_BITS} THEN 'low_entropy'
+            ELSE 'ok' END AS verdict
+FROM scored
+"""
+
+
+QUERIES["text_char_entropy"] = text_char_entropy
+ORACLE["text_char_entropy"] = ORACLE_TEXT_CHAR_ENTROPY

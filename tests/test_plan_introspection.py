@@ -68,6 +68,7 @@ _SORT_AGG_OK = set()
 #: audit cross joins), k-row codebook broadcasts, or the genuinely
 #: non-equi range join. Every build side is O(1)–O(k) rows.
 _NLJ_OK = {
+    "sample_importance_weighted",  # 1-row max-weight broadcast
     "dedup_cluster_size_profile",
     "dedup_lsh_recall_audit",
     "multimodal_shard_manifest",

@@ -149,10 +149,91 @@ def test_registry_fronts_unverified_and_stale_queries():
 
     def rank(key):
         green, rnd = verdicts.get(key, (False, 0))
-        return (0, 0) if (not green or key in stale) else (1, rnd)
+        if not green:
+            return (0, 0)
+        return (1, rnd) if key in stale else (2, rnd)
 
     ranks = [rank(k) for k in keys]
     assert ranks == sorted(ranks), "registry not ordered by verdict need"
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _with_docs(spark, tmp_path, rows):
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    _docs_df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "documents.parquet")
+    )
+    return str(sf)
+
+
+def test_boundary_overlap_detects_chunk_splits(spark, tmp_path):
+    """doc1's last 3 tokens == doc2's first 3 → exactly the (1, 2)
+    seam; too-short docs and non-overlapping docs contribute nothing;
+    a doc whose own head equals its tail must not self-pair."""
+    from parquet_stream_writer_spark.operators.dedup import dedup_boundary_overlap
+
+    sf = _with_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d e f", "en", "s", 11),
+            (2, "d e f x y z", "en", "s", 11),
+            (3, "q w e r t y", "en", "s", 11),
+            (4, "p q", "en", "s", 3),          # < 3 tokens: ignored
+            (5, "m n o m n o", "en", "s", 11),  # head == tail: no self-pair
+        ],
+    )
+    rows = dedup_boundary_overlap(spark, sf).collect()
+    assert {(r["lead_doc"], r["follow_doc"], r["boundary"]) for r in rows} == {
+        (1, 2, "d e f")
+    }
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """H('aaaa') = 0 (low_entropy); 16 equiprobable chars = exactly
+    4 bits (NOT below the 4.0 threshold → ok); 'aabb' = 1 bit."""
+    from parquet_stream_writer_spark.operators.text import text_char_entropy
+
+    uniform16 = "abcdefghijklmnop"
+    sf = _with_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "aaaa", "en", "s", 4),
+            (2, uniform16, "en", "s", 16),
+            (3, "aabb", "en", "s", 4),
+        ],
+    )
+    out = {r["doc_id"]: r for r in text_char_entropy(spark, sf).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["verdict"] == "low_entropy"
+    assert out[2]["entropy_bits"] == 4.0 and out[2]["verdict"] == "ok"
+    assert out[3]["entropy_bits"] == 1.0 and out[3]["verdict"] == "low_entropy"
+    assert out[2]["n_distinct_chars"] == 16
+
+
+def test_importance_weighted_thresholds_scale_with_quality(spark, tmp_path):
+    """The longest doc's threshold equals the base rate; shorter docs
+    get sqrt-proportionally smaller thresholds (sub-linear tempering);
+    every accepted row satisfies bucket < threshold."""
+    from parquet_stream_writer_spark.operators.pipeline import (
+        _IMP_BASE_RATE,
+        _IMP_BUCKETS,
+        sample_importance_weighted,
+    )
+
+    rows = [(i, f"doc {i}", "en", "s", n) for i, n in enumerate([100, 400, 1600])]
+    sf = _with_docs(spark, tmp_path, rows)
+    out = sample_importance_weighted(spark, sf).collect()
+    for r in out:
+        assert r["bucket"] < r["threshold"]
+        expected = int((r["n_chars"] / 1600) ** 0.5 * _IMP_BASE_RATE * _IMP_BUCKETS + 0.5)
+        assert r["threshold"] == expected
 
 
 def test_query_hash_covers_module_helpers(tmp_path):
