@@ -179,26 +179,37 @@ _HASH_SNAPSHOT = "QUERY_SOURCE_HASHES.json"
 
 
 def _module_helper_hash(mod) -> str:
-    """sha256 of an operator module's HELPER text: the full module
-    source minus the registered query functions' own bodies.  Editing
-    one query function therefore floats only that key, while editing
-    shared helpers (the dedup mining core, a decode kernel, an oracle
-    CTE, a module constant) floats every key of the module — the
-    round-4 gap where a mining-core rewrite left its dependents'
-    driver verdicts stale (VERDICT r4 §missing-2)."""
+    """sha256 over the sources of an operator module's HELPER
+    functions — every module-level function that is NOT itself a
+    registered query.  Editing a shared helper (the dedup mining
+    core, a decode kernel, a kernel the queries execute) floats every
+    key of the module — the round-4 gap where a mining-core rewrite
+    left its dependents' driver verdicts stale (VERDICT r4
+    §missing-2).  Deliberately NOT a whole-module-text hash: APPENDING
+    a sibling query (+ its oracle constant) must not float the keys
+    it cannot affect, or every module extension floods the 50-key
+    driver window with spuriously-stale keys.  Module constants a
+    query depends on are covered via the key's evaluated oracle
+    string (interpolated f-strings) or the helper bodies that use
+    them; a constant referenced only by name inside a query function
+    is the one residual blind spot (verdict-age rotation backstops)."""
     import hashlib
     import inspect
 
-    try:
-        text = inspect.getsource(mod)
-    except (OSError, TypeError):
-        return "unhashable"
-    for fn in getattr(mod, "QUERIES", {}).values():
-        try:
-            text = text.replace(inspect.getsource(fn), "", 1)
-        except (OSError, TypeError):
-            continue
-    return hashlib.sha256(text.encode()).hexdigest()
+    query_fns = {id(f) for f in getattr(mod, "QUERIES", {}).values()}
+    parts = []
+    for name in sorted(vars(mod)):
+        obj = vars(mod)[name]
+        if (
+            inspect.isfunction(obj)
+            and obj.__module__ == mod.__name__
+            and id(obj) not in query_fns
+        ):
+            try:
+                parts.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                parts.append(name)
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
 def _xmodule_helper_sources(mod) -> list[str]:
@@ -245,6 +256,13 @@ def query_source_hash(fn) -> str:
     if mod is not None and hasattr(mod, "QUERIES"):
         parts.append(_module_helper_hash(mod))
         parts.extend(_xmodule_helper_sources(mod))
+        # The key's EVALUATED oracle SQL: covers module constants a
+        # query interpolates into its oracle (cap/threshold edits
+        # change the comparison itself, so they must re-verify).
+        oracle = getattr(mod, "ORACLE", {})
+        for key, val in getattr(mod, "QUERIES", {}).items():
+            if val is fn and key in oracle:
+                parts.append(oracle[key])
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
@@ -272,11 +290,15 @@ def _prioritized(merged: dict) -> dict:
     """Order the registry so the driver's 50-key prefix window always
     covers the keys most in need of a fresh verdict:
 
-    1. keys with no green verdict, or whose source changed since the
-       committed hash snapshot (regressions / new / edited queries);
-    2. green keys, OLDEST verdict round first — so stale r1/r2
-       verdicts rotate through the window before recently-verified
-       keys burn a slot.
+    1. keys with no green verdict at all (new queries, regressions) —
+       these MUST land in the window;
+    2. green keys whose source changed since the committed hash
+       snapshot (edited queries / rewritten helpers), oldest verdict
+       first — re-verification is due, but an old green verdict still
+       exists if the window overflows;
+    3. untouched green keys, OLDEST verdict round first — so stale
+       r1/r2 verdicts rotate through the window before
+       recently-verified keys burn a slot.
 
     Within each tier the static ``_PRIORITY`` seed order is kept
     (Python's sort is stable)."""
@@ -287,9 +309,11 @@ def _prioritized(merged: dict) -> dict:
 
     def rank(key: str) -> tuple[int, int]:
         green, rnd = verdicts.get(key, (False, 0))
-        if not green or key in stale:
+        if not green:
             return (0, 0)
-        return (1, rnd)
+        if key in stale:
+            return (1, rnd)
+        return (2, rnd)
 
     return {k: seeded[k] for k in sorted(seeded, key=rank)}
 
