@@ -574,6 +574,41 @@ def test_basket_affinity_support_join_not_hinted_broadcast(spark):
     assert analyzed.count("ResolvedHint") == 1, analyzed
 
 
+def test_boundary_overlap_join_not_hinted_broadcast(spark):
+    """Both sides of the boundary self-join are one row per document
+    (corpus-sized at 100 TB): no broadcast hint anywhere — the planner
+    may still elect broadcast at small SF from size estimates."""
+    from parquet_stream_writer_spark.operators import dedup
+
+    df = dedup.dedup_boundary_overlap(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_char_entropy_shuffles_distinct_pairs_not_char_stream(spark):
+    """The entropy fold must be two hash aggregations with map-side
+    partials: the (doc, char) count aggregates BEFORE its exchange
+    (shuffle rows = distinct pairs, not the exploded char stream), and
+    no SortAggregate anywhere (string group keys stay hash-based)."""
+    from parquet_stream_writer_spark.operators import text
+    from parquet_stream_writer_spark.plans import summarize
+
+    df = text.text_char_entropy(spark, SF_DIR)
+    p = plan(spark, df)
+    s = summarize(df)
+    assert s.nodes.get("SortAggregate", 0) == 0, s.nodes
+    # partial+final for both folds; with the scan pre-partitioned on
+    # doc_id all four colocate after ONE exchange (zero post-explode
+    # shuffle); without the pre-partition the pair agg still partials
+    # map-side. Either way: never more than two exchanges, and the
+    # exploded char stream itself never crosses one (Generate sits
+    # directly under the aggregation, above any Exchange).
+    assert s.nodes.get("HashAggregate", 0) >= 4, s.nodes
+    assert p.count("- Exchange") <= 2, p  # tree nodes, not detail lines
+    # the (doc, char) count partial-aggregates map-side (2 group keys)
+    assert "partial_count" in p, p
+
+
 def test_cc_edges_keep_hash_partitioning(spark):
     """The connected-components edge set must stay hash-partitioned on
     the propagation join key — a single-partition collapse
