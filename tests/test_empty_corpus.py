@@ -32,6 +32,10 @@ _RATIO_KEYS = (
     "agg_moments",
     "orders_basket_affinity",
     "sample_temperature_mix",
+    # r5 additions: weight = sqrt(n_chars / max) with a null max over
+    # an empty corpus; entropy divides by the per-doc char total.
+    "sample_importance_weighted",
+    "text_char_entropy",
 )
 
 
