@@ -2318,3 +2318,73 @@ CROSS JOIN n
 
 QUERIES["orders_basket_affinity"] = orders_basket_affinity
 ORACLE["orders_basket_affinity"] = ORACLE_ORDERS_BASKET_AFFINITY
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 — small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+#: Brands probed by Q17 (the spec's single brand+container pair widened to a
+#: brand set so the result is multi-row; this corpus has no p_container).
+_Q17_BRANDS = ("Brand#11", "Brand#22", "Brand#33", "Brand#44")
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue that would be lost if orders for
+    less than 20% of a part's average quantity were no longer filled,
+    per probed brand.
+
+    The spec's correlated scalar subquery (``l_quantity < (SELECT 0.2 *
+    avg(l_quantity) ... WHERE l2.l_partkey = p_partkey)``) is expressed
+    decorrelated by construction: ONE lineitem scan pruned by a
+    broadcast join against the filtered brand's parts, then a per-part
+    window average over that pruned slice, then the threshold filter
+    and the per-brand rollup.  No second fact-table pass, no per-row
+    subquery: the window shuffle is keyed on l_partkey and only moves
+    the ~4/25 of lineitem that survives the broadcast-join prune.
+    Safe at 100 TB: part is dimension-sized (broadcast), everything
+    else is partial-aggregated or windowed on the join key.
+
+    Determinism: l_quantity is integer-valued, so avg = exact-sum /
+    count is bit-identical across engines and the 0.2× threshold
+    comparison cannot straddle a rounding difference.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand").isin(*_Q17_BRANDS))
+    pruned = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_Q17 = f"""
+WITH pruned AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice, p.p_brand
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand IN {_Q17_BRANDS!r}
+),
+flagged AS (
+  SELECT p_brand, l_quantity, l_extendedprice,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM pruned
+)
+SELECT p_brand,
+       floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100.0 AS avg_yearly
+FROM flagged
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+QUERIES["q17_small_quantity_revenue"] = q17_small_quantity_revenue
+ORACLE["q17_small_quantity_revenue"] = ORACLE_Q17

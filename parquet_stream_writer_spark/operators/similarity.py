@@ -1036,3 +1036,285 @@ FROM ranked WHERE rk <= {_N_OUTLIERS}
 
 QUERIES["embedding_centroid_outliers"] = embedding_centroid_outliers
 ORACLE["embedding_centroid_outliers"] = ORACLE_EMBEDDING_CENTROID_OUTLIERS
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse cells + product-quantized candidate ranking
+# ---------------------------------------------------------------------------
+
+#: PQ layout: _IVFPQ_M subspaces of _IVFPQ_SUBDIM dims, _IVFPQ_K codewords each.
+_IVFPQ_M = 8
+_IVFPQ_K = 8
+_IVFPQ_SUBDIM = _DIM // _IVFPQ_M
+
+
+def _pq_codebooks() -> np.ndarray:
+    """Fixed PQ codebooks (stand-in for per-subspace k-means, like
+    ``_centroids`` for the coarse quantizer), shape (m, k, subdim),
+    rounded so their decimal literals parse to identical doubles in
+    Spark and DuckDB."""
+    rng = np.random.RandomState(13)
+    return np.round(rng.standard_normal((_IVFPQ_M, _IVFPQ_K, _IVFPQ_SUBDIM)) * 0.5, 4)
+
+
+def _l2(a: F.Column, b: F.Column) -> F.Column:
+    """Euclidean distance between two array<double> columns via a JVM
+    left-fold — same element order as DuckDB's list_distance, so the
+    doubles match bitwise."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _arr_lit(vals) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse cells prune the corpus (same 8-cell coarse
+    quantizer as :func:`similarity_ivf`), then candidates are ranked by
+    the PQ *approximate* distance — the L2 between the query and the
+    candidate's PQ reconstruction (mathematically the ADC distance).
+
+    This is the index shape real billion-vector systems ship (FAISS
+    IVFPQ): the corpus stores only (cell, 8×3-bit codes) ≈ bytes per
+    vector instead of 256 B of floats, queries touch nprobe/ncells of
+    the data, and ranking never reads the original vectors.  Here both
+    stages are map-side projections against literal codebooks and the
+    candidate join is cell-equi against a broadcast query set — at
+    100 TB the cell id becomes the partition key and the codes column
+    replaces the embedding column in the scan (column pruning does the
+    shrinking).
+
+    Everything is deterministic: codebooks are fixed 4-dp literals,
+    encode/argmin uses first-min positions, distances fold in array
+    order on both engines.
+    """
+    cents = _centroids()
+    cbs = _pq_codebooks()
+    emb = _emb(spark, sf_dir)
+
+    # Coarse assignment (identical to similarity_ivf).
+    with_d = emb.withColumn(
+        "dists", F.array(*[_l2(F.col("emb"), _arr_lit(c)) for c in cents])
+    )
+    with_c1 = with_d.withColumn(
+        "cell", F.array_position(F.col("dists"), F.array_min("dists")).cast("int")
+    )
+    masked = F.transform(
+        F.col("dists"),
+        lambda d: F.when(d == F.array_min("dists"), F.lit(1e18)).otherwise(d),
+    )
+    assigned = with_c1.withColumn(
+        "cell2", F.array_position(masked, F.array_min(masked)).cast("int")
+    ).drop("dists")
+
+    # PQ encode: per-subspace nearest codeword, then the reconstruction
+    # the ADC distance ranks against.  At scale only (vec_id, cell,
+    # recon-codes) persist in the index; emb is dropped.
+    recon_parts = []
+    for m in range(_IVFPQ_M):
+        sub = F.slice(F.col("emb"), m * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM)
+        cdists = F.array(*[_l2(sub, _arr_lit(cbs[m][j])) for j in range(_IVFPQ_K)])
+        code = F.array_position(cdists, F.array_min(cdists))
+        codebook = F.array(*[_arr_lit(cbs[m][j]) for j in range(_IVFPQ_K)])
+        recon_parts.append(F.element_at(codebook, code.cast("int")))
+    encoded = assigned.withColumn("recon", F.flatten(F.array(*recon_parts)))
+
+    queries = encoded.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("cell").alias("p1"),
+        F.col("cell2").alias("p2"),
+    )
+    scored = encoded.join(
+        F.broadcast(queries),
+        ((F.col("cell") == F.col("p1")) | (F.col("cell") == F.col("p2")))
+        & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        "vec_id",
+        "cell",
+        pround(_l2(F.col("qemb"), F.col("recon")), 4).alias("adc_dist"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("qid", "vec_id", "cell", "adc_dist", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _sql_pq_codebook(m: int) -> str:
+    """DuckDB literal for subspace m's codebook: list of k sub-vectors."""
+    cbs = _pq_codebooks()
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in cbs[m][j]) + "]" for j in range(_IVFPQ_K)
+    )
+    return f"[{rows}]::DOUBLE[][]"
+
+
+def _sql_pq_recon(col: str) -> str:
+    """DuckDB expression reconstructing ``col`` from its PQ codes."""
+    parts = []
+    for m in range(_IVFPQ_M):
+        sub = f"{col}[{m * _IVFPQ_SUBDIM + 1}:{(m + 1) * _IVFPQ_SUBDIM}]"
+        cdists = (
+            "["
+            + ", ".join(
+                f"list_distance({sub}, list_extract({_sql_pq_codebook(m)}, {j + 1}))"
+                for j in range(_IVFPQ_K)
+            )
+            + "]"
+        )
+        parts.append(
+            f"list_extract({_sql_pq_codebook(m)}, "
+            f"CAST(list_position({cdists}, list_min({cdists})) AS INTEGER))"
+        )
+    return "flatten([" + ", ".join(parts) + "])"
+
+
+ORACLE_SIMILARITY_IVF_PQ = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (
+  SELECT vec_id, emb,
+         [{", ".join(f"list_distance(emb, {_sql_centroid(i)})" for i in range(_N_CELLS))}] AS dists
+  FROM emb
+),
+c1 AS (
+  SELECT vec_id, emb, dists,
+         CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell,
+         list_transform(dists, x -> CASE WHEN x = list_min(dists) THEN 1e18 ELSE x END) AS masked
+  FROM d
+),
+assigned AS (
+  SELECT vec_id, emb, cell,
+         CAST(list_position(masked, list_min(masked)) AS INTEGER) AS cell2
+  FROM c1
+),
+encoded AS (
+  SELECT vec_id, emb, cell, cell2, {_sql_pq_recon("emb")} AS recon
+  FROM assigned
+),
+q AS (
+  SELECT vec_id AS qid, emb AS qemb, cell AS p1, cell2 AS p2
+  FROM encoded WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, e.vec_id, e.cell,
+         floor(list_distance(q.qemb, e.recon) * 10000 + 0.5) / 10000.0 AS adc_dist
+  FROM encoded e JOIN q
+    ON (e.cell = q.p1 OR e.cell = q.p2) AND e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cell, adc_dist,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, cell, adc_dist, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {_TOP_K}
+"""
+
+
+QUERIES["similarity_ivf_pq"] = similarity_ivf_pq
+ORACLE["similarity_ivf_pq"] = ORACLE_SIMILARITY_IVF_PQ
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic pruning — cluster, then prune within cluster
+# ---------------------------------------------------------------------------
+
+#: Rounded-cosine threshold above which a same-cluster vector with a
+#: lower id supersedes this one (SemDeDup's epsilon).
+_SEMDEDUP_TAU = 0.45
+
+
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    embedding space into clusters, compare pairs ONLY within a cluster,
+    and prune every vector that has a near-duplicate (rounded cosine ≥
+    τ) with a smaller vec_id in its cluster.  Returns the per-cluster
+    audit: size, pruned count, keep ratio.
+
+    The cluster proxy is the deterministic random-hyperplane bucket
+    (:func:`_bucket_expr` — k-means cluster ids aren't reproducible in
+    SQL; hyperplane buckets are, and play the same role: restrict the
+    quadratic pairwise check to a ~1/256 slice of the corpus).  The
+    pruning pass is a bucket-equi self-join — at 100 TB the bucket is
+    the partition key, so each task sees one bucket and the all-pairs
+    cost is bounded per bucket exactly like ``_BUCKET_CAP`` bounds the
+    MinHash-LSH candidate blowup.  Keep-lowest-id is SemDeDup's
+    deterministic representative rule.
+    """
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _bucket_expr("emb").cast("int")
+    )
+    left = emb.select("vec_id", "emb", "bucket")
+    lower = emb.select(
+        F.col("vec_id").alias("lo_id"),
+        F.col("emb").alias("lo_emb"),
+        F.col("bucket").alias("lo_bucket"),
+    )
+    pruned_ids = (
+        left.join(
+            lower,
+            (F.col("bucket") == F.col("lo_bucket"))
+            & (F.col("lo_id") < F.col("vec_id"))
+            & (
+                pround(cosine_similarity(F.col("emb"), F.col("lo_emb")), 4)
+                >= F.lit(_SEMDEDUP_TAU)
+            ),
+            "left_semi",
+        )
+        .select("vec_id", "bucket")
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        left.select("vec_id", "bucket")
+        .join(pruned_ids.select("vec_id", "is_pruned"), "vec_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.coalesce(F.sum("is_pruned"), F.lit(0)).alias("n_pruned"),
+        )
+        .withColumn(
+            "keep_ratio",
+            pround((F.col("n_vecs") - F.col("n_pruned")) / F.col("n_vecs"), 4),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_DEDUP_SEMDEDUP_PRUNE = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         CAST({_sql_bucket("embedding::DOUBLE[]")} AS INTEGER) AS bucket
+  FROM embeddings
+),
+pruned AS (
+  SELECT a.vec_id
+  FROM emb a
+  WHERE EXISTS (
+    SELECT 1 FROM emb b
+    WHERE b.bucket = a.bucket AND b.vec_id < a.vec_id
+      AND floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000.0
+          >= {_SEMDEDUP_TAU}
+  )
+)
+SELECT e.bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+       floor(((count(*) - count(p.vec_id)) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0
+         AS keep_ratio
+FROM emb e LEFT JOIN pruned p ON e.vec_id = p.vec_id
+GROUP BY e.bucket
+ORDER BY e.bucket
+"""
+
+
+QUERIES["dedup_semdedup_prune"] = dedup_semdedup_prune
+ORACLE["dedup_semdedup_prune"] = ORACLE_DEDUP_SEMDEDUP_PRUNE

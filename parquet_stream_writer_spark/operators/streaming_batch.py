@@ -1006,3 +1006,82 @@ FROM ranked GROUP BY w_start
 
 QUERIES["events_windowed_dedup"] = events_windowed_dedup
 ORACLE["events_windowed_dedup"] = ORACLE_EVENTS_WINDOWED_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width value histogram
+# ---------------------------------------------------------------------------
+
+#: Histogram bin width / top bin index for the events value histogram.
+_HIST_WIDTH = 50.0
+_HIST_MAX_BIN = 9
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type, with each
+    bin's share of its type — the one-pass distribution profile a
+    monitoring dashboard reads.
+
+    The bin index is computed with explicit ``floor(value / width)``
+    arithmetic (one IEEE-754 division + floor, bit-identical across
+    engines) instead of an engine ``width_bucket``, whose boundary
+    formula is implementation-defined.  One hash aggregate keyed on
+    (type, bin) — partial-aggregated map-side, so the shuffle carries
+    at most types × bins rows per task regardless of input size; the
+    share is a window over the tiny aggregate, not the raw data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("value") / _HIST_WIDTH),
+            F.lit(_HIST_MAX_BIN).cast("long"),
+        ),
+    )
+    agg = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        agg.withColumn(
+            "share", pround(F.col("n_events") / F.sum("n_events").over(w), 4)
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * _HIST_WIDTH).alias("bin_lo"),
+            ((F.col("bin") + 1) * _HIST_WIDTH).alias("bin_hi"),
+            "n_events",
+            "sum_value",
+            "share",
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+ORACLE_EVENTS_VALUE_HISTOGRAM = f"""
+WITH binned AS (
+  SELECT event_type,
+         least(CAST(floor(value / {_HIST_WIDTH}) AS BIGINT), {_HIST_MAX_BIN}) AS bin,
+         value
+  FROM events
+),
+agg AS (
+  SELECT event_type, bin,
+         count(*) AS n_events,
+         floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value
+  FROM binned GROUP BY event_type, bin
+)
+SELECT event_type, bin,
+       bin * {_HIST_WIDTH} AS bin_lo,
+       (bin + 1) * {_HIST_WIDTH} AS bin_hi,
+       n_events, sum_value,
+       floor((n_events * 1.0 / sum(n_events) OVER (PARTITION BY event_type)) * 10000 + 0.5) / 10000.0 AS share
+FROM agg
+ORDER BY event_type, bin
+"""
+
+
+QUERIES["events_value_histogram"] = events_value_histogram
+ORACLE["events_value_histogram"] = ORACLE_EVENTS_VALUE_HISTOGRAM

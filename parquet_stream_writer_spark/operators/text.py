@@ -1453,3 +1453,91 @@ FROM scored
 
 QUERIES["text_char_entropy"] = text_char_entropy
 ORACLE["text_char_entropy"] = ORACLE_TEXT_CHAR_ENTROPY
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — word-frequency power-law slope per source
+# ---------------------------------------------------------------------------
+
+#: Number of top-frequency terms the log-log regression fits.
+_ZIPF_TOP = 50
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit: least-squares slope of ln(freq) vs
+    ln(rank) over the top-``_ZIPF_TOP`` terms — natural language sits
+    near slope −1; a source drifting far off is a synthetic/boilerplate
+    red flag, which makes this a cheap corpus-health monitor.
+
+    Shape: one token explode + one (source, tok) hash aggregate (both
+    partial-aggregated), a per-source top-N window over the *aggregate*
+    (vocab-sized, not corpus-sized), then a 50-point closed-form
+    regression via ``covar_pop/var_pop`` — mergeable one-pass moments,
+    no iterative fitter.  Nothing driver-side, nothing quadratic;
+    at 100 TB the only full-data pass is the token count itself.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("tok"))
+    top = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ZIPF_TOP)
+        .select(
+            "source",
+            F.log(F.col("rank").cast("double")).alias("lx"),
+            F.log(F.col("freq").cast("double")).alias("ly"),
+        )
+    )
+    fitted = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.covar_pop("ly", "lx") / F.var_pop("lx")).alias("slope_raw"),
+        F.avg("lx").alias("mx"),
+        F.avg("ly").alias("my"),
+    )
+    return fitted.select(
+        "source",
+        "n_terms",
+        pround(F.col("slope_raw"), 4).alias("zipf_slope"),
+        pround(F.col("my") - F.col("slope_raw") * F.col("mx"), 4).alias(
+            "zipf_intercept"
+        ),
+    ).orderBy("source")
+
+
+ORACLE_TEXT_ZIPF_FIT = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT source, tok, count(*) AS freq FROM toks GROUP BY source, tok
+),
+top AS (
+  SELECT source,
+         ln(CAST(row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok ASC) AS DOUBLE)) AS lx,
+         ln(CAST(freq AS DOUBLE)) AS ly,
+         row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok ASC) AS rank
+  FROM freq
+  QUALIFY rank <= {_ZIPF_TOP}
+),
+fitted AS (
+  SELECT source,
+         count(*) AS n_terms,
+         covar_pop(ly, lx) / var_pop(lx) AS slope_raw,
+         avg(lx) AS mx,
+         avg(ly) AS my
+  FROM top GROUP BY source
+)
+SELECT source, n_terms,
+       floor(slope_raw * 10000 + 0.5) / 10000.0 AS zipf_slope,
+       floor((my - slope_raw * mx) * 10000 + 0.5) / 10000.0 AS zipf_intercept
+FROM fitted
+ORDER BY source
+"""
+
+
+QUERIES["text_zipf_fit"] = text_zipf_fit
+ORACLE["text_zipf_fit"] = ORACLE_TEXT_ZIPF_FIT

@@ -36,6 +36,11 @@ _RATIO_KEYS = (
     # an empty corpus; entropy divides by the per-doc char total.
     "sample_importance_weighted",
     "text_char_entropy",
+    # r5 batch 2: keep_ratio / share / regression divisions over
+    # aggregates that vanish (not null) on an empty corpus.
+    "dedup_semdedup_prune",
+    "events_value_histogram",
+    "text_zipf_fit",
 )
 
 

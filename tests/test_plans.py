@@ -661,3 +661,69 @@ def test_scan_parallel_skips_repartition_when_splits_suffice(spark, tmp_path):
     assert (
         fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     )
+
+
+def test_q17_single_fact_scan_broadcast_prune(spark):
+    """Q17's decorrelation-by-construction must scan lineitem ONCE
+    (the naive correlated form re-scans the fact table for the per-part
+    average) and prune it through a broadcast of the brand-filtered
+    part dimension before the window shuffle."""
+    df = relational.q17_small_quantity_revenue(spark, SF_DIR)
+    p = plan(spark, df)
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+    assert "BroadcastHashJoin" in p, p
+    assert "PushedFilters" in p and "p_brand" in p, p
+
+
+def test_semdedup_join_is_equi_and_unhinted(spark):
+    """SemDeDup's within-cluster pairwise check must plan as a
+    bucket-equi join (never a nested-loop/cartesian all-pairs) and
+    carry no broadcast hint — both sides are the full corpus."""
+    from parquet_stream_writer_spark.operators import similarity
+
+    df = similarity.dedup_semdedup_prune(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_ivf_pq_broadcasts_only_the_query_set(spark):
+    """IVF-PQ's candidate join must broadcast exactly one side — the
+    nprobe query set — never the encoded corpus; encode/assign stay
+    map-side projections (no extra exchange before the join)."""
+    from parquet_stream_writer_spark.operators import similarity
+
+    df = similarity.similarity_ivf_pq(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+def test_value_histogram_one_scan_window_over_aggregate(spark):
+    """The histogram is one events scan + one (type, bin) hash
+    aggregate; the share window runs over the tiny aggregate (types ×
+    bins rows), so exactly one Window node and one scan."""
+    from parquet_stream_writer_spark.operators import streaming_batch
+    from parquet_stream_writer_spark.plans import summarize
+
+    df = streaming_batch.events_value_histogram(spark, SF_DIR)
+    p = plan(spark, df)
+    s = summarize(df)
+    assert p.count("events.parquet") == 1, p.count("events.parquet")
+    assert s.nodes.get("Window", 0) == 1, s.nodes
+
+
+def test_zipf_fit_one_scan_no_sort_aggregate(spark):
+    """Zipf fit: one documents scan; the (source, tok) count hash-
+    aggregates with map-side partials (no SortAggregate on the string
+    keys); the top-N window ranks the vocab-sized aggregate only."""
+    from parquet_stream_writer_spark.operators import text
+    from parquet_stream_writer_spark.plans import summarize
+
+    df = text.text_zipf_fit(spark, SF_DIR)
+    p = plan(spark, df)
+    s = summarize(df)
+    assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+    assert s.nodes.get("SortAggregate", 0) == 0, s.nodes
+    assert s.nodes.get("Window", 0) == 1, s.nodes
