@@ -1367,3 +1367,142 @@ WHERE t.lead_doc <> h.follow_doc
 
 QUERIES["dedup_boundary_overlap"] = dedup_boundary_overlap
 ORACLE["dedup_boundary_overlap"] = ORACLE_DEDUP_BOUNDARY_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-error audit
+# ---------------------------------------------------------------------------
+
+#: Error-histogram bin width for |est − exact| (10 bins over [0, 1]).
+_EST_ERR_BINS = 10
+
+
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the MinHash *estimator* itself: for every LSH
+    candidate pair, the sketch estimate (fraction of the K=12 signature
+    components that collide) against the exact shingle Jaccard, rolled
+    into an error histogram — |est − exact| binned by 0.1.
+
+    Complements :func:`dedup_lsh_recall_audit` (which audits what the
+    *bands* recall) by auditing what the *signature* estimates; the
+    mean bias per bin is what you'd consult before cutting K at scale.
+    Rides the memoized candidate set and one extra signature aggregate
+    (1 row/doc) plus the candidate-restricted exact verify — no new
+    corpus-sized shuffles beyond the shared mining pass.
+    """
+    ds = _shingles_shared(spark, sf_dir)
+    cands = _lsh_candidates_shared(spark, sf_dir)
+    sig = _minhash_signatures(ds)
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
+    matches = sum(
+        [
+            F.when(F.col(f"s1.h{i}") == F.col(f"s2.h{i}"), 1).otherwise(0)
+            for i in range(_K)
+        ],
+        F.lit(0),
+    )
+    est = (
+        cands.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", (matches / F.lit(float(_K))).alias("est_j"))
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        cands.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("d2") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        cands.join(inter, ["d1", "d2"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("n1") + F.col("n2") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("exact_j"),
+        )
+    )
+    joined = est.join(exact, ["d1", "d2"]).select(
+        F.least(
+            F.floor(F.abs(F.col("est_j") - F.col("exact_j")) * _EST_ERR_BINS),
+            F.lit(_EST_ERR_BINS - 1).cast("long"),
+        ).alias("err_band"),
+        "est_j",
+        "exact_j",
+    )
+    return (
+        joined.groupBy("err_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            pround(F.avg("est_j"), 4).alias("mean_est"),
+            pround(F.avg("exact_j"), 4).alias("mean_exact"),
+        )
+        .orderBy("err_band")
+    )
+
+
+def _sql_est_matches() -> str:
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END" for i in range(_K)
+        )
+        + f") * 1.0 / {float(_K)}"
+    )
+
+
+ORACLE_DEDUP_MINHASH_ESTIMATE_AUDIT = f"""
+WITH {_SQL_SHINGLES},
+{_sql_minhash_core().strip()},
+est AS (
+  SELECT c.d1, c.d2, {_sql_est_matches()} AS est_j
+  FROM candidates c
+  JOIN sig s1 ON c.d1 = s1.doc_id
+  JOIN sig s2 ON c.d2 = s2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS n_common
+  FROM candidates c
+  JOIN ds a ON c.d1 = a.doc_id
+  JOIN ds b ON c.d2 = b.doc_id AND a.shingle = b.shingle
+  GROUP BY c.d1, c.d2
+),
+exact AS (
+  SELECT c.d1, c.d2,
+         coalesce(i.n_common, 0) * 1.0
+           / (s1.n + s2.n - coalesce(i.n_common, 0)) AS exact_j
+  FROM candidates c
+  LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+  JOIN sizes s1 ON c.d1 = s1.doc_id
+  JOIN sizes s2 ON c.d2 = s2.doc_id
+),
+joined AS (
+  SELECT least(CAST(floor(abs(e.est_j - x.exact_j) * {_EST_ERR_BINS}) AS BIGINT),
+               {_EST_ERR_BINS - 1}) AS err_band,
+         e.est_j, x.exact_j
+  FROM est e JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2
+)
+SELECT err_band,
+       count(*) AS n_pairs,
+       floor((avg(est_j)) * 10000 + 0.5) / 10000.0 AS mean_est,
+       floor((avg(exact_j)) * 10000 + 0.5) / 10000.0 AS mean_exact
+FROM joined
+GROUP BY err_band
+ORDER BY err_band
+"""
+
+
+QUERIES["dedup_minhash_estimate_audit"] = dedup_minhash_estimate_audit
+ORACLE["dedup_minhash_estimate_audit"] = ORACLE_DEDUP_MINHASH_ESTIMATE_AUDIT

@@ -915,3 +915,84 @@ FROM scored WHERE bucket < threshold
 
 QUERIES["sample_importance_weighted"] = sample_importance_weighted
 ORACLE["sample_importance_weighted"] = ORACLE_SAMPLE_IMPORTANCE_WEIGHTED
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — one-pass grouping-sets corpus summary
+# ---------------------------------------------------------------------------
+
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release "dataset card" numbers in ONE corpus pass: doc
+    count, char volume, mean length, distinct-text count, and
+    exact-dup rate — per source, per language, and corpus-wide.
+
+    All three granularities come from a single GROUPING SETS aggregate
+    ((source), (lang), ()) — Catalyst plans one scan + one Expand×3 +
+    one hash aggregate, instead of three separate scans.  The exact-dup
+    rate rides the same pass as a count(DISTINCT text); at 100 TB you'd
+    swap it for approx_count_distinct and keep the identical plan
+    shape.  ``grouping()`` flags disambiguate a NULL group key from a
+    rollup row, exactly as the SQL standard intends.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    gs = docs.groupingSets(
+        [["source"], ["lang"], []], "source", "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        pround(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.grouping("source").alias("g_source"),
+        F.grouping("lang").alias("g_lang"),
+    )
+    section = (
+        F.when(F.col("g_source") == 0, F.lit("source"))
+        .when(F.col("g_lang") == 0, F.lit("lang"))
+        .otherwise(F.lit("corpus"))
+    )
+    return gs.select(
+        section.alias("section"),
+        F.coalesce(F.col("source"), F.col("lang"), F.lit("ALL")).alias("entity"),
+        "n_docs",
+        "total_chars",
+        "mean_chars",
+        "n_distinct_texts",
+        # n_docs CAN be 0 here: the () grouping set emits its row even
+        # over an empty corpus, and ANSI integer division would raise.
+        pround(
+            F.when(
+                F.col("n_docs") > 0,
+                F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"),
+            ),
+            4,
+        ).alias("exact_dup_rate"),
+    ).orderBy("section", "entity")
+
+
+ORACLE_PIPELINE_DATASET_CARD = """
+WITH gs AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         floor((avg(n_chars)) * 10000 + 0.5) / 10000.0 AS mean_chars,
+         count(DISTINCT text) AS n_distinct_texts,
+         grouping(source) AS g_source,
+         grouping(lang) AS g_lang
+  FROM documents
+  GROUP BY GROUPING SETS ((source), (lang), ())
+)
+SELECT CASE WHEN g_source = 0 THEN 'source'
+            WHEN g_lang = 0 THEN 'lang'
+            ELSE 'corpus' END AS section,
+       coalesce(source, lang, 'ALL') AS entity,
+       n_docs, total_chars, mean_chars, n_distinct_texts,
+       CASE WHEN n_docs > 0
+            THEN floor((1.0 - n_distinct_texts * 1.0 / n_docs) * 10000 + 0.5) / 10000.0
+            END AS exact_dup_rate
+FROM gs
+ORDER BY section, entity
+"""
+
+
+QUERIES["pipeline_dataset_card"] = pipeline_dataset_card
+ORACLE["pipeline_dataset_card"] = ORACLE_PIPELINE_DATASET_CARD

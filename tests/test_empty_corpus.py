@@ -41,6 +41,10 @@ _RATIO_KEYS = (
     "dedup_semdedup_prune",
     "events_value_histogram",
     "text_zipf_fit",
+    # The () grouping set emits its corpus row even over empty input,
+    # so the dup-rate division meets n_docs = 0 for real.
+    "pipeline_dataset_card",
+    "dedup_minhash_estimate_audit",
 )
 
 

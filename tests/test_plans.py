@@ -727,3 +727,32 @@ def test_zipf_fit_one_scan_no_sort_aggregate(spark):
     assert p.count("documents.parquet") == 1, p.count("documents.parquet")
     assert s.nodes.get("SortAggregate", 0) == 0, s.nodes
     assert s.nodes.get("Window", 0) == 1, s.nodes
+
+
+def test_dataset_card_single_scan_grouping_sets(spark):
+    """The three granularities (source / lang / corpus) must come from
+    ONE documents scan expanded by GROUPING SETS — not three separate
+    scan+aggregate branches — and stay hash-aggregated."""
+    from parquet_stream_writer_spark.operators import pipeline
+    from parquet_stream_writer_spark.plans import summarize
+
+    df = pipeline.pipeline_dataset_card(spark, SF_DIR)
+    p = plan(spark, df)
+    s = summarize(df)
+    assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+    assert "Expand" in p, p
+    assert s.nodes.get("SortAggregate", 0) == 0, s.nodes
+
+
+def test_minhash_estimate_audit_joins_are_equi_unhinted(spark):
+    """The estimate audit joins candidate pairs to signatures and to
+    the inverted index — all key-equi, no broadcast hints (signatures
+    are one row per DOCUMENT: corpus-sized at 100 TB)."""
+    from parquet_stream_writer_spark.operators import dedup
+
+    df = dedup.dedup_minhash_estimate_audit(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
