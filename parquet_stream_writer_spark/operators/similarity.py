@@ -349,17 +349,18 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = with_c1.withColumn(
         "cell2", F.array_position(masked, F.array_min(masked)).cast("int")
     )
+    # Explode the nprobe cell list so the probe is an EQUI join on
+    # cell (BroadcastHashJoin) instead of the OR-of-cells nested-loop;
+    # the equi shape is what survives a large query set at scale.
     queries = assigned.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("qemb"),
-        F.col("cell").alias("p1"),
-        F.col("cell2").alias("p2"),
+        F.explode(F.array("cell", "cell2")).alias("pcell"),
     )
     scored = (
         assigned.join(
             F.broadcast(queries),
-            ((F.col("cell") == F.col("p1")) | (F.col("cell") == F.col("p2")))
-            & (F.col("vec_id") != F.col("qid")),
+            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
         )
         .select(
             "qid",
@@ -1125,16 +1126,18 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         recon_parts.append(F.element_at(codebook, code.cast("int")))
     encoded = assigned.withColumn("recon", F.flatten(F.array(*recon_parts)))
 
+    # One row per (query, probe cell): the OR-of-cells predicate would
+    # plan a nested-loop join; exploding the nprobe list makes the
+    # probe an EQUI join on cell — hash-joinable, and the shape that
+    # still scales when the query set is a million rows, not five.
     queries = encoded.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("qemb"),
-        F.col("cell").alias("p1"),
-        F.col("cell2").alias("p2"),
+        F.explode(F.array("cell", "cell2")).alias("pcell"),
     )
     scored = encoded.join(
         F.broadcast(queries),
-        ((F.col("cell") == F.col("p1")) | (F.col("cell") == F.col("p2")))
-        & (F.col("vec_id") != F.col("qid")),
+        (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
     ).select(
         "qid",
         "vec_id",

@@ -14,6 +14,7 @@ from parquet_stream_writer_spark.streaming.sinks import StreamingShardSink
 from parquet_stream_writer_spark.streaming.windows import (
     interval_join,
     session_window_agg,
+    value_histogram_agg,
     sliding_window_agg,
     tumbling_window_agg,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "StreamingShardSink",
     "interval_join",
     "session_window_agg",
+    "value_histogram_agg",
     "sliding_window_agg",
     "tumbling_window_agg",
 ]

@@ -135,3 +135,46 @@ def interval_join(
         F.col("r.event_id").alias("right_event_id"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def value_histogram_agg(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "12 hours",
+    width: float = 50.0,
+    max_bin: int = 9,
+) -> DataFrame:
+    """Windowed fixed-width value histogram — the streaming lift of
+    ``operators.streaming_batch.events_value_histogram``.  The batch
+    op's global bins become per-window bins so the watermark can
+    finalize and evict them; state is O(windows × types × bins),
+    constant per unit time regardless of stream volume.  Bin indexing
+    is the same explicit ``floor(value / width)`` (engine-portable)
+    arithmetic the batch/oracle pair pins."""
+    binned = (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor(F.col("value") / width),
+                F.lit(max_bin).cast("long"),
+            ),
+        )
+    )
+    return (
+        binned.groupBy(F.window(ts_col, window).alias("w"), "event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "bin",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -87,8 +87,9 @@ _NLJ_OK = {
     "sample_temperature_mix",
     "similarity_cosine_topk",
     "similarity_range_search",
-    "similarity_ivf",
-    "similarity_ivf_recall",
+    # (similarity_ivf/_ivf_pq earned their way out: the nprobe cell
+    # list explodes into an equi probe join, no nested loop.)
+    "similarity_ivf_recall",  # exact-vs-approx audit cross join
     "text_perplexity_proxy",
     "text_tfidf_top_term",
 }

@@ -250,3 +250,31 @@ def test_streaming_cms_partial_sketches_merge(spark, sf_dir, events_stream_dir):
         }
     )
     assert acc == batch and len(batch) > 0
+
+
+def test_streaming_value_histogram_matches_batch(spark, sf_dir, events_stream_dir):
+    """Per-(type, bin) counts summed across the stream's windows must
+    equal the batch histogram exactly (stream == batch == oracle)."""
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_value_histogram,
+    )
+    from parquet_stream_writer_spark.streaming import value_histogram_agg
+
+    stream = _events_stream(spark, events_stream_dir)
+    name = f"hist_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(
+        spark, value_histogram_agg(stream, watermark="0 seconds"), name, "complete"
+    )
+    streamed = (
+        result.groupBy("event_type", "bin")
+        .agg(F.sum("n_events").alias("n_stream"))
+    )
+    batch = events_value_histogram(spark, sf_dir).select(
+        "event_type", "bin", F.col("n_events").alias("n_batch")
+    )
+    cmp = streamed.join(batch, ["event_type", "bin"], "full_outer")
+    assert cmp.where(
+        F.col("n_stream").isNull()
+        | F.col("n_batch").isNull()
+        | (F.col("n_stream") != F.col("n_batch"))
+    ).count() == 0
