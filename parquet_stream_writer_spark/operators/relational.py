@@ -2388,3 +2388,81 @@ ORDER BY p_brand
 
 QUERIES["q17_small_quantity_revenue"] = q17_small_quantity_revenue
 ORACLE["q17_small_quantity_revenue"] = ORACLE_Q17
+
+
+# ---------------------------------------------------------------------------
+# Mode + median per group
+# ---------------------------------------------------------------------------
+
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag central-tendency trio: exact interpolated median
+    of quantity, deterministic modal ship-mode-style category
+    (l_linestatus), and the mode's share.
+
+    Engine ``mode()`` breaks frequency ties arbitrarily (Spark and
+    DuckDB disagree), so the mode is computed as an explicit argmax —
+    count per (flag, status), rank by (count DESC, status ASC) — which
+    is deterministic on BOTH engines and plans as one hash aggregate
+    plus a window over the tiny (flags × statuses) frame.  The median
+    rides Spark's exact ``median``/DuckDB's ``median`` (identical
+    average-of-middle-two interpolation on integer-valued doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.median("l_quantity"), 4).alias("median_qty"),
+    )
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_linestatus"))
+    modes = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+    return (
+        med.join(modes, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "median_qty",
+            "mode_status",
+            "mode_count",
+            pround(F.col("mode_count") / F.col("n_rows"), 4).alias("mode_share"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_AGG_MODE_MEDIAN = """
+WITH med AS (
+  SELECT l_returnflag, count(*) AS n_rows,
+         floor((median(l_quantity)) * 10000 + 0.5) / 10000.0 AS median_qty
+  FROM lineitem GROUP BY l_returnflag
+),
+counts AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+modes AS (
+  SELECT l_returnflag, l_linestatus AS mode_status, c AS mode_count
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY c DESC, l_linestatus ASC) AS rk
+    FROM counts
+  ) WHERE rk = 1
+)
+SELECT m.l_returnflag, m.n_rows, m.median_qty,
+       d.mode_status, d.mode_count,
+       floor((d.mode_count * 1.0 / m.n_rows) * 10000 + 0.5) / 10000.0 AS mode_share
+FROM med m JOIN modes d ON m.l_returnflag = d.l_returnflag
+ORDER BY m.l_returnflag
+"""
+
+
+QUERIES["agg_mode_median"] = agg_mode_median
+ORACLE["agg_mode_median"] = ORACLE_AGG_MODE_MEDIAN

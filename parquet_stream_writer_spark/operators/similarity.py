@@ -1321,3 +1321,119 @@ ORDER BY e.bucket
 
 QUERIES["dedup_semdedup_prune"] = dedup_semdedup_prune
 ORACLE["dedup_semdedup_prune"] = ORACLE_DEDUP_SEMDEDUP_PRUNE
+
+
+# ---------------------------------------------------------------------------
+# Truncated-embedding (Matryoshka) fidelity audit
+# ---------------------------------------------------------------------------
+
+#: Truncated prefix length for the fidelity audit (64 → 16 dims).
+_TRUNC_DIM = 16
+
+
+def similarity_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-fidelity audit for prefix-truncated embeddings
+    (the Matryoshka/MRL storage trick: keep the first d' dims, cut
+    index size 4×): per query, the exact top-1 neighbour and top-5
+    overlap under full-64-dim vs first-16-dim cosine.
+
+    Both similarity sets come from ONE corpus scan and one broadcast
+    of the 5-row query set (the same deliberate exact-scan shape as
+    :func:`similarity_cosine_topk`); the two rankings are windows over
+    the scored slice and the overlap is a (qid, vec_id) self-equi join
+    of two top-5 row sets.  The number this emits — agreement@1 /
+    overlap@5 — is what decides whether the truncated index can serve
+    first-stage retrieval at scale with full-dim re-ranking.
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        pround(cosine_similarity(F.col("qemb"), F.col("emb")), 4).alias("sim_full"),
+        pround(
+            cosine_similarity(
+                F.slice(F.col("qemb"), 1, _TRUNC_DIM),
+                F.slice(F.col("emb"), 1, _TRUNC_DIM),
+            ),
+            4,
+        ).alias("sim_trunc"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("sim_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("sim_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wt).alias("rk_trunc"),
+    )
+    # Both ranks live on the SAME row of `ranked`, so the overlap is a
+    # plain conditional aggregate — no top-k self-join (which would
+    # recompute the scored relation on both sides).
+    return (
+        ranked.where((F.col("rk_full") <= _TOP_K) | (F.col("rk_trunc") <= _TOP_K))
+        .groupBy("qid")
+        .agg(
+            F.min(F.when(F.col("rk_full") == 1, F.col("vec_id"))).alias("nn_full"),
+            F.min(F.when(F.col("rk_trunc") == 1, F.col("vec_id"))).alias("nn_trunc"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("rk_full") <= _TOP_K) & (F.col("rk_trunc") <= _TOP_K),
+                        1,
+                    ).otherwise(0)
+                )
+                / F.lit(float(_TOP_K))
+            ).alias("overlap_at_5"),
+        )
+        .select(
+            "qid",
+            "nn_full",
+            "nn_trunc",
+            F.when(F.col("nn_full") == F.col("nn_trunc"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("agree_top1"),
+            "overlap_at_5",
+        )
+        .orderBy("qid")
+    )
+
+
+ORACLE_SIMILARITY_TRUNCATION_AUDIT = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM emb WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         floor(list_cosine_similarity(q.qemb, e.emb) * 10000 + 0.5) / 10000.0 AS sim_full,
+         floor(list_cosine_similarity(q.qemb[1:{_TRUNC_DIM}], e.emb[1:{_TRUNC_DIM}]) * 10000 + 0.5) / 10000.0 AS sim_trunc
+  FROM emb e JOIN q ON e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, vec_id ASC) AS rk_full,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_trunc DESC, vec_id ASC) AS rk_trunc
+  FROM scored
+),
+agg AS (
+  SELECT qid,
+         min(CASE WHEN rk_full = 1 THEN vec_id END) AS nn_full,
+         min(CASE WHEN rk_trunc = 1 THEN vec_id END) AS nn_trunc,
+         sum(CASE WHEN rk_full <= {_TOP_K} AND rk_trunc <= {_TOP_K} THEN 1 ELSE 0 END)
+           * 1.0 / {float(_TOP_K)} AS overlap_at_5
+  FROM ranked
+  WHERE rk_full <= {_TOP_K} OR rk_trunc <= {_TOP_K}
+  GROUP BY qid
+)
+SELECT qid, nn_full, nn_trunc,
+       CAST(CASE WHEN nn_full = nn_trunc THEN 1 ELSE 0 END AS INTEGER) AS agree_top1,
+       overlap_at_5
+FROM agg
+ORDER BY qid
+"""
+
+
+QUERIES["similarity_truncation_audit"] = similarity_truncation_audit
+ORACLE["similarity_truncation_audit"] = ORACLE_SIMILARITY_TRUNCATION_AUDIT

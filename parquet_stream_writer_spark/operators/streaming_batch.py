@@ -1085,3 +1085,57 @@ ORDER BY event_type, bin
 
 QUERIES["events_value_histogram"] = events_value_histogram
 ORACLE["events_value_histogram"] = ORACLE_EVENTS_VALUE_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# Top event-type paths (sequential trigrams)
+# ---------------------------------------------------------------------------
+
+#: Result size for the global top-paths report.
+_TOP_PATHS = 10
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common 3-step event-type paths across all user
+    journeys — the sequential-pattern report product teams read next
+    to the Markov transition matrix (which only sees single steps).
+
+    Per-user ordering is one window shuffle keyed on user_id (the
+    same partitioning every per-user op here uses); two ``lag``\\ s
+    materialize the trigram map-side, then a global hash count and a
+    ``TakeOrderedAndProject`` top-10.  Order ties inside a user
+    resolve on event_id so both engines see identical sequences.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .where(F.col("e1").isNotNull())
+    )
+    counts = tri.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n_paths"))
+    return counts.orderBy(
+        F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+    ).limit(_TOP_PATHS)
+
+
+ORACLE_EVENTS_TOP_PATHS = f"""
+WITH tri AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         event_type AS e3
+  FROM events
+)
+SELECT e1, e2, e3, count(*) AS n_paths
+FROM tri WHERE e1 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_paths DESC, e1 ASC, e2 ASC, e3 ASC
+LIMIT {_TOP_PATHS}
+"""
+
+
+QUERIES["events_top_paths"] = events_top_paths
+ORACLE["events_top_paths"] = ORACLE_EVENTS_TOP_PATHS

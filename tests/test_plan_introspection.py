@@ -87,6 +87,8 @@ _NLJ_OK = {
     "sample_temperature_mix",
     "similarity_cosine_topk",
     "similarity_range_search",
+    "similarity_truncation_audit",  # same 5-row-broadcast exact scan
+
     # (similarity_ivf/_ivf_pq earned their way out: the nprobe cell
     # list explodes into an equi probe join, no nested loop.)
     "similarity_ivf_recall",  # exact-vs-approx audit cross join

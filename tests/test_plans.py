@@ -756,3 +756,30 @@ def test_minhash_estimate_audit_joins_are_equi_unhinted(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_truncation_audit_one_scan_two_rankings(spark):
+    """Full-dim and truncated-dim similarities must come from ONE
+    scored relation (one corpus scan + one 5-row query broadcast), the
+    two rankings as windows over it — not two scan branches."""
+    from parquet_stream_writer_spark.operators import similarity
+
+    df = similarity.similarity_truncation_audit(spark, SF_DIR)
+    p = plan(spark, df)
+    assert p.count("embeddings.parquet") == 2, p.count("embeddings.parquet")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+def test_top_paths_single_window_take_ordered(spark):
+    """The trigram build is ONE user-keyed window (both lags share the
+    frame); the global top-10 must plan as TakeOrderedAndProject, not
+    a full sort."""
+    from parquet_stream_writer_spark.operators import streaming_batch
+    from parquet_stream_writer_spark.plans import summarize
+
+    df = streaming_batch.events_top_paths(spark, SF_DIR)
+    p = plan(spark, df)
+    s = summarize(df)
+    assert s.nodes.get("Window", 0) == 1, s.nodes
+    assert "TakeOrderedAndProject" in p, p
