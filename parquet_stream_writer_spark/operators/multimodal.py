@@ -441,3 +441,111 @@ FROM placed GROUP BY 1
 
 QUERIES["multimodal_shard_manifest"] = multimodal_shard_manifest
 ORACLE["multimodal_shard_manifest"] = ORACLE_MULTIMODAL_SHARD_MANIFEST
+
+
+# ---------------------------------------------------------------------------
+# Frame-checksum near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def frame_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, frame md5) over any ``(doc_id long, payload
+    binary)`` DataFrame — ``_FRAME_LEN``-byte frames every
+    ``_FRAME_STRIDE`` bytes, hashed in the same Arrow-batched Python
+    kernel lane as the other payload operators (real video frame
+    hashing needs a codec, which lives Python-side)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                i = 0
+                while i * _FRAME_STRIDE < n:
+                    off = i * _FRAME_STRIDE
+                    ids.append(doc_id)
+                    hs.append(
+                        hashlib.md5(payload[off : off + _FRAME_LEN]).hexdigest()
+                    )
+                    i += 1
+            yield pd.DataFrame({"doc_id": ids, "h": hs})
+
+    return docs.mapInPandas(kernel, schema="doc_id long, h string").distinct()
+
+
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate payload pairs by shared frame checksums — the
+    video/asset analogue of shingle dedup: two payloads sharing any
+    ``_FRAME_LEN``-byte frame at the sampling grid are reported with
+    the shared-frame count and the overlap fraction of the smaller
+    payload.
+
+    Candidate generation is an inverted-index self-join on the frame
+    hash (hash-equi, bucket-local — the same shape that keeps
+    MinHash-LSH off all-pairs), so cost scales with frames per hash
+    bucket, not corpus².  At 100 TB the frame hash is the partition
+    key and only colliding buckets meet.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    fh = frame_hashes(docs)
+    sizes = fh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a = fh.alias("a")
+    b = fh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_frames").alias("f1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_frames").alias("f2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "n_shared_frames",
+            F.least("f1", "f2").alias("min_frames"),
+            F.expr(
+                "cast(floor(n_shared_frames / cast(least(f1, f2) as double)"
+                " * 10000 + 0.5) as double) / 10000.0"
+            ).alias("overlap_frac"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+ORACLE_MULTIMODAL_FRAME_DEDUP = f"""
+WITH idx AS (SELECT i FROM generate_series(0, 4095) AS g(i)),
+fh AS (
+  SELECT DISTINCT doc_id, md5(substr(text, i * {_FRAME_STRIDE} + 1, {_FRAME_LEN})) AS h
+  FROM documents CROSS JOIN idx
+  WHERE i * {_FRAME_STRIDE} < octet_length(encode(text))
+),
+sizes AS (SELECT doc_id, count(*) AS n_frames FROM fh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_frames
+  FROM fh a JOIN fh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.d1, p.d2, p.n_shared_frames,
+       least(s1.n_frames, s2.n_frames) AS min_frames,
+       floor(p.n_shared_frames * 1.0 / least(s1.n_frames, s2.n_frames)
+             * 10000 + 0.5) / 10000.0 AS overlap_frac
+FROM pairs p
+JOIN sizes s1 ON p.d1 = s1.doc_id
+JOIN sizes s2 ON p.d2 = s2.doc_id
+ORDER BY p.d1, p.d2
+"""
+
+
+QUERIES["multimodal_frame_dedup"] = multimodal_frame_dedup
+ORACLE["multimodal_frame_dedup"] = ORACLE_MULTIMODAL_FRAME_DEDUP

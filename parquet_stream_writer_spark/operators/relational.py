@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import pround, sql_round
+from parquet_stream_writer_spark.operators.dedup import (
+    _hex_prefix_int,
+    _hex_to_int_sql,
+)
 
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
@@ -2466,3 +2470,225 @@ ORDER BY m.l_returnflag
 
 QUERIES["agg_mode_median"] = agg_mode_median
 ORACLE["agg_mode_median"] = ORACLE_AGG_MODE_MEDIAN
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership audit
+# ---------------------------------------------------------------------------
+
+#: Bloom layout: m bits, k md5-seeded hash positions per key.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def agg_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over the customer key set, probe it with a
+    key population of known partial overlap (part keys — the ranges
+    overlap at the low end and diverge above), and report the observed
+    vs theoretical false-positive rate.
+
+    This is the membership sketch the pack's HLL/KLL/theta/CMS family
+    lacked, and the one Spark itself injects as a runtime join filter.
+    The filter is relational the mergeable way: the bit array IS a
+    distinct-position relation (≤ m rows after a map-side-partial
+    distinct), built per partition and merged by union — no
+    driver-side bitset.  Probing is one position-equi join against
+    that ≤ m-row relation (broadcastable by size estimate, never
+    hinted) plus an exact semi-join for ground truth; everything is
+    md5-derived, so both engines compute identical bits.
+    """
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    probe = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("key"))
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = F.explode(
+            F.array(
+                *[
+                    (
+                        _hex_prefix_int(f"md5(concat(cast(key as string), '#b{i}'))", 8)
+                        % _BLOOM_M
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+        return df.select("key", pos).distinct()
+
+    bits = positions(cust).select("pos").distinct()
+    probe_pos = positions(probe)
+    per_key = (
+        probe_pos.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn("maybe", (F.col("n_hits") == F.col("n_pos")).cast("int"))
+    )
+    flagged = per_key.join(
+        cust.withColumn("is_member", F.lit(1)), "key", "left"
+    ).select("key", "maybe", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+
+    build_stats = cust.agg(F.count(F.lit(1)).alias("n_members")).crossJoin(
+        F.broadcast(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+    )
+    probe_stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("is_member").alias("n_true_members"),
+        F.sum("maybe").alias("n_maybe"),
+        F.sum(
+            F.when((F.col("maybe") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    )
+    return build_stats.crossJoin(F.broadcast(probe_stats)).select(
+        "n_members",
+        "n_bits_set",
+        pround(F.col("n_bits_set") / F.lit(float(_BLOOM_M)), 6).alias("fill_ratio"),
+        "n_probed",
+        "n_true_members",
+        "n_maybe",
+        "n_false_positive",
+        pround(
+            F.when(
+                F.col("n_probed") > F.col("n_true_members"),
+                F.col("n_false_positive")
+                / (F.col("n_probed") - F.col("n_true_members")),
+            ),
+            6,
+        ).alias("fpr_observed"),
+        # (1 - e^{-kn/m})^k on the rounded fill ratio, so the base the
+        # power sees is identical across engines.
+        pround(
+            F.pow(
+                pround(F.col("n_bits_set") / F.lit(float(_BLOOM_M)), 6),
+                F.lit(_BLOOM_K),
+            ),
+            6,
+        ).alias("fpr_theoretical"),
+    )
+
+
+def _sql_bloom_positions(src: str) -> str:
+    terms = []
+    for i in range(_BLOOM_K):
+        digest = "md5(CAST(key AS VARCHAR) || '#b%d')" % i
+        terms.append(f"({_hex_to_int_sql(digest, 8)}) % {_BLOOM_M}")
+    return f"SELECT DISTINCT key, unnest([{', '.join(terms)}]) AS pos FROM {src}"
+
+
+ORACLE_AGG_BLOOM_FILTER_AUDIT = f"""
+WITH cust AS (SELECT c_custkey AS key FROM customer),
+probe AS (SELECT p_partkey AS key FROM part),
+cust_pos AS ({_sql_bloom_positions("cust")}),
+probe_pos AS ({_sql_bloom_positions("probe")}),
+bits AS (SELECT DISTINCT pos FROM cust_pos),
+per_key AS (
+  SELECT pp.key,
+         count(*) AS n_pos,
+         sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM probe_pos pp LEFT JOIN bits b ON pp.pos = b.pos
+  GROUP BY pp.key
+),
+flagged AS (
+  SELECT pk.key,
+         CAST(CASE WHEN pk.n_hits = pk.n_pos THEN 1 ELSE 0 END AS INTEGER) AS maybe,
+         CASE WHEN c.key IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM per_key pk LEFT JOIN cust c ON pk.key = c.key
+),
+build_stats AS (
+  SELECT (SELECT count(*) FROM cust) AS n_members,
+         (SELECT count(*) FROM bits) AS n_bits_set
+),
+probe_stats AS (
+  SELECT count(*) AS n_probed,
+         CAST(sum(is_member) AS BIGINT) AS n_true_members,
+         CAST(sum(maybe) AS BIGINT) AS n_maybe,
+         CAST(sum(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positive
+  FROM flagged
+)
+SELECT n_members, n_bits_set,
+       floor((n_bits_set * 1.0 / {float(_BLOOM_M)}) * 1000000 + 0.5) / 1000000.0 AS fill_ratio,
+       n_probed, n_true_members, n_maybe, n_false_positive,
+       CASE WHEN n_probed > n_true_members
+            THEN floor((n_false_positive * 1.0 / (n_probed - n_true_members)) * 1000000 + 0.5) / 1000000.0
+            END AS fpr_observed,
+       floor(pow(floor((n_bits_set * 1.0 / {float(_BLOOM_M)}) * 1000000 + 0.5) / 1000000.0,
+                 {_BLOOM_K}) * 1000000 + 0.5) / 1000000.0 AS fpr_theoretical
+FROM build_stats CROSS JOIN probe_stats
+"""
+
+
+QUERIES["agg_bloom_filter_audit"] = agg_bloom_filter_audit
+ORACLE["agg_bloom_filter_audit"] = ORACLE_AGG_BLOOM_FILTER_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Order→ship latency percentiles
+# ---------------------------------------------------------------------------
+
+def events_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    p50/p90/p99 of ``l_shipdate − o_orderdate`` in days — the
+    fact-to-fact temporal SLA metric every fulfilment dashboard runs.
+
+    One orderkey-equi join (orders is the smaller side; AQE elects
+    broadcast at small SF, sort-merge at scale — no hint) and one hash
+    aggregate; the exact percentiles use Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` (identical interpolation, integer-valued
+    day counts, so no cross-engine float drift).  Dates are cast
+    explicitly so both engines count calendar-day boundaries."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lat_days"),
+    )
+    pct = F.percentile("lat_days", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            pround(F.avg("lat_days"), 4).alias("avg_days"),
+            F.min("lat_days").cast("long").alias("min_days"),
+            F.max("lat_days").cast("long").alias("max_days"),
+            pct.alias("p"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lineitems",
+            "avg_days",
+            "min_days",
+            "max_days",
+            pround(F.element_at("p", 1), 4).alias("p50_days"),
+            pround(F.element_at("p", 2), 4).alias("p90_days"),
+            pround(F.element_at("p", 3), 4).alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_EVENTS_SHIPPING_LATENCY = """
+WITH lat AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_lineitems,
+       floor((avg(lat_days)) * 10000 + 0.5) / 10000.0 AS avg_days,
+       min(lat_days) AS min_days,
+       max(lat_days) AS max_days,
+       floor((quantile_cont(lat_days, 0.5))  * 10000 + 0.5) / 10000.0 AS p50_days,
+       floor((quantile_cont(lat_days, 0.9))  * 10000 + 0.5) / 10000.0 AS p90_days,
+       floor((quantile_cont(lat_days, 0.99)) * 10000 + 0.5) / 10000.0 AS p99_days
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES["events_shipping_latency"] = events_shipping_latency
+ORACLE["events_shipping_latency"] = ORACLE_EVENTS_SHIPPING_LATENCY

@@ -45,6 +45,9 @@ _RATIO_KEYS = (
     # so the dup-rate division meets n_docs = 0 for real.
     "pipeline_dataset_card",
     "dedup_minhash_estimate_audit",
+    # Global aggregates still emit their 1-row stats on empty input,
+    # so the FPR division meets n_probed = n_true_members = 0.
+    "agg_bloom_filter_audit",
 )
 
 

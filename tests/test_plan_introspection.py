@@ -75,6 +75,7 @@ _NLJ_OK = {
     "sample_class_balanced",
     "text_vocab_growth",
     "text_pack_sequences",
+    "agg_bloom_filter_audit",  # two 1-row stat-aggregate broadcasts
     "agg_hll_mergeable",
     "orders_basket_affinity",
     "agg_kll_quantile_mergeable",

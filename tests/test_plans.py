@@ -783,3 +783,41 @@ def test_top_paths_single_window_take_ordered(spark):
     s = summarize(df)
     assert s.nodes.get("Window", 0) == 1, s.nodes
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_bloom_audit_probe_join_is_equi(spark):
+    """The Bloom probe must be a position-equi join against the ≤ m-row
+    bit relation plus the exact-membership key join — never a nested
+    loop over the probe population; the only broadcast hints are the
+    two 1-row stat aggregates."""
+    df = relational.agg_bloom_filter_audit(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p, p
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+
+
+def test_frame_dedup_join_is_hash_equi(spark):
+    """Frame-checksum candidate generation must be a hash-equi
+    inverted-index self-join (bucket-local like the shingle joins) —
+    no cartesian, no broadcast hints (both sides are corpus-sized)."""
+    from parquet_stream_writer_spark.operators import multimodal
+
+    df = multimodal.multimodal_frame_dedup(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_shipping_latency_join_unhinted_single_agg(spark):
+    """The latency metric is ONE orderkey-equi join (strategy left to
+    AQE — both sides are fact tables at scale) feeding one hash
+    aggregate; no broadcast hint anywhere."""
+    df = relational.events_shipping_latency(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    p = plan(spark, df)
+    assert p.count("lineitem.parquet") == 1, p
+    assert p.count("orders.parquet") == 1, p
