@@ -1093,38 +1093,54 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is deterministic: codebooks are fixed 4-dp literals,
     encode/argmin uses first-min positions, distances fold in array
-    order on both engines.
+    order on both engines.  Assign + encode run in an Arrow-batched
+    numpy kernel (the sanctioned dense-linalg lane — the expression
+    form needs 8 + 64 sqrt-folds per row, far past the whole-stage
+    codegen field limit, so Catalyst would interpret it row-by-row);
+    ``np.cumsum`` does the distance accumulation SEQUENTIALLY, so
+    every partial sum is bit-identical to the JVM/DuckDB left-fold
+    and argmin ties resolve at identical first-min positions.
     """
+    import pandas as pd
+
     cents = _centroids()
     cbs = _pq_codebooks()
     emb = _emb(spark, sf_dir)
 
-    # Coarse assignment (identical to similarity_ivf).
-    with_d = emb.withColumn(
-        "dists", F.array(*[_l2(F.col("emb"), _arr_lit(c)) for c in cents])
-    )
-    with_c1 = with_d.withColumn(
-        "cell", F.array_position(F.col("dists"), F.array_min("dists")).cast("int")
-    )
-    masked = F.transform(
-        F.col("dists"),
-        lambda d: F.when(d == F.array_min("dists"), F.lit(1e18)).otherwise(d),
-    )
-    assigned = with_c1.withColumn(
-        "cell2", F.array_position(masked, F.array_min(masked)).cast("int")
-    ).drop("dists")
+    def encode_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            # Coarse assign: sqrt of the SEQUENTIAL (cumsum) sum of
+            # squared deltas — the exact left-fold the oracle runs.
+            d2 = np.cumsum((X[:, None, :] - cents[None, :, :]) ** 2, axis=2)[:, :, -1]
+            d = np.sqrt(d2)
+            cell = d.argmin(axis=1)  # first min, like array_position
+            masked = np.where(d == d.min(axis=1, keepdims=True), 1e18, d)
+            cell2 = masked.argmin(axis=1)
+            recon = np.empty_like(X)
+            for m in range(_IVFPQ_M):
+                S = X[:, m * _IVFPQ_SUBDIM : (m + 1) * _IVFPQ_SUBDIM]
+                sd2 = np.cumsum(
+                    (S[:, None, :] - cbs[m][None, :, :]) ** 2, axis=2
+                )[:, :, -1]
+                codes = np.sqrt(sd2).argmin(axis=1)
+                recon[:, m * _IVFPQ_SUBDIM : (m + 1) * _IVFPQ_SUBDIM] = cbs[m][codes]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": list(X),
+                    "cell": (cell + 1).astype("int32"),
+                    "cell2": (cell2 + 1).astype("int32"),
+                    "recon": list(recon),
+                }
+            )
 
-    # PQ encode: per-subspace nearest codeword, then the reconstruction
-    # the ADC distance ranks against.  At scale only (vec_id, cell,
-    # recon-codes) persist in the index; emb is dropped.
-    recon_parts = []
-    for m in range(_IVFPQ_M):
-        sub = F.slice(F.col("emb"), m * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM)
-        cdists = F.array(*[_l2(sub, _arr_lit(cbs[m][j])) for j in range(_IVFPQ_K)])
-        code = F.array_position(cdists, F.array_min(cdists))
-        codebook = F.array(*[_arr_lit(cbs[m][j]) for j in range(_IVFPQ_K)])
-        recon_parts.append(F.element_at(codebook, code.cast("int")))
-    encoded = assigned.withColumn("recon", F.flatten(F.array(*recon_parts)))
+    encoded = emb.mapInPandas(
+        encode_kernel,
+        schema="vec_id long, emb array<double>, cell int, cell2 int, recon array<double>",
+    )
 
     # One row per (query, probe cell): the OR-of-cells predicate would
     # plan a nested-loop join; exploding the nprobe list makes the
