@@ -941,7 +941,10 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         pround(F.avg("n_chars"), 4).alias("mean_chars"),
-        F.countDistinct("text").alias("n_distinct_texts"),
+        # Distinct on md5(text), not text: the distinct shuffle then
+        # carries 32-byte keys instead of document bodies — the form
+        # that survives wide documents at scale (oracle mirrors it).
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
         F.grouping("source").alias("g_source"),
         F.grouping("lang").alias("g_lang"),
     )
@@ -975,7 +978,7 @@ WITH gs AS (
          count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,
          floor((avg(n_chars)) * 10000 + 0.5) / 10000.0 AS mean_chars,
-         count(DISTINCT text) AS n_distinct_texts,
+         count(DISTINCT md5(text)) AS n_distinct_texts,
          grouping(source) AS g_source,
          grouping(lang) AS g_lang
   FROM documents
