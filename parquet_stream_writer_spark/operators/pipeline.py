@@ -999,3 +999,79 @@ ORDER BY section, entity
 
 QUERIES["pipeline_dataset_card"] = pipeline_dataset_card
 ORACLE["pipeline_dataset_card"] = ORACLE_PIPELINE_DATASET_CARD
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity (FK orphan) audit
+# ---------------------------------------------------------------------------
+
+#: (relation label, child table, child FK, parent table, parent PK).
+_FK_RELATIONS = (
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def pipeline_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep: for every foreign-key edge of the
+    schema, the child row count and the orphan count (child keys with
+    no parent) — the pre-flight audit a pipeline runs before trusting
+    joins, because an orphaned key silently drops rows from every
+    inner join downstream.
+
+    Each edge is one key-equi LEFT ANTI join (dimension parents are
+    broadcast by size estimate, fact parents sort-merge — no hints)
+    feeding a 1-row aggregate; the edges union into the report.  Scans
+    prune to the key columns, so even the fact-table checks move only
+    bigints.
+    """
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        orphans = c.join(p, "k", "left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            ).select(
+                F.lit(label).alias("relation"),
+                "n_child",
+                "n_orphans",
+                pround(
+                    F.when(
+                        F.col("n_child") > 0,
+                        F.col("n_orphans") / F.col("n_child"),
+                    ),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("relation")
+
+
+ORACLE_PIPELINE_FK_INTEGRITY_AUDIT = "\nUNION ALL\n".join(
+    f"""
+SELECT '{label}' AS relation,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} c LEFT JOIN {parent} p
+          ON c.{ckey} = p.{pkey} WHERE p.{pkey} IS NULL) AS n_orphans,
+       CASE WHEN (SELECT count(*) FROM {child}) > 0
+            THEN floor(((SELECT count(*) FROM {child} c LEFT JOIN {parent} p
+                           ON c.{ckey} = p.{pkey} WHERE p.{pkey} IS NULL)
+                        * 1.0 / (SELECT count(*) FROM {child})) * 1000000 + 0.5) / 1000000.0
+            END AS orphan_rate
+""".strip()
+    for label, child, ckey, parent, pkey in _FK_RELATIONS
+) + "\nORDER BY relation"
+
+
+QUERIES["pipeline_fk_integrity_audit"] = pipeline_fk_integrity_audit
+ORACLE["pipeline_fk_integrity_audit"] = ORACLE_PIPELINE_FK_INTEGRITY_AUDIT

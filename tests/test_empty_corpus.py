@@ -48,6 +48,8 @@ _RATIO_KEYS = (
     # Global aggregates still emit their 1-row stats on empty input,
     # so the FPR division meets n_probed = n_true_members = 0.
     "agg_bloom_filter_audit",
+    # 1-row count aggregates emit n_child = 0 rows on empty tables.
+    "pipeline_fk_integrity_audit",
 )
 
 

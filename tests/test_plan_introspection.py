@@ -76,6 +76,7 @@ _NLJ_OK = {
     "text_vocab_growth",
     "text_pack_sequences",
     "agg_bloom_filter_audit",  # two 1-row stat-aggregate broadcasts
+    "pipeline_fk_integrity_audit",  # 7 × 1-row count-aggregate broadcasts
     "agg_hll_mergeable",
     "orders_basket_affinity",
     "agg_kll_quantile_mergeable",
