@@ -448,11 +448,18 @@ ORACLE["multimodal_shard_manifest"] = ORACLE_MULTIMODAL_SHARD_MANIFEST
 # ---------------------------------------------------------------------------
 
 def frame_hashes(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, frame md5) over any ``(doc_id long, payload
-    binary)`` DataFrame — ``_FRAME_LEN``-byte frames every
+    """Distinct (doc_id, frame checksum) over any ``(doc_id long,
+    payload binary)`` DataFrame — ``_FRAME_LEN``-byte frames every
     ``_FRAME_STRIDE`` bytes, hashed in the same Arrow-batched Python
     kernel lane as the other payload operators (real video frame
-    hashing needs a codec, which lives Python-side)."""
+    hashing needs a codec, which lives Python-side).
+
+    The checksum is md5 over the frame's UPPERCASE-HEX encoding, not
+    its raw bytes: the oracle engine (DuckDB v1.0) can neither slice
+    nor md5 a BLOB, but ``md5(substr(hex(blob), off*2+1, len*2))`` is
+    byte-exact in both engines regardless of payload encoding — the
+    earlier VARCHAR-substr oracle was only coincidentally right on
+    ASCII corpora (ADVICE r5)."""
     import pandas as pd
 
     def kernel(batches):
@@ -465,7 +472,9 @@ def frame_hashes(docs: DataFrame) -> DataFrame:
                     off = i * _FRAME_STRIDE
                     ids.append(doc_id)
                     hs.append(
-                        hashlib.md5(payload[off : off + _FRAME_LEN]).hexdigest()
+                        hashlib.md5(
+                            payload[off : off + _FRAME_LEN].hex().upper().encode()
+                        ).hexdigest()
                     )
                     i += 1
             yield pd.DataFrame({"doc_id": ids, "h": hs})
@@ -524,11 +533,20 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MULTIMODAL_FRAME_DEDUP = f"""
-WITH idx AS (SELECT i FROM generate_series(0, 4095) AS g(i)),
+WITH doc AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+idx AS (
+  SELECT unnest(generate_series(
+    0, (SELECT CAST(max(n) / {_FRAME_STRIDE} AS BIGINT) FROM doc))) AS i
+),
 fh AS (
-  SELECT DISTINCT doc_id, md5(substr(text, i * {_FRAME_STRIDE} + 1, {_FRAME_LEN})) AS h
-  FROM documents CROSS JOIN idx
-  WHERE i * {_FRAME_STRIDE} < octet_length(encode(text))
+  SELECT DISTINCT doc_id,
+         md5(substr(hx, i * {2 * _FRAME_STRIDE} + 1, {2 * _FRAME_LEN})) AS h
+  FROM doc CROSS JOIN idx
+  WHERE i * {_FRAME_STRIDE} < n
 ),
 sizes AS (SELECT doc_id, count(*) AS n_frames FROM fh GROUP BY doc_id),
 pairs AS (

@@ -352,10 +352,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explode the nprobe cell list so the probe is an EQUI join on
     # cell (BroadcastHashJoin) instead of the OR-of-cells nested-loop;
     # the equi shape is what survives a large query set at scale.
+    # array_distinct: if every centroid distance ties, cell == cell2
+    # and a plain explode would double-count candidates (the oracle's
+    # OR predicate cannot).
     queries = assigned.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("qemb"),
-        F.explode(F.array("cell", "cell2")).alias("pcell"),
+        F.explode(F.array_distinct(F.array("cell", "cell2"))).alias("pcell"),
     )
     scored = (
         assigned.join(
@@ -1149,7 +1152,7 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = encoded.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("qemb"),
-        F.explode(F.array("cell", "cell2")).alias("pcell"),
+        F.explode(F.array_distinct(F.array("cell", "cell2"))).alias("pcell"),
     )
     scored = encoded.join(
         F.broadcast(queries),

@@ -1491,9 +1491,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("freq").cast("double")).alias("ly"),
         )
     )
+    # n_terms > 1 guard: a single-token vocabulary gives var_pop = 0,
+    # and 0/0 semantics (NaN vs NULL) differ between engines — the fit
+    # is undefined there, so both sides pin NULL (ADVICE r5).
     fitted = top.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_terms"),
-        (F.covar_pop("ly", "lx") / F.var_pop("lx")).alias("slope_raw"),
+        F.when(
+            F.count(F.lit(1)) > 1, F.covar_pop("ly", "lx") / F.var_pop("lx")
+        ).alias("slope_raw"),
         F.avg("lx").alias("mx"),
         F.avg("ly").alias("my"),
     )
@@ -1526,7 +1531,8 @@ top AS (
 fitted AS (
   SELECT source,
          count(*) AS n_terms,
-         covar_pop(ly, lx) / var_pop(lx) AS slope_raw,
+         CASE WHEN count(*) > 1
+              THEN covar_pop(ly, lx) / var_pop(lx) END AS slope_raw,
          avg(lx) AS mx,
          avg(ly) AS my
   FROM top GROUP BY source

@@ -231,3 +231,56 @@ def test_audio_features_real_wav_through_spark(spark):
         assert got[f]["energy"] == int((frame * frame).sum())
         assert got[f]["peak"] == int(frame.max())
         assert got[f]["n_samples"] == len(frame)
+
+
+def test_frame_hashes_non_ascii_matches_blob_oracle(spark):
+    """Frame checksums are computed over PAYLOAD BYTES, not characters,
+    and the DuckDB oracle's hex-slicing formula reproduces them exactly
+    on a non-ASCII, multi-frame corpus (ADVICE r5: the old VARCHAR
+    substr oracle was only coincidentally right on pure ASCII)."""
+    import duckdb
+
+    from parquet_stream_writer_spark.operators.multimodal import (
+        _FRAME_LEN,
+        _FRAME_STRIDE,
+        frame_hashes,
+    )
+
+    texts = [
+        "héllo wörld × " * 40,           # 2-byte UTF-8 seqs straddle frames
+        "日本語のテキスト" * 80,            # 3-byte seqs, > 1 frame stride
+        "plain ascii filler " * 30,
+        "🎥" * 200,                       # 4-byte seqs
+    ]
+    rows = [(i, t.encode("utf-8")) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["h"]) for r in frame_hashes(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, payload BLOB)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, t.encode("utf-8")])
+    want = {
+        tuple(r)
+        for r in con.sql(
+            f"""
+            WITH doc AS (
+              SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n
+              FROM t
+            ),
+            idx AS (
+              SELECT unnest(generate_series(
+                0, (SELECT CAST(max(n) / {_FRAME_STRIDE} AS BIGINT) FROM doc))) AS i
+            )
+            SELECT DISTINCT doc_id,
+                   md5(substr(hx, i * {2 * _FRAME_STRIDE} + 1, {2 * _FRAME_LEN}))
+            FROM doc CROSS JOIN idx
+            WHERE i * {_FRAME_STRIDE} < n
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # multi-frame coverage: every doc long enough has > 1 frame
+    assert len({h for d, h in got if d == 1}) > 1
