@@ -135,17 +135,53 @@ GROUP BY o_orderpriority
 """
 
 
+#: Accepted relative error for the HLL++ estimate vs exact distinct.
+#: rsd 0.05 means one standard error ≈ 5%; 3σ = 15% bounds the
+#: deterministic (hash-seeded, RNG-free) estimate at every SF tested.
+_HLL_REL_ERR_BOUND = 0.15
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — rows-only check (sketch
-    values differ by implementation; DuckDB approx_count_distinct uses
-    a different HLL seed so no value oracle is possible)."""
+    """HyperLogLog++ approximate distinct, hash-oracled as a BOUNDS
+    CHECK: raw sketch estimates are implementation-specific (DuckDB's
+    HLL seeds differently), so the emitted columns are the exact
+    distinct plus a boolean asserting the estimate landed within
+    ``_HLL_REL_ERR_BOUND`` of it — the oracle computes the same exact
+    value with a literal TRUE, so a drifting sketch hash-mismatches.
+    The exact countDistinct rides along as the audit yardstick at test
+    scale; a 100 TB run keeps only the sketch column (one pass,
+    mergeable partials, no raw-key shuffle)."""
     ev = _t(spark, sf_dir, "events")
     # rsd 0.05 (default): rsd 0.01 needs ~2^18 HLL registers per group
     # per partial aggregate — measured 8× slower for no benefit here.
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.05).alias("approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= _HLL_REL_ERR_BOUND
+            ).alias("approx_within_bound"),
+        )
     )
+
+
+ORACLE_AGG_APPROX_DISTINCT = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*)                AS n_events,
+       TRUE                    AS approx_within_bound
+FROM events
+GROUP BY event_type
+"""
 
 
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,7 +685,10 @@ ORACLE = {
     "set_operations": ORACLE_SET_OPERATIONS,
     "scalar_functions": ORACLE_SCALAR_FUNCTIONS,
     "json_extraction": ORACLE_JSON_EXTRACTION,
-    # agg_approx_distinct: intentionally no oracle (sketch-dependent).
+    # Sketch estimates are engine-specific, so the approx/sketch keys
+    # are oracled as BOUNDS CHECKS: exact values + within-bound
+    # booleans the oracle pins to literal TRUE.
+    "agg_approx_distinct": ORACLE_AGG_APPROX_DISTINCT,
 }
 
 
@@ -904,34 +943,62 @@ QUERIES["q18_large_orders"] = q18_large_orders
 ORACLE["q18_large_orders"] = ORACLE_Q18_LARGE_ORDERS
 
 
+#: Accepted relative value error of the GK approx percentile vs the
+#: exact interpolated percentile.  accuracy=1000 bounds RANK error at
+#: n/1000; o_totalprice is smooth enough that the value error stays
+#: far inside 2% at every SF tested (deterministic sketch, no RNG).
+_GK_REL_ERR_BOUND = 0.02
+
+
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantile sketch per order status —
     the mergeable-sketch lane next to the exact ``agg_percentiles``
     (at 100 TB exact percentiles need a full sort per group; the
-    sketch is one pass, partial+final mergeable). Rows-only check:
-    sketch internals are engine-specific, so no value oracle. The
-    percentile array is projected to scalar columns — array-typed
-    output breaks the driver's order-insensitive canonicalizer."""
+    sketch is one pass, partial+final mergeable).  Hash-oracled as a
+    BOUNDS CHECK: sketch internals are engine-specific, so the output
+    is the exact interpolated percentile plus a boolean asserting the
+    sketch value landed within ``_GK_REL_ERR_BOUND`` of it; the oracle
+    computes the same exact percentiles with literal TRUEs.  The exact
+    percentile rides along as the test-scale audit yardstick only."""
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.expr(
-                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)"
-            ).alias("approx_pcts"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .select(
-            "o_orderstatus",
-            F.col("approx_pcts")[0].alias("p50_approx"),
-            F.col("approx_pcts")[1].alias("p90_approx"),
-            F.col("approx_pcts")[2].alias("p99_approx"),
-            "n_orders",
-        )
+    agged = orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)"
+        ).alias("ap"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("ep"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agged.select(
+        "o_orderstatus",
+        pround(F.col("ep")[0], 4).alias("p50_exact"),
+        pround(F.col("ep")[1], 4).alias("p90_exact"),
+        pround(F.col("ep")[2], 4).alias("p99_exact"),
+        "n_orders",
+        (F.abs(F.col("ap")[0] - F.col("ep")[0]) / F.col("ep")[0]
+         <= _GK_REL_ERR_BOUND).alias("p50_within_bound"),
+        (F.abs(F.col("ap")[1] - F.col("ep")[1]) / F.col("ep")[1]
+         <= _GK_REL_ERR_BOUND).alias("p90_within_bound"),
+        (F.abs(F.col("ap")[2] - F.col("ep")[2]) / F.col("ep")[2]
+         <= _GK_REL_ERR_BOUND).alias("p99_within_bound"),
     )
 
 
+ORACLE_AGG_APPROX_QUANTILE = """
+SELECT o_orderstatus,
+       floor((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000.0  AS p50_exact,
+       floor((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000.0  AS p90_exact,
+       floor((quantile_cont(o_totalprice, 0.99)) * 10000 + 0.5) / 10000.0 AS p99_exact,
+       count(*) AS n_orders,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound,
+       TRUE AS p99_within_bound
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES["agg_approx_quantile"] = agg_approx_quantile
+ORACLE["agg_approx_quantile"] = ORACLE_AGG_APPROX_QUANTILE
 
 
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1810,22 +1877,40 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     of o_custkey union into one global estimate without rescanning —
     the property that lets 1000 executors (or 1000 daily partitions)
     keep running distinct counts as tiny mergeable state instead of
-    shuffling raw keys. Output carries the exact distinct alongside
-    for error auditing. Rows-only check (estimates are
-    sketch-implementation-specific; Datasketches HLL here)."""
+    shuffling raw keys. Hash-oracled as a BOUNDS CHECK (estimates are
+    sketch-implementation-specific; Datasketches HLL here): output is
+    the exact distinct plus a boolean asserting the merged estimate
+    landed within ``_DS_HLL_REL_ERR_BOUND``, which the oracle pins to
+    literal TRUE."""
     orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk")
     )
     merged = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_custs")
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     )
     exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct_custs"))
-    return merged.crossJoin(exact)
+    return merged.crossJoin(exact).select(
+        "exact_distinct_custs",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct_custs"))
+            / F.col("exact_distinct_custs")
+            <= _DS_HLL_REL_ERR_BOUND
+        ).alias("merged_est_within_bound"),
+    )
 
+
+#: Datasketches HLL (lgk 12) rsd ≈ 1.04/√4096 ≈ 1.6%; 3σ ≈ 5%.
+_DS_HLL_REL_ERR_BOUND = 0.05
+
+ORACLE_AGG_HLL_MERGEABLE = """
+SELECT count(DISTINCT o_custkey) AS exact_distinct_custs,
+       TRUE AS merged_est_within_bound
+FROM orders
+"""
 
 QUERIES["agg_hll_mergeable"] = agg_hll_mergeable
-# intentionally no ORACLE entry: sketch estimates are engine-specific.
+ORACLE["agg_hll_mergeable"] = ORACLE_AGG_HLL_MERGEABLE
 
 
 def agg_kll_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1834,8 +1919,11 @@ def agg_kll_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary merge, then serve p50/p90 — the same partial-state pattern
     as ``agg_hll_mergeable`` but for order statistics, which is how a
     1000-partition corpus keeps percentile dashboards without ever
-    re-sorting raw values. Exact percentiles ride along for error
-    audit. Rows-only (sketch estimates are implementation-specific)."""
+    re-sorting raw values. Hash-oracled as a BOUNDS CHECK (sketch
+    estimates are implementation-specific): output is the exact
+    interpolated percentile pair plus booleans asserting the merged
+    sketch served each within ``_KLL_REL_ERR_BOUND`` and that the
+    merged sketch saw every row; the oracle pins the booleans TRUE."""
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("l_extendedprice").alias("sk")
@@ -1854,7 +1942,21 @@ def agg_kll_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _exact_percentiles_distributed(
         li.select(F.col("l_extendedprice").alias("v")), {"exact_p50": 0.5, "exact_p90": 0.9}
     )
-    return est.crossJoin(exact)
+    n_rows = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        est.crossJoin(exact)
+        .crossJoin(n_rows)
+        .select(
+            pround(F.col("exact_p50"), 4).alias("exact_p50"),
+            pround(F.col("exact_p90"), 4).alias("exact_p90"),
+            "n_rows",
+            (F.abs(F.col("est_p50") - F.col("exact_p50")) / F.col("exact_p50")
+             <= _KLL_REL_ERR_BOUND).alias("p50_within_bound"),
+            (F.abs(F.col("est_p90") - F.col("exact_p90")) / F.col("exact_p90")
+             <= _KLL_REL_ERR_BOUND).alias("p90_within_bound"),
+            (F.col("sketch_n") == F.col("n_rows")).alias("sketch_saw_all_rows"),
+        )
+    )
 
 
 def _exact_percentiles_distributed(vals: DataFrame, out: dict[str, float]) -> DataFrame:
@@ -1922,8 +2024,24 @@ def _exact_percentiles_distributed(vals: DataFrame, out: dict[str, float]) -> Da
     )
 
 
+#: Datasketches KLL (default k=200) normalized rank error ≈ 1.65%;
+#: l_extendedprice is smooth, so the VALUE error stays inside 5% at
+#: every SF tested (deterministic sketch — Spark's kll_sketch_agg
+#: compaction is seedless).
+_KLL_REL_ERR_BOUND = 0.05
+
+ORACLE_AGG_KLL_MERGEABLE = """
+SELECT floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000.0 AS exact_p50,
+       floor((quantile_cont(l_extendedprice, 0.9)) * 10000 + 0.5) / 10000.0 AS exact_p90,
+       count(*) AS n_rows,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound,
+       TRUE AS sketch_saw_all_rows
+FROM lineitem
+"""
+
 QUERIES["agg_kll_quantile_mergeable"] = agg_kll_quantile_mergeable
-# intentionally no ORACLE entry: sketch estimates are engine-specific.
+ORACLE["agg_kll_quantile_mergeable"] = ORACLE_AGG_KLL_MERGEABLE
 
 
 def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1931,9 +2049,12 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference of the 1996-vs-1997 buyer sets from two one-pass
     sketches — the capability HLL lacks (HLL only unions). At scale
     each cohort's sketch is built in its own partition-parallel pass
-    and the algebra happens on KB-sized state; the exact counts ride
-    along for the accuracy audit. Rows-only (estimates are
-    Datasketches-specific)."""
+    and the algebra happens on KB-sized state. Hash-oracled as a
+    BOUNDS CHECK (estimates are Datasketches-specific): output is the
+    exact union/intersection/difference counts plus booleans asserting
+    each estimate landed within ``_THETA_REL_ERR_BOUND`` of exact —
+    intersection/difference errors are measured relative to the UNION
+    size (the theta set-algebra guarantee); the oracle pins TRUE."""
     orders = _t(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
     s96 = orders.where(yr == 1996).agg(
@@ -1960,11 +2081,48 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("in96") * F.col("in97")).alias("exact_both_years"),
         F.sum(F.col("in96") * (1 - F.col("in97"))).alias("exact_only_1996"),
     )
-    return est.crossJoin(exact)
+    return est.crossJoin(exact).select(
+        "exact_union",
+        "exact_both_years",
+        "exact_only_1996",
+        (F.abs(F.col("est_union") - F.col("exact_union"))
+         <= _THETA_REL_ERR_BOUND * F.col("exact_union")
+         ).alias("union_within_bound"),
+        (F.abs(F.col("est_both_years") - F.col("exact_both_years"))
+         <= _THETA_REL_ERR_BOUND * F.col("exact_union")
+         ).alias("intersection_within_bound"),
+        (F.abs(F.col("est_only_1996") - F.col("exact_only_1996"))
+         <= _THETA_REL_ERR_BOUND * F.col("exact_union")
+         ).alias("difference_within_bound"),
+    )
 
+
+#: Theta sketches (default 4096 nominal entries) estimate within
+#: ≈1.6% rsd once sampling starts, and are EXACT below 4096 keys; the
+#: set-algebra error scales with the union, so 5%·union bounds all
+#: three estimates at every SF tested.
+_THETA_REL_ERR_BOUND = 0.05
+
+ORACLE_AGG_THETA_SETOPS = """
+WITH flags AS (
+  SELECT o_custkey,
+         max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in96,
+         max(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS in97
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey
+)
+SELECT count(*) AS exact_union,
+       CAST(sum(in96 * in97) AS BIGINT) AS exact_both_years,
+       CAST(sum(in96 * (1 - in97)) AS BIGINT) AS exact_only_1996,
+       TRUE AS union_within_bound,
+       TRUE AS intersection_within_bound,
+       TRUE AS difference_within_bound
+FROM flags
+"""
 
 QUERIES["agg_theta_sketch_setops"] = agg_theta_sketch_setops
-# intentionally no ORACLE entry: sketch estimates are engine-specific.
+ORACLE["agg_theta_sketch_setops"] = ORACLE_AGG_THETA_SETOPS
 
 
 def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -487,9 +487,17 @@ def embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition) and the finalize kernel sums them, forms the d×d
     covariance ``Σxx^T − n·μμ^T``, and eigendecomposes it.  Per-task
     memory is O(d²) regardless of group size — the billion-row shape.
-    Outputs are sign-invariant (explained variance, centroid norm) and
-    rounded to 6 dp.  Rows-only check: eigensolvers aren't
-    SQL-expressible.
+
+    Hash-oracled as a BOUNDS CHECK: the eigensolve isn't
+    SQL-expressible, but everything upstream of it IS — ``n``, the
+    centroid norm, and the mean per-dimension variance (covariance
+    trace / d) are recomputed by DuckDB from the raw vectors via
+    per-dimension aggregates, cross-verifying the sufficient
+    statistics (count, Σx, diag XᵀX).  The eigensolve itself is pinned
+    by ``pc1_within_bounds``: λ_max must sit in [trace/d, trace]
+    (λ_max ≥ the mean eigenvalue, Σλ = trace) and the spectrum must
+    sum back to the trace within 1e-6 relative; the oracle pins the
+    boolean TRUE.  Outputs are sign-invariant and portably rounded.
     """
     import pandas as pd
 
@@ -514,29 +522,69 @@ def embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def finalize(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
         n = int(pdf["n"].sum())
         s = np.sum(np.stack(pdf["sum_vec"].to_numpy()), axis=0)
         xtx = np.sum(np.stack(pdf["xtx"].to_numpy()), axis=0).reshape(d, d)
         mu = s / n
         cov = xtx - n * np.outer(mu, mu)
         evals = np.linalg.eigvalsh((cov + cov.T) / 2.0)
-        total = float(evals.sum()) or 1.0
+        # Population-covariance trace per dim == mean var_pop, the
+        # quantity DuckDB recomputes from raw vectors.
+        trace = float(np.trace(cov))
+        mean_var = trace / n / d
+        lmax = float(evals[-1])
+        spectrum_ok = abs(float(evals.sum()) - trace) <= 1e-6 * max(trace, 1e-12)
+        pc1_ok = (trace / d - 1e-9 <= lmax <= trace + 1e-9) and spectrum_ok
+
+        def pr4(x: float) -> float:
+            return math.floor(x * 10000 + 0.5) / 10000.0
+
         return pd.DataFrame(
             {
                 "label": [int(key[0])],
                 "n_vectors": [n],
-                "explained_var_pc1": [round(float(evals[-1] / total), 6)],
-                "centroid_norm": [round(float(np.linalg.norm(mu)), 6)],
+                "mean_dim_var": [pr4(mean_var)],
+                "centroid_norm": [pr4(float(np.linalg.norm(mu)))],
+                "pc1_within_bounds": [bool(pc1_ok)],
             }
         )
 
     return parts.groupBy("label").applyInPandas(
         finalize,
-        "label int, n_vectors long, explained_var_pc1 double, centroid_norm double",
+        "label int, n_vectors long, mean_dim_var double,"
+        " centroid_norm double, pc1_within_bounds boolean",
     )
 
 
+ORACLE_EMBEDDING_PCA_BY_LABEL = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+per_dim AS (
+  SELECT label, i,
+         avg(CAST(embedding[i] AS DOUBLE))     AS mu,
+         var_pop(CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings CROSS JOIN dims
+  GROUP BY label, i
+),
+stats AS (
+  SELECT label,
+         sqrt(sum(mu * mu)) AS centroid_norm_raw,
+         avg(v)             AS mean_dim_var_raw
+  FROM per_dim GROUP BY label
+),
+counts AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT CAST(c.label AS INTEGER) AS label,
+       c.n_vectors,
+       floor(s.mean_dim_var_raw * 10000 + 0.5) / 10000.0 AS mean_dim_var,
+       floor(s.centroid_norm_raw * 10000 + 0.5) / 10000.0 AS centroid_norm,
+       TRUE AS pc1_within_bounds
+FROM counts c JOIN stats s ON c.label = s.label
+"""
+
+
 QUERIES["embedding_pca_by_label"] = embedding_pca_by_label
+ORACLE["embedding_pca_by_label"] = ORACLE_EMBEDDING_PCA_BY_LABEL
 
 
 # ---------------------------------------------------------------------------
