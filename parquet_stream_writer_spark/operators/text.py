@@ -1547,3 +1547,148 @@ ORDER BY source
 
 QUERIES["text_zipf_fit"] = text_zipf_fit
 ORACLE["text_zipf_fit"] = ORACLE_TEXT_ZIPF_FIT
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table training
+# ---------------------------------------------------------------------------
+
+#: Number of BPE merge rounds to learn.
+_BPE_MERGES = 8
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a byte-pair-encoding merge table over the corpus: the
+    ``_BPE_MERGES`` highest-weighted adjacent symbol pairs, merged
+    greedily one per round — completing the tokenizer story that
+    ``text_token_count_bpe`` / ``text_tokenize_ids`` approximate with
+    a fixed regex.
+
+    Shape (the Lloyd-loop pattern, cf. ``embedding_kmeans_lloyd``):
+    ONE corpus-scale pass builds the word-frequency relation — BPE
+    trains on (word, freq), never raw text — which is persisted;
+    every subsequent round is a vocabulary-sized pair-count hash
+    aggregate plus a 1-row argmax collect (the learned merge is O(1)
+    driver state, like a k-means codebook).  No corpus-sized
+    broadcast, no quadratic step; at 100 TB only the initial word
+    count touches the data.
+
+    Merge application uses the delimited-string representation
+    (`` h e l l o ``) with a double ``replace`` of `` l r `` →
+    `` lr ``: both engines' ``replace`` scans left-to-right and
+    resumes AFTER each replacement, so consecutive pair occurrences
+    share a delimiter and alternate passes; the second pass catches
+    the skipped ones.  This is deterministic and engine-identical;
+    it matches canonical left-to-right BPE everywhere except inside
+    runs of ≥5 repeats of one pair, where the merge positions (not
+    the merge counts) can differ — an accepted variant, identical in
+    Spark and the oracle.  Ties in pair weight break on binary
+    (l, r) order in both engines.
+
+    Output is the learned merge table itself (8 rows of parameters),
+    materialized driver-side exactly like a trained codebook.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+            ).alias("s"),
+            "freq",
+        )
+        .persist()
+    )
+    try:
+        cur = words
+        merges = []
+        for rnd in range(1, _BPE_MERGES + 1):
+            pc = (
+                cur.select("freq", F.split(F.trim(F.col("s")), " ").alias("syms"))
+                .where(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(syms[i-1] AS pl, syms[i] AS pr))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.pl").alias("l"), F.col("p.pr").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            best = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).first()
+            if best is None:
+                break
+            merges.append(
+                (rnd, best["l"], best["r"], best["l"] + best["r"], int(best["cnt"]))
+            )
+            pat = F.lit(f" {best['l']} {best['r']} ")
+            rep = F.lit(f" {best['l']}{best['r']} ")
+            cur = cur.select(
+                F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+                "freq",
+            )
+        return spark.createDataFrame(
+            merges,
+            "merge_round int, left_sym string, right_sym string,"
+            " merged string, pair_count long",
+        )
+    finally:
+        words.unpersist()
+
+
+# Unrolled-CTE DuckDB twin of text_bpe_train: one CTE triple (pair
+# counts -> 1-row argmax -> merged words) per round.  Built with
+# module-level code, NOT a helper function, so appending it does not
+# perturb the module-helper staleness hash of unrelated text keys.
+_BPE_ORACLE_PARTS = [
+    """
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+w0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, freq FROM words
+)"""
+]
+for _r in range(1, _BPE_MERGES + 1):
+    _BPE_ORACLE_PARTS.append(
+        f""",
+p{_r} AS (
+  SELECT p['pl'] AS l, p['pr'] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+           i -> {{'pl': syms[i], 'pr': syms[i+1]}})) AS p
+    FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM w{_r - 1})
+  )
+  GROUP BY 1, 2
+),
+m{_r} AS (SELECT l, r, cnt FROM p{_r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+w{_r} AS (
+  SELECT replace(replace(w.s, ' ' || m.l || ' ' || m.r || ' ',
+                               ' ' || m.l || m.r || ' '),
+                 ' ' || m.l || ' ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS s, w.freq
+  FROM w{_r - 1} w CROSS JOIN m{_r} m
+)"""
+    )
+_BPE_ORACLE_PARTS.append(
+    "\nSELECT * FROM ("
+    + "\nUNION ALL ".join(
+        f"SELECT {_r} AS merge_round, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_count FROM m{_r}"
+        for _r in range(1, _BPE_MERGES + 1)
+    )
+    + ") ORDER BY merge_round"
+)
+ORACLE_TEXT_BPE_TRAIN = "".join(_BPE_ORACLE_PARTS)
+
+
+QUERIES["text_bpe_train"] = text_bpe_train
+ORACLE["text_bpe_train"] = ORACLE_TEXT_BPE_TRAIN

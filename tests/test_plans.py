@@ -821,3 +821,61 @@ def test_shipping_latency_join_unhinted_single_agg(spark):
     p = plan(spark, df)
     assert p.count("lineitem.parquet") == 1, p
     assert p.count("orders.parquet") == 1, p
+
+
+def test_bpe_train_rounds_stay_vocab_sized(spark):
+    """BPE training must touch the corpus exactly once (the word-count
+    aggregate, which is persisted); every merge round's pair count
+    must read the cached vocabulary relation — no re-scan of
+    documents, no nested-loop join, and a partial+final hash
+    aggregate for the pair weights."""
+    from pyspark.sql import functions as F
+
+    from parquet_stream_writer_spark.operators.text import text_bpe_train
+    from tests.conftest import SF_DIR
+
+    # Reproduce the round-1 internal shape: the persisted vocab
+    # relation feeding the pair-count aggregate.
+    from parquet_stream_writer_spark.sources import scan_parallel
+
+    docs = scan_parallel(spark, SF_DIR, "documents", "doc_id")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+            "freq",
+        )
+        .persist()
+    )
+    try:
+        words.count()
+        pc = (
+            words.select("freq", F.split(F.trim(F.col("s")), " ").alias("syms"))
+            .where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS pl, syms[i] AS pr))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.pl").alias("l"), F.col("p.pr").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        p = plan(spark, pc)
+        assert "InMemoryTableScan" in p, p          # vocab served from cache
+        assert "FileScan" not in p, p               # no corpus re-scan
+        assert p.count("HashAggregate") >= 2, p     # partial + final
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+    finally:
+        words.unpersist()
+
+    # End-to-end: the learned table is 8 tiny parameter rows.
+    out = text_bpe_train(spark, SF_DIR)
+    assert out.count() == 8

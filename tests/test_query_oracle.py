@@ -404,3 +404,66 @@ def test_distributed_exact_percentile_matches_numpy(spark, values):
         row["p50"], want50, values)
     assert math.isclose(row["p90"], want90, rel_tol=1e-9, abs_tol=1e-6), (
         row["p90"], want90, values)
+
+
+def test_bpe_train_learns_expected_merges(spark, tmp_path):
+    """Hand-checkable corpus: 'low low low lower lowest' has pair
+    (l,o) weighted 5, then (lo,w) 5, then (low,e) 2 ... — and the
+    learned table must agree with the DuckDB oracle CTE on the same
+    constructed data, including tie-breaks."""
+    import duckdb
+
+    from parquet_stream_writer_spark.operators import all_oracles
+    from parquet_stream_writer_spark.operators.text import text_bpe_train
+
+    sf = _with_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "low low low", "en", "s", 11),
+            (2, "lower lowest", "en", "s", 12),
+        ],
+    )
+    rows = text_bpe_train(spark, sf).orderBy("merge_round").collect()
+    got = [(r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count) for r in rows]
+    # round 1: (l,o) appears in low(3) + lower + lowest = weight 5
+    assert got[0] == (1, "l", "o", "lo", 5)
+    # round 2: (lo,w) same 5 docsets
+    assert got[1] == (2, "lo", "w", "low", 5)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.sql(all_oracles()["text_bpe_train"]).fetchall()]
+    assert got == want
+
+
+def test_bpe_merge_application_handles_adjacent_runs(spark, tmp_path):
+    """Consecutive occurrences of the winning pair share a delimiter
+    in the string representation; the double-replace must still merge
+    them all (and never cross word boundaries), agreeing with the
+    oracle."""
+    import duckdb
+
+    from parquet_stream_writer_spark.operators import all_oracles
+    from parquet_stream_writer_spark.operators.text import text_bpe_train
+
+    sf = _with_docs(
+        spark,
+        tmp_path,
+        [(1, "abababab abab cdcd", "en", "s", 18)],
+    )
+    rows = text_bpe_train(spark, sf).orderBy("merge_round").collect()
+    got = [(r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count) for r in rows]
+    # (a,b) weight 6 wins round 1; all six occurrences must merge so
+    # round 2 counts ADJACENT (ab,ab) pairs: [ab,ab,ab,ab] has 3,
+    # [ab,ab] has 1 — weight 4.  A single-pass replace would leave
+    # "a b" symbols behind and change this count.
+    assert got[0] == (1, "a", "b", "ab", 6)
+    assert got[1] == (2, "ab", "ab", "abab", 4)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.sql(all_oracles()["text_bpe_train"]).fetchall()]
+    assert got == want
