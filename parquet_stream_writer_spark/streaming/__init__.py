@@ -15,6 +15,7 @@ from parquet_stream_writer_spark.streaming.windows import (
     interval_join,
     session_window_agg,
     value_histogram_agg,
+    windowed_dedup,
     sliding_window_agg,
     tumbling_window_agg,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "interval_join",
     "session_window_agg",
     "value_histogram_agg",
+    "windowed_dedup",
     "sliding_window_agg",
     "tumbling_window_agg",
 ]

@@ -101,6 +101,31 @@ def streaming_dedup(stream: DataFrame, keys: list[str], *, ts_col: str = "ts", w
     )
 
 
+def windowed_dedup(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Streaming twin of the batch-verified
+    ``operators.streaming_batch.events_windowed_dedup``: keep one
+    event per (hour-window, ``keys``) via
+    ``dropDuplicatesWithinWatermark`` on the truncated-hour column.
+
+    Because every dedup key is confined to one event-time hour, any
+    watermark ≥ the window width + max lateness gives EXACTLY the
+    batch semantics (a key's state cannot be evicted while that hour
+    can still produce rows); the watermark is what bounds state to
+    O(keys per active window) instead of O(all keys ever)."""
+    s = _with_event_time(stream, ts_col).withColumn(
+        "w_start", F.date_trunc("hour", F.col(ts_col))
+    )
+    return s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["w_start", *keys]
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -278,3 +278,115 @@ def test_streaming_value_histogram_matches_batch(spark, sf_dir, events_stream_di
         | F.col("n_batch").isNull()
         | (F.col("n_stream") != F.col("n_batch"))
     ).count() == 0
+
+
+def test_streaming_session_window_matches_batch_and_sessionize(spark, sf_dir, events_stream_dir):
+    """Native streaming session_window must (a) exactly equal the same
+    session_window aggregation run in batch, and (b) exactly equal the
+    oracle-verified gaps-and-islands `events_sessionize` after mapping
+    the window end (session_window end = last event + gap).  Complete
+    mode + a large watermark: availableNow delivers files out of
+    event-time order, and the session operator drops late rows and
+    finalizes (stops merging) passed sessions even in complete mode —
+    a 365-day watermark keeps every row live, while complete mode
+    re-emits all session state at the end."""
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_sessionize,
+    )
+
+    stream = _events_stream(spark, events_stream_dir)
+    name = f"sessx_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(
+        spark, session_window_agg(stream, watermark="365 days"), name, "complete"
+    )
+
+    # (a) batch twin with the identical session_window expression
+    ev = spark.read.parquet(str(events_stream_dir)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("cast(floor(sum(value)*100+0.5) as double)/100.0").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "sum_value"]
+    got = sorted(map(tuple, result.select(*cols).collect()))
+    want = sorted(map(tuple, batch.select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+    # (b) the oracle-verified sessionize, with end mapped by the gap
+    gi = events_sessionize(spark, sf_dir).select(
+        "user_id",
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        F.col("session_end").cast("timestamp").alias("gi_end"),
+        "n_events",
+        "sum_value",
+    )
+    mapped = result.select(
+        "user_id",
+        "session_start",
+        F.expr("session_end - INTERVAL 30 MINUTES").alias("gi_end"),
+        "n_events",
+        "sum_value",
+    )
+    gcols = ["user_id", "session_start", "gi_end", "n_events", "sum_value"]
+    assert sorted(map(tuple, mapped.select(*gcols).collect())) == sorted(
+        map(tuple, gi.select(*gcols).collect())
+    )
+
+
+def test_streaming_windowed_dedup_matches_batch(spark, sf_dir, events_stream_dir):
+    """dropDuplicatesWithinWatermark on (hour, user, type) must keep
+    exactly the batch twin's per-window survivor counts (the surviving
+    event identity is arrival-order-dependent; the counts are not),
+    and every survivor must be a genuine event row."""
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_windowed_dedup,
+    )
+    from parquet_stream_writer_spark.streaming import windowed_dedup
+
+    stream = _events_stream(spark, events_stream_dir)
+    name = f"wdd_{uuid.uuid4().hex[:8]}"
+    # Watermark far beyond the hour windows: exact batch semantics
+    # (nothing evicted while its window is live; availableNow file
+    # order would otherwise evict still-active windows).
+    result = _run_to_memory(
+        spark, windowed_dedup(stream, watermark="365 days"), name, "append"
+    )
+
+    got = result.groupBy("w_start").agg(F.count(F.lit(1)).alias("n_kept"))
+    want = events_windowed_dedup(spark, sf_dir).select(
+        F.col("w_start").cast("timestamp").alias("w_start"), "n_kept"
+    )
+    cmp = got.join(want, "w_start", "full_outer")
+    assert (
+        cmp.where(
+            got["n_kept"].isNull()
+            | want["n_kept"].isNull()
+            | (got["n_kept"] != want["n_kept"])
+        ).count()
+        == 0
+    )
+    # one survivor per key, and survivors are real rows
+    assert (
+        result.groupBy("w_start", "user_id", "event_type")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+        == 1
+    )
+    ev = spark.read.parquet(str(events_stream_dir))
+    orig = ev.select("event_id", "user_id", "event_type").distinct()
+    stray = result.select("event_id", "user_id", "event_type").join(
+        orig, ["event_id", "user_id", "event_type"], "left_anti"
+    )
+    assert stray.count() == 0
