@@ -75,6 +75,18 @@ class ParquetStreamWriter:
         disables sharding (single output file).
     buffer_size_bytes:
         In-memory buffer; a flush happens once buffered bytes reach it.
+        DECISION (SURVEY §2a-13): ``buffer_size_bytes >
+        shard_size_bytes`` is ACCEPTED, matching the reference's
+        runtime behavior — its docstring (``writer.py:68``) claims the
+        buffer must not exceed the shard size but nothing enforces it,
+        and the semantics are well-defined without the constraint:
+        each flush lands whole in the current shard (size checks on
+        flushed bytes, rotate-before-flush), so the first shard
+        overshoots the threshold by up to one whole buffer; once a
+        shard is full every subsequent push rotates and flushes
+        immediately, so the buffer never refills past one push —
+        identical condition structure to the reference
+        (``writer.py:255-264``), pinned by the parity test.
     row_group_size:
         Forwarded to the Parquet writer per flush.
     file_prefix:

@@ -277,6 +277,33 @@ def test_rollover_granularity_is_flush_granularity(tmp_path):
     assert [pq.read_table(p).num_rows for p in files] == [5, 5]
 
 
+# -- doc-only constraint decision (ref writer.py:68) -----------------------
+
+def test_buffer_larger_than_shard_is_accepted(tmp_path):
+    """DECISION (SURVEY §2a-13): the reference's docstring claims
+    buffer_size_bytes must not exceed shard_size_bytes but never
+    enforces it; we replicate the RUNTIME behavior (identical
+    check-order to reference writer.py:255-264): construction
+    succeeds; the first flush (one whole buffer) lands in shard 0 and
+    overshoots it; from then on the shard-full branch fires on EVERY
+    push, so each later shard holds exactly one push's rows."""
+    out = tmp_path / "shards"
+    # buffer sized in the writer's own accounting units (RecordBatch
+    # nbytes) so the first flush triggers exactly at 4 pushes.
+    b = pa.RecordBatch.from_pydict(padded_batch(0), schema=SCHEMA).nbytes
+    with ParquetStreamWriter(
+        out, SCHEMA, shard_size_bytes=1, buffer_size_bytes=b * 4
+    ) as w:
+        for i in range(11):
+            w.write_batch(padded_batch(i))
+    files = sorted(out.glob("*.parquet"), key=lambda p: int(p.stem.rsplit("-", 1)[1]))
+    assert [pq.read_table(p).num_rows for p in files] == [4] + [1] * 7
+    assert [p.name for p in files] == [f"shards-{i}.parquet" for i in range(8)]
+    # every shard is a single consolidated flush (one row group)
+    for p in files:
+        assert pq.ParquetFile(p).metadata.num_row_groups == 1, p.name
+
+
 # -- validation (ref tests.py:301-310) -------------------------------------
 
 def test_negative_shard_size_rejected(tmp_path):
