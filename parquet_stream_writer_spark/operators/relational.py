@@ -2390,7 +2390,16 @@ ORACLE["nested_map_ops"] = ORACLE_NESTED_MAP_OPS
 _BASKET_MIN_COOC = 2
 
 
-def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Default reuse strategy for basket affinity's deduped item set:
+#: False = executor-local checkpoint blocks (fastest, fine on
+#: local/test clusters), True = persist(DISK_ONLY), whose lineage
+#: survives executor loss — the 100 TB setting.
+_BASKET_RELIABLE = False
+
+
+def orders_basket_affinity(
+    spark: SparkSession, sf_dir: str, *, reliable: bool | None = None
+) -> DataFrame:
     """Market-basket analysis over order line items: for every part
     pair co-purchased in at least ``_BASKET_MIN_COOC`` orders, the
     co-occurrence count and the lift
@@ -2411,18 +2420,30 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only float (rounded 4-dp on both engines).
 
     The deduped item set fans out to three consumers (pair self-join,
-    support agg, order-count agg), so it is ``localCheckpoint``-ed
-    lazily: one lineitem scan + one distinct shuffle total, with the
-    fan-out re-reading executor-local blocks instead of re-scanning
-    the fact table three times. (On a real cluster prefer
-    ``persist(DISK_ONLY)`` or a reliable checkpoint dir for the same
-    effect with lineage-recovery semantics.)
+    support agg, order-count agg), so it is materialized once: one
+    lineitem scan + one distinct shuffle total, with the fan-out
+    re-reading stored blocks instead of re-scanning the fact table
+    three times.  ``reliable`` (default ``_BASKET_RELIABLE``) picks
+    the storage: ``False`` = lazy ``localCheckpoint`` (executor-local
+    blocks, fastest, fine where executor loss just reruns the query);
+    ``True`` = ``persist(DISK_ONLY)``, which keeps lineage so a lost
+    executor recomputes only its blocks — the setting for a real
+    100 TB cluster run.  Both paths produce identical results
+    (pinned by test).
     """
+    from pyspark import StorageLevel
+
+    if reliable is None:
+        reliable = _BASKET_RELIABLE
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+    )
+    items = (
+        items.persist(StorageLevel.DISK_ONLY)
+        if reliable
+        else items.localCheckpoint(eager=False)
     )
     a, b = items.alias("a"), items.alias("b")
     pairs = (

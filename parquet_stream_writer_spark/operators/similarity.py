@@ -303,6 +303,12 @@ LIMIT {_N_PAIRS}
 #: IVF cell count and probe width.
 _N_CELLS = 8
 _NPROBE = 2
+#: Probe-side broadcast cap (rows in the exploded query×nprobe set).
+#: Below it the IVF probe joins hint an explicit broadcast; above it
+#: they fall through to Catalyst/AQE join selection, which shuffles
+#: both sides on the cell key — the million-query regime
+#: (scan_parallel-style conditional, VERDICT r5 advisory b).
+_BROADCAST_QUERY_CAP = 100_000
 
 
 def _centroids() -> np.ndarray:
@@ -360,9 +366,14 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("qemb"),
         F.explode(F.array_distinct(F.array("cell", "cell2"))).alias("pcell"),
     )
+    probe = (
+        F.broadcast(queries)
+        if _N_QUERIES * _NPROBE <= _BROADCAST_QUERY_CAP
+        else queries
+    )
     scored = (
         assigned.join(
-            F.broadcast(queries),
+            probe,
             (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
         )
         .select(
@@ -1202,8 +1213,16 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("qemb"),
         F.explode(F.array_distinct(F.array("cell", "cell2"))).alias("pcell"),
     )
+    # Conditional hint: broadcast only while the probe set is provably
+    # small; a million-query workload exceeds _BROADCAST_QUERY_CAP and
+    # takes the unhinted (shuffle-on-cell) path unchanged.
+    probe = (
+        F.broadcast(queries)
+        if _N_QUERIES * _NPROBE <= _BROADCAST_QUERY_CAP
+        else queries
+    )
     scored = encoded.join(
-        F.broadcast(queries),
+        probe,
         (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("qid")),
     ).select(
         "qid",

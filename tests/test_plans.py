@@ -879,3 +879,52 @@ def test_bpe_train_rounds_stay_vocab_sized(spark):
     # End-to-end: the learned table is 8 tiny parameter rows.
     out = text_bpe_train(spark, SF_DIR)
     assert out.count() == 8
+
+
+def test_ivf_probe_broadcast_is_conditional(spark, monkeypatch):
+    """The IVF/IVF-PQ probe joins hint a broadcast only while the
+    exploded query set is under _BROADCAST_QUERY_CAP; above the cap
+    (the million-query regime) the SAME code path plans an unhinted
+    equi join — and both regimes produce identical rows."""
+    from parquet_stream_writer_spark.operators import similarity
+
+    small = similarity.similarity_ivf_pq(spark, SF_DIR)
+    assert small._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 1
+    assert "BroadcastHashJoin" in plan(spark, small)
+
+    monkeypatch.setattr(similarity, "_BROADCAST_QUERY_CAP", 0)
+    large = similarity.similarity_ivf_pq(spark, SF_DIR)
+    analyzed = large._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 0, analyzed
+    p = plan(spark, large)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert sorted(map(tuple, large.collect())) == sorted(map(tuple, small.collect()))
+
+    large_ivf = similarity.similarity_ivf(spark, SF_DIR)
+    assert (
+        large_ivf._jdf.queryExecution().analyzed().toString().count("ResolvedHint") == 0
+    )
+    monkeypatch.undo()
+    assert sorted(map(tuple, similarity.similarity_ivf(spark, SF_DIR).collect())) == sorted(
+        map(tuple, large_ivf.collect())
+    )
+
+
+def test_basket_affinity_reliable_flag_paths_identical(spark):
+    """The durable (persist DISK_ONLY) and fast (localCheckpoint)
+    reuse strategies must produce identical affinity rows, and the
+    durable path must actually register a DISK_ONLY persist."""
+    from parquet_stream_writer_spark.operators.relational import (
+        orders_basket_affinity,
+    )
+
+    fast = orders_basket_affinity(spark, SF_DIR, reliable=False)
+    durable = orders_basket_affinity(spark, SF_DIR, reliable=True)
+    try:
+        p = plan(spark, durable)
+        assert "InMemoryTableScan" in p, p  # persisted relation in plan
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, durable.collect())
+        )
+    finally:
+        spark.catalog.clearCache()
