@@ -2871,3 +2871,171 @@ ORDER BY o_orderpriority
 
 QUERIES["events_shipping_latency"] = events_shipping_latency
 ORACLE["events_shipping_latency"] = ORACLE_EVENTS_SHIPPING_LATENCY
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 / Q16 (completing the 22-query suite)
+# ---------------------------------------------------------------------------
+
+#: Q11 keep-threshold: a part survives if its stock value exceeds
+#: this multiple of the MEAN per-part value.  TPC-H's 0.0001/SF
+#: fraction bakes the scale factor into the literal; the mean-relative
+#: form keeps the top tail non-degenerate at every SF with the same
+#: uncorrelated-scalar-subquery shape.  Integer multiple so the
+#: threshold compare stays in exact integer arithmetic (see cents
+#: note in the docstring).
+_Q11_MEAN_MULTIPLE = 2
+_Q11_NATION = "NATION_3"
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — per-part stock value concentrated in one
+    nation's suppliers, kept only where it exceeds a fixed fraction of
+    that nation's total.  The driver schema has no partsupp, so value
+    derives from observed lineitem revenue per part
+    (``Σ l_extendedprice·(1−l_discount)``), the same catalog-from-fact
+    adaptation as :func:`q2_min_cost_supplier`.
+
+    Plan: the nation's supplier keys broadcast into a semi join (the
+    nation filter reaches the fact scan's join, never a post-filter),
+    then the per-part hash aggregate feeds both consumers — the
+    HAVING threshold is its 1-row re-aggregate cross-joined back as a
+    broadcast scalar (the uncorrelated-subquery shape).  DataFrame
+    lineage duplicates the subtree statically, but AQE's exchange
+    reuse collapses it at execution (plan-pinned): the partkey
+    shuffle and the fact scan below it run once physically, so at
+    100 TB the only heavy edges are one fact semi join + one partkey
+    shuffle.
+
+    Money sums accumulate as INTEGER CENTS (each row's revenue is
+    rounded to cents first, then summed as bigint): integer addition
+    is order-independent, so the result is bit-identical across
+    engines AND across runs — at cluster scale a double sum's
+    reduce order is nondeterministic, which would make both the
+    HAVING boundary and the reported value flap run-to-run (observed
+    as a 1-cent oracle mismatch at sf0.1 before the change).  The
+    threshold compare ``v·n > k·Σv`` is pure integer arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat_sup = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == _Q11_NATION)),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey")
+    filt = li.join(
+        F.broadcast(nat_sup), li["l_suppkey"] == nat_sup["s_suppkey"], "left_semi"
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    per_part = filt.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(rev_cents).alias("v")
+    )
+    total = per_part.agg(
+        F.sum("v").alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("v") * F.col("n_parts")
+            > F.lit(_Q11_MEAN_MULTIPLE) * F.col("tot")
+        )
+        .select(
+            "partkey", (F.col("v") / 100.0).alias("stock_value")
+        )
+        .orderBy(F.desc("stock_value"), F.asc("partkey"))
+    )
+
+
+ORACLE_Q11_IMPORTANT_STOCK = f"""
+WITH filt AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           AS rev_cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{_Q11_NATION}')
+),
+per_part AS (
+  SELECT l_partkey AS partkey, CAST(sum(rev_cents) AS BIGINT) AS v
+  FROM filt GROUP BY l_partkey
+),
+total AS (
+  SELECT CAST(sum(v) AS BIGINT) AS tot, count(*) AS n_parts FROM per_part
+)
+SELECT partkey, v / 100.0 AS stock_value
+FROM per_part, total
+WHERE v * n_parts > {_Q11_MEAN_MULTIPLE} * tot
+ORDER BY stock_value DESC, partkey ASC
+"""
+
+
+QUERIES["q11_important_stock"] = q11_important_stock
+ORACLE["q11_important_stock"] = ORACLE_Q11_IMPORTANT_STOCK
+
+
+#: Q16 part-attribute predicates (brand excluded, type prefix
+#: excluded, size whitelist — the TPC-H literals, retargeted at the
+#: driver's value space).
+_Q16_BAD_BRAND = "Brand#16"
+_Q16_BAD_TYPE_PREFIX = "MEDIUM"
+_Q16_SIZES = (1, 4, 9, 14, 19, 24, 29, 34)
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many distinct suppliers can provide each
+    surviving (brand, type, size) bucket, excluding a blocklisted
+    supplier set.  Adaptations to the driver schema: partsupp derives
+    from distinct lineitem (part, supplier) pairs; the
+    complaints-in-comment exclusion becomes ``s_acctbal < 0`` (no
+    comment column exists).
+
+    Plan: ONE distinct shuffle builds the pair catalog; the
+    blocklist is a broadcast LEFT ANTI (it is a filtered dimension —
+    tiny at any SF); part attributes broadcast into the pair relation
+    (p_partkey-pruned columns only); the final (brand, type, size)
+    aggregate is the only other shuffle.  countDistinct is exact — at
+    100 TB swap for the audited HLL lane (``agg_hll_mergeable``) if
+    the bucket count explodes, as the docstring there prescribes."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    blocked = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = pairs.join(
+        F.broadcast(blocked), pairs["l_suppkey"] == blocked["s_suppkey"], "left_anti"
+    )
+    partf = part.where(
+        (F.col("p_brand") != _Q16_BAD_BRAND)
+        & (~F.col("p_type").startswith(_Q16_BAD_TYPE_PREFIX))
+        & (F.col("p_size").isin(*_Q16_SIZES))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(partf), pairs["l_partkey"] == partf["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+ORACLE_Q16_SUPPLIER_RELATIONSHIP = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{_Q16_BAD_BRAND}'
+  AND p_type NOT LIKE '{_Q16_BAD_TYPE_PREFIX}%'
+  AND p_size IN {_Q16_SIZES}
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+QUERIES["q16_parts_supplier_relationship"] = q16_parts_supplier_relationship
+ORACLE["q16_parts_supplier_relationship"] = ORACLE_Q16_SUPPLIER_RELATIONSHIP

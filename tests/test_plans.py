@@ -928,3 +928,34 @@ def test_basket_affinity_reliable_flag_paths_identical(spark):
         )
     finally:
         spark.catalog.clearCache()
+
+
+def test_q11_single_fact_aggregate_reused(spark):
+    """Q11's HAVING threshold consumes the same per-part aggregate as
+    the output rows: the static plan duplicates the subtree (DataFrame
+    lineage has no CTE sharing), but the EXECUTED plan must show AQE
+    exchange reuse — the partkey shuffle (and everything below it,
+    including the fact scan) runs once physically.  No nested loop."""
+    df = relational.q11_important_stock(spark, SF_DIR)
+    df.collect()  # AQE finalizes reuse at execution
+    p = plan(spark, df)
+    assert "ReusedExchange" in p, p
+    # the only BNLJ allowed is the broadcast 1-ROW threshold scalar
+    # (O(n*1) cross, BuildRight); any other form is a real nested loop.
+    tree_bnlj = [
+        l for l in p.splitlines() if "BroadcastNestedLoopJoin" in l and "+-" in l
+    ]
+    assert tree_bnlj and all("Cross BuildRight" in l for l in tree_bnlj), p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q16_blocklist_is_broadcast_anti(spark):
+    """Q16's supplier blocklist must plan as a broadcast LEFT ANTI
+    join; the part attributes broadcast; one distinct shuffle + one
+    group aggregate are the only exchanges on the fact lineage."""
+    df = relational.q16_parts_supplier_relationship(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "LeftAnti" in p or "left_anti" in p.lower(), p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 1, p
