@@ -959,3 +959,28 @@ def test_q16_blocklist_is_broadcast_anti(spark):
     assert "LeftAnti" in p or "left_anti" in p.lower(), p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
     assert p.count("BroadcastHashJoin") >= 1, p
+
+
+def test_bucketed_join_has_no_exchange_below_the_join(spark):
+    """The bucketed fact-fact join must read both sides' co-located
+    buckets directly: scans report Bucketed: true and the sort-merge
+    join takes NO Exchange on either input — the only shuffles left
+    are the small post-join aggregate and the final sort.  (The same
+    join over the raw parquet plans 2 extra fact-sized exchanges.)"""
+    from parquet_stream_writer_spark.operators.pipeline import (
+        join_bucketed_colocated,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = join_bucketed_colocated(spark, SF_DIR)
+        p = plan(spark, df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    assert "SortMergeJoin" in p, p
+    assert p.count("Bucketed: true") == 2, p
+    # agg + final orderBy only (operator-detail entries, counted once)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
