@@ -1178,3 +1178,94 @@ ORDER BY o_orderpriority
 
 QUERIES["join_bucketed_colocated"] = join_bucketed_colocated
 ORACLE["join_bucketed_colocated"] = ORACLE_JOIN_BUCKETED_COLOCATED
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew audit
+# ---------------------------------------------------------------------------
+
+#: Simulated shuffle width for the skew audit (matches the session's
+#: spark.sql.shuffle.partitions at test scale; the math is identical
+#: at any width).
+_SKEW_BUCKETS = 32
+#: A bucket is "hot" when it holds more than this multiple of the
+#: mean bucket size — the usual trigger for salting / AQE skew-join.
+_SKEW_HOT_MULTIPLE = 2
+
+
+def pipeline_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for a prospective join/aggregate key: hash
+    events.user_id into ``_SKEW_BUCKETS`` simulated shuffle partitions
+    (the PORTABLE md5 bucketing, so the oracle reproduces the exact
+    assignment — Spark's real `hash()` is engine-private) and report
+    the size histogram's operational summary: max/mean bucket load,
+    the skew ratio, and how many buckets exceed the salting trigger.
+
+    This is the measurement that decides BETWEEN the repo's join
+    strategies at 100 TB: skew_ratio ≈ 1 → plain shuffle join
+    (`join_shuffle_large`); a few hot buckets → AQE skew-join
+    handles it; skew_ratio ≫ ``_SKEW_HOT_MULTIPLE`` with one
+    dominant key → salt it (`join_salted`).  One scan, one hash
+    aggregate on the bucket, one 1-row summary — nothing driver-side.
+    """
+    ev = load_events(spark, sf_dir)
+    bucket = F.expr(
+        f"(cast(conv(substring(md5(cast(user_id as string)), 1, 4), 16, 10)"
+        f" as bigint) % {_SKEW_BUCKETS})"
+    )
+    per_bucket = ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+    stats = per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_bucket_rows"),
+        F.min("n_rows").alias("min_bucket_rows"),
+        F.avg("n_rows").alias("mean_raw"),
+        F.max("n_keys").alias("max_bucket_keys"),
+    )
+    hot = (
+        per_bucket.crossJoin(F.broadcast(stats.select("mean_raw")))
+        .agg(
+            F.sum(
+                (
+                    F.col("n_rows") > F.lit(_SKEW_HOT_MULTIPLE) * F.col("mean_raw")
+                ).cast("long")
+            ).alias("n_hot_buckets")
+        )
+    )
+    return stats.crossJoin(F.broadcast(hot)).select(
+        "n_buckets",
+        "total_rows",
+        "max_bucket_rows",
+        "min_bucket_rows",
+        pround(F.col("mean_raw"), 4).alias("mean_bucket_rows"),
+        pround(F.col("max_bucket_rows") / F.col("mean_raw"), 4).alias("skew_ratio"),
+        "n_hot_buckets",
+        "max_bucket_keys",
+    )
+
+
+ORACLE_PIPELINE_PARTITION_SKEW_AUDIT = f"""
+WITH per_bucket AS (
+  SELECT ({_hex4_to_int_sql("md5(CAST(user_id AS VARCHAR))")} % {_SKEW_BUCKETS}) AS bucket,
+         count(*) AS n_rows,
+         count(DISTINCT user_id) AS n_keys
+  FROM events GROUP BY 1
+)
+SELECT count(*) AS n_buckets,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       max(n_rows) AS max_bucket_rows,
+       min(n_rows) AS min_bucket_rows,
+       floor(avg(n_rows) * 10000 + 0.5) / 10000.0 AS mean_bucket_rows,
+       floor(max(n_rows) / avg(n_rows) * 10000 + 0.5) / 10000.0 AS skew_ratio,
+       CAST(sum(CASE WHEN n_rows > {_SKEW_HOT_MULTIPLE} * (SELECT avg(n_rows) FROM per_bucket)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+       max(n_keys) AS max_bucket_keys
+FROM per_bucket
+"""
+
+
+QUERIES["pipeline_partition_skew_audit"] = pipeline_partition_skew_audit
+ORACLE["pipeline_partition_skew_audit"] = ORACLE_PIPELINE_PARTITION_SKEW_AUDIT

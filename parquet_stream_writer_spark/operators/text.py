@@ -1692,3 +1692,121 @@ ORACLE_TEXT_BPE_TRAIN = "".join(_BPE_ORACLE_PARTS)
 
 QUERIES["text_bpe_train"] = text_bpe_train
 ORACLE["text_bpe_train"] = ORACLE_TEXT_BPE_TRAIN
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity
+# ---------------------------------------------------------------------------
+
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source self-perplexity under an add-one-smoothed bigram LM
+    trained on the corpus itself — the real LM upgrade of
+    ``text_perplexity_proxy``'s character heuristic, and the standard
+    quality/outlier signal cheap enough to run on every ingest batch.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V); each doc scores the mean
+    −log2 p over its bigrams; a source reports the mean of its scored
+    docs' bits and the corresponding perplexity.
+
+    Shape: token arrays stay map-side (pair extraction via
+    ``transform(sequence(...))`` on the split array — no explode-join,
+    no positional window shuffle); the corpus model is two hash
+    aggregates (bigram, unigram) bounded by the OBSERVED vocabulary,
+    not the corpus; scoring joins doc bigrams to the model on the
+    bigram key (one shuffle each side).  At 100 TB the model relations
+    are the only state and they are vocab-bounded; nothing driver-side.
+    Docs with < 2 tokens are unscorable and excluded (both engines).
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("w"),
+    )
+    pairs = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigram = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigram.agg(F.countDistinct("tok").cast("double").alias("v"))
+    scored = (
+        pairs.join(bigram, ["w1", "w2"])
+        .join(unigram.select(F.col("tok").alias("w1"), "c1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            (-F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v")))).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(F.avg("bits").alias("doc_bits"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            pround(F.avg("doc_bits"), 4).alias("mean_bits"),
+            pround(F.pow(F.lit(2.0), F.avg("doc_bits")), 2).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_BIGRAM_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, source, p['w1'] AS w1, p['w2'] AS w2
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+    FROM toks WHERE len(w) >= 2
+  )
+),
+bigram AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+unigram AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1
+),
+vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM unigram),
+scored AS (
+  SELECT p.doc_id, p.source,
+         -log2((b.c12 + 1) / (u.c1 + vocab.v)) AS bits
+  FROM pairs p
+  JOIN bigram b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN unigram u ON p.w1 = u.tok
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, source, avg(bits) AS doc_bits FROM scored GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs_scored,
+       floor(avg(doc_bits) * 10000 + 0.5) / 10000.0 AS mean_bits,
+       floor(pow(2.0, avg(doc_bits)) * 100 + 0.5) / 100.0 AS perplexity
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["text_bigram_lm_perplexity"] = text_bigram_lm_perplexity
+ORACLE["text_bigram_lm_perplexity"] = ORACLE_TEXT_BIGRAM_LM_PERPLEXITY
