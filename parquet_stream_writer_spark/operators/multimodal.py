@@ -567,3 +567,119 @@ ORDER BY p.d1, p.d2
 
 QUERIES["multimodal_frame_dedup"] = multimodal_frame_dedup
 ORACLE["multimodal_frame_dedup"] = ORACLE_MULTIMODAL_FRAME_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# Scene splitting over frame-checksum sequences
+# ---------------------------------------------------------------------------
+
+def multimodal_scene_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over each payload's ORDERED frame-checksum
+    sequence: a new scene starts whenever the checksum changes between
+    consecutive frames (the codec-free stand-in for a visual
+    scene-change detector; with a real decoder the checksum column
+    becomes a perceptual frame hash and nothing else changes).
+
+    Per doc: frame count, scene count, and the longest scene's length
+    in frames — the stats a video-curation pipeline uses to drop
+    static clips (one long scene) and strobing ones (scene per frame).
+
+    Shape: the Arrow-batched kernel emits (doc, frame_idx, checksum)
+    rows; scenes are gaps-and-islands over a per-doc window (bounded
+    by frames-per-doc, partitioned on doc — the natural key), then
+    two hash aggregates.  Frame extraction is map-side; nothing is
+    quadratic; checksum arithmetic is the hex-slicing formula the
+    oracle reproduces byte-exactly.
+    """
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                i = 0
+                while i * _FRAME_STRIDE < n:
+                    off = i * _FRAME_STRIDE
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hs.append(
+                        _hashlib.md5(
+                            payload[off : off + _FRAME_LEN].hex().upper().encode()
+                        ).hexdigest()
+                    )
+                    i += 1
+            yield pd.DataFrame({"doc_id": ids, "i": idxs, "h": hs})
+
+    frames = docs.mapInPandas(kernel, schema="doc_id long, i long, h string")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    flagged = frames.withColumn(
+        "new_scene",
+        F.when(
+            F.lag("h").over(w).isNull() | (F.lag("h").over(w) != F.col("h")), 1
+        ).otherwise(0),
+    )
+    scened = flagged.withColumn(
+        "scene_idx",
+        F.sum("new_scene").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_scene = scened.groupBy("doc_id", "scene_idx").agg(
+        F.count(F.lit(1)).alias("scene_len")
+    )
+    return per_scene.groupBy("doc_id").agg(
+        F.sum("scene_len").alias("n_frames"),
+        F.max("scene_idx").cast("long").alias("n_scenes"),
+        F.max("scene_len").alias("max_scene_len"),
+    )
+
+
+ORACLE_MULTIMODAL_SCENE_SPLIT = f"""
+WITH doc AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+idx AS (
+  SELECT unnest(generate_series(
+    0, (SELECT CAST(max(n) / {_FRAME_STRIDE} AS BIGINT) FROM doc))) AS i
+),
+frames AS (
+  SELECT doc_id, i,
+         md5(substr(hx, i * {2 * _FRAME_STRIDE} + 1, {2 * _FRAME_LEN})) AS h
+  FROM doc CROSS JOIN idx
+  WHERE i * {_FRAME_STRIDE} < n
+),
+flagged AS (
+  SELECT doc_id, i, h,
+         CASE WHEN lag(h) OVER w IS NULL OR lag(h) OVER w <> h
+              THEN 1 ELSE 0 END AS new_scene
+  FROM frames
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+scened AS (
+  SELECT doc_id,
+         sum(new_scene) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS scene_idx
+  FROM flagged
+),
+per_scene AS (
+  SELECT doc_id, scene_idx, count(*) AS scene_len
+  FROM scened GROUP BY doc_id, scene_idx
+)
+SELECT doc_id,
+       CAST(sum(scene_len) AS BIGINT) AS n_frames,
+       CAST(max(scene_idx) AS BIGINT) AS n_scenes,
+       CAST(max(scene_len) AS BIGINT) AS max_scene_len
+FROM per_scene GROUP BY doc_id
+"""
+
+
+QUERIES["multimodal_scene_split"] = multimodal_scene_split
+ORACLE["multimodal_scene_split"] = ORACLE_MULTIMODAL_SCENE_SPLIT

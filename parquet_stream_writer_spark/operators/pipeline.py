@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import pround
-from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql
+from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql, _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_events, load_table, scan_parallel
 
 #: Salt fan-out for the skewed join (replicates the dim this many times).
@@ -1269,3 +1269,260 @@ FROM per_bucket
 
 QUERIES["pipeline_partition_skew_audit"] = pipeline_partition_skew_audit
 ORACLE["pipeline_partition_skew_audit"] = ORACLE_PIPELINE_PARTITION_SKEW_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering
+# ---------------------------------------------------------------------------
+
+#: Curriculum phases (easy → hard by document length).
+_CURRICULUM_PHASES = 4
+
+
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: docs are banded into
+    ``_CURRICULUM_PHASES`` difficulty phases (ntile over length — the
+    classic short-to-long curriculum), then SHUFFLED deterministically
+    within each phase by content hash (training wants within-phase
+    randomness but cross-run reproducibility — ``rand()`` changes
+    under repartitioning; md5 does not, same discipline as
+    ``sample_hash_split``).
+
+    Scale shape — NO global single-partition window anywhere, the
+    same bucketed two-pass discipline as ``sample_global_shuffle``:
+
+    1. global rank by (n_chars, doc_id) via 256 RANGE buckets (order-
+       aligned), per-bucket counts → bucket offsets (256-row window),
+       rank = offset + in-bucket row_number;
+    2. phase from rank by the closed-form ntile arithmetic (first
+       ``n mod k`` tiles get ``n div k + 1`` rows) — pure integer
+       expressions, verified against the oracle's native ntile;
+    3. in-phase position bucketed again by the shuffle hash's top
+       byte: per-(phase, byte) counts → offsets (≤256 rows per
+       phase), position = offset + in-bucket row_number.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = _CURRICULUM_PHASES
+    nb = 256
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / nb
+    b = docs.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_chars",
+        "n",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(nb - 1),
+                F.floor((F.col("n_chars") - F.col("mn")) / width).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("rb"),
+    )
+    counts = b.groupBy("rb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "rb", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_rank = Window.partitionBy("rb").orderBy("n_chars", "doc_id")
+    ranked = b.join(F.broadcast(offsets), "rb").select(
+        "doc_id",
+        "n_chars",
+        "n",
+        (F.col("off") + F.row_number().over(w_rank)).alias("rank"),
+    )
+    # closed-form ntile(k): q = n div k tiles of size q+1 for the
+    # first r = n mod k tiles, size q after (ELSE unreachable at q=0).
+    phased = ranked.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"CAST(CASE WHEN rank <= ((n div {k}) + 1) * (n % {k})"
+            f" THEN (rank + (n div {k})) div ((n div {k}) + 1)"
+            f" ELSE (n % {k}) + ((rank - ((n div {k}) + 1) * (n % {k}))"
+            f"      + (n div {k}) - 1) div (n div {k})"
+            f" END AS INT)"
+        ).alias("phase"),
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+            " as bigint)"
+        ).alias("shuffle_key"),
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10)"
+            " as int)"
+        ).alias("sb"),
+    )
+    pc = phased.groupBy("phase", "sb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_poff = (
+        Window.partitionBy("phase")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    poffsets = pc.select(
+        "phase", "sb", F.coalesce(F.sum("cnt").over(w_poff), F.lit(0)).alias("poff")
+    )
+    w_pos = Window.partitionBy("phase", "sb").orderBy("shuffle_key", "doc_id")
+    return (
+        phased.join(F.broadcast(poffsets), ["phase", "sb"])
+        .select(
+            "doc_id",
+            "n_chars",
+            "phase",
+            (F.col("poff") + F.row_number().over(w_pos)).cast("long").alias("phase_pos"),
+        )
+    )
+
+
+ORACLE_SAMPLE_CURRICULUM_ORDER = f"""
+WITH phased AS (
+  SELECT doc_id, n_chars,
+         CAST(ntile({_CURRICULUM_PHASES})
+              OVER (ORDER BY n_chars ASC, doc_id ASC) AS INTEGER) AS phase,
+         {_hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))", 8)} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, n_chars, phase,
+       CAST(row_number() OVER (PARTITION BY phase
+                               ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT)
+         AS phase_pos
+FROM phased
+"""
+
+
+QUERIES["sample_curriculum_order"] = sample_curriculum_order
+ORACLE["sample_curriculum_order"] = ORACLE_SAMPLE_CURRICULUM_ORDER
+
+
+# ---------------------------------------------------------------------------
+# Bipartite PageRank
+# ---------------------------------------------------------------------------
+
+#: Power-iteration rounds / damping for the bipartite PageRank.
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+_PR_TOP = 20
+
+
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer–supplier purchase graph (nodes =
+    customers ∪ suppliers, an undirected edge per observed
+    (customer, supplier) trade): the canonical importance score for
+    entity weighting — and the template for any Pregel-style
+    iterative graph pass expressed in DataFrames.
+
+    Shape (the Lloyd/BPE loop discipline): the bidirected edge+degree
+    relation is built once from one fact join and checkpointed; each
+    of the ``_PR_ITERS`` power iterations is ONE edge⋈rank hash join
+    + ONE dst-keyed sum — rank state is node-sized, never collected,
+    and the per-iteration shuffle key (dst) is the natural partition
+    key at 100 TB.  No adjacency matrix, no driver-side graph.
+
+    Ranks are emitted mean-normalized (×N, so magnitudes are O(1))
+    and 6-dp rounded; top ``_PR_TOP`` nodes.  Node ids are namespaced
+    even/odd (customer 2k, supplier 2k+1) so one bigint column holds
+    both partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("node"))
+    ndf = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(ndf)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(ndf))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - _PR_DAMPING) / F.col("n")
+                    + F.lit(_PR_DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        ranks.crossJoin(F.broadcast(ndf))
+        .select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.floor(F.col("node") / 2).cast("long").alias("key"),
+            pround(F.col("pr") * F.col("n"), 6).alias("norm_rank"),
+        )
+        .orderBy(F.desc("norm_rank"), F.asc("node_type"), F.asc("key"))
+        .limit(_PR_TOP)
+    )
+
+
+# Unrolled-CTE DuckDB twin (module-level code, not a helper function,
+# so it does not perturb sibling keys' staleness hashes).
+_PR_ORACLE_HEAD = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / nn.n AS pr FROM deg, nn)
+"""
+
+_PR_ORACLE_PARTS = [_PR_ORACLE_HEAD]
+for _i in range(1, _PR_ITERS + 1):
+    _PR_ORACLE_PARTS.append(
+        f""",
+r{_i} AS (
+  SELECT nd.node,
+         {1.0 - _PR_DAMPING} / nn.n
+           + {_PR_DAMPING} * coalesce(c.m, 0.0) AS pr
+  FROM (SELECT src AS node FROM deg) nd
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr / dg.deg) AS m
+    FROM e0 e JOIN r{_i - 1} r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON nd.node = c.node
+  CROSS JOIN nn
+)"""
+    )
+_PR_ORACLE_PARTS.append(
+    f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(floor(node / 2) AS BIGINT) AS key,
+       floor(pr * nn.n * 1000000 + 0.5) / 1000000.0 AS norm_rank
+FROM r{_PR_ITERS}, nn
+ORDER BY norm_rank DESC, node_type ASC, key ASC
+LIMIT {_PR_TOP}
+"""
+)
+ORACLE_GRAPH_PAGERANK_BIPARTITE = "".join(_PR_ORACLE_PARTS)
+
+QUERIES["graph_pagerank_bipartite"] = graph_pagerank_bipartite
+ORACLE["graph_pagerank_bipartite"] = ORACLE_GRAPH_PAGERANK_BIPARTITE

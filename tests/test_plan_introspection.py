@@ -96,6 +96,12 @@ _NLJ_OK = {
     "similarity_ivf_recall",  # exact-vs-approx audit cross join
     "text_perplexity_proxy",
     "text_tfidf_top_term",
+    # round-6 additions, all 1-row scalar broadcasts:
+    "q11_important_stock",  # HAVING threshold total
+    "pipeline_partition_skew_audit",  # mean-bucket-load scalar
+    "sample_curriculum_order",  # (n, min, max) stats row
+    "graph_pagerank_bipartite",  # node-count scalar per iteration
+    "text_bigram_lm_perplexity",  # vocabulary-size scalar
 }
 
 
