@@ -390,3 +390,43 @@ def test_streaming_windowed_dedup_matches_batch(spark, sf_dir, events_stream_dir
         orig, ["event_id", "user_id", "event_type"], "left_anti"
     )
     assert stray.count() == 0
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, events_stream_dir, tmp_path):
+    """Exactly-once incremental semantics across restarts: a second
+    availableNow run over the SAME checkpoint must process only files
+    added after the first run — no reprocessing (which would duplicate
+    rows in an append sink) and no loss."""
+    out = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = _events_stream(spark, events_stream_dir).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(str(out)).count()
+    n_input = spark.read.parquet(str(events_stream_dir)).count()
+    assert n_first == n_input
+
+    # add one new file to the source dir, resume from the checkpoint
+    extra = (
+        spark.read.parquet(str(events_stream_dir))
+        .limit(100)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    extra.coalesce(1).write.mode("append").parquet(str(events_stream_dir))
+    run_once()
+    after = spark.read.parquet(str(out))
+    assert after.count() == n_first + 100  # only the new file, exactly once
+    assert after.groupBy("event_id").count().agg(F.max("count")).first()[0] == 1
