@@ -1526,3 +1526,302 @@ ORACLE_GRAPH_PAGERANK_BIPARTITE = "".join(_PR_ORACLE_PARTS)
 
 QUERIES["graph_pagerank_bipartite"] = graph_pagerank_bipartite
 ORACLE["graph_pagerank_bipartite"] = ORACLE_GRAPH_PAGERANK_BIPARTITE
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC classify)
+# ---------------------------------------------------------------------------
+
+#: Snapshot-diff simulation params: rows whose key hits _DIFF_ADD_MOD are
+#: absent from the OLD snapshot (appear "added"), rows hitting
+#: _DIFF_DEL_MOD are absent from the NEW one ("deleted"), and rows hitting
+#: _DIFF_UPD_MOD get a price bump in NEW ("modified").
+_DIFF_ADD_MOD = 7
+_DIFF_DEL_MOD = 3
+_DIFF_UPD_MOD = 13
+_DIFF_BUMP_CENTS = 150
+
+
+def _order_fingerprint_sql(price_cents: str) -> str:
+    """Engine-portable row fingerprint for the snapshot diff:
+    md5 over pipe-joined stable fields, with the price carried as
+    integer cents (half-up) so double→string formatting differences
+    between Spark and DuckDB can never perturb the hash."""
+    return (
+        "md5(concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+        f"o_orderstatus, o_orderpriority, CAST({price_cents} AS STRING)))"
+    )
+
+
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture classification between two snapshots of the
+    ``orders`` table: every primary key is labelled added / deleted /
+    modified / unchanged by a single full-outer join on the key plus a
+    row-fingerprint comparison — the diff pass an incremental 100 TB
+    curation pipeline runs before deciding what to reprocess.
+
+    The two snapshots are deterministic slices of the driver corpus
+    (no synthesized data): OLD omits keys ≡ _DIFF_ADD_MOD (mod 10),
+    NEW omits keys ≡ _DIFF_DEL_MOD (mod 10) and bumps the price of
+    keys ≡ 0 (mod _DIFF_UPD_MOD) by _DIFF_BUMP_CENTS cents.
+
+    Scale shape: ONE full-outer sort-merge join on the primary key —
+    the only join strategy that survives when both snapshots are
+    100 TB (no broadcast candidate exists).  The row fingerprint is
+    computed map-side before the shuffle, so the exchange moves
+    (key, 32-byte hash) not whole rows; at petabyte scale you'd
+    partition both snapshots identically on ingest and this join
+    becomes exchange-free.  Modified-row detection by hash equality
+    never decodes column-level diffs it doesn't need.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old_cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    new_cents = (
+        f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + "
+        f"(CASE WHEN o_orderkey % {_DIFF_UPD_MOD} = 0 THEN {_DIFF_BUMP_CENTS} ELSE 0 END)"
+    )
+    old = orders.where(F.expr(f"o_orderkey % 10 <> {_DIFF_ADD_MOD}")).select(
+        F.col("o_orderkey").alias("old_key"),
+        F.expr(_order_fingerprint_sql(old_cents)).alias("old_fp"),
+        F.expr(old_cents).alias("old_cents"),
+    )
+    new = orders.where(F.expr(f"o_orderkey % 10 <> {_DIFF_DEL_MOD}")).select(
+        F.col("o_orderkey").alias("new_key"),
+        F.expr(_order_fingerprint_sql(new_cents)).alias("new_fp"),
+        F.expr(new_cents).alias("new_cents"),
+    )
+    diff = old.join(new, old["old_key"] == new["new_key"], "full_outer").select(
+        F.when(F.col("old_key").isNull(), "added")
+        .when(F.col("new_key").isNull(), "deleted")
+        .when(F.col("old_fp") != F.col("new_fp"), "modified")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.col("new_key"), F.col("old_key")).alias("key"),
+        (F.coalesce(F.col("new_cents"), F.lit(0)) - F.coalesce(F.col("old_cents"), F.lit(0))).alias(
+            "cents_delta"
+        ),
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("key").alias("key_checksum"),
+            F.sum("cents_delta").alias("sum_cents_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_DIFF_OLD_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+_DIFF_NEW_CENTS = (
+    f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + "
+    f"(CASE WHEN o_orderkey % {_DIFF_UPD_MOD} = 0 THEN {_DIFF_BUMP_CENTS} ELSE 0 END)"
+)
+ORACLE_PIPELINE_SNAPSHOT_DIFF = f"""
+WITH old AS (
+  SELECT o_orderkey AS old_key,
+         md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+             o_orderstatus, o_orderpriority, CAST({_DIFF_OLD_CENTS} AS VARCHAR))) AS old_fp,
+         {_DIFF_OLD_CENTS} AS old_cents
+  FROM orders WHERE o_orderkey % 10 <> {_DIFF_ADD_MOD}
+),
+new AS (
+  SELECT o_orderkey AS new_key,
+         md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+             o_orderstatus, o_orderpriority, CAST({_DIFF_NEW_CENTS} AS VARCHAR))) AS new_fp,
+         {_DIFF_NEW_CENTS} AS new_cents
+  FROM orders WHERE o_orderkey % 10 <> {_DIFF_DEL_MOD}
+),
+diff AS (
+  SELECT CASE WHEN old_key IS NULL THEN 'added'
+              WHEN new_key IS NULL THEN 'deleted'
+              WHEN old_fp <> new_fp THEN 'modified'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(new_key, old_key) AS key,
+         coalesce(new_cents, 0) - coalesce(old_cents, 0) AS cents_delta
+  FROM old FULL OUTER JOIN new ON old_key = new_key
+)
+SELECT change_type, count(*) AS n_rows,
+       CAST(sum(key) AS BIGINT) AS key_checksum,
+       CAST(sum(cents_delta) AS BIGINT) AS sum_cents_delta
+FROM diff GROUP BY change_type ORDER BY change_type
+"""
+
+QUERIES["pipeline_snapshot_diff"] = pipeline_snapshot_diff
+ORACLE["pipeline_snapshot_diff"] = ORACLE_PIPELINE_SNAPSHOT_DIFF
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold assignment
+# ---------------------------------------------------------------------------
+
+#: Number of cross-validation folds.
+_N_FOLDS = 5
+
+
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment over
+    ``documents`` (fold = content-hash mod k — the same no-RNG
+    discipline as :func:`sample_hash_split`, so folds are stable
+    under re-runs, repartitioning, and scale-out) plus the per-fold
+    balance audit a CV harness checks before training: size, char
+    mass, and lang/source coverage per fold.
+
+    Scale shape: one scan, map-side fold hashing, one hash aggregate
+    on a k-valued key; the two distincts plan as one Expand pass.
+    No RNG state, no collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.expr(
+        f"cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"
+        f" % {_N_FOLDS}"
+    )
+    return (
+        docs.withColumn("fold", fold.cast("int"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )
+
+
+ORACLE_SAMPLE_KFOLD_ASSIGN = f"""
+SELECT CAST(({_hex4_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % {_N_FOLDS}) AS INTEGER)
+         AS fold,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["sample_kfold_assign"] = sample_kfold_assign
+ORACLE["sample_kfold_assign"] = ORACLE_SAMPLE_KFOLD_ASSIGN
+
+
+# ---------------------------------------------------------------------------
+# Triangle count / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+#: Co-purchase graph sample: only orders with key % _TRI_ORDER_MOD == 0
+#: contribute edges (the audit-sample discipline — bounds the graph to a
+#: deterministic quarter of the fact table).
+_TRI_ORDER_MOD = 4
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (an undirected edge joins two parts that appear
+    in the same order) — the standard cohesion metric for entity
+    graphs, and the canonical two-hop distributed-join benchmark.
+
+    Algorithm: canonical edge orientation (src < dst) makes every
+    triangle countable exactly once as an ordered path a<b<c whose
+    closing edge (a,c) exists — one edge⋈edge hash join to enumerate
+    ordered two-paths, one more equi join to close them.  The wedge
+    denominator Σ deg·(deg−1)/2 comes from the undirected degree
+    relation.  Edges are built once (one fact self-equi-join per
+    order, distinct) and lazily checkpointed for the four consumers.
+
+    Scale shape: every join is a hash join on int keys — no broadcast
+    of anything corpus-sized, no driver collect.  Two-path explosion
+    is the known hot spot at 100 TB: the mitigation (degree-ordered
+    orientation — orient each edge from its lower-degree endpoint, so
+    hubs never fan out) drops the join cost to O(m^1.5); the
+    canonical orientation here keeps the oracle portable and is
+    documented as the small-graph form.  On a real cluster the
+    checkpoint becomes persist(DISK_ONLY).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % _TRI_ORDER_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges.select(F.col("src").alias("wa"), F.col("dst").alias("wb"))
+    e2 = edges.select(F.col("src").alias("wb"), F.col("dst").alias("wc"))
+    wedges = e1.join(e2, "wb")
+    e3 = edges.select(F.col("src").alias("wa"), F.col("dst").alias("wc"))
+    tri = wedges.join(e3, ["wa", "wc"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    nodes_wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_paths = wedges.agg(F.count(F.lit(1)).alias("n_paths"))
+    return (
+        nodes_wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_paths))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_paths",
+            "n_wedges",
+            "n_triangles",
+            pround(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering"
+            ),
+        )
+    )
+
+
+ORACLE_GRAPH_TRIANGLE_COUNT = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey % {_TRI_ORDER_MOD} = 0
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+wedge AS (
+  SELECT e1.src AS wa, e1.dst AS wb, e2.dst AS wc
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedge w JOIN edges e3 ON w.wa = e3.src AND w.wc = e3.dst
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  ) GROUP BY node
+),
+nw AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT count(*) AS n_edges FROM edges),
+np AS (SELECT count(*) AS n_paths FROM wedge)
+SELECT n_nodes, n_edges, n_paths, n_wedges, n_triangles,
+       floor((3.0 * n_triangles / n_wedges) * 1000000 + 0.5) / 1000000.0 AS clustering
+FROM nw, ne, np, tri
+"""
+
+QUERIES["graph_triangle_count"] = graph_triangle_count
+ORACLE["graph_triangle_count"] = ORACLE_GRAPH_TRIANGLE_COUNT

@@ -3039,3 +3039,140 @@ ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
 
 QUERIES["q16_parts_supplier_relationship"] = q16_parts_supplier_relationship
 ORACLE["q16_parts_supplier_relationship"] = ORACLE_Q16_SUPPLIER_RELATIONSHIP
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix
+# ---------------------------------------------------------------------------
+
+#: Numeric lineitem measures in the correlation sweep, in output order.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    measures — the feature-redundancy screen a training pipeline runs
+    before fitting anything on tabular covariates.
+
+    All C(4,2)=6 coefficients come from ONE aggregate pass (each
+    ``corr`` is a mergeable co-moment aggregate — partial+final like
+    any hash agg, one scan at any scale); the wide 1-row result is
+    pivoted to (col_a, col_b, corr) rows with ``stack`` — plan-side,
+    driver-free.  6-dp portable rounding: both engines use stable
+    co-moment merges, so they agree far past that.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    pairs = []
+    for i, ca in enumerate(_CORR_COLS):
+        for cb in _CORR_COLS[i + 1 :]:
+            pairs.append((ca, cb))
+            aggs.append(pround(F.corr(ca, cb), 6).alias(f"c_{ca}_{cb}"))
+    wide = li.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
+    return (
+        wide.selectExpr(f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)")
+        .orderBy("col_a", "col_b")
+    )
+
+
+# UNION ALL of the six scalar aggregates — DuckDB evaluates each as one
+# pass over lineitem; fine at oracle scale.
+_CORR_ORACLE_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+    f"floor(corr({a}, {b}) * 1000000 + 0.5) / 1000000.0 AS corr FROM lineitem"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+)
+ORACLE_AGG_CORR_MATRIX = f"""
+SELECT * FROM (
+{_CORR_ORACLE_SELECTS}
+) ORDER BY col_a, col_b
+"""
+
+QUERIES["agg_corr_matrix"] = agg_corr_matrix
+ORACLE["agg_corr_matrix"] = ORACLE_AGG_CORR_MATRIX
+
+
+# ---------------------------------------------------------------------------
+# Decile (ntile / cume_dist) distribution
+# ---------------------------------------------------------------------------
+
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile table: rank every customer by lifetime
+    order value, split into ``ntile(10)`` deciles, and report each
+    decile's population, spend range, and share of total revenue —
+    the whale-curve / data-mixing-budget view.
+
+    Two shuffles total: one hash agg (customer spend), one global sort
+    for the window (rank/ntile/cume_dist over one ordering — Spark
+    evaluates all three in a single Window node).  Ordering ties are
+    broken by custkey so decile membership is deterministic and
+    engine-portable.  The global window IS the scale caveat: at 100 TB
+    you'd range-partition the sort (Spark's window already does via
+    the exchange's range partitioner) — no driver collect anywhere.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    deciled = spend.select(
+        "o_custkey",
+        "spend",
+        "n_orders",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    total = deciled.agg(F.sum("spend").alias("total_spend"))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            pround(F.min("spend"), 2).alias("min_spend"),
+            pround(F.max("spend"), 2).alias("max_spend"),
+            F.sum("spend").alias("_s"),
+            pround(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "n_orders",
+            "min_spend",
+            "max_spend",
+            pround(F.col("_s") / F.col("total_spend"), 6).alias("revenue_share"),
+            "max_cume_dist",
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_WINDOW_NTILE_CUME = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+deciled AS (
+  SELECT o_custkey, spend, n_orders,
+         ntile(10) OVER w AS decile,
+         cume_dist() OVER w AS cd
+  FROM spend
+  WINDOW w AS (ORDER BY spend DESC, o_custkey ASC)
+),
+total AS (SELECT sum(spend) AS total_spend FROM deciled)
+SELECT decile,
+       count(*) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       floor(min(spend) * 100 + 0.5) / 100.0 AS min_spend,
+       floor(max(spend) * 100 + 0.5) / 100.0 AS max_spend,
+       floor((sum(spend) / any_value(total_spend)) * 1000000 + 0.5) / 1000000.0
+         AS revenue_share,
+       floor(max(cd) * 1000000 + 0.5) / 1000000.0 AS max_cume_dist
+FROM deciled, total
+GROUP BY decile ORDER BY decile
+"""
+
+QUERIES["window_ntile_cume"] = window_ntile_cume
+ORACLE["window_ntile_cume"] = ORACLE_WINDOW_NTILE_CUME

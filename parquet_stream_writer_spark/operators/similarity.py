@@ -1523,3 +1523,173 @@ ORDER BY qid
 
 QUERIES["similarity_truncation_audit"] = similarity_truncation_audit
 ORACLE["similarity_truncation_audit"] = ORACLE_SIMILARITY_TRUNCATION_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank-fusion retrieval
+# ---------------------------------------------------------------------------
+
+#: RRF smoothing constant (the standard k=60 from the original paper).
+_RRF_K = 60
+#: Fused results emitted per query.
+_RRF_TOP = 10
+
+
+def similarity_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — full-dim
+    cosine and truncated-``_TRUNC_DIM``-dim cosine — into one fused
+    top-``_RRF_TOP`` list per query: the standard ensemble step when a
+    cheap first-stage index and an exact scorer disagree
+    (score = Σ 1/(k + rank), k = 60).
+
+    Both rankings come from ONE scored relation (one corpus scan, one
+    broadcast of the bounded query set — the
+    :func:`similarity_truncation_audit` shape), so fusion is two
+    window ranks over the same rows plus an arithmetic combine; the
+    final per-query top-10 is one more window — no self-joins, no
+    recomputation, nothing driver-side.  At 100 TB the scored
+    relation comes from the ANN path (IVF/LSH) instead of the exact
+    scan; the fusion arithmetic is unchanged.
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        pround(cosine_similarity(F.col("qemb"), F.col("emb")), 4).alias("sim_full"),
+        pround(
+            cosine_similarity(
+                F.slice(F.col("qemb"), 1, _TRUNC_DIM),
+                F.slice(F.col("emb"), 1, _TRUNC_DIM),
+            ),
+            4,
+        ).alias("sim_trunc"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("sim_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("sim_trunc"), F.asc("vec_id"))
+    fused = scored.select(
+        "qid",
+        "vec_id",
+        (
+            F.lit(1.0) / (F.lit(_RRF_K) + F.row_number().over(wf))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.row_number().over(wt))
+        ).alias("rrf_raw"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("rrf_raw"), F.asc("vec_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .select("qid", "fused_rank", "vec_id", pround(F.col("rrf_raw"), 6).alias("rrf_score"))
+        .orderBy("qid", "fused_rank")
+    )
+
+
+ORACLE_SIMILARITY_RANK_FUSION = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM emb WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         floor(list_cosine_similarity(q.qemb, e.emb) * 10000 + 0.5) / 10000.0 AS sim_full,
+         floor(list_cosine_similarity(q.qemb[1:{_TRUNC_DIM}], e.emb[1:{_TRUNC_DIM}]) * 10000 + 0.5) / 10000.0 AS sim_trunc
+  FROM emb e JOIN q ON e.vec_id <> q.qid
+),
+fused AS (
+  SELECT qid, vec_id,
+         1.0 / ({_RRF_K} + row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, vec_id ASC))
+         + 1.0 / ({_RRF_K} + row_number() OVER (PARTITION BY qid ORDER BY sim_trunc DESC, vec_id ASC))
+           AS rrf_raw
+  FROM scored
+),
+ranked AS (
+  SELECT qid, vec_id, rrf_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf_raw DESC, vec_id ASC) AS fused_rank
+  FROM fused
+)
+SELECT qid, CAST(fused_rank AS BIGINT) AS fused_rank, vec_id,
+       floor(rrf_raw * 1000000 + 0.5) / 1000000.0 AS rrf_score
+FROM ranked WHERE fused_rank <= {_RRF_TOP}
+ORDER BY qid, fused_rank
+"""
+
+QUERIES["similarity_rank_fusion"] = similarity_rank_fusion
+ORACLE["similarity_rank_fusion"] = ORACLE_SIMILARITY_RANK_FUSION
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene audit
+# ---------------------------------------------------------------------------
+
+#: Norms below this are treated as zero vectors.
+_NORM_EPS = 1e-12
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene report, per label: vector count, dim
+    consistency (min/max cardinality), zero-vector and non-finite
+    counts, and the L2-norm distribution — the sanity pass that runs
+    before any ANN index build or cosine pipeline (a handful of NaN
+    or zero vectors silently poisons IVF centroids and normalized
+    dot products).
+
+    Scale shape: everything is a map-side higher-order-function fold
+    (``aggregate``/``exists`` — JVM-side, no Python) followed by one
+    hash aggregate on the label key.  One scan, one small shuffle.
+    The per-element fold order is the list order on both engines, so
+    norms are bit-identical and the 6-dp rounding is decorative.
+    """
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    nonfinite = F.exists(
+        F.col("emb"), lambda v: F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+    )
+    audited = emb.select(
+        "label",
+        F.size("emb").alias("dims"),
+        norm.alias("norm"),
+        nonfinite.cast("int").alias("bad"),
+    )
+    return (
+        audited.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dims").alias("min_dims"),
+            F.max("dims").alias("max_dims"),
+            F.sum(F.when(F.col("norm") < _NORM_EPS, 1).otherwise(0)).alias("n_zero"),
+            F.sum("bad").alias("n_nonfinite"),
+            pround(F.avg("norm"), 6).alias("avg_norm"),
+            pround(F.min("norm"), 6).alias("min_norm"),
+            pround(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_NORM_AUDIT = f"""
+WITH audited AS (
+  SELECT label,
+         len(embedding) AS dims,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm,
+         CASE WHEN len(list_filter(embedding::DOUBLE[],
+                                   x -> isnan(x) OR isinf(x))) > 0
+              THEN 1 ELSE 0 END AS bad
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(min(dims) AS INTEGER) AS min_dims,
+       CAST(max(dims) AS INTEGER) AS max_dims,
+       CAST(sum(CASE WHEN norm < {_NORM_EPS} THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+       floor(avg(norm) * 1000000 + 0.5) / 1000000.0 AS avg_norm,
+       floor(min(norm) * 1000000 + 0.5) / 1000000.0 AS min_norm,
+       floor(max(norm) * 1000000 + 0.5) / 1000000.0 AS max_norm
+FROM audited
+GROUP BY label ORDER BY label
+"""
+
+QUERIES["embedding_norm_audit"] = embedding_norm_audit
+ORACLE["embedding_norm_audit"] = ORACLE_EMBEDDING_NORM_AUDIT

@@ -1139,3 +1139,94 @@ LIMIT {_TOP_PATHS}
 
 QUERIES["events_top_paths"] = events_top_paths
 ORACLE["events_top_paths"] = ORACLE_EVENTS_TOP_PATHS
+
+
+# ---------------------------------------------------------------------------
+# Inactivity / churn audit
+# ---------------------------------------------------------------------------
+
+#: A user is churned when their last event is more than this many days
+#: before the corpus's last observed event.
+_CHURN_DAYS = 14
+
+
+def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment churn report: a user counts as churned when their
+    LAST event is more than ``_CHURN_DAYS`` days older than the
+    corpus's newest event (the observation horizon) — the standard
+    engagement-decay metric over an event stream, sliced by the
+    customer dimension.
+
+    Scale shape: one events scan → one hash agg to per-user last-seen
+    (map-side combine does most of the work); the observation horizon
+    is a 1-row aggregate broadcast to every row (never a second full
+    scan); the customer dimension joins broadcast.  Day arithmetic is
+    integer-µs subtraction over doubles — identical on both engines;
+    no per-timestamp interval math.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    last_seen = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).localCheckpoint(eager=False)  # horizon + per-user both consume it:
+    # without the checkpoint Catalyst re-derives the agg from a second
+    # full events scan (on a cluster: persist(DISK_ONLY)).
+    horizon = last_seen.agg(F.max("last_us").alias("max_us"))
+    per_user = (
+        last_seen.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(customer), "user_id")
+        .select(
+            "c_mktsegment",
+            "n_events",
+            ((F.col("max_us") - F.col("last_us")) / F.lit(86400000000.0)).alias(
+                "days_inactive"
+            ),
+        )
+    )
+    return (
+        per_user.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(
+                F.when(F.col("days_inactive") > _CHURN_DAYS, 1).otherwise(0)
+            ).alias("n_churned"),
+            pround(F.avg("days_inactive"), 4).alias("avg_days_inactive"),
+            pround(F.max("days_inactive"), 4).alias("max_days_inactive"),
+        )
+        .withColumn("churn_rate", pround(F.col("n_churned") / F.col("n_users"), 4))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_EVENTS_INACTIVITY_CHURN = f"""
+WITH last_seen AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT max(last_us) AS max_us FROM last_seen),
+per_user AS (
+  SELECT c.c_mktsegment, l.n_events,
+         (h.max_us - l.last_us) / 86400000000.0 AS days_inactive
+  FROM last_seen l
+  CROSS JOIN horizon h
+  JOIN customer c ON l.user_id = c.c_custkey
+)
+SELECT c_mktsegment,
+       count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN days_inactive > {_CHURN_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned,
+       floor(avg(days_inactive) * 10000 + 0.5) / 10000.0 AS avg_days_inactive,
+       floor(max(days_inactive) * 10000 + 0.5) / 10000.0 AS max_days_inactive,
+       floor((sum(CASE WHEN days_inactive > {_CHURN_DAYS} THEN 1 ELSE 0 END) * 1.0
+              / count(*)) * 10000 + 0.5) / 10000.0 AS churn_rate
+FROM per_user
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+QUERIES["events_inactivity_churn"] = events_inactivity_churn
+ORACLE["events_inactivity_churn"] = ORACLE_EVENTS_INACTIVITY_CHURN

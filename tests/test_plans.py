@@ -984,3 +984,101 @@ def test_bucketed_join_has_no_exchange_below_the_join(spark):
     assert p.count("Bucketed: true") == 2, p
     # agg + final orderBy only (operator-detail entries, counted once)
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+
+
+def test_snapshot_diff_hashes_before_the_shuffle(spark):
+    """The CDC diff must (a) plan the PK join as a shuffle join (no
+    broadcast — neither snapshot is small at scale) and (b) compute
+    the row fingerprint map-side, so the exchange moves hashes, not
+    rows."""
+    from parquet_stream_writer_spark.operators import pipeline
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = pipeline.pipeline_snapshot_diff(spark, SF_DIR)
+        p = plan(spark, df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+    assert "FullOuter" in p, p
+    # md5 is evaluated in a Project BELOW the join (map side), never
+    # re-derived after the exchange.
+    assert "md5" in p, p
+
+
+def test_kfold_is_one_scan_one_agg(spark):
+    from parquet_stream_writer_spark.operators import pipeline
+
+    df = pipeline.sample_kfold_assign(spark, SF_DIR)
+    p = plan(spark, df)
+    # formatted mode lists every node twice (tree + detail section).
+    assert p.count("Scan parquet") == 2, p
+    assert p.count("HashAggregate") >= 4, p  # partial + final
+
+
+def test_triangle_count_joins_are_hash_equi(spark):
+    """No cartesian/nested-loop anywhere in the triangle pipeline —
+    wedge enumeration and closing are equi joins on int keys."""
+    from parquet_stream_writer_spark.operators import pipeline
+
+    df = pipeline.graph_triangle_count(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p, p
+    nlj = [l for l in p.splitlines() if "BroadcastNestedLoopJoin" in l]
+    # Only the 1-row stat combiners may nest-loop (cross of single rows);
+    # formatted mode lists each twice (tree + detail).
+    assert len(nlj) <= 6, p
+
+
+def test_corr_matrix_is_single_pass(spark):
+    df = relational.agg_corr_matrix(spark, SF_DIR)
+    p = plan(spark, df)
+    # formatted mode lists every node twice (tree + detail section).
+    assert p.count("Scan parquet") == 2, p
+    # All six co-moment aggregates fold into one partial+final pair.
+    assert p.count("HashAggregate") == 4, p
+
+
+def test_ntile_cume_single_window_node(spark):
+    """rank/ntile/cume_dist share one ordering — Catalyst must plan
+    ONE Window node (one sort), not one per function."""
+    df = relational.window_ntile_cume(spark, SF_DIR)
+    p = plan(spark, df)
+    assert p.count("Window") <= 2, p  # main window + none duplicated per-fn
+
+
+def test_rank_fusion_no_self_join_of_scores(spark):
+    """Fusion happens on the single scored relation: exactly one
+    corpus-side embeddings scan feeds both rankings."""
+    from parquet_stream_writer_spark.operators import similarity
+
+    df = similarity.similarity_rank_fusion(spark, SF_DIR)
+    p = plan(spark, df)
+    # corpus + broadcast query slice, each listed twice by formatted mode.
+    assert p.count("Scan parquet") == 4, p
+    # The qid<>vec_id condition is non-equi, so the bounded query set
+    # nest-loops as the BROADCAST side (the deliberate exact-scan shape
+    # shared with similarity_cosine_topk); corpus side never broadcasts.
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_norm_audit_stays_jvm_side(spark):
+    from parquet_stream_writer_spark.operators import similarity
+
+    df = similarity.embedding_norm_audit(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_churn_horizon_is_broadcast_not_rescan(spark):
+    from parquet_stream_writer_spark.operators import streaming_batch
+
+    df = streaming_batch.events_inactivity_churn(spark, SF_DIR)
+    p = plan(spark, df)
+    # events scanned once (the checkpointed last-seen relation feeds
+    # both horizon and per-user) + customer dim scan, each listed twice
+    # by formatted mode; horizon (1-row) and customer both broadcast.
+    assert p.count("Scan parquet") <= 4, p
+    assert p.count("BroadcastExchange") >= 2, p
