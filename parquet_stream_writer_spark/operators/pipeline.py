@@ -1542,17 +1542,6 @@ _DIFF_UPD_MOD = 13
 _DIFF_BUMP_CENTS = 150
 
 
-def _order_fingerprint_sql(price_cents: str) -> str:
-    """Engine-portable row fingerprint for the snapshot diff:
-    md5 over pipe-joined stable fields, with the price carried as
-    integer cents (half-up) so double→string formatting differences
-    between Spark and DuckDB can never perturb the hash."""
-    return (
-        "md5(concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
-        f"o_orderstatus, o_orderpriority, CAST({price_cents} AS STRING)))"
-    )
-
-
 def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture classification between two snapshots of the
     ``orders`` table: every primary key is labelled added / deleted /
@@ -1574,6 +1563,18 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes exchange-free.  Modified-row detection by hash equality
     never decodes column-level diffs it doesn't need.
     """
+    # Engine-portable row fingerprint: md5 over pipe-joined stable
+    # fields, with the price carried as integer cents (half-up) so
+    # double→string formatting differences between Spark and DuckDB
+    # can never perturb the hash.  (Inline, not a module helper — a
+    # shared helper would float every pipeline key's verdict
+    # staleness; see operators.__init__._module_helper_hash.)
+    def fingerprint(price_cents: str) -> str:
+        return (
+            "md5(concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+            f"o_orderstatus, o_orderpriority, CAST({price_cents} AS STRING)))"
+        )
+
     orders = load_table(spark, sf_dir, "orders")
     old_cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
     new_cents = (
@@ -1582,12 +1583,12 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = orders.where(F.expr(f"o_orderkey % 10 <> {_DIFF_ADD_MOD}")).select(
         F.col("o_orderkey").alias("old_key"),
-        F.expr(_order_fingerprint_sql(old_cents)).alias("old_fp"),
+        F.expr(fingerprint(old_cents)).alias("old_fp"),
         F.expr(old_cents).alias("old_cents"),
     )
     new = orders.where(F.expr(f"o_orderkey % 10 <> {_DIFF_DEL_MOD}")).select(
         F.col("o_orderkey").alias("new_key"),
-        F.expr(_order_fingerprint_sql(new_cents)).alias("new_fp"),
+        F.expr(fingerprint(new_cents)).alias("new_fp"),
         F.expr(new_cents).alias("new_cents"),
     )
     diff = old.join(new, old["old_key"] == new["new_key"], "full_outer").select(

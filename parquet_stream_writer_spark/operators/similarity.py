@@ -1693,3 +1693,124 @@ GROUP BY label ORDER BY label
 
 QUERIES["embedding_norm_audit"] = embedding_norm_audit
 ORACLE["embedding_norm_audit"] = ORACLE_EMBEDDING_NORM_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN reciprocity audit
+# ---------------------------------------------------------------------------
+
+#: Neighbours per vector in the kNN-graph audit.
+_KNN_K = 5
+
+
+def similarity_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity profile of the exact cosine kNN graph: per
+    neighbour rank r (1..k), how many directed edges (a→b at rank r)
+    are MUTUAL (b→a is also a kNN edge at any rank) — the structural
+    health check for kNN graphs before they feed semantic dedup or
+    graph-based label propagation (low reciprocity at low ranks marks
+    hub-dominated, unreliable neighbourhoods).
+
+    Shape: the same 2D block-grid GEMM decomposition as
+    :func:`similarity_pair_topk`, but the per-group numpy kernel emits
+    each vector's DIRECTED local top-k (a vector's candidate set is
+    partitioned across its B groups, so the union of local top-ks
+    contains the global top-k); one src-keyed window reduces to the
+    global kNN edges, and mutuality is a self-equi join on the
+    reversed key.  Shuffle volume is n·B·k edge rows, never n²; no
+    driver-side collect.  The kernel rounds sims to 4 dp BEFORE
+    selection (deterministic (−sim, dst) tie-break), so Spark and the
+    n² DuckDB oracle can never disagree on a boundary neighbour.
+    """
+    import pandas as pd  # noqa: F401  (kernel-side)
+
+    def knn_kernel(key, pdf):
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        mat = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+        mask = ids[None, :] != ids[:, None]
+        if bi != bj:
+            mask &= blks[None, :] != blks[:, None]
+        srcs, dsts, out = [], [], []
+        for r in range(len(ids)):
+            cand = np.nonzero(mask[r])[0]
+            if not len(cand):
+                continue
+            order = np.lexsort((ids[cand], -sims[r, cand]))[:_KNN_K]
+            pick = cand[order]
+            srcs.append(np.full(len(pick), ids[r], dtype=np.int64))
+            dsts.append(ids[pick].astype(np.int64))
+            out.append(sims[r, pick])
+        if not srcs:
+            return pd.DataFrame({"src": [], "dst": [], "sim": []})
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "sim": np.concatenate(out),
+            }
+        )
+
+    local = (
+        _pair_blocks(spark, sf_dir)
+        .groupBy("bi", "bj")
+        .applyInPandas(knn_kernel, schema="src long, dst long, sim double")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    knn = (
+        local.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_K)
+        .localCheckpoint(eager=False)  # both join sides consume it; on a
+        # cluster: persist(DISK_ONLY)
+    )
+    rev = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m")
+    )
+    return (
+        knn.join(rev, ["src", "dst"], "left")
+        .groupBy("rk")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("n_mutual"),
+            pround(F.coalesce(F.sum("m"), F.lit(0)) / F.count(F.lit(1)), 6).alias(
+                "reciprocity"
+            ),
+            pround(F.avg("sim"), 6).alias("avg_sim"),
+        )
+        .select(F.col("rk").cast("long").alias("rank"), "n_edges", "n_mutual",
+                "reciprocity", "avg_sim")
+        .orderBy("rank")
+    )
+
+
+ORACLE_SIMILARITY_MUTUAL_KNN_AUDIT = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000.0 AS sim
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+  FROM sims
+),
+knn AS (SELECT * FROM ranked WHERE rk <= {_KNN_K})
+SELECT CAST(e1.rk AS BIGINT) AS rank,
+       count(*) AS n_edges,
+       CAST(sum(CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+       floor((sum(CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*))
+             * 1000000 + 0.5) / 1000000.0 AS reciprocity,
+       floor(avg(e1.sim) * 1000000 + 0.5) / 1000000.0 AS avg_sim
+FROM knn e1 LEFT JOIN knn e2 ON e1.src = e2.dst AND e1.dst = e2.src
+GROUP BY e1.rk ORDER BY rank
+"""
+
+QUERIES["similarity_mutual_knn_audit"] = similarity_mutual_knn_audit
+ORACLE["similarity_mutual_knn_audit"] = ORACLE_SIMILARITY_MUTUAL_KNN_AUDIT

@@ -1230,3 +1230,131 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 QUERIES["events_inactivity_churn"] = events_inactivity_churn
 ORACLE["events_inactivity_churn"] = ORACLE_EVENTS_INACTIVITY_CHURN
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile (hour-of-day × day-of-week grid)
+# ---------------------------------------------------------------------------
+
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity seasonality grid: event volume, unique actors, and
+    mean value per (day-of-week, hour-of-day) cell — the load-shape
+    profile that sizes streaming capacity and spots bot traffic
+    (uniform-by-hour sources are machines).
+
+    All time arithmetic is integer µs floor-division on the epoch —
+    no timezone/calendar functions, so Spark and DuckDB can never
+    disagree on a bucket.  day 0 = Monday ((epoch_day + 3) % 7; the
+    epoch began on a Thursday).  Shape: map-side bucket projection +
+    ONE hash agg on a 168-value key; the distinct-user count rides the
+    same Expand pass.  Scale: the aggregate is fixed-width regardless
+    of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    return (
+        ev.select(
+            F.expr(f"({us} div 86400000000 + 3) % 7").alias("dow"),
+            F.expr(f"({us} div 3600000000) % 24").alias("hod"),
+            "user_id",
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            pround(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+ORACLE_EVENTS_SEASONALITY_PROFILE = """
+SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hod,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       floor(avg(value) * 10000 + 0.5) / 10000.0 AS avg_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["events_seasonality_profile"] = events_seasonality_profile
+ORACLE["events_seasonality_profile"] = ORACLE_EVENTS_SEASONALITY_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Engagement-inequality (Gini) audit
+# ---------------------------------------------------------------------------
+
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini coefficient of per-user event counts — the
+    engagement-inequality measure that tells a sampling pipeline
+    whether a handful of power users dominate a slice (Gini → 1)
+    before it draws a "representative" sample from it.
+
+    Closed-form rank formula: with counts x₁≤…≤xₙ (ties broken by
+    user id), G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n.  The rank window is
+    PARTITIONED by segment — no global sort, no single-partition
+    window; per-user counts come from one events hash agg and the
+    segment arrives via the broadcast customer dim.  Scale: state is
+    user-relation-sized; every shuffle is keyed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .join(F.broadcast(customer), "user_id")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("x"), F.asc("user_id"))
+    ranked = per_user.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("x").alias("n_events"),
+            F.sum(F.col("rk") * F.col("x")).alias("_srx"),
+            F.max("x").alias("_mx"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_users",
+            "n_events",
+            pround(
+                F.lit(2.0) * F.col("_srx") / (F.col("n_users") * F.col("n_events"))
+                - (F.col("n_users") + F.lit(1.0)) / F.col("n_users"),
+                6,
+            ).alias("gini"),
+            pround(F.col("_mx") / F.col("n_events"), 6).alias("max_user_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_EVENTS_USER_GINI = """
+WITH per_user AS (
+  SELECT e.user_id, c.c_mktsegment, count(*) AS x
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, x,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY x ASC, user_id ASC) AS rk
+  FROM per_user
+)
+SELECT c_mktsegment,
+       count(*) AS n_users,
+       CAST(sum(x) AS BIGINT) AS n_events,
+       floor((2.0 * sum(rk * x) / (count(*) * sum(x))
+              - (count(*) + 1.0) / count(*)) * 1000000 + 0.5) / 1000000.0 AS gini,
+       floor((max(x) * 1.0 / sum(x)) * 1000000 + 0.5) / 1000000.0 AS max_user_share
+FROM ranked
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+QUERIES["events_user_gini"] = events_user_gini
+ORACLE["events_user_gini"] = ORACLE_EVENTS_USER_GINI

@@ -1810,3 +1810,110 @@ ORDER BY source
 
 QUERIES["text_bigram_lm_perplexity"] = text_bigram_lm_perplexity
 ORACLE["text_bigram_lm_perplexity"] = ORACLE_TEXT_BIGRAM_LM_PERPLEXITY
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+#: Minimum bigram count for a collocation candidate (PMI is unstable
+#: on rare pairs) and the number of top collocations emitted.
+_PMI_MIN_COUNT = 25
+_PMI_TOP = 20
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations (adjacent word pairs) by pointwise mutual
+    information — the phrase-mining pass that feeds tokenizer vocab
+    candidates and stop-phrase lists:
+    PMI(w1,w2) = log2( p(w1,w2) / (p(w1)·p(w2)) ), counted over
+    adjacent pairs, thresholded at ``_PMI_MIN_COUNT`` occurrences.
+
+    Shape (the bigram-LM discipline): pair extraction stays map-side
+    (``transform(sequence(...))`` on the split array — no explode-join,
+    no positional window); the model is two vocab-bounded hash
+    aggregates plus two 1-row totals that broadcast; the final ranking
+    is a TakeOrdered top-k, never a global sort.  At 100 TB everything
+    scales with observed vocabulary, not corpus size.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("w")
+    )
+    pairs = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigram = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_pairs = bigram.agg(F.sum("c12").cast("double").alias("np"))
+    n_toks = unigram.agg(F.sum("c1").cast("double").alias("nt"))
+    return (
+        bigram.where(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(unigram.select(F.col("tok").alias("w1"), F.col("c1").alias("ca")), "w1")
+        .join(unigram.select(F.col("tok").alias("w2"), F.col("c1").alias("cb")), "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_toks))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            pround(
+                F.log2(
+                    (F.col("c12") / F.col("np"))
+                    / ((F.col("ca") / F.col("nt")) * (F.col("cb") / F.col("nt")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOP)
+    )
+
+
+ORACLE_TEXT_PMI_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> {{'w1': w[i], 'w2': w[i+1]}})) AS p
+    FROM toks WHERE len(w) >= 2
+  )
+),
+bigram AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+unigram AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1
+),
+np AS (SELECT CAST(sum(c12) AS DOUBLE) AS np FROM bigram),
+nt AS (SELECT CAST(sum(c1) AS DOUBLE) AS nt FROM unigram)
+SELECT b.w1, b.w2, b.c12,
+       floor(log2((b.c12 / np.np) / ((ua.c1 / nt.nt) * (ub.c1 / nt.nt)))
+             * 10000 + 0.5) / 10000.0 AS pmi
+FROM bigram b
+JOIN unigram ua ON b.w1 = ua.tok
+JOIN unigram ub ON b.w2 = ub.tok
+CROSS JOIN np CROSS JOIN nt
+WHERE b.c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+LIMIT {_PMI_TOP}
+"""
+
+QUERIES["text_pmi_collocations"] = text_pmi_collocations
+ORACLE["text_pmi_collocations"] = ORACLE_TEXT_PMI_COLLOCATIONS

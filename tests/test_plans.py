@@ -1082,3 +1082,49 @@ def test_churn_horizon_is_broadcast_not_rescan(spark):
     # by formatted mode; horizon (1-row) and customer both broadcast.
     assert p.count("Scan parquet") <= 4, p
     assert p.count("BroadcastExchange") >= 2, p
+
+
+def test_pmi_ranking_is_takeordered(spark):
+    from parquet_stream_writer_spark.operators import text
+
+    df = text.text_pmi_collocations(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "TakeOrderedAndProject" in p, p
+    # The two corpus totals broadcast; the count relations join hash-side.
+    assert p.count("BroadcastExchange") >= 2, p
+
+
+def test_seasonality_is_one_scan_fixed_width_agg(spark):
+    from parquet_stream_writer_spark.operators import streaming_batch
+
+    df = streaming_batch.events_seasonality_profile(spark, SF_DIR)
+    p = plan(spark, df)
+    # formatted mode lists every node twice (tree + detail section).
+    assert p.count("Scan parquet") == 2, p
+    assert p.count("HashAggregate") >= 4, p  # partial + final (+ Expand distinct)
+
+
+def test_gini_window_is_partitioned(spark):
+    """The rank window must be keyed by segment — a global (empty
+    partition-by) window would single-partition the user relation."""
+    from parquet_stream_writer_spark.operators import streaming_batch
+
+    df = streaming_batch.events_user_gini(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "c_mktsegment" in "".join(
+        l for l in p.splitlines() if "Arguments" in l and "row_number" in l
+    ), p
+
+
+def test_mutual_knn_no_n2_shuffle(spark):
+    """kNN edges come from the blocked GEMM kernel; the only joins are
+    the reversed-edge equi join — no cartesian, no nested loop."""
+    from parquet_stream_writer_spark.operators import similarity
+
+    df = similarity.similarity_mutual_knn_audit(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # The GEMM kernel sits behind the localCheckpoint boundary (explain
+    # truncates lineage there); what must be visible is the reversed-edge
+    # EQUI join — LeftOuter, hash-side.
+    assert "LeftOuter" in p, p
