@@ -1814,3 +1814,122 @@ GROUP BY e1.rk ORDER BY rank
 
 QUERIES["similarity_mutual_knn_audit"] = similarity_mutual_knn_audit
 ORACLE["similarity_mutual_knn_audit"] = ORACLE_SIMILARITY_MUTUAL_KNN_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection
+# ---------------------------------------------------------------------------
+
+#: Coreset size for the greedy k-center sweep.
+_CORESET_K = 6
+
+
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-maximizing coreset: greedy k-center selection over
+    the embedding table (repeatedly pick the point FARTHEST from the
+    already-chosen set under cosine distance) — the classic 2-approx
+    cover that picks maximally diverse training exemplars, the
+    opposite pole from :func:`dedup_semdedup_prune`'s redundancy
+    removal.
+
+    Loop discipline (Lloyd/PageRank shape): the iteration state is a
+    per-point running min-distance column, updated each round by ONE
+    broadcast of the single newly-picked row (never the chosen set,
+    never a re-scan of picks) and checkpointed so the plan stays
+    round-sized; the pick itself is a 1-row TakeOrdered.  Per round at
+    100 TB: one narrow map over the point set plus a k-sized
+    reduction — no quadratic term, nothing driver-side.  Cosine is
+    4-dp-rounded before the distance so both engines argmax over
+    identical grids (ties break on vec_id).
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "emb")
+    seed = emb.where(F.col("vec_id") == 0)
+    dist_to = lambda pemb: F.lit(1.0) - pround(  # noqa: E731
+        cosine_similarity(F.col("emb"), pemb), 4
+    )
+    state = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(seed.select(F.col("emb").alias("pemb"))))
+        .select("vec_id", "emb", dist_to(F.col("pemb")).alias("md"))
+        .localCheckpoint(eager=False)
+    )
+    picks = [
+        seed.select(
+            F.lit(1).cast("long").alias("pick_order"),
+            "vec_id",
+            F.lit(0.0).alias("min_dist"),
+        )
+    ]
+    for i in range(2, _CORESET_K + 1):
+        pick = state.orderBy(F.desc("md"), F.asc("vec_id")).limit(1)
+        picks.append(
+            pick.select(
+                F.lit(i).cast("long").alias("pick_order"),
+                "vec_id",
+                pround(F.col("md"), 6).alias("min_dist"),
+            )
+        )
+        if i < _CORESET_K:
+            state = (
+                state.crossJoin(
+                    F.broadcast(
+                        pick.select(
+                            F.col("vec_id").alias("pid"), F.col("emb").alias("pemb")
+                        )
+                    )
+                )
+                .where(F.col("vec_id") != F.col("pid"))
+                .select(
+                    "vec_id",
+                    "emb",
+                    F.least(F.col("md"), dist_to(F.col("pemb"))).alias("md"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("pick_order")
+
+
+# Unrolled-CTE DuckDB twin (module-level code, not a helper function,
+# so it does not perturb sibling keys' staleness hashes — the
+# graph_pagerank_bipartite convention).
+_CS_D = "1 - floor(list_cosine_similarity({a}, {b}) * 10000 + 0.5) / 10000.0"
+_CS_PARTS = [
+    "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),\n"
+    "d1 AS (SELECT e.vec_id, e.emb, "
+    + _CS_D.format(a="e.emb", b="p.emb")
+    + " AS md\n  FROM emb e, (SELECT emb FROM emb WHERE vec_id = 0) p"
+    " WHERE e.vec_id <> 0)"
+]
+for _i in range(1, _CORESET_K):
+    _CS_PARTS.append(
+        f"p{_i} AS (SELECT vec_id, emb, md FROM d{_i}"
+        f" ORDER BY md DESC, vec_id ASC LIMIT 1)"
+    )
+    if _i < _CORESET_K - 1:
+        _CS_PARTS.append(
+            f"d{_i + 1} AS (SELECT s.vec_id, s.emb, least(s.md, "
+            + _CS_D.format(a="s.emb", b="p.emb")
+            + f") AS md\n  FROM d{_i} s, p{_i} p"
+            f" WHERE s.vec_id <> p.vec_id)"
+        )
+_CS_SELECTS = [
+    "SELECT CAST(1 AS BIGINT) AS pick_order, CAST(0 AS BIGINT) AS vec_id,"
+    " 0.0 AS min_dist"
+]
+for _i in range(1, _CORESET_K):
+    _CS_SELECTS.append(
+        f"SELECT CAST({_i + 1} AS BIGINT), vec_id,"
+        f" floor(md * 1000000 + 0.5) / 1000000.0 FROM p{_i}"
+    )
+ORACLE_SAMPLE_CORESET_KCENTER = (
+    ",\n".join(_CS_PARTS)
+    + "\n"
+    + "\nUNION ALL\n".join(_CS_SELECTS)
+    + "\nORDER BY pick_order"
+)
+
+QUERIES["sample_coreset_kcenter"] = sample_coreset_kcenter
+ORACLE["sample_coreset_kcenter"] = ORACLE_SAMPLE_CORESET_KCENTER

@@ -1358,3 +1358,77 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 QUERIES["events_user_gini"] = events_user_gini
 ORACLE["events_user_gini"] = ORACLE_EVENTS_USER_GINI
+
+
+# ---------------------------------------------------------------------------
+# Late-data (watermark-sizing) audit
+# ---------------------------------------------------------------------------
+
+def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: treating ``event_id`` as arrival order,
+    how late does each event's TIMESTAMP arrive behind the
+    highest timestamp already seen from that user?  The lateness
+    distribution this emits (p50/p90/p99/max seconds, late fraction)
+    is exactly the evidence that picks ``withWatermark``'s delay for
+    the streaming twins — too small drops data, too large bloats
+    state.
+
+    Shape: one scan, one per-user window (running max over arrival
+    order — µs integers, no interval arithmetic), one hash agg per
+    event type.  The window key is user_id, so no global sort exists;
+    percentiles are the exact interpolated aggregate (portable:
+    Spark ``percentile`` == DuckDB ``quantile_cont``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        "event_type",
+        ((F.max(us).over(w) - us) / F.lit(1000000.0)).alias("late_s"),
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).alias("n_late"),
+            pround(
+                F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("late_frac"),
+            pround(F.expr("percentile(late_s, 0.5)"), 4).alias("p50_late_s"),
+            pround(F.expr("percentile(late_s, 0.9)"), 4).alias("p90_late_s"),
+            pround(F.expr("percentile(late_s, 0.99)"), 4).alias("p99_late_s"),
+            pround(F.max("late_s"), 4).alias("max_late_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_LATE_DATA_AUDIT = """
+WITH late AS (
+  SELECT event_type,
+         (max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING)
+          - epoch_us(ts)) / 1000000.0 AS late_s
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       floor((sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) * 1.0 / count(*))
+             * 1000000 + 0.5) / 1000000.0 AS late_frac,
+       floor(quantile_cont(late_s, 0.5) * 10000 + 0.5) / 10000.0 AS p50_late_s,
+       floor(quantile_cont(late_s, 0.9) * 10000 + 0.5) / 10000.0 AS p90_late_s,
+       floor(quantile_cont(late_s, 0.99) * 10000 + 0.5) / 10000.0 AS p99_late_s,
+       floor(max(late_s) * 10000 + 0.5) / 10000.0 AS max_late_s
+FROM late
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["events_late_data_audit"] = events_late_data_audit
+ORACLE["events_late_data_audit"] = ORACLE_EVENTS_LATE_DATA_AUDIT

@@ -1128,3 +1128,27 @@ def test_mutual_knn_no_n2_shuffle(spark):
     # truncates lineage there); what must be visible is the reversed-edge
     # EQUI join — LeftOuter, hash-side.
     assert "LeftOuter" in p, p
+
+
+def test_late_data_window_is_user_keyed(spark):
+    from parquet_stream_writer_spark.operators import streaming_batch
+
+    df = streaming_batch.events_late_data_audit(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "user_id" in "".join(
+        l for l in p.splitlines() if "Arguments" in l and "unboundedpreceding" in l.lower()
+    ), p
+    # formatted mode lists the single events scan twice (tree + detail).
+    assert p.count("Scan parquet") == 2, p
+
+
+def test_coreset_picks_are_takeordered_broadcasts(spark):
+    """Each greedy round must reduce via TakeOrdered (1-row pick) and
+    re-broadcast only that row — no corpus-sized broadcast, no
+    cartesian against the chosen SET."""
+    from parquet_stream_writer_spark.operators import similarity
+
+    df = similarity.sample_coreset_kcenter(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
