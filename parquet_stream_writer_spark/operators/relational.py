@@ -3176,3 +3176,103 @@ GROUP BY decile ORDER BY decile
 
 QUERIES["window_ntile_cume"] = window_ntile_cume
 ORACLE["window_ntile_cume"] = ORACLE_WINDOW_NTILE_CUME
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression (regr_* aggregates)
+# ---------------------------------------------------------------------------
+
+def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS fit (price ~ quantity) via the
+    ``regr_slope``/``regr_intercept``/``regr_r2`` aggregate family —
+    the one-pass mergeable co-moment formulation (same merge algebra
+    as :func:`agg_moments`), so the fit costs exactly one hash
+    aggregate at any scale; no iterative solver, no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            pround(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept"
+            ),
+            pround(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_AGG_REGRESSION_OLS = """
+SELECT l_returnflag,
+       count(*) AS n,
+       floor(regr_slope(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000.0
+         AS slope,
+       floor(regr_intercept(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000.0
+         AS intercept,
+       floor(regr_r2(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000.0 AS r2
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+QUERIES["agg_regression_ols"] = agg_regression_ols
+ORACLE["agg_regression_ols"] = ORACLE_AGG_REGRESSION_OLS
+
+
+# ---------------------------------------------------------------------------
+# first/last/nth_value window frames
+# ---------------------------------------------------------------------------
+
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order trajectory via positional window functions:
+    first, second, and latest order value over the customer's full
+    history (``first_value``/``nth_value``/``last_value`` with an
+    unbounded frame) plus the first→last drift — the
+    cohort-trajectory shape.  Deterministic ordering (date, then key)
+    so both engines pick identical rows; one window shuffle on the
+    customer key, one dedup to a single row per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per = orders.select(
+        "o_custkey",
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last_value("o_totalprice").over(w).alias("last_price"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
+    return per.select(
+        "o_custkey",
+        "n_orders",
+        pround("first_price", 2).alias("first_price"),
+        pround("second_price", 2).alias("second_price"),
+        pround("last_price", 2).alias("last_price"),
+        pround(F.col("last_price") - F.col("first_price"), 2).alias("drift"),
+    ).orderBy("o_custkey")
+
+
+ORACLE_WINDOW_FIRST_LAST_NTH = """
+WITH per AS (
+  SELECT DISTINCT o_custkey,
+         first_value(o_totalprice) OVER w AS first_price,
+         nth_value(o_totalprice, 2) OVER w AS second_price,
+         last_value(o_totalprice) OVER w AS last_price,
+         count(*) OVER w AS n_orders
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       floor(first_price * 100 + 0.5) / 100.0 AS first_price,
+       floor(second_price * 100 + 0.5) / 100.0 AS second_price,
+       floor(last_price * 100 + 0.5) / 100.0 AS last_price,
+       floor((last_price - first_price) * 100 + 0.5) / 100.0 AS drift
+FROM per ORDER BY o_custkey
+"""
+
+QUERIES["window_first_last_nth"] = window_first_last_nth
+ORACLE["window_first_last_nth"] = ORACLE_WINDOW_FIRST_LAST_NTH

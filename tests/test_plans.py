@@ -1152,3 +1152,19 @@ def test_coreset_picks_are_takeordered_broadcasts(spark):
     p = plan(spark, df)
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_ols_is_one_pass_comoment_agg(spark):
+    df = relational.agg_regression_ols(spark, SF_DIR)
+    p = plan(spark, df)
+    # formatted mode lists nodes twice: one scan, one partial+final pair.
+    assert p.count("Scan parquet") == 2, p
+    assert p.count("HashAggregate") == 4, p
+
+
+def test_first_last_nth_single_window(spark):
+    df = relational.window_first_last_nth(spark, SF_DIR)
+    p = plan(spark, df)
+    # All four positional functions share one frame → ONE Window node
+    # (listed twice by formatted mode).
+    assert p.count("Window") == 2, p
