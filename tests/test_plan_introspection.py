@@ -102,6 +102,12 @@ _NLJ_OK = {
     "sample_curriculum_order",  # (n, min, max) stats row
     "graph_pagerank_bipartite",  # node-count scalar per iteration
     "text_bigram_lm_perplexity",  # vocabulary-size scalar
+    # round-6 batch 2-4 additions, all 1-row scalar broadcasts:
+    "events_inactivity_churn",  # observation-horizon max-timestamp row
+    "graph_triangle_count",  # node/edge/wedge/triangle 1-row combiners
+    "similarity_rank_fusion",  # 5-row query-set broadcast (exact scan shape)
+    "text_pmi_collocations",  # pair-total and token-total scalars
+    "window_ntile_cume",  # total-spend scalar for revenue share
 }
 
 
