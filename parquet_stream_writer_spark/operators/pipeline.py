@@ -1826,3 +1826,189 @@ FROM nw, ne, np, tri
 
 QUERIES["graph_triangle_count"] = graph_triangle_count
 ORACLE["graph_triangle_count"] = ORACLE_GRAPH_TRIANGLE_COUNT
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (data-skipping) audit
+# ---------------------------------------------------------------------------
+
+#: Z-order audit geometry: 8-bit per-dimension ranks → 16 range files.
+_Z_BITS = 8
+_Z_FILES = 16
+#: Fixed customer-key probe window for the files-hit metric.
+_Z_PROBE_LO = 100
+_Z_PROBE_HI = 199
+
+
+def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit: would Z-ORDERing ``orders`` by
+    (customer, order-day) beat the natural time-linear layout for
+    customer-keyed probes?  Emits, per candidate layout, each file's
+    expected min/max spans and the number of files a fixed customer
+    range probe must open — the min/max-statistics data-skipping
+    arithmetic behind OPTIMIZE ZORDER decisions.
+
+    Both layouts are computed map-side with NO global sort: each
+    dimension is normalized to an 8-bit rank ((v−min)·256 div range,
+    one 1-row min/max broadcast), the Z-value interleaves the rank
+    bits with pure div/mod arithmetic (portable to any engine), and
+    file assignment is range-bucketing of the layout key — exactly
+    what a range-partitioned write produces.  One scan, one small
+    (layout, file) aggregate; at 100 TB the same projection IS the
+    repartitionByRange write key, and this audit prices it before
+    rewriting a petabyte.
+    """
+    def bit_terms(col: str) -> str:
+        # Σ_i bit_i(xr)·2^(2i+1) + bit_i(yr)·2^(2i) — engine-portable
+        # interleave via div/mod only (no shift operators).
+        terms = []
+        for i in range(_Z_BITS):
+            terms.append(f"((({col}_x) div {2**i}) % 2) * {2**(2*i+1)}")
+            terms.append(f"((({col}_y) div {2**i}) % 2) * {2**(2*i)}")
+        return " + ".join(terms)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+    )
+    stats = orders.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    )
+    ranked = orders.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "day",
+        "cmin",
+        "cmax",
+        "dmin",
+        "dmax",
+        F.expr(f"((o_custkey - cmin) * {2**_Z_BITS}) div (cmax - cmin + 1)").alias(
+            "r_x"
+        ),
+        F.expr(f"((day - dmin) * {2**_Z_BITS}) div (dmax - dmin + 1)").alias("r_y"),
+    )
+    z_max = 4 ** _Z_BITS  # interleaved key space size
+    both = ranked.select(
+        "o_custkey",
+        "day",
+        "cmin",
+        "cmax",
+        "dmin",
+        "dmax",
+        F.expr(
+            f"(r_y * {2**_Z_BITS}) div ({2**_Z_BITS} * {2**_Z_BITS} div {_Z_FILES})"
+        ).alias("f_linear"),
+        F.expr(f"({bit_terms('r')}) div ({z_max} div {_Z_FILES})").alias("f_zorder"),
+    )
+    files = both.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("linear").alias("layout"), F.col("f_linear").alias("f")),
+                F.struct(F.lit("zorder").alias("layout"), F.col("f_zorder").alias("f")),
+            )
+        ).alias("lf"),
+        "o_custkey",
+        "day",
+        "cmin",
+        "cmax",
+        "dmin",
+        "dmax",
+    ).groupBy(F.col("lf.layout").alias("layout"), F.col("lf.f").alias("f")).agg(
+        F.min("o_custkey").alias("fc_min"),
+        F.max("o_custkey").alias("fc_max"),
+        F.min("day").alias("fd_min"),
+        F.max("day").alias("fd_max"),
+        F.min("cmin").alias("cmin"),
+        F.min("cmax").alias("cmax"),
+        F.min("dmin").alias("dmin"),
+        F.min("dmax").alias("dmax"),
+    )
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            pround(
+                F.avg(
+                    (F.col("fc_max") - F.col("fc_min") + 1)
+                    / (F.col("cmax") - F.col("cmin") + 1)
+                ),
+                6,
+            ).alias("avg_cust_span_frac"),
+            pround(
+                F.avg(
+                    (F.col("fd_max") - F.col("fd_min") + 1)
+                    / (F.col("dmax") - F.col("dmin") + 1)
+                ),
+                6,
+            ).alias("avg_day_span_frac"),
+            F.sum(
+                F.when(
+                    (F.col("fc_max") >= _Z_PROBE_LO)
+                    & (F.col("fc_min") <= _Z_PROBE_HI),
+                    1,
+                ).otherwise(0)
+            ).alias("files_hit_cust_probe"),
+        )
+        .orderBy("layout")
+    )
+
+
+_Z_ORACLE_TERMS = " + ".join(
+    f"(((r_x // {2**_i}) % 2) * {2**(2*_i+1)}) + (((r_y // {2**_i}) % 2) * {2**(2*_i)})"
+    for _i in range(_Z_BITS)
+)
+ORACLE_PIPELINE_ZORDER_LAYOUT = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+stats AS (
+  SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+         min(day) AS dmin, max(day) AS dmax
+  FROM base
+),
+ranked AS (
+  SELECT o_custkey, day, cmin, cmax, dmin, dmax,
+         ((o_custkey - cmin) * {2**_Z_BITS}) // (cmax - cmin + 1) AS r_x,
+         ((day - dmin) * {2**_Z_BITS}) // (dmax - dmin + 1) AS r_y
+  FROM base, stats
+),
+assigned AS (
+  SELECT o_custkey, day, cmin, cmax, dmin, dmax,
+         (r_y * {2**_Z_BITS}) // ({2**_Z_BITS} * {2**_Z_BITS} // {_Z_FILES}) AS f_linear,
+         ({_Z_ORACLE_TERMS}) // ({4**_Z_BITS} // {_Z_FILES}) AS f_zorder
+  FROM ranked
+),
+files AS (
+  SELECT layout, f,
+         min(o_custkey) AS fc_min, max(o_custkey) AS fc_max,
+         min(day) AS fd_min, max(day) AS fd_max,
+         min(cmin) AS cmin, min(cmax) AS cmax,
+         min(dmin) AS dmin, min(dmax) AS dmax
+  FROM (
+    SELECT 'linear' AS layout, f_linear AS f, * FROM assigned
+    UNION ALL
+    SELECT 'zorder' AS layout, f_zorder AS f, * FROM assigned
+  )
+  GROUP BY layout, f
+)
+SELECT layout,
+       count(*) AS n_files,
+       floor(avg((fc_max - fc_min + 1) * 1.0 / (cmax - cmin + 1)) * 1000000 + 0.5)
+         / 1000000.0 AS avg_cust_span_frac,
+       floor(avg((fd_max - fd_min + 1) * 1.0 / (dmax - dmin + 1)) * 1000000 + 0.5)
+         / 1000000.0 AS avg_day_span_frac,
+       CAST(sum(CASE WHEN fc_max >= {_Z_PROBE_LO} AND fc_min <= {_Z_PROBE_HI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_cust_probe
+FROM files
+GROUP BY layout ORDER BY layout
+"""
+
+QUERIES["pipeline_zorder_layout"] = pipeline_zorder_layout
+ORACLE["pipeline_zorder_layout"] = ORACLE_PIPELINE_ZORDER_LAYOUT

@@ -108,6 +108,7 @@ _NLJ_OK = {
     "similarity_rank_fusion",  # 5-row query-set broadcast (exact scan shape)
     "text_pmi_collocations",  # pair-total and token-total scalars
     "window_ntile_cume",  # total-spend scalar for revenue share
+    "pipeline_zorder_layout",  # 1-row min/max stats broadcast
 }
 
 

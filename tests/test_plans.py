@@ -1168,3 +1168,17 @@ def test_first_last_nth_single_window(spark):
     # All four positional functions share one frame → ONE Window node
     # (listed twice by formatted mode).
     assert p.count("Window") == 2, p
+
+
+def test_zorder_audit_is_map_side_no_sort(spark):
+    """The layout audit must not sort anything: rank normalization and
+    bit interleave are projections, file assignment is range
+    arithmetic — the only exchanges are the 1-row stats broadcast and
+    the small (layout, file) aggregate."""
+    from parquet_stream_writer_spark.operators import pipeline
+
+    df = pipeline.pipeline_zorder_layout(spark, SF_DIR)
+    p = plan(spark, df)
+    # No global Sort node anywhere except the final 2-row orderBy.
+    assert p.count("Sort ") <= 2, p
+    assert "Window" not in p, p
