@@ -50,6 +50,15 @@ _RATIO_KEYS = (
     "agg_bloom_filter_audit",
     # 1-row count aggregates emit n_child = 0 rows on empty tables.
     "pipeline_fk_integrity_audit",
+    # r6 batch 2-5: the triangle combiner divides by a NULL wedge sum
+    # on empty input (still emits its 1-row stats); the others carry
+    # share/rate/span-fraction divisions over vanishing aggregates.
+    "graph_triangle_count",
+    "window_ntile_cume",
+    "events_user_gini",
+    "events_inactivity_churn",
+    "text_pmi_collocations",
+    "pipeline_zorder_layout",
 )
 
 
