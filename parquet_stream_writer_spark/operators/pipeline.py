@@ -2012,3 +2012,86 @@ GROUP BY layout ORDER BY layout
 
 QUERIES["pipeline_zorder_layout"] = pipeline_zorder_layout
 ORACLE["pipeline_zorder_layout"] = ORACLE_PIPELINE_ZORDER_LAYOUT
+
+
+# ---------------------------------------------------------------------------
+# Mixture epoch planner
+# ---------------------------------------------------------------------------
+
+#: Token budget for the mixture plan (tokens ≈ chars/4) and the max
+#: number of times any single source may repeat.
+_MIX_BUDGET_TOKENS = 100_000
+_MIX_MAX_EPOCHS = 4.0
+
+
+def sample_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing epoch plan: given a token budget and
+    size^0.5-temperature source weights (the
+    :func:`sample_temperature_mix` rule), how many EPOCHS of each
+    source does the training run consume?  epochs =
+    min(cap, weight·budget / source_tokens) — the repetition schedule
+    every under-budget source needs (small high-weight sources repeat,
+    capped so nothing memorizes), with the realized token count and
+    budget share per source.
+
+    Pure planning arithmetic over two tiny aggregates (per-source
+    token mass + the 1-row normalizer broadcast): one corpus scan at
+    any scale, output rows = number of sources.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(n_chars div 4)").alias("tokens"),
+    )
+    z = src.agg(F.sum(F.sqrt("tokens")).alias("z"))
+    return (
+        src.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            pround(F.sqrt("tokens") / F.col("z"), 6).alias("weight"),
+            pround(
+                F.least(
+                    F.lit(_MIX_MAX_EPOCHS),
+                    F.sqrt("tokens") / F.col("z") * _MIX_BUDGET_TOKENS / F.col("tokens"),
+                ),
+                4,
+            ).alias("epochs"),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.floor(F.col("epochs") * F.col("tokens")).cast("bigint"),
+        )
+        .withColumn(
+            "budget_share",
+            pround(F.col("planned_tokens") / F.lit(float(_MIX_BUDGET_TOKENS)), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SAMPLE_MIXTURE_EPOCH_PLAN = f"""
+WITH src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars // 4) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+z AS (SELECT sum(sqrt(tokens)) AS z FROM src),
+plan0 AS (
+  SELECT source, n_docs, tokens,
+         floor(sqrt(tokens) / z.z * 1000000 + 0.5) / 1000000.0 AS weight,
+         floor(least({_MIX_MAX_EPOCHS},
+                     sqrt(tokens) / z.z * {_MIX_BUDGET_TOKENS} / tokens)
+               * 10000 + 0.5) / 10000.0 AS epochs
+  FROM src, z
+)
+SELECT source, n_docs, tokens, weight, epochs,
+       CAST(floor(epochs * tokens) AS BIGINT) AS planned_tokens,
+       floor(CAST(floor(epochs * tokens) AS BIGINT) / {float(_MIX_BUDGET_TOKENS)}
+             * 1000000 + 0.5) / 1000000.0 AS budget_share
+FROM plan0 ORDER BY source
+"""
+
+QUERIES["sample_mixture_epoch_plan"] = sample_mixture_epoch_plan
+ORACLE["sample_mixture_epoch_plan"] = ORACLE_SAMPLE_MIXTURE_EPOCH_PLAN

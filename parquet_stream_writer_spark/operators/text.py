@@ -1917,3 +1917,101 @@ LIMIT {_PMI_TOP}
 
 QUERIES["text_pmi_collocations"] = text_pmi_collocations
 ORACLE["text_pmi_collocations"] = ORACLE_TEXT_PMI_COLLOCATIONS
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets
+# ---------------------------------------------------------------------------
+
+#: Tertile fractions for the head/middle/tail split.
+_CCNET_P1 = 1.0 / 3
+_CCNET_P2 = 2.0 / 3
+
+
+def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature curation move: score every document with a
+    corpus-trained LM, split each language at its own perplexity
+    tertiles into head / middle / tail, and report the bucket profile
+    (training sets keep head+middle; tail is the noise).
+
+    The scorer is the unigram mean-surprisal of
+    :func:`text_perplexity_proxy` (one vocab agg + broadcast over the
+    token stream); per-language tertile thresholds are ONE exact
+    interpolated percentile aggregate over the doc-level relation
+    (language-count rows, broadcast back); bucketing compares 6-dp
+    ROUNDED scores to 6-dp rounded thresholds, so no float boundary
+    can land differently across engines.  Everything scales with
+    vocabulary and document count, never corpus text size.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    per_doc = (
+        toks.join(F.broadcast(vocab.crossJoin(tot)), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(pround(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("bits"))
+    )
+    th = per_doc.groupBy("lang").agg(
+        pround(F.expr(f"percentile(bits, {_CCNET_P1!r})"), 6).alias("p33"),
+        pround(F.expr(f"percentile(bits, {_CCNET_P2!r})"), 6).alias("p66"),
+    )
+    bucketed = per_doc.join(F.broadcast(th), "lang").select(
+        "lang",
+        "bits",
+        F.when(F.col("bits") <= F.col("p33"), "head")
+        .when(F.col("bits") <= F.col("p66"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.avg("bits"), 4).alias("avg_bits"),
+            pround(F.min("bits"), 4).alias("min_bits"),
+            pround(F.max("bits"), 4).alias("max_bits"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+ORACLE_TEXT_CCNET_PERPLEXITY_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM vocab),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         floor(avg(-ln(v.c * 1.0 / tot.n)) * 1000000 + 0.5) / 1000000.0 AS bits
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+  GROUP BY t.doc_id, t.lang
+),
+th AS (
+  SELECT lang,
+         floor(quantile_cont(bits, {_CCNET_P1!r}) * 1000000 + 0.5) / 1000000.0 AS p33,
+         floor(quantile_cont(bits, {_CCNET_P2!r}) * 1000000 + 0.5) / 1000000.0 AS p66
+  FROM per_doc GROUP BY lang
+),
+bucketed AS (
+  SELECT d.lang, d.bits,
+         CASE WHEN d.bits <= t.p33 THEN 'head'
+              WHEN d.bits <= t.p66 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM per_doc d JOIN th t USING (lang)
+)
+SELECT lang, bucket,
+       count(*) AS n_docs,
+       floor(avg(bits) * 10000 + 0.5) / 10000.0 AS avg_bits,
+       floor(min(bits) * 10000 + 0.5) / 10000.0 AS min_bits,
+       floor(max(bits) * 10000 + 0.5) / 10000.0 AS max_bits
+FROM bucketed
+GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+QUERIES["text_ccnet_perplexity_buckets"] = text_ccnet_perplexity_buckets
+ORACLE["text_ccnet_perplexity_buckets"] = ORACLE_TEXT_CCNET_PERPLEXITY_BUCKETS

@@ -59,6 +59,9 @@ _RATIO_KEYS = (
     "events_inactivity_churn",
     "text_pmi_collocations",
     "pipeline_zorder_layout",
+    # budget-share / surprisal divisions over vanishing aggregates.
+    "sample_mixture_epoch_plan",
+    "text_ccnet_perplexity_buckets",
 )
 
 

@@ -109,6 +109,8 @@ _NLJ_OK = {
     "text_pmi_collocations",  # pair-total and token-total scalars
     "window_ntile_cume",  # total-spend scalar for revenue share
     "pipeline_zorder_layout",  # 1-row min/max stats broadcast
+    "text_ccnet_perplexity_buckets",  # vocab-total + tertile-threshold rows
+    "sample_mixture_epoch_plan",  # 1-row normalizer broadcast
 }
 
 
