@@ -1406,6 +1406,11 @@ ORACLE["sample_curriculum_order"] = ORACLE_SAMPLE_CURRICULUM_ORDER
 _PR_ITERS = 3
 _PR_DAMPING = 0.85
 _PR_TOP = 20
+#: Max neighbours per adjacency-list row (hot-node absolute bound).
+_PR_SEG = 4096
+#: Fixed pre-split modulus bounding the collect_list aggregation buffer
+#: of a hot node to ~deg/_PR_PRESPLIT before the absolute re-chunk.
+_PR_PRESPLIT = 16
 
 
 def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1415,12 +1420,23 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity weighting — and the template for any Pregel-style
     iterative graph pass expressed in DataFrames.
 
-    Shape (the Lloyd/BPE loop discipline): the bidirected edge+degree
-    relation is built once from one fact join and checkpointed; each
-    of the ``_PR_ITERS`` power iterations is ONE edge⋈rank hash join
-    + ONE dst-keyed sum — rank state is node-sized, never collected,
-    and the per-iteration shuffle key (dst) is the natural partition
-    key at 100 TB.  No adjacency matrix, no driver-side graph.
+    Shape (the Lloyd/BPE loop discipline): the graph is grouped ONCE
+    into a segmented adjacency-list relation (src, dsts[]) with ONE
+    edge shuffle — repartition by src, exchange-free (src, seg)
+    grouping under a fixed pre-split modulus that bounds the
+    collect_list buffer of a hot node, then a map-side slice/explode
+    re-chunk that bounds every checkpointed row to ~``_PR_SEG``
+    neighbours absolutely — and the result stays hash-partitioned by
+    src through the checkpoint.  Each of the ``_PR_ITERS`` power
+    iterations is then one node-sized rank⋈degree join (out-degree
+    lives in node-sized state, not on adjacency rows), one
+    adjacency⋈share join that moves NO arrays (the adjacency side
+    reuses its checkpoint partitioning), an explode, and ONE
+    dst-keyed sum with map-side partial aggregation.  No
+    per-iteration left join for dangling nodes: the graph is
+    bidirected, so every node has in-degree ≥ 1 and the contribution
+    sum already covers all of them.  Rank state is node-sized, never
+    collected; no adjacency matrix, no driver-side graph.
 
     Ranks are emitted mean-normalized (×N, so magnitudes are O(1))
     and 6-dp rounded; top ``_PR_TOP`` nodes.  Node ids are namespaced
@@ -1440,29 +1456,61 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
-    nodes = deg.select(F.col("src").alias("node"))
-    ndf = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(ndf)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    # ONE edge shuffle: repartition by src, then group by (src, seg) —
+    # HashPartitioning(src) already satisfies the (src, seg) clustering,
+    # so the aggregate runs exchange-free and the output STAYS
+    # partitioned by src, which the per-iteration join reuses verbatim.
+    # The fixed pre-split modulus bounds the collect_list aggregation
+    # buffer to ~deg/_PR_PRESPLIT; the map-side slice/explode re-chunk
+    # below then bounds every checkpointed row to ~_PR_SEG absolutely,
+    # so a hot node can never blow a single row or task.
+    n_chunks = F.floor((F.size("dsts") - 1) / _PR_SEG).cast("int")
+    adj = (
+        edges.repartition("src")
+        .groupBy("src", F.pmod(F.xxhash64("dst"), F.lit(_PR_PRESPLIT)).alias("seg"))
+        .agg(F.collect_list("dst").alias("dsts"))
+        .select(
+            "src",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks),
+                    lambda i: F.slice("dsts", i * _PR_SEG + 1, _PR_SEG),
+                )
+            ).alias("dsts"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Node-sized out-degree state: aggregated from segment sizes (small
+    # rows, no arrays move), joined into the RANK state each iteration
+    # so adjacency rows never carry deg.
+    degs = (
+        adj.select("src", F.size("dsts").alias("cnt"))
+        .groupBy("src")
+        .agg(F.sum("cnt").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    ndf = degs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = degs.crossJoin(F.broadcast(ndf)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(_PR_ITERS):
-        contrib = (
-            ed.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
+        shared = (
+            ranks.withColumnRenamed("node", "src")
+            .join(degs, "src")
+            .select("src", (F.col("pr") / F.col("deg")).alias("share"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(ndf))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - _PR_DAMPING) / F.col("n")
-                    + F.lit(_PR_DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("pr"),
-            )
+        contrib = (
+            adj.join(shared, "src")
+            .select(F.explode("dsts").alias("node"), "share")
+            .groupBy("node")
+            .agg(F.sum("share").alias("m"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(ndf)).select(
+            "node",
+            (
+                F.lit(1.0 - _PR_DAMPING) / F.col("n")
+                + F.lit(_PR_DAMPING) * F.col("m")
+            ).alias("pr"),
         )
     return (
         ranks.crossJoin(F.broadcast(ndf))
