@@ -2143,3 +2143,153 @@ FROM plan0 ORDER BY source
 
 QUERIES["sample_mixture_epoch_plan"] = sample_mixture_epoch_plan
 ORACLE["sample_mixture_epoch_plan"] = ORACLE_SAMPLE_MIXTURE_EPOCH_PLAN
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift check
+# ---------------------------------------------------------------------------
+
+#: ECDF range buckets for the distributed KS computation.
+_KS_BUCKETS = 256
+#: Kolmogorov critical coefficient at alpha = 0.05.
+_KS_CALPHA = 1.36
+
+
+def sample_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check between the train
+    and val splits' quality distributions (mean word length per doc,
+    splits from the deterministic content-hash buckets): the standard
+    "did my validation set drift from training" gate, emitting the KS
+    statistic, the alpha=0.05 critical value, and the verdict.
+
+    Shape: the KS statistic needs both ECDFs at every observed value
+    — naively a GLOBAL value-ordered running sum.  This is the
+    bucketed two-pass form (the ``text_pack_sequences`` prefix-sum
+    discipline): per-distinct-value split counts range-bucket on the
+    value axis via a 1-row min/max broadcast, per-bucket split totals
+    turn into bucket offsets through a ``_KS_BUCKETS``-row window
+    (fixed size, never corpus-sized), and the running ECDFs finish
+    inside bucket-partitioned windows.  Output is one row; the only
+    broadcasts are 1-row stats and the 256-row offset relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_col(spark_side=True))
+    base = docs.select(
+        (
+            F.col("n_chars")
+            / F.size(F.split(F.trim("text"), " ")).cast("double")
+        ).alias("v"),
+        bucket.alias("hb"),
+    ).where(F.col("hb") < 90)
+    tagged = base.select("v", (F.col("hb") < 80).cast("int").alias("is_train"))
+    pv = tagged.groupBy("v").agg(
+        F.sum("is_train").alias("ca"),
+        F.sum(1 - F.col("is_train")).alias("cb"),
+    )
+    stats = tagged.agg(
+        F.sum("is_train").cast("double").alias("na"),
+        F.sum(1 - F.col("is_train")).cast("double").alias("nb"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    nb_ = _KS_BUCKETS
+    bucketed = pv.crossJoin(F.broadcast(stats)).withColumn(
+        "b",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.lit(nb_ - 1),
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * nb_
+                ),
+            ),
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    per_bucket = bucketed.groupBy("b").agg(
+        F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
+    )
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "b",
+        F.coalesce(F.sum("sa").over(wo), F.lit(0)).alias("offa"),
+        F.coalesce(F.sum("sb").over(wo), F.lit(0)).alias("offb"),
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = (
+        bucketed.join(F.broadcast(offsets), "b")
+        .withColumn("cuma", F.col("offa") + F.sum("ca").over(wb))
+        .withColumn("cumb", F.col("offb") + F.sum("cb").over(wb))
+        .select(
+            "na",
+            "nb",
+            F.abs(
+                F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb")
+            ).alias("gap"),
+        )
+    )
+    return gaps.groupBy("na", "nb").agg(F.max("gap").alias("ks_raw")).select(
+        F.col("na").cast("long").alias("n_train"),
+        F.col("nb").cast("long").alias("n_val"),
+        pround("ks_raw", 6).alias("ks_stat"),
+        pround(
+            F.lit(_KS_CALPHA)
+            * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))),
+            6,
+        ).alias("ks_critical"),
+        (
+            F.col("ks_raw")
+            > F.lit(_KS_CALPHA)
+            * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+        ).alias("drifted"),
+    )
+
+
+# Independent oracle formulation: one global value-ordered window ECDF
+# (fine at oracle scale) instead of replaying the bucketed prefix sums.
+ORACLE_SAMPLE_KS_DRIFT = f"""
+WITH base AS (
+  SELECT n_chars / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS v,
+         {_bucket_col(spark_side=False)} AS hb
+  FROM documents
+),
+tagged AS (
+  SELECT v, CASE WHEN hb < 80 THEN 1 ELSE 0 END AS is_train
+  FROM base WHERE hb < 90
+),
+pv AS (
+  SELECT v, sum(is_train) AS ca, sum(1 - is_train) AS cb
+  FROM tagged GROUP BY 1
+),
+st AS (
+  SELECT CAST(sum(is_train) AS DOUBLE) AS na,
+         CAST(sum(1 - is_train) AS DOUBLE) AS nb
+  FROM tagged
+),
+ecdf AS (
+  SELECT sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb, na, nb
+  FROM pv CROSS JOIN st
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ks AS (
+  SELECT na, nb, max(abs(cuma / na - cumb / nb)) AS ks_raw
+  FROM ecdf GROUP BY 1, 2
+)
+SELECT CAST(na AS BIGINT) AS n_train,
+       CAST(nb AS BIGINT) AS n_val,
+       floor(ks_raw * 1000000 + 0.5) / 1000000.0 AS ks_stat,
+       floor(({_KS_CALPHA} * sqrt((na + nb) / (na * nb))) * 1000000 + 0.5)
+         / 1000000.0 AS ks_critical,
+       ks_raw > {_KS_CALPHA} * sqrt((na + nb) / (na * nb)) AS drifted
+FROM ks
+"""
+
+QUERIES["sample_ks_drift"] = sample_ks_drift
+ORACLE["sample_ks_drift"] = ORACLE_SAMPLE_KS_DRIFT

@@ -3276,3 +3276,435 @@ FROM per ORDER BY o_custkey
 
 QUERIES["window_first_last_nth"] = window_first_last_nth
 ORACLE["window_first_last_nth"] = ORACLE_WINDOW_FIRST_LAST_NTH
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of ``part``: the parts for which no
+    other part is simultaneously at-least-as-large AND at-most-as-
+    expensive (strict in one dimension) — the classic multi-criteria
+    shortlist operator (Börzsönyi et al., "The Skyline Operator").
+
+    Scale shape: the naive skyline is a quadratic dominance self-join.
+    For a 2-D skyline it collapses to aggregation + prefix-min: one
+    map-side-combinable per-size min-price aggregate (``p_size`` is a
+    BOUNDED domain — ~50 values at any corpus size), a strict
+    prefix-min over that ~50-row relation (window over a bounded
+    dimension table, never corpus-sized), and one broadcast join back
+    to the fact scan.  A part survives iff it is the cheapest at its
+    size AND strictly cheaper than every larger size's best price.
+    No self-join, no N² pairs, one fact scan.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("best_price"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(Window.unboundedPreceding, -1)
+    frontier_sizes = per_size.select(
+        "p_size",
+        "best_price",
+        F.min("best_price").over(w).alias("larger_best"),
+    )
+    return (
+        part.join(F.broadcast(frontier_sizes), "p_size")
+        .where(
+            (F.col("p_retailprice") == F.col("best_price"))
+            & (
+                F.col("larger_best").isNull()
+                | (F.col("p_retailprice") < F.col("larger_best"))
+            )
+        )
+        .groupBy("p_size")
+        .agg(
+            pround(F.min("p_retailprice"), 2).alias("price"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+        .orderBy("p_size")
+    )
+
+
+# Independent oracle formulation: the textbook NOT-EXISTS dominance
+# predicate — a stronger differential check than replaying the
+# prefix-min rewrite.
+ORACLE_AGG_SKYLINE_PARETO = """
+WITH frontier AS (
+  SELECT p_partkey, p_size, p_retailprice
+  FROM part x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM part y
+    WHERE y.p_size >= x.p_size AND y.p_retailprice <= x.p_retailprice
+      AND (y.p_size > x.p_size OR y.p_retailprice < x.p_retailprice)
+  )
+)
+SELECT p_size,
+       floor(min(p_retailprice) * 100 + 0.5) / 100.0 AS price,
+       count(*) AS n_parts,
+       min(p_partkey) AS min_partkey
+FROM frontier
+GROUP BY p_size
+ORDER BY p_size
+"""
+
+QUERIES["agg_skyline_pareto"] = agg_skyline_pareto
+ORACLE["agg_skyline_pareto"] = ORACLE_AGG_SKYLINE_PARETO
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (HHI)
+# ---------------------------------------------------------------------------
+
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation: HHI = Σ share_i² and the implied effective supplier
+    count 1/HHI — the standard "is this market dominated by a few
+    entities" audit (for corpora: is a source dominated by few
+    domains).
+
+    One-pass shape: per-supplier revenue is a map-side-combinable
+    fact aggregate; HHI needs only Σrev and Σrev² per nation, so the
+    second aggregate carries two doubles per supplier — no share
+    materialization, no window, no second fact scan.  The supplier
+    dimension broadcasts by size estimate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    per_nation = (
+        rev.join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev").alias("total_rev"),
+            F.sum(F.col("rev") * F.col("rev")).alias("sumsq"),
+        )
+    )
+    hhi = F.col("sumsq") / (F.col("total_rev") * F.col("total_rev"))
+    return (
+        per_nation.join(
+            F.broadcast(nation), per_nation["s_nationkey"] == nation["n_nationkey"]
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            pround("total_rev", 2).alias("total_rev"),
+            F.when(F.col("total_rev") > 0, pround(hhi, 6)).alias("hhi"),
+            # Same expression shape as the oracle ((t*t)/sumsq, ONE
+            # division) — 1/hhi would round twice and can differ in
+            # the last ulp right at a floor boundary.
+            F.when(
+                F.col("sumsq") > 0,
+                pround(
+                    (F.col("total_rev") * F.col("total_rev")) / F.col("sumsq"), 4
+                ),
+            ).alias("effective_n"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_AGG_HHI_CONCENTRATION = """
+WITH rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+),
+per_nation AS (
+  SELECT s_nationkey,
+         count(*) AS n_suppliers,
+         sum(rev) AS total_rev,
+         sum(rev * rev) AS sumsq
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT n_name,
+       n_suppliers,
+       floor(total_rev * 100 + 0.5) / 100.0 AS total_rev,
+       CASE WHEN total_rev > 0
+            THEN floor((sumsq / (total_rev * total_rev)) * 1000000 + 0.5) / 1000000.0
+       END AS hhi,
+       CASE WHEN sumsq > 0
+            THEN floor(((total_rev * total_rev) / sumsq) * 10000 + 0.5) / 10000.0
+       END AS effective_n
+FROM per_nation JOIN nation ON s_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+QUERIES["agg_hhi_concentration"] = agg_hhi_concentration
+ORACLE["agg_hhi_concentration"] = ORACLE_AGG_HHI_CONCENTRATION
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value
+# ---------------------------------------------------------------------------
+
+#: LTV curve horizon in month indices (0-based).
+_LTV_MONTHS = 12
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers are grouped by their
+    first-order month (the cohort), and each cohort's cumulative
+    revenue per customer is tracked over the following
+    ``_LTV_MONTHS`` month indices — the revenue twin of
+    ``events_retention_cohort`` (which counts active users).
+
+    Shape: one orders scan feeds both the per-customer first-month
+    aggregate and (via a custkey-co-partitioned join that reuses the
+    exchange) the cohort-cell aggregation.  The cumulative window
+    runs over the (cohort, month_index) CELL relation — at most
+    ``_LTV_MONTHS`` rows per cohort, never order-sized — and cohort
+    sizes are a months-bounded relation, safe to broadcast at any
+    corpus size.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("om"),
+        "o_totalprice",
+    )
+    coh = orders.groupBy("o_custkey").agg(F.min("om").alias("cohort_month"))
+    k = (
+        (F.year("om") * 12 + F.month("om"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("long").alias("month_index")
+    cells = (
+        orders.join(coh, "o_custkey")
+        .select("cohort_month", k, "o_custkey", "o_totalprice")
+        .where(F.col("month_index") < _LTV_MONTHS)
+        .groupBy("cohort_month", "month_index")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    sizes = coh.groupBy("cohort_month").agg(F.count(F.lit(1)).alias("cohort_n"))
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_month")
+        .withColumn("cum_rev", F.sum("rev").over(w))
+        .select(
+            "cohort_month",
+            "month_index",
+            "cohort_n",
+            "n_active",
+            pround("rev", 2).alias("revenue"),
+            pround("cum_rev", 2).alias("cum_revenue"),
+            # Divide the 2-dp-ROUNDED cumulative (not the raw sum):
+            # raw cumsum order differs across engines at ~1e-8, enough
+            # to cross a 4-dp floor boundary.
+            pround(pround("cum_rev", 2) / F.col("cohort_n"), 4).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_month", "month_index")
+    )
+
+
+ORACLE_ORDERS_COHORT_LTV = f"""
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS om, o_totalprice
+  FROM orders
+),
+coh AS (
+  SELECT o_custkey, min(om) AS cohort_month FROM o GROUP BY 1
+),
+cells AS (
+  SELECT cohort_month,
+         (year(om) * 12 + month(om))
+           - (year(cohort_month) * 12 + month(cohort_month)) AS month_index,
+         count(DISTINCT o.o_custkey) AS n_active,
+         sum(o_totalprice) AS rev
+  FROM o JOIN coh ON o.o_custkey = coh.o_custkey
+  WHERE (year(om) * 12 + month(om))
+          - (year(cohort_month) * 12 + month(cohort_month)) < {_LTV_MONTHS}
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_month, count(*) AS cohort_n FROM coh GROUP BY 1
+),
+cum AS (
+  SELECT c.*, s.cohort_n,
+         sum(rev) OVER (PARTITION BY c.cohort_month ORDER BY month_index
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM cells c JOIN sizes s ON c.cohort_month = s.cohort_month
+)
+SELECT cohort_month,
+       CAST(month_index AS BIGINT) AS month_index,
+       cohort_n,
+       n_active,
+       floor(rev * 100 + 0.5) / 100.0 AS revenue,
+       floor(cum_rev * 100 + 0.5) / 100.0 AS cum_revenue,
+       floor(((floor(cum_rev * 100 + 0.5) / 100.0) / cohort_n) * 10000 + 0.5)
+         / 10000.0 AS ltv_per_customer
+FROM cum
+ORDER BY cohort_month, month_index
+"""
+
+QUERIES["orders_cohort_ltv"] = orders_cohort_ltv
+ORACLE["orders_cohort_ltv"] = ORACLE_ORDERS_COHORT_LTV
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival (order fulfilment)
+# ---------------------------------------------------------------------------
+
+#: Right-censoring horizon for the fulfilment survival curve, in days.
+_KM_CENSOR_DAYS = 60
+
+
+def orders_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of order fulfilment time per order
+    priority: S(t) = P(order still unfulfilled after t days), with
+    orders not fully shipped within ``_KM_CENSOR_DAYS`` days
+    right-censored at the horizon — the standard time-to-event
+    estimator under censoring (the same arithmetic as churn/TTL
+    survival analyses).
+
+    Shape: fulfilment time is one orderkey-keyed fact-fact join
+    (orders ⋈ max-shipdate-per-order, both sides shuffled on the
+    key); everything after that runs on the (priority, day) CELL
+    relation — at most ``_KM_CENSOR_DAYS``+1 rows per priority.
+    The product Π(1 − d/n) is computed in log space as
+    exp(cumsum(ln(1 − d/n))) over a priority-partitioned window on
+    the cell relation, with an explicit survival-hits-zero flag
+    (cummax of d ≥ n) instead of ln(0).  No corpus-sized window,
+    no collect.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_done"))
+    )
+    # The synthetic corpus draws shipdates independently of order
+    # dates, so raw differences can be negative; clamp at 0 (an order
+    # "fulfilled before it was placed" counts as day-0 fulfilment) so
+    # the curve has the real-world [0, horizon] support.
+    base = orders.join(ship, orders["o_orderkey"] == ship["l_orderkey"]).select(
+        "o_orderpriority",
+        F.greatest(
+            F.lit(0),
+            F.datediff(F.to_date("ship_done"), F.to_date("o_orderdate")),
+        ).alias("t_raw"),
+    )
+    cells = (
+        base.select(
+            "o_orderpriority",
+            F.least(F.col("t_raw"), F.lit(_KM_CENSOR_DAYS)).cast("long").alias("t_day"),
+            (F.col("t_raw") <= _KM_CENSOR_DAYS).cast("int").alias("ev"),
+        )
+        .groupBy("o_orderpriority", "t_day")
+        .agg(
+            F.sum("ev").alias("n_events"),
+            F.sum(1 - F.col("ev")).alias("n_censored"),
+        )
+    )
+    totals = base.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_total"))
+    wprev = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        cells.join(F.broadcast(totals), "o_orderpriority")
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(wprev), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "lnterm",
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                F.log(1.0 - F.col("n_events") / F.col("n_at_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dead",
+            F.max((F.col("n_events") >= F.col("n_at_risk")).cast("int")).over(wcum),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("lnterm").over(wcum))
+            ),
+        )
+    )
+    return staged.select(
+        "o_orderpriority",
+        "t_day",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        pround("survival", 6).alias("survival"),
+    ).orderBy("o_orderpriority", "t_day")
+
+
+ORACLE_ORDERS_SURVIVAL_KM = f"""
+WITH base AS (
+  SELECT o_orderpriority,
+         greatest(0, date_diff('day', CAST(o_orderdate AS DATE), CAST(ship_done AS DATE))) AS t_raw
+  FROM orders JOIN (
+    SELECT l_orderkey, max(l_shipdate) AS ship_done FROM lineitem GROUP BY 1
+  ) s ON o_orderkey = s.l_orderkey
+),
+cells AS (
+  SELECT o_orderpriority,
+         least(t_raw, {_KM_CENSOR_DAYS}) AS t_day,
+         sum(CASE WHEN t_raw <= {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END) AS n_events,
+         sum(CASE WHEN t_raw <= {_KM_CENSOR_DAYS} THEN 0 ELSE 1 END) AS n_censored
+  FROM base GROUP BY 1, 2
+),
+totals AS (
+  SELECT o_orderpriority, count(*) AS n_total FROM base GROUP BY 1
+),
+staged AS (
+  SELECT c.o_orderpriority, t_day, n_events, n_censored,
+         n_total - coalesce(sum(n_events + n_censored) OVER (
+           PARTITION BY c.o_orderpriority ORDER BY t_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM cells c JOIN totals t ON c.o_orderpriority = t.o_orderpriority
+),
+curved AS (
+  SELECT *,
+         max(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END) OVER (
+           PARTITION BY o_orderpriority ORDER BY t_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+         exp(sum(CASE WHEN n_events < n_at_risk
+                      THEN ln(1.0 - n_events / CAST(n_at_risk AS DOUBLE))
+                      ELSE 0.0 END) OVER (
+           PARTITION BY o_orderpriority ORDER BY t_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_raw
+  FROM staged
+)
+SELECT o_orderpriority,
+       CAST(t_day AS BIGINT) AS t_day,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       floor((CASE WHEN dead = 1 THEN 0.0 ELSE s_raw END) * 1000000 + 0.5)
+         / 1000000.0 AS survival
+FROM curved
+ORDER BY o_orderpriority, t_day
+"""
+
+QUERIES["orders_survival_kaplan_meier"] = orders_survival_kaplan_meier
+ORACLE["orders_survival_kaplan_meier"] = ORACLE_ORDERS_SURVIVAL_KM

@@ -1432,3 +1432,188 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_late_data_audit"] = events_late_data_audit
 ORACLE["events_late_data_audit"] = ORACLE_EVENTS_LATE_DATA_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency (stabbing) peak
+# ---------------------------------------------------------------------------
+
+#: Activity-interval length opened by each event.
+_CONC_WINDOW_MIN = 30
+
+
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day: every event opens a
+    ``_CONC_WINDOW_MIN``-minute activity interval, and the metric is
+    the maximum number of simultaneously-open intervals each day —
+    the interval-stabbing / max-overlap operator (concurrent
+    sessions, simultaneous connections, GPU-slot occupancy).
+
+    Shape: the classic solution is a +1/−1 boundary sweep with a
+    GLOBAL time-ordered running sum — a single-partition window that
+    dies at 100 TB.  This is the two-level bucketed form: per-HOUR
+    net deltas roll up through an hour-bucket-sized cumulative window
+    (bounded by the corpus time span, never by event count) into
+    per-hour carry-in levels, which broadcast back onto the
+    boundaries; the running sum then only ever runs INSIDE an hour
+    partition.  A day's peak is the max over its hours of
+    max(carry_in, in-hour running level) — the carry_in term covers
+    the level standing when a bucket opens (including days whose
+    peak is inherited from the previous day).  All-integer
+    arithmetic, so ties in the (t, delta) sweep order cannot perturb
+    the result.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    b = (
+        ev.select(F.col("ts").alias("t"), F.lit(1).alias("d"))
+        .union(
+            ev.select(
+                (F.col("ts") + F.expr(f"INTERVAL {_CONC_WINDOW_MIN} MINUTES")).alias(
+                    "t"
+                ),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .withColumn("day", F.date_trunc("day", F.col("t")))
+        .withColumn("hr", F.date_trunc("hour", F.col("t")))
+    )
+    net = b.groupBy("hr").agg(F.sum("d").alias("net"))
+    wh = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    carry = net.select(
+        "hr", F.coalesce(F.sum("net").over(wh), F.lit(0)).alias("carry_in")
+    )
+    wr = (
+        Window.partitionBy("hr")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = b.join(F.broadcast(carry), "hr").withColumn(
+        "lvl", F.col("carry_in") + F.sum("d").over(wr)
+    )
+    return (
+        rows.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_starts"),
+            F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_ends"),
+            F.max(F.greatest(F.col("lvl"), F.col("carry_in")))
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_EVENTS_CONCURRENCY_PEAK = f"""
+WITH b AS (
+  SELECT ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT ts + INTERVAL {_CONC_WINDOW_MIN} MINUTE, -1 FROM events
+),
+b2 AS (
+  SELECT t, d, date_trunc('day', t) AS day, date_trunc('hour', t) AS hr FROM b
+),
+net AS (SELECT hr, sum(d) AS net FROM b2 GROUP BY 1),
+carry AS (
+  SELECT hr, coalesce(sum(net) OVER (ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in
+  FROM net
+),
+lvls AS (
+  SELECT b2.day, b2.d, carry.carry_in,
+         carry.carry_in + sum(b2.d) OVER (PARTITION BY b2.hr ORDER BY b2.t, b2.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl
+  FROM b2 JOIN carry ON b2.hr = carry.hr
+)
+SELECT day,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+       CAST(max(greatest(lvl, carry_in)) AS BIGINT) AS peak_concurrency
+FROM lvls
+GROUP BY day
+ORDER BY day
+"""
+
+QUERIES["events_concurrency_peak"] = events_concurrency_peak
+ORACLE["events_concurrency_peak"] = ORACLE_EVENTS_CONCURRENCY_PEAK
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA smoothing
+# ---------------------------------------------------------------------------
+
+#: EWMA smoothing factor and truncation depth (contributions beyond
+#: the last _EWMA_K observations are < (1-alpha)^K ≈ 2.8% and dropped).
+_EWMA_ALPHA = 0.2
+_EWMA_K = 16
+#: Deterministic user sample for the emitted smoothed series.
+_EWMA_USER_MOD = 20
+
+
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values, truncated to the last ``_EWMA_K`` observations — the
+    smoothing pass behind rate monitoring and anomaly baselines.
+
+    The textbook recursive EWMA is inherently sequential per key; the
+    two distributed escapes are (a) the prefix trick
+    ``(1-a)^n · Σ x_i (1-a)^(-i)``, which OVERFLOWS once a key's
+    history passes a few thousand rows, or (b) this truncated form: a
+    BOUNDED ``rowsBetween(-K+1, 0)`` frame collected into a ≤K-element
+    array and reduced with weight ``(1-a)^age``, normalized by the
+    finite-window weight sum ``(1-(1-a)^n)/a``.  State per row is K
+    doubles regardless of history length — no overflow, no sequential
+    scan, one user-keyed shuffle.  Emits the deterministic
+    ``user_id % _EWMA_USER_MOD == 0`` sample of users.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % _EWMA_USER_MOD == 0)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), Window.currentRow)
+    )
+    decay = 1.0 - _EWMA_ALPHA
+    smoothed = ev.withColumn("vals", F.collect_list("value").over(frame)).withColumn(
+        "ewma",
+        F.expr(
+            f"aggregate(transform(vals, (x, i) -> "
+            f"x * pow({decay!r}, size(vals) - 1 - i)), 0D, (a, x) -> a + x)"
+            f" / ((1.0 - pow({decay!r}, size(vals))) / {_EWMA_ALPHA!r})"
+        ),
+    )
+    return smoothed.select(
+        "user_id",
+        "event_id",
+        "value",
+        pround("ewma", 4).alias("ewma"),
+        pround(F.col("value") - F.col("ewma"), 4).alias("deviation"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE_EVENTS_EWMA_SMOOTH = f"""
+WITH framed AS (
+  SELECT user_id, event_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+  WHERE user_id % {_EWMA_USER_MOD} = 0
+),
+sm AS (
+  SELECT user_id, event_id, value,
+         list_sum(list_transform(vals,
+             (x, j) -> x * pow({1.0 - _EWMA_ALPHA!r}, len(vals) - j)))
+           / ((1.0 - pow({1.0 - _EWMA_ALPHA!r}, len(vals))) / {_EWMA_ALPHA!r}) AS ewma
+  FROM framed
+)
+SELECT user_id, event_id, value,
+       floor(ewma * 10000 + 0.5) / 10000.0 AS ewma,
+       floor((value - ewma) * 10000 + 0.5) / 10000.0 AS deviation
+FROM sm
+ORDER BY user_id, event_id
+"""
+
+QUERIES["events_ewma_smooth"] = events_ewma_smooth
+ORACLE["events_ewma_smooth"] = ORACLE_EVENTS_EWMA_SMOOTH

@@ -2015,3 +2015,82 @@ GROUP BY lang, bucket ORDER BY lang, bucket
 
 QUERIES["text_ccnet_perplexity_buckets"] = text_ccnet_perplexity_buckets
 ORACLE["text_ccnet_perplexity_buckets"] = ORACLE_TEXT_CCNET_PERPLEXITY_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# IDF rarity scoring
+# ---------------------------------------------------------------------------
+
+#: Rarity report size.
+_RARITY_TOP = 20
+
+
+def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document rarity scoring: each document's mean inverse document
+    frequency over its DISTINCT tokens — high scores mark documents
+    built from corpus-rare vocabulary (specialist content worth
+    upweighting, or garbage worth inspecting).  Complements
+    ``text_tfidf_top_term`` (which ranks terms within a doc; this
+    ranks docs within the corpus).
+
+    Shape: distinct (doc, token) pairs → token-keyed document
+    frequency (map-side combinable), idf = ln((N+1)/(df+1)) smoothed,
+    one token-keyed hash join back to the pairs, one doc-keyed mean.
+    The only broadcast is the 1-row corpus size.  Ranking is a
+    TakeOrdered top-``_RARITY_TOP``, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", "source", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).distinct()
+    df_rel = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        pairs.join(df_rel, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "source",
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)).alias("idf"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            (F.sum("idf") / F.count(F.lit(1))).alias("rarity_raw"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_distinct_tokens",
+            pround("rarity_raw", 6).alias("rarity"),
+        )
+        .orderBy(F.desc("rarity"), F.asc("doc_id"))
+        .limit(_RARITY_TOP)
+    )
+
+
+ORACLE_TEXT_IDF_RARITY = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, source, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+dfr AS (SELECT tok, count(*) AS df FROM pairs GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         count(*) AS n_distinct_tokens,
+         sum(ln((n_docs + 1.0) / (df + 1.0))) / count(*) AS rarity_raw
+  FROM pairs JOIN dfr USING (tok) CROSS JOIN nd
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_distinct_tokens,
+       floor(rarity_raw * 1000000 + 0.5) / 1000000.0 AS rarity
+FROM scored
+ORDER BY rarity DESC, doc_id ASC
+LIMIT {_RARITY_TOP}
+"""
+
+QUERIES["text_idf_rarity"] = text_idf_rarity
+ORACLE["text_idf_rarity"] = ORACLE_TEXT_IDF_RARITY

@@ -62,6 +62,15 @@ _RATIO_KEYS = (
     # budget-share / surprisal divisions over vanishing aggregates.
     "sample_mixture_epoch_plan",
     "text_ccnet_perplexity_buckets",
+    # r6 batch 5: HHI/effective-N shares, ECDF gaps over vanishing
+    # split totals, hazard terms, per-customer LTV, mean-idf, and the
+    # finite-window EWMA normalizer — all division-bearing.
+    "agg_hhi_concentration",
+    "sample_ks_drift",
+    "orders_survival_kaplan_meier",
+    "orders_cohort_ltv",
+    "text_idf_rarity",
+    "events_ewma_smooth",
 )
 
 

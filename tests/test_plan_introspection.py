@@ -111,6 +111,9 @@ _NLJ_OK = {
     "pipeline_zorder_layout",  # 1-row min/max stats broadcast
     "text_ccnet_perplexity_buckets",  # vocab-total + tertile-threshold rows
     "sample_mixture_epoch_plan",  # 1-row normalizer broadcast
+    # round-6 batch-5 additions, 1-row scalar broadcasts:
+    "text_idf_rarity",  # 1-row corpus-size broadcast inside idf
+    "sample_ks_drift",  # 1-row split-totals/min/max stats broadcast
 }
 
 
