@@ -1426,13 +1426,13 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping under a fixed pre-split modulus that bounds the
     collect_list buffer of a hot node, then a map-side slice/explode
     re-chunk that bounds every checkpointed row to ~``_PR_SEG``
-    neighbours absolutely — and the result stays hash-partitioned by
-    src through the checkpoint.  Each of the ``_PR_ITERS`` power
+    neighbours absolutely.  Each of the ``_PR_ITERS`` power
     iterations is then one node-sized rank⋈degree join (out-degree
     lives in node-sized state, not on adjacency rows), one
-    adjacency⋈share join that moves NO arrays (the adjacency side
-    reuses its checkpoint partitioning), an explode, and ONE
-    dst-keyed sum with map-side partial aggregation.  No
+    adjacency⋈share hash join whose heavy side is the PACKED array
+    relation (see the carrier note below on what it re-exchanges),
+    an explode, and ONE dst-keyed sum with map-side partial
+    aggregation.  No
     per-iteration left join for dangling nodes: the graph is
     bidirected, so every node has in-degree ≥ 1 and the contribution
     sum already covers all of them.  Rank state is node-sized, never
@@ -1478,6 +1478,17 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("dsts"),
         )
+        # Carrier trade-off, measured at sf0.1: a checkpointed plan
+        # reports UnknownPartitioning under AQE, so each iteration
+        # re-exchanges the PACKED arrays (~8 B/edge — 3× less data
+        # than re-shuffling raw (src, dst, deg) edge rows, which is
+        # what the pre-adjacency shape paid, plus its extra left
+        # join); persist() keeps the partitioning metadata but ran
+        # slower end-to-end (3.8 s vs 2.5 s) and pins executor
+        # memory.  At ≫3 iterations the exchange-free shape is a
+        # bucketed TABLE on src (the join_bucketed_colocated
+        # pattern), whose one-time write amortizes across
+        # iterations.
         .localCheckpoint(eager=False)
     )
     # Node-sized out-degree state: aggregated from segment sizes (small

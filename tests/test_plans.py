@@ -1182,3 +1182,128 @@ def test_zorder_audit_is_map_side_no_sort(spark):
     # No global Sort node anywhere except the final 2-row orderBy.
     assert p.count("Sort ") <= 2, p
     assert "Window" not in p, p
+
+
+def test_skyline_no_dominance_self_join(spark):
+    """The 2-D skyline must plan as aggregation + prefix-min +
+    ONE broadcast equi join back to the fact — never the quadratic
+    dominance self-join the oracle runs."""
+    df = relational.agg_skyline_pareto(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_hhi_is_two_hash_aggregates(spark):
+    """HHI is one fact aggregate + one nation aggregate; the supplier
+    and nation dims broadcast, and no window appears anywhere."""
+    df = relational.agg_hhi_concentration(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "Window" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def _window_spec_lines(p: str) -> list[str]:
+    """The formatted-plan Arguments lines carrying window specs."""
+    return [l for l in p.splitlines() if "windowspecdefinition" in l]
+
+
+def test_cohort_ltv_window_is_cohort_partitioned(spark):
+    """The cumulative-revenue window must run partitioned by cohort
+    over the (cohort, month) cell relation — a global window over
+    orders would single-partition the fact table."""
+    df = relational.orders_cohort_ltv(spark, SF_DIR)
+    p = plan(spark, df)
+    wlines = _window_spec_lines(p)
+    assert wlines and all("cohort_month" in l for l in wlines), p
+
+
+def test_km_survival_windows_priority_partitioned(spark):
+    """Every survival window (at-risk prefix, hits-zero cummax, log
+    cumsum) runs partitioned by priority over day cells."""
+    df = relational.orders_survival_kaplan_meier(spark, SF_DIR)
+    p = plan(spark, df)
+    wlines = _window_spec_lines(p)
+    assert wlines and all("o_orderpriority" in l for l in wlines), p
+
+
+def test_concurrency_peak_no_global_sweep_window(spark):
+    """The boundary sweep must never run a corpus-sized global running
+    sum: every window is either partitioned by the hour bucket (the
+    in-hour running sum) or consumes the hour-NET relation (the
+    bucket-count-sized carry-in prefix, summing net#, not raw
+    boundaries)."""
+    from parquet_stream_writer_spark.operators import streaming_batch
+
+    df = streaming_batch.events_concurrency_peak(spark, SF_DIR)
+    p = plan(spark, df)
+    wlines = _window_spec_lines(p)
+    assert len(wlines) >= 2, p
+    for l in wlines:
+        assert ("], [hr#" in l) or ("sum(net#" in l), l
+
+
+def test_ewma_frame_is_bounded(spark):
+    """The EWMA window must use the bounded ROWS frame partitioned by
+    user — an unbounded frame would collect each user's whole history
+    per row."""
+    from parquet_stream_writer_spark.operators import streaming_batch
+
+    df = streaming_batch.events_ewma_smooth(spark, SF_DIR)
+    p = plan(spark, df)
+    wlines = _window_spec_lines(p)
+    assert wlines and all("user_id" in l for l in wlines), p
+    assert any("RowFrame, -15, currentrow" in l for l in wlines), p
+
+
+def test_idf_rarity_ranking_is_takeordered(spark):
+    """Top-k rarity must plan as TakeOrderedAndProject, not a global
+    sort of the scored corpus."""
+    from parquet_stream_writer_spark.operators import text
+
+    df = text.text_idf_rarity(spark, SF_DIR)
+    p = plan(spark, df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_ks_drift_prefix_windows_are_bucket_partitioned(spark):
+    """The ECDF running sums must run inside value-range buckets
+    (partitioned by b); the only unpartitioned window is the 256-row
+    bucket-offset prefix, which consumes the per-bucket SUM relation
+    (sa/sb), not raw values."""
+    from parquet_stream_writer_spark.operators import pipeline
+
+    df = pipeline.sample_ks_drift(spark, SF_DIR)
+    p = plan(spark, df)
+    wlines = _window_spec_lines(p)
+    assert len(wlines) >= 2, p
+    for l in wlines:
+        assert ("], [b#" in l) or ("sum(sa#" in l and "sum(sb#" in l), l
+
+
+def test_pagerank_edges_shuffle_only_in_packed_form(spark):
+    """The per-iteration heavy exchanges may move ONLY the packed
+    (src, dsts[]) adjacency rows (~8 B/edge) or node-sized state —
+    never raw (src, dst) / (src, dst, deg) EDGE rows (the
+    pre-adjacency shape re-shuffled those, 3x the bytes).  The single
+    raw-pair exchange allowed is the build-time repartition feeding
+    the one-shot grouping."""
+    import re
+
+    from parquet_stream_writer_spark.operators import pipeline
+
+    df = pipeline.graph_pagerank_bipartite(spark, SF_DIR)
+    p = plan(spark, df)
+    blocks = re.split(r"\n(?=\(\d+\) )", p)
+    raw_pair_exchanges = []
+    for b in blocks:
+        hdr = b.split("\n")[0]
+        if not (b.startswith("(") and "Exchange" in hdr) or "Broadcast" in hdr:
+            continue
+        inp = next((l for l in b.split("\n") if l.startswith("Input")), "")
+        if "dst#" in inp and "dsts#" not in inp:
+            raw_pair_exchanges.append(b)
+    assert len(raw_pair_exchanges) <= 1, raw_pair_exchanges
+    if raw_pair_exchanges:
+        assert "REPARTITION_BY_COL" in raw_pair_exchanges[0], raw_pair_exchanges[0]
