@@ -119,3 +119,69 @@ def streaming_anomaly_zscore(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming truncated EWMA (bounded ring state per key)
+# ---------------------------------------------------------------------------
+
+_EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, value double, ewma double"
+#: Bounded state: the last K observed values, oldest first.
+_EWMA_STATE_SCHEMA = "vals array<double>"
+
+#: Mirrors operators.streaming_batch._EWMA_ALPHA / _EWMA_K — the batch
+#: twin the equivalence test compares against.
+_EWMA_ALPHA = 0.2
+_EWMA_K = 16
+
+
+def _update_ewma(key, pdf_iter, state: GroupState):
+    """Fold each event into a ≤K-element value ring and emit the
+    truncated-window EWMA INCLUDING the current event — exactly the
+    batch twin's ``rowsBetween(-K+1, 0)`` frame semantics."""
+    import pandas as pd
+
+    (vals,) = state.get if state.exists else ([],)
+    vals = list(vals)
+    decay = 1.0 - _EWMA_ALPHA
+    out = {"user_id": [], "event_id": [], "value": [], "ewma": []}
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for event_id, value in zip(pdf["event_id"], pdf["value"]):
+            v = float(value)
+            vals.append(v)
+            if len(vals) > _EWMA_K:
+                vals.pop(0)
+            n = len(vals)
+            # oldest-first weighted sum, the batch kernel's fold order
+            num = 0.0
+            for i, x in enumerate(vals):
+                num += x * decay ** (n - 1 - i)
+            denom = (1.0 - decay**n) / _EWMA_ALPHA
+            out["user_id"].append(key[0])
+            out["event_id"].append(int(event_id))
+            out["value"].append(v)
+            out["ewma"].append(num / denom)
+    state.update((vals,))
+    yield pd.DataFrame(out)
+
+
+def streaming_ewma_smooth(stream: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA with BOUNDED state: a ≤K-element value
+    ring per key, the streaming lift of
+    ``operators.streaming_batch.events_ewma_smooth`` (same truncation,
+    same finite-window normalizer, same fold order — the equivalence
+    test pins stream == batch recomputation).  State is K doubles per
+    user regardless of stream length; keys scale with the shuffle
+    partitioning of user_id."""
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=_EWMA_OUTPUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

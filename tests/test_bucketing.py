@@ -121,3 +121,22 @@ def test_bucketed_join_matches_unbucketed_results(spark, bucketed_tables):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_pagerank_segmentation_is_value_invariant(spark, monkeypatch):
+    """The hot-node bounds (pre-split modulus + absolute slice
+    re-chunk) must never change PageRank values: shrinking the
+    segment caps to force MANY segments per node at test scale gives
+    byte-identical ranks to the production constants."""
+    from parquet_stream_writer_spark.operators import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    baseline = sorted(
+        map(tuple, pipeline.graph_pagerank_bipartite(spark, sf).collect())
+    )
+    monkeypatch.setattr(pipeline, "_PR_SEG", 4)
+    monkeypatch.setattr(pipeline, "_PR_PRESPLIT", 3)
+    segmented = sorted(
+        map(tuple, pipeline.graph_pagerank_bipartite(spark, sf).collect())
+    )
+    assert baseline == segmented

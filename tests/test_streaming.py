@@ -430,3 +430,54 @@ def test_checkpoint_resume_processes_only_new_files(spark, events_stream_dir, tm
     after = spark.read.parquet(str(out))
     assert after.count() == n_first + 100  # only the new file, exactly once
     assert after.groupBy("event_id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_stateful_streaming_ewma_matches_batch_semantics(spark, events_stream_dir):
+    """The bounded-ring streaming EWMA must reproduce the batch twin's
+    truncated-frame semantics exactly: same K-window, same
+    (1-a)^age weights, same finite-window normalizer, same
+    (ts, event_id) fold order.  Verified against an independent pandas
+    recomputation over the same single micro-batch (cross-batch state
+    persistence is covered by test_stateful_running_profile)."""
+    import math
+
+    from parquet_stream_writer_spark.streaming.stateful import (
+        _EWMA_ALPHA,
+        _EWMA_K,
+        streaming_ewma_smooth,
+    )
+
+    stream = _events_stream(spark, events_stream_dir, files_per_trigger=1000)
+    name = f"ew_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(
+        spark, streaming_ewma_smooth(stream), name, "append"
+    ).toPandas()
+    assert len(result) > 0
+
+    batch = (
+        spark.read.parquet(str(events_stream_dir))
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    decay = 1.0 - _EWMA_ALPHA
+    expected = {}
+    for _user, grp in batch.groupby("user_id"):
+        ring = []
+        for eid, v in zip(grp["event_id"], grp["value"]):
+            ring.append(float(v))
+            if len(ring) > _EWMA_K:
+                ring.pop(0)
+            n = len(ring)
+            num = sum(x * decay ** (n - 1 - i) for i, x in enumerate(ring))
+            expected[eid] = num / ((1.0 - decay**n) / _EWMA_ALPHA)
+    got = dict(zip(result["event_id"], result["ewma"]))
+    assert set(got) == set(expected)
+    for eid, e in got.items():
+        assert math.isclose(e, expected[eid], rel_tol=1e-9), eid
+
+    # The batch twin constants must stay in lockstep — the operators
+    # module is the oracle-verified source of truth.
+    from parquet_stream_writer_spark.operators import streaming_batch as sb
+
+    assert sb._EWMA_ALPHA == _EWMA_ALPHA and sb._EWMA_K == _EWMA_K
