@@ -124,10 +124,17 @@ def main() -> None:
     # driver artifacts alone.  N = next round after the recorded ones.
     try:
         here = Path(__file__).resolve().parent
+        # Cold runs persist to their own artifact: the warm file is the
+        # pack-wall-time record the driver's BENCH pairs with; the cold
+        # one is the standalone per-query costing (a pinned cold run
+        # must never clobber the warm artifact).
+        suffix = "_cold" if cold else ""
         pinned = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
         if pinned is not None:
             n_round = int(pinned)  # explicit round may overwrite
-            (here / f"bench_full_r{n_round:02d}.json").write_text(json.dumps(payload))
+            (here / f"bench_full_r{n_round:02d}{suffix}.json").write_text(
+                json.dumps(payload)
+            )
         else:
             rounds = [
                 int(m.group(1))
@@ -135,7 +142,7 @@ def main() -> None:
                 if (m := re.search(r"BENCH_r(\d+)\.json$", p.name))
             ]
             n_round = max(rounds, default=0) + 1
-            target = here / f"bench_full_r{n_round:02d}.json"
+            target = here / f"bench_full_r{n_round:02d}{suffix}.json"
             if target.exists():
                 # A second run this round (or the driver already wrote
                 # BENCH_r{N}) — never clobber the artifact
