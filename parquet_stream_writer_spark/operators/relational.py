@@ -3621,6 +3621,14 @@ def orders_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Survival via an ORDER-DETERMINISTIC sequential product of the
+    # exact hazard factors (collect_list over the bounded day-cell
+    # frame + left fold), NOT exp(cumsum(ln)): d and n are integers,
+    # so each factor 1 - d/n is the identical double in both engines,
+    # and KM curves land EXACTLY on values like 0.5/0.25 where a
+    # 1-ulp exp/ln libm difference would flip the 6-dp floor.  The
+    # frame is at most _KM_CENSOR_DAYS+1 elements, so the per-row
+    # array is bounded.
     staged = (
         cells.join(F.broadcast(totals), "o_orderpriority")
         .withColumn(
@@ -3631,20 +3639,21 @@ def orders_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
-            "lnterm",
+            "factor",
             F.when(
                 F.col("n_events") < F.col("n_at_risk"),
-                F.log(1.0 - F.col("n_events") / F.col("n_at_risk")),
-            ).otherwise(F.lit(0.0)),
+                1.0 - F.col("n_events") / F.col("n_at_risk"),
+            ).otherwise(F.lit(1.0)),
         )
         .withColumn(
             "dead",
             F.max((F.col("n_events") >= F.col("n_at_risk")).cast("int")).over(wcum),
         )
+        .withColumn("factors", F.collect_list("factor").over(wcum))
         .withColumn(
             "survival",
             F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
-                F.exp(F.sum("lnterm").over(wcum))
+                F.aggregate("factors", F.lit(1.0), lambda a, x: a * x)
             ),
         )
     )
@@ -3688,9 +3697,9 @@ curved AS (
          max(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END) OVER (
            PARTITION BY o_orderpriority ORDER BY t_day
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
-         exp(sum(CASE WHEN n_events < n_at_risk
-                      THEN ln(1.0 - n_events / CAST(n_at_risk AS DOUBLE))
-                      ELSE 0.0 END) OVER (
+         list_product(list(CASE WHEN n_events < n_at_risk
+                      THEN 1.0 - n_events / CAST(n_at_risk AS DOUBLE)
+                      ELSE 1.0 END) OVER (
            PARTITION BY o_orderpriority ORDER BY t_day
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_raw
   FROM staged

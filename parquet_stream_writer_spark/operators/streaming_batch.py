@@ -1263,7 +1263,13 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            pround(F.avg("value"), 4).alias("avg_value"),
+            # Divide a 2-dp-ROUNDED sum, not avg(): the raw sum's
+            # engine-dependent addition order (~1e-9) can land a cell
+            # mean exactly on a 4-dp floor boundary (seen at
+            # sf0.001), which the driver's exact hash would flag.
+            pround(
+                pround(F.sum("value"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
         )
         .orderBy("dow", "hod")
     )
@@ -1274,7 +1280,8 @@ SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
        (epoch_us(ts) // 3600000000) % 24 AS hod,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       floor(avg(value) * 10000 + 0.5) / 10000.0 AS avg_value
+       floor(((floor(sum(value) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5)
+         / 10000.0 AS avg_value
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
