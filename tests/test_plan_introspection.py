@@ -137,3 +137,52 @@ def test_full_pack_plan_sweep(spark):
         if s.nodes.get("CartesianProduct"):
             offenders.setdefault(name, []).append("CartesianProduct")
     assert not offenders, offenders
+
+
+def test_aqe_skew_join_actually_fires(spark):
+    """The session claims AQE skew-join handling (session.py confs;
+    several join docstrings defer hot keys to it).  Pin that the
+    mechanism actually FIRES under this session's configuration: a
+    sort-merge join with one pathologically hot key must show
+    skew-split sort-merge-join in its FINAL adaptive plan when the
+    skew thresholds are scaled down to test size."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # ~200k rows on key 0, 1 row each on 1..999; payload pads bytes.
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 199_000, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # No aggregation downstream (AQE declines to split a skewed
+        # partition when a downstream distribution requirement, e.g. a
+        # groupBy on the join key, would have to re-shuffle the split)
+        # and the action must run on THIS DataFrame's QueryExecution —
+        # a .write wraps the plan in its own execution and leaves this
+        # one isFinalPlan=false.
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
