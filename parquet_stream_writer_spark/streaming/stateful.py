@@ -185,3 +185,71 @@ def streaming_ewma_smooth(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming conversion funnel (first-occurrence state per key)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, viewed boolean, clicked_after_view boolean,"
+    " purchased_after_click boolean"
+)
+#: First observed timestamp of each funnel stage (null = not yet seen).
+_FUNNEL_STATE_SCHEMA = (
+    "t_view timestamp_ntz, t_click timestamp_ntz, t_purchase timestamp_ntz"
+)
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _update_funnel(key, pdf_iter, state: GroupState):
+    """Fold per-stage first-occurrence minima and emit the refreshed
+    ordered-funnel flags (view → click strictly after first view →
+    purchase strictly after first qualifying click).  Because the
+    flags depend only on per-stage MINIMA, the result is independent
+    of arrival order across micro-batches — late or shuffled events
+    converge to the same state the batch operator computes."""
+    import pandas as pd
+
+    tv, tc, tp = state.get if state.exists else (None, None, None)
+    firsts = {"view": tv, "click": tc, "purchase": tp}
+    for pdf in pdf_iter:
+        for stage in _FUNNEL_STAGES:
+            sub = pdf.loc[pdf["event_type"] == stage, "ts"]
+            if len(sub):
+                m = sub.min()
+                if firsts[stage] is None or m < firsts[stage]:
+                    firsts[stage] = m
+    state.update((firsts["view"], firsts["click"], firsts["purchase"]))
+    tv, tc, tp = firsts["view"], firsts["click"], firsts["purchase"]
+    viewed = tv is not None
+    clicked = bool(viewed and tc is not None and tc > tv)
+    purchased = bool(clicked and tp is not None and tp > tc)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "viewed": [viewed],
+            "clicked_after_view": [clicked],
+            "purchased_after_click": [purchased],
+        }
+    )
+
+
+def streaming_funnel(stream: DataFrame) -> DataFrame:
+    """Per-user streaming conversion-funnel state, the lift of
+    ``operators.streaming_batch.events_funnel``: three first-occurrence
+    timestamps per key (O(1) state), refreshed flags emitted per
+    micro-batch (update semantics).  The batch operator's global
+    roll-up is a downstream 3-column aggregate over this relation."""
+    return (
+        stream.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=_FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

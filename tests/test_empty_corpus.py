@@ -4,7 +4,7 @@ history table), and pyspark 4 runs ANSI mode by default — a ratio
 over an empty aggregate raises DIVIDE_BY_ZERO at runtime unless
 guarded.
 
-A full 130-query empty sweep runs clean (verified round 4); the suite
+A full 185-query empty sweep runs clean (verified round 6); the suite
 pins the division/ratio-bearing representatives so a future unguarded
 ratio fails here instead of in production.
 """

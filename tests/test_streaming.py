@@ -481,3 +481,35 @@ def test_stateful_streaming_ewma_matches_batch_semantics(spark, events_stream_di
     from parquet_stream_writer_spark.operators import streaming_batch as sb
 
     assert sb._EWMA_ALPHA == _EWMA_ALPHA and sb._EWMA_K == _EWMA_K
+
+
+def test_stateful_streaming_funnel_matches_batch_across_batches(
+    spark, sf_dir, events_stream_dir
+):
+    """The first-occurrence funnel state is arrival-order independent
+    (flags depend only on per-stage minima), so exact equivalence with
+    the batch operator must hold across GENUINE multi-batch delivery:
+    four micro-batches in storage order, take each user's last
+    emission, roll up, compare to events_funnel's totals."""
+    from parquet_stream_writer_spark.operators.streaming_batch import events_funnel
+    from parquet_stream_writer_spark.streaming.stateful import streaming_funnel
+
+    stream = _events_stream(spark, events_stream_dir, files_per_trigger=1)
+    name = f"fn_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, streaming_funnel(stream), name, "update").toPandas()
+    assert len(result) > 0
+    # update-mode memory sink appends one refreshed row per (user,
+    # batch); the LAST row per user is the converged state.
+    last = result.groupby("user_id").tail(1)
+    got = (
+        int(last["viewed"].sum()),
+        int(last["clicked_after_view"].sum()),
+        int(last["purchased_after_click"].sum()),
+    )
+    want_row = events_funnel(spark, sf_dir).collect()[0]
+    want = (
+        want_row["n_viewed"],
+        want_row["n_clicked_after_view"],
+        want_row["n_purchased_after_click"],
+    )
+    assert got == want
