@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Partitioning-invariance audit.
+
+The round driver runs the query pack under ITS OWN session
+configuration, not the builder's — so any query whose output VALUES
+depend on the shuffle partitioning (float summation order crossing a
+rounding boundary, a window tie broken by partition layout, a limit
+without a total order) can be green locally and red driver-side.
+
+This tool runs every ``__spark_entry__.queries()`` entry under two
+different ``spark.sql.shuffle.partitions`` settings in two separate
+Spark sessions, canonicalizes each result the way the driver does
+(columns sorted by name, rows sorted by all columns, 17-significant-
+digit float rendering), and reports any query whose canonical output
+differs — each one is a latent CORRECTNESS flake.
+
+Usage::
+
+    python tools/invariance_check.py              # 7 vs 32 partitions
+    python tools/invariance_check.py 5 64         # custom pair
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/invariance_check.py
+
+Exit code 0 iff every query is invariant.  (Round-6 session 3: all
+185 keys invariant at sf0.01.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+
+_WORKER = """
+import json, hashlib, os, sys
+import pandas as pd
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = os.environ.get("SPARK_GRAFT_CPUS", "8")
+os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = {nparts!r}
+from parquet_stream_writer_spark.session import get_session
+import __spark_entry__ as e
+spark = get_session("inv" + {nparts!r})
+sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+res = {{}}
+for name, fn in sorted(e.queries().items()):
+    df = fn(spark, sf).toPandas()
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[ns]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    res[name] = hashlib.sha256(
+        df.to_csv(index=False, float_format="%.17g").encode()
+    ).hexdigest()
+json.dump(res, open({out!r}, "w"))
+spark.stop()
+"""
+
+
+def run_config(nparts: str, out: str) -> None:
+    code = _WORKER.format(repo=str(_REPO), nparts=nparts, out=out)
+    subprocess.run(
+        [sys.executable, "-c", code],
+        check=True,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+
+
+def main() -> int:
+    pair = sys.argv[1:3] or ["7", "32"]
+    with tempfile.TemporaryDirectory() as d:
+        outs = []
+        for np_ in pair:
+            out = os.path.join(d, f"inv{np_}.json")
+            print(f"[invariance] running pack at shuffle.partitions={np_} ...")
+            run_config(np_, out)
+            outs.append(json.load(open(out)))
+    a, b = outs
+    diff = sorted(k for k in a if a[k] != b.get(k))
+    print(f"[invariance] queries compared: {len(a)}")
+    if diff:
+        print(f"[invariance] PARTITIONING-SENSITIVE: {len(diff)}")
+        for k in diff:
+            print("  DIVERGES:", k)
+        return 1
+    print("[invariance] all queries invariant")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
