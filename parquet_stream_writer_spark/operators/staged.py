@@ -17,6 +17,16 @@ Keys staged here follow every pack convention: DataFrame-first
 implementation, engine-portable arithmetic (pround / hash buckets /
 integer-exact comparisons), scale-shape docstrings, and a matching
 ANSI-SQL oracle.
+
+Round-7 registration checklist:
+
+1. add ``staged`` to ``operators._modules()`` (after ``pipeline``);
+2. add ``similarity_mmr_rerank`` (broadcast-query non-equi scan, the
+   similarity_cosine_topk shape) and ``text_burstiness`` (1-row
+   corpus-size broadcast) to the plan sweep's ``_NLJ_OK`` whitelist
+   in tests/test_plan_introspection.py;
+3. fold the staged rows of SURVEY §2c into the main inventory (drop
+   the "(staged)" marker) and re-run tools/record_query_hashes.py.
 """
 
 from __future__ import annotations
@@ -552,3 +562,500 @@ ORACLE_SIMILARITY_MMR_RERANK = "".join(_MMR_ORACLE_PARTS)
 
 QUERIES["similarity_mmr_rerank"] = similarity_mmr_rerank
 ORACLE["similarity_mmr_rerank"] = ORACLE_SIMILARITY_MMR_RERANK
+
+
+# ---------------------------------------------------------------------------
+# As-of join with staleness tolerance
+# ---------------------------------------------------------------------------
+
+#: Maximum allowed staleness of the matched order, in days.
+_ASOF_TOL_DAYS = 8500
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join with a STALENESS BOUND: each event matches
+    its user's most recent at-or-before order only if that order is
+    at most ``_ASOF_TOL_DAYS`` days old at event time — the
+    feature-store contract ("use the latest feature value, but never
+    one older than X") that a plain as-of join cannot express.
+
+    Same union-then-window shape as ``join_asof`` (one user-keyed
+    shuffle, no range explosion); the tolerance is a map-side
+    post-filter on the carried match, nulling stale matches and
+    flagging them, so the scale profile is identical.  Oracle: DuckDB
+    native ASOF JOIN + the same CASE.
+    """
+    from parquet_stream_writer_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        )
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    order_side = orders.select(
+        "user_id",
+        "t",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(F.col("t").alias("o_date"), F.col("okey").alias("o_key")).alias(
+            "ord"
+        ),
+    )
+    event_side = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("struct<o_date:timestamp_ntz,o_key:bigint>").alias("ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = order_side.unionByName(event_side).withColumn(
+        "last_ord", F.last("ord", ignorenulls=True).over(w)
+    )
+    stale_days = F.datediff(F.to_date("t"), F.to_date("last_ord.o_date"))
+    fresh = F.col("last_ord").isNotNull() & (stale_days <= _ASOF_TOL_DAYS)
+    return merged.where(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts"),
+        F.when(fresh, F.col("last_ord.o_key")).alias("o_orderkey"),
+        F.when(fresh, stale_days).cast("long").alias("staleness_days"),
+        (F.col("last_ord").isNotNull() & ~fresh).alias("match_too_stale"),
+    )
+
+
+ORACLE_JOIN_ASOF_TOLERANCE = f"""
+WITH o AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS t,
+         max(o_orderkey) AS okey
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT e.event_id, e.user_id, e.ts, o.okey, o.t AS o_date
+  FROM events e ASOF LEFT JOIN o
+    ON e.user_id = o.user_id AND e.ts >= o.t
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN okey IS NOT NULL
+                 AND date_diff('day', CAST(o_date AS DATE), CAST(ts AS DATE))
+                     <= {_ASOF_TOL_DAYS}
+            THEN okey END AS o_orderkey,
+       CASE WHEN okey IS NOT NULL
+                 AND date_diff('day', CAST(o_date AS DATE), CAST(ts AS DATE))
+                     <= {_ASOF_TOL_DAYS}
+            THEN CAST(date_diff('day', CAST(o_date AS DATE), CAST(ts AS DATE))
+                      AS BIGINT) END AS staleness_days,
+       (okey IS NOT NULL
+        AND date_diff('day', CAST(o_date AS DATE), CAST(ts AS DATE))
+            > {_ASOF_TOL_DAYS}) AS match_too_stale
+FROM m
+"""
+
+QUERIES["join_asof_tolerance"] = join_asof_tolerance
+ORACLE["join_asof_tolerance"] = ORACLE_JOIN_ASOF_TOLERANCE
+
+
+# ---------------------------------------------------------------------------
+# Daily-series autocorrelation
+# ---------------------------------------------------------------------------
+
+#: Lags (in days) to report.
+_AC_LAGS = (1, 7)
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily event-count series (k = 1
+    and 7): the standard seasonality/trend screen before forecasting.
+
+    Exactness discipline: Pearson r is computed from the six INTEGER
+    co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) rather than an engine
+    ``corr()`` — every input to the final expression is an exact
+    integer in both engines, so the resulting double (and its
+    rounding) is bit-identical.  Shape: one corpus-scale day
+    aggregate; each lag is then a day-key self-equi-join of the tiny
+    daily relation.  Zero-variance series emit NULL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = None
+    for k in _AC_LAGS:
+        a = daily.select(F.col("day").alias("d"), F.col("c").alias("x"))
+        b = daily.select(
+            (F.col("day") - F.make_dt_interval(days=F.lit(k))).alias("d"),
+            F.col("c").alias("y"),
+        )
+        sums = (
+            a.join(b, "d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+            )
+        )
+        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+        row = sums.select(
+            F.lit(k).alias("lag_days"),
+            F.col("n").alias("n_pairs"),
+            F.when(
+                (varx > 0) & (vary > 0),
+                pround(num / F.sqrt(varx.cast("double") * vary.cast("double")), 6),
+            ).alias("autocorr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag_days")
+
+
+ORACLE_EVENTS_AUTOCORRELATION = "\nUNION ALL\n".join(
+    f"""
+SELECT {k} AS lag_days, n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN floor(((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
+                 / 1000000.0
+       END AS autocorr
+FROM (
+  SELECT count(*) AS n, sum(a.c) AS sx, sum(b.c) AS sy,
+         sum(a.c * b.c) AS sxy, sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy
+  FROM (SELECT date_trunc('day', ts) AS day, count(*) AS c FROM events GROUP BY 1) a
+  JOIN (SELECT date_trunc('day', ts) AS day, count(*) AS c FROM events GROUP BY 1) b
+    ON a.day = b.day + INTERVAL {k} DAY
+)"""
+    for k in _AC_LAGS
+) + "\nORDER BY lag_days"
+
+QUERIES["events_autocorrelation"] = events_autocorrelation
+ORACLE["events_autocorrelation"] = ORACLE_EVENTS_AUTOCORRELATION
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test
+# ---------------------------------------------------------------------------
+
+#: 0.05 critical value for chi² at (5-1)(7-1) = 24 degrees of freedom.
+_CHI2_CRIT_05_DF24 = 36.415
+
+
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week: "is traffic mix stable across the week, or do some
+    event types cluster on some days" — the categorical-drift screen.
+
+    One fixed-width contingency aggregate (≤ types×7 cells); row and
+    column totals are windows over that bounded cell relation, never
+    the corpus.  All chi² inputs are exact integers (observed counts
+    and their products; expected = row·col/total is the only
+    division), so both engines compute bit-identical statistics.  The
+    weekday uses the engine-portable integer epoch-day arithmetic
+    (``events_seasonality_profile`` convention, Monday = 0).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    cells = ev.select(
+        "event_type", F.expr(f"({us} div 86400000000 + 3) % 7").alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wt = Window.partitionBy()
+    staged_ = (
+        cells.withColumn("rt", F.sum("o").over(wr))
+        .withColumn("ct", F.sum("o").over(wc))
+        .withColumn("t", F.sum("o").over(wt))
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("t")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return staged_.agg(
+        F.sum("o").cast("long").alias("n_events"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
+        .cast("long")
+        .alias("dof"),
+        pround(F.sum(term), 6).alias("chi2"),
+        (F.sum(term) > _CHI2_CRIT_05_DF24).alias("dependent_at_05"),
+    )
+
+
+ORACLE_AGG_CHI_SQUARE = f"""
+WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+staged_ AS (
+  SELECT o,
+         sum(o) OVER (PARTITION BY event_type) AS rt,
+         sum(o) OVER (PARTITION BY dow) AS ct,
+         sum(o) OVER () AS t,
+         event_type, dow
+  FROM cells
+)
+SELECT CAST(sum(o) AS BIGINT) AS n_events,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT)
+         AS dof,
+       floor(sum((o - CAST(rt AS DOUBLE) * ct / t)
+                 * (o - CAST(rt AS DOUBLE) * ct / t)
+                 / (CAST(rt AS DOUBLE) * ct / t)) * 1000000 + 0.5) / 1000000.0
+         AS chi2,
+       sum((o - CAST(rt AS DOUBLE) * ct / t)
+           * (o - CAST(rt AS DOUBLE) * ct / t)
+           / (CAST(rt AS DOUBLE) * ct / t)) > {_CHI2_CRIT_05_DF24}
+         AS dependent_at_05
+FROM staged_
+"""
+
+QUERIES["agg_chi_square_independence"] = agg_chi_square_independence
+ORACLE["agg_chi_square_independence"] = ORACLE_AGG_CHI_SQUARE
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve (revenue concentration by customer)
+# ---------------------------------------------------------------------------
+
+#: Bottom-percentile points to report, and the value-range buckets.
+_LZ_POINTS = (25, 50, 75, 90)
+_LZ_BUCKETS = 256
+
+
+def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Lorenz points per nation: what share of
+    a nation's order revenue comes from its bottom 25/50/75/90% of
+    customers — the inequality curve behind every "whale" analysis
+    (complementing `window_ntile_cume`'s deciles and
+    `events_user_gini`'s scalar with exact curve points).
+
+    Exactness discipline: revenue is converted to INTEGER CENTS at
+    the source (floor(x·100+0.5) per order), so every cumulative sum,
+    crossing comparison, and partial take at the boundary value is
+    integer arithmetic — both engines compute bit-identical shares.
+    Customers tied at the crossing value are taken PARTIALLY
+    (k − cum_prev of them), which is exact because they all hold the
+    same cents value.
+
+    Shape: per-customer cents aggregate (corpus shuffle), nation join
+    broadcast, per-(nation, cents) value collapse, then the bucketed
+    two-pass prefix (25-row stats broadcast, per-nation 256-bucket
+    offsets window, in-bucket cumulative window) — no nation-sized
+    sort partition.  The 4 Lorenz points explode map-side from a
+    literal array, never a join.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("cents").alias("v"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "v")
+    )
+    pv = per_cust.groupBy("nation", "v").agg(F.count(F.lit(1)).alias("n_v"))
+    stats = pv.groupBy("nation").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum(F.col("n_v")).alias("n_cust"),
+        F.sum(F.col("n_v") * F.col("v")).alias("total_cents"),
+    )
+    nb = _LZ_BUCKETS
+    bucketed = pv.join(F.broadcast(stats), "nation").withColumn(
+        "b",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.lit(nb - 1),
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin")).cast("double")
+                    * nb
+                ),
+            ),
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    per_bucket = bucketed.groupBy("nation", "b").agg(
+        F.sum("n_v").alias("bn"), F.sum(F.col("n_v") * F.col("v")).alias("brev")
+    )
+    wo = (
+        Window.partitionBy("nation")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "nation",
+        "b",
+        F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("offn"),
+        F.coalesce(F.sum("brev").over(wo), F.lit(0)).alias("offrev"),
+    )
+    wb = (
+        Window.partitionBy("nation", "b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = (
+        bucketed.join(F.broadcast(offsets), ["nation", "b"])
+        .withColumn("cumn", F.col("offn") + F.sum("n_v").over(wb))
+        .withColumn("cumrev", F.col("offrev") + F.sum(F.col("n_v") * F.col("v")).over(wb))
+    )
+    p = F.explode(F.array(*[F.lit(x) for x in _LZ_POINTS])).alias("p")
+    pointed = rows.select("nation", "v", "n_v", "cumn", "cumrev", "n_cust", "total_cents", p)
+    k = ((F.col("p") * F.col("n_cust") + 99) / 100).cast("long")  # ceil(p*N/100)
+    crossing = pointed.where(
+        ((F.col("cumn") - F.col("n_v")) < k) & (k <= F.col("cumn"))
+    )
+    bottom = (
+        F.col("cumrev")
+        - F.col("n_v") * F.col("v")
+        + (k - (F.col("cumn") - F.col("n_v"))) * F.col("v")
+    )
+    return crossing.select(
+        "nation",
+        F.col("p").cast("int").alias("bottom_pct"),
+        F.col("n_cust").cast("long").alias("n_customers"),
+        k.alias("k_customers"),
+        pround(bottom.cast("double") / F.col("total_cents"), 6).alias(
+            "revenue_share"
+        ),
+    ).orderBy("nation", "bottom_pct")
+
+
+ORACLE_ORDERS_LORENZ_CURVE = f"""
+WITH per_cust AS (
+  SELECT n_name AS nation,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+),
+pv AS (SELECT nation, v, count(*) AS n_v FROM per_cust GROUP BY 1, 2),
+st AS (
+  SELECT nation, sum(n_v) AS n_cust, sum(n_v * v) AS total_cents
+  FROM pv GROUP BY 1
+),
+cum AS (
+  SELECT pv.nation, v, n_v, st.n_cust, st.total_cents,
+         sum(n_v) OVER w AS cumn,
+         sum(n_v * v) OVER w AS cumrev
+  FROM pv JOIN st ON pv.nation = st.nation
+  WINDOW w AS (PARTITION BY pv.nation ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pointed AS (
+  SELECT cum.*, p.p, (p.p * n_cust + 99) // 100 AS k
+  FROM cum CROSS JOIN (VALUES {", ".join(f"({x})" for x in _LZ_POINTS)}) p(p)
+)
+SELECT nation,
+       CAST(p AS INTEGER) AS bottom_pct,
+       CAST(n_cust AS BIGINT) AS n_customers,
+       CAST(k AS BIGINT) AS k_customers,
+       floor((CAST(cumrev - n_v * v + (k - (cumn - n_v)) * v AS DOUBLE)
+              / total_cents) * 1000000 + 0.5) / 1000000.0 AS revenue_share
+FROM pointed
+WHERE (cumn - n_v) < k AND k <= cumn
+ORDER BY nation, bottom_pct
+"""
+
+QUERIES["orders_lorenz_curve"] = orders_lorenz_curve
+ORACLE["orders_lorenz_curve"] = ORACLE_ORDERS_LORENZ_CURVE
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (index of dispersion)
+# ---------------------------------------------------------------------------
+
+#: Report size: the top corpus terms by total occurrences.
+_BURST_TOP = 20
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: the variance-to-mean ratio (index of
+    dispersion) of each top term's per-document count — terms with
+    dispersion ≫ 1 cluster in few documents (topical/bursty), ≈ 1 is
+    Poisson background, < 1 is anti-bursty (function words).  The
+    signal behind burstiness-aware TF weighting and boilerplate
+    screens.
+
+    Exactness discipline: over all N docs (zeros included), dispersion
+    = var/mean = (N·Σc² − (Σc)²) / (N·Σc) with every term an exact
+    integer — both engines compute bit-identical doubles.  Shape: one
+    map-side tokenize + (doc, term) count, one term-keyed aggregate,
+    1-row corpus-size broadcast, TakeOrdered top-``_BURST_TOP``.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_term = tc.groupBy("tok").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    disp = (
+        (F.col("n_docs") * F.col("s2") - F.col("total") * F.col("total"))
+        .cast("double")
+        / (F.col("n_docs") * F.col("total"))
+    )
+    return (
+        per_term.crossJoin(F.broadcast(ndocs))
+        .select(
+            "tok",
+            "total",
+            "df",
+            pround(F.col("total").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_per_doc"
+            ),
+            pround(disp, 6).alias("dispersion"),
+        )
+        .orderBy(F.desc("total"), F.asc("tok"))
+        .limit(_BURST_TOP)
+    )
+
+
+ORACLE_TEXT_BURSTINESS = f"""
+WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2
+),
+per_term AS (
+  SELECT tok, sum(c) AS total, sum(c * c) AS s2, count(*) AS df
+  FROM tc GROUP BY 1
+)
+SELECT tok,
+       CAST(total AS BIGINT) AS total,
+       df,
+       floor((CAST(total AS DOUBLE) / n_docs) * 1000000 + 0.5) / 1000000.0
+         AS mean_per_doc,
+       floor((CAST(n_docs * s2 - total * total AS DOUBLE) / (n_docs * total))
+             * 1000000 + 0.5) / 1000000.0 AS dispersion
+FROM per_term CROSS JOIN nd
+ORDER BY total DESC, tok ASC
+LIMIT {_BURST_TOP}
+"""
+
+QUERIES["text_burstiness"] = text_burstiness
+ORACLE["text_burstiness"] = ORACLE_TEXT_BURSTINESS
