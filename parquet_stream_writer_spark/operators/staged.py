@@ -1059,3 +1059,369 @@ LIMIT {_BURST_TOP}
 
 QUERIES["text_burstiness"] = text_burstiness
 ORACLE["text_burstiness"] = ORACLE_TEXT_BURSTINESS
+
+
+# ---------------------------------------------------------------------------
+# BM25 text retrieval
+# ---------------------------------------------------------------------------
+
+#: BM25 shape parameters, probe-set size, and result depth.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_PROBES = 5
+_BM25_TOP = 10
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text similar-document retrieval: for each of the
+    ``_BM25_PROBES`` lowest doc_ids, the ``_BM25_TOP`` highest-BM25
+    documents — the lexical complement of the embedding ANN family
+    (`similarity_*`), scoring Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b +
+    b·len/avglen)) over the probe's distinct terms.
+
+    Shape: the classic search-engine plan — a (doc, term, tf) posting
+    relation built map-side from one scan; document-frequency and
+    average-length statistics as vocab-bounded / 1-row aggregates;
+    the probe docs' term sets are a BOUNDED relation (probes × their
+    distinct terms) broadcast into a term-keyed hash join against the
+    postings, so candidate generation touches only postings sharing a
+    probe term — never all pairs.  Per-candidate scores aggregate
+    with one (probe, doc) hash agg; ranking is a per-probe top-k
+    window.  idf uses the BM25+ floor ln(1 + (N−df+0.5)/(df+0.5)) so
+    common terms can't go negative.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfr = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    probe_terms = (
+        postings.where(F.col("doc_id") < _BM25_PROBES)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(probe_terms), "tok")
+        .where(F.col("doc_id") != F.col("qid"))
+        .join(dfr, "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", (idf * tfn).alias("contrib"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _BM25_TOP)
+        .select(
+            "qid",
+            F.col("rk").cast("int").alias("rk"),
+            "doc_id",
+            pround("score", 4).alias("bm25"),
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+ORACLE_TEXT_BM25_SEARCH = f"""
+WITH postings AS (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM doclen),
+dfr AS (SELECT tok, count(*) AS df FROM postings GROUP BY 1),
+probe AS (
+  SELECT DISTINCT doc_id AS qid, tok FROM postings WHERE doc_id < {_BM25_PROBES}
+),
+scored AS (
+  SELECT p.qid, po.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+             * po.tf * ({_BM25_K1} + 1.0)
+             / (po.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / st.avgdl))) AS score
+  FROM postings po
+  JOIN probe p ON po.tok = p.tok AND po.doc_id <> p.qid
+  JOIN dfr ON po.tok = dfr.tok
+  JOIN doclen dl ON po.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT qid, CAST(rk AS INTEGER) AS rk, doc_id,
+       floor(score * 10000 + 0.5) / 10000.0 AS bm25
+FROM ranked WHERE rk <= {_BM25_TOP}
+ORDER BY qid, rk
+"""
+
+QUERIES["text_bm25_search"] = text_bm25_search
+ORACLE["text_bm25_search"] = ORACLE_TEXT_BM25_SEARCH
+
+
+# ---------------------------------------------------------------------------
+# Rolling trend (bounded-frame OLS slope)
+# ---------------------------------------------------------------------------
+
+#: Trailing frame length for the rolling regression.
+_TREND_K = 16
+#: Deterministic user sample for the emitted series.
+_TREND_USER_MOD = 25
+
+
+def events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling trend: the OLS slope of value against
+    within-user event index over the trailing ``_TREND_K``
+    observations — the online "is this metric drifting up or down"
+    detector (complementing `events_ewma_smooth`'s level estimate
+    with a slope estimate).
+
+    Exactness discipline: the regressor is the INTEGER event index
+    (not the timestamp), so all five frame sums (n, Σx, Σy, Σxy, Σx²)
+    accumulate in the deterministic frame order that both engines
+    share, and slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides
+    identically-computed doubles.  State per row is a bounded ROWS
+    frame; one user-keyed shuffle; single-observation frames emit
+    NULL.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % _TREND_USER_MOD == 0)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = wo.rowsBetween(-(_TREND_K - 1), Window.currentRow)
+    x = F.row_number().over(wo)
+    staged_ = (
+        ev.withColumn("x", x.cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(frame))
+        .withColumn("sx", F.sum("x").over(frame))
+        .withColumn("sy", F.sum("value").over(frame))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("value")).over(frame))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(frame))
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return staged_.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("n").cast("int").alias("n_window"),
+        F.when(denom > 0, pround(slope, 6)).alias("trend_slope"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE_EVENTS_ROLLING_TREND = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM events WHERE user_id % {_TREND_USER_MOD} = 0
+),
+framed AS (
+  SELECT user_id, event_id, value,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx,
+         sum(value) OVER w AS sy,
+         sum(x * value) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN {_TREND_K - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, value,
+       CAST(n AS INTEGER) AS n_window,
+       CASE WHEN (n * sxx - sx * sx) > 0
+            THEN floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                       * 1000000 + 0.5) / 1000000.0
+       END AS trend_slope
+FROM framed
+ORDER BY user_id, event_id
+"""
+
+QUERIES["events_rolling_trend"] = events_rolling_trend
+ORACLE["events_rolling_trend"] = ORACLE_EVENTS_ROLLING_TREND
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+#: Seasonal period (days) and the backtest horizon (last N days).
+_FC_PERIOD = 7
+_FC_HORIZON = 7
+
+
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each of the last
+    ``_FC_HORIZON`` days' event counts with the count from
+    ``_FC_PERIOD`` days earlier and report MAE / MAPE / bias — the
+    baseline every real forecaster must beat, and the cheapest
+    continuous sanity check on pipeline volume.
+
+    All-integer error arithmetic until the final ratios (count
+    differences are exact; MAE/MAPE divide exact integer sums), so
+    both engines agree bit-for-bit.  Shape: one day-level aggregate,
+    one day-key self-join of the tiny daily relation, a 1-row max-day
+    broadcast to anchor the horizon.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    actual = daily.select("day", F.col("c").alias("y"))
+    pred = daily.select(
+        (F.col("day") + F.make_dt_interval(days=F.lit(_FC_PERIOD))).alias("day"),
+        F.col("c").alias("yhat"),
+    )
+    joined = (
+        actual.join(pred, "day")
+        .crossJoin(F.broadcast(mx))
+        .where(
+            F.col("day")
+            > F.col("max_day") - F.make_dt_interval(days=F.lit(_FC_HORIZON))
+        )
+    )
+    err = F.col("y") - F.col("yhat")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("actual_total"),
+        F.sum("yhat").cast("long").alias("predicted_total"),
+        pround(F.sum(F.abs(err)).cast("double") / F.count(F.lit(1)), 4).alias("mae"),
+        pround(
+            F.sum(F.abs(err).cast("double") / F.col("y")) / F.count(F.lit(1)), 6
+        ).alias("mape"),
+        pround(F.sum(err).cast("double") / F.count(F.lit(1)), 4).alias("bias"),
+    )
+
+
+ORACLE_EVENTS_FORECAST_BASELINE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS c FROM events GROUP BY 1
+),
+mx AS (SELECT max(day) AS max_day FROM daily),
+joined AS (
+  SELECT a.day, a.c AS y, p.c AS yhat
+  FROM daily a
+  JOIN daily p ON a.day = p.day + INTERVAL {_FC_PERIOD} DAY
+  CROSS JOIN mx
+  WHERE a.day > mx.max_day - INTERVAL {_FC_HORIZON} DAY
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(y) AS BIGINT) AS actual_total,
+       CAST(sum(yhat) AS BIGINT) AS predicted_total,
+       floor((CAST(sum(abs(y - yhat)) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         / 10000.0 AS mae,
+       floor((sum(CAST(abs(y - yhat) AS DOUBLE) / y) / count(*)) * 1000000 + 0.5)
+         / 1000000.0 AS mape,
+       floor((CAST(sum(y - yhat) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         / 10000.0 AS bias
+FROM joined
+"""
+
+QUERIES["events_forecast_baseline"] = events_forecast_baseline
+ORACLE["events_forecast_baseline"] = ORACLE_EVENTS_FORECAST_BASELINE
+
+
+# ---------------------------------------------------------------------------
+# Categorical-mix entropy
+# ---------------------------------------------------------------------------
+
+def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per day (bits), with the
+    day's dominant type and its share — the distribution-collapse
+    alarm (entropy dropping toward 0 means one event type is taking
+    over: a broken client, a bot, a dead code path).
+
+    Exact-integer inputs: per-(day, type) counts and day totals are
+    integers, entropy = log2(T) − Σ c·log2(c) / T is computed from
+    them identically in both engines (one division at the end), and
+    the dominant type resolves ties by type name.  One fixed-width
+    aggregate over (day, type); day-level windows run over the ≤5-row
+    per-day cell relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.partitionBy("day")
+    wr = Window.partitionBy("day").orderBy(F.desc("c"), F.asc("event_type"))
+    staged_ = (
+        cells.withColumn("t", F.sum("c").over(wd))
+        .withColumn("clogc", F.col("c") * F.log2("c"))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    return (
+        staged_.groupBy("day")
+        .agg(
+            F.max("t").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            pround(
+                F.log2(F.max("t")) - F.sum("clogc") / F.max("t"), 6
+            ).alias("entropy_bits"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "dominant_type"
+            ),
+            pround(
+                F.max(F.when(F.col("rn") == 1, F.col("c"))).cast("double")
+                / F.max("t"),
+                6,
+            ).alias("dominant_share"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_AGG_ENTROPY_CATEGORICAL = """
+WITH cells AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+staged_ AS (
+  SELECT day, event_type, c,
+         sum(c) OVER (PARTITION BY day) AS t,
+         c * log2(c) AS clogc,
+         row_number() OVER (PARTITION BY day ORDER BY c DESC, event_type ASC) AS rn
+  FROM cells
+)
+SELECT day,
+       CAST(max(t) AS BIGINT) AS n_events,
+       count(*) AS n_types,
+       floor((log2(max(t)) - sum(clogc) / max(t)) * 1000000 + 0.5) / 1000000.0
+         AS entropy_bits,
+       max(CASE WHEN rn = 1 THEN event_type END) AS dominant_type,
+       floor((CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / max(t))
+             * 1000000 + 0.5) / 1000000.0 AS dominant_share
+FROM staged_
+GROUP BY day
+ORDER BY day
+"""
+
+QUERIES["agg_entropy_categorical"] = agg_entropy_categorical
+ORACLE["agg_entropy_categorical"] = ORACLE_AGG_ENTROPY_CATEGORICAL
