@@ -1425,3 +1425,216 @@ ORDER BY day
 
 QUERIES["agg_entropy_categorical"] = agg_entropy_categorical
 ORACLE["agg_entropy_categorical"] = ORACLE_AGG_ENTROPY_CATEGORICAL
+
+
+# ---------------------------------------------------------------------------
+# Reorder-interval histogram
+# ---------------------------------------------------------------------------
+
+#: Histogram bin width (days) and cap.
+_RI_BIN_DAYS = 30
+_RI_MAX_BIN = 12
+
+
+def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order arrival analysis: the distribution of gaps between
+    a customer's consecutive orders, binned into
+    ``_RI_BIN_DAYS``-day buckets (capped) with per-bin exact mean —
+    the purchase-cadence profile behind replenishment and churn
+    models (the orders-side twin of `events_gaps_islands`).
+
+    Shape: one customer-keyed window (lag over each customer's
+    orders — partitions are per-customer, never corpus-sized), then a
+    fixed-width integer histogram with map-side combine.  Gap days
+    are exact integers; the per-bin mean divides exact integer sums.
+    Ties on the same date order by orderkey in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_d", F.lag("d").over(w))
+        .where(F.col("prev_d").isNotNull())
+        .select(F.datediff(F.col("d"), F.col("prev_d")).alias("gap"))
+    )
+    bin_ = F.least(
+        F.lit(_RI_MAX_BIN), F.floor(F.col("gap") / _RI_BIN_DAYS)
+    ).cast("int")
+    return (
+        gaps.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            pround(F.sum("gap").cast("double") / F.count(F.lit(1)), 4).alias(
+                "mean_gap_days"
+            ),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _RI_BIN_DAYS).cast("long").alias("bin_start_day"),
+            "n_gaps",
+            "mean_gap_days",
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_ORDERS_REORDER_INTERVAL = f"""
+WITH gaps AS (
+  SELECT date_diff('day', prev_d, d) AS gap FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+    FROM orders
+  ) WHERE prev_d IS NOT NULL
+)
+SELECT CAST(least({_RI_MAX_BIN}, gap // {_RI_BIN_DAYS}) AS INTEGER) AS bin,
+       CAST(least({_RI_MAX_BIN}, gap // {_RI_BIN_DAYS}) * {_RI_BIN_DAYS} AS BIGINT)
+         AS bin_start_day,
+       count(*) AS n_gaps,
+       floor((CAST(sum(gap) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0
+         AS mean_gap_days
+FROM gaps
+GROUP BY 1, 2
+ORDER BY bin
+"""
+
+QUERIES["orders_reorder_interval"] = orders_reorder_interval
+ORACLE["orders_reorder_interval"] = ORACLE_ORDERS_REORDER_INTERVAL
+
+
+# ---------------------------------------------------------------------------
+# Transition conditional entropy
+# ---------------------------------------------------------------------------
+
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next event type | current) per current
+    type, in bits — how PREDICTABLE each state's successor is
+    (`events_markov_transitions` gives the matrix; this collapses
+    each row to its information content: 0 bits = deterministic
+    next step, log2(5) ≈ 2.32 = uniform chaos).
+
+    Exact-integer inputs: per-(cur, next) transition counts from one
+    user-keyed lag window, row totals as windows over the ≤types²
+    cell relation, H = log2(T_row) − Σ c·log2(c)/T_row computed
+    identically in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("cur")
+    staged_ = trans.withColumn("t", F.sum("c").over(wr)).withColumn(
+        "clogc", F.col("c") * F.log2("c")
+    )
+    return (
+        staged_.groupBy("cur")
+        .agg(
+            F.max("t").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).alias("n_successors"),
+            pround(F.log2(F.max("t")) - F.sum("clogc") / F.max("t"), 6).alias(
+                "cond_entropy_bits"
+            ),
+        )
+        .orderBy("cur")
+    )
+
+
+ORACLE_EVENTS_TRANSITION_ENTROPY = """
+WITH trans AS (
+  SELECT cur, nxt, count(*) AS c FROM (
+    SELECT event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+  ) WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+),
+staged_ AS (
+  SELECT cur, c, sum(c) OVER (PARTITION BY cur) AS t, c * log2(c) AS clogc
+  FROM trans
+)
+SELECT cur,
+       CAST(max(t) AS BIGINT) AS n_transitions,
+       count(*) AS n_successors,
+       floor((log2(max(t)) - sum(clogc) / max(t)) * 1000000 + 0.5) / 1000000.0
+         AS cond_entropy_bits
+FROM staged_
+GROUP BY cur
+ORDER BY cur
+"""
+
+QUERIES["events_transition_entropy"] = events_transition_entropy
+ORACLE["events_transition_entropy"] = ORACLE_EVENTS_TRANSITION_ENTROPY
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert percentiles
+# ---------------------------------------------------------------------------
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for users whose first
+    purchase follows their first view, the p25/p50/p90 and mean of
+    (first purchase − first view) in seconds — the funnel-velocity
+    readout on top of `events_funnel`'s conversion counts.
+
+    One user-keyed conditional-min aggregate (the funnel shape), then
+    exact interpolated percentiles over the converting users'
+    integer-second latencies (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the `agg_percentiles` parity
+    convention; interpolation midpoints of integers are exact
+    halves).
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"), first_ts("purchase").alias("t_purchase")
+    )
+    lat = per_user.where(
+        F.col("t_view").isNotNull() & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        (
+            F.unix_micros(F.col("t_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("t_view").cast("timestamp"))
+        ).alias("us")
+    )
+    secs = F.col("us") / 1000000.0
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converting_users"),
+        pround(F.expr("percentile(us / 1000000.0, 0.25)"), 4).alias("p25_sec"),
+        pround(F.expr("percentile(us / 1000000.0, 0.5)"), 4).alias("p50_sec"),
+        pround(F.expr("percentile(us / 1000000.0, 0.9)"), 4).alias("p90_sec"),
+        pround(F.sum(secs) / F.count(F.lit(1)), 4).alias("mean_sec"),
+    )
+
+
+ORACLE_EVENTS_TIME_TO_CONVERT = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+),
+lat AS (
+  SELECT epoch_us(t_purchase) - epoch_us(t_view) AS us
+  FROM per_user
+  WHERE t_view IS NOT NULL AND t_purchase > t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converting_users,
+       floor(quantile_cont(us / 1000000.0, 0.25) * 10000 + 0.5) / 10000.0 AS p25_sec,
+       floor(quantile_cont(us / 1000000.0, 0.5) * 10000 + 0.5) / 10000.0 AS p50_sec,
+       floor(quantile_cont(us / 1000000.0, 0.9) * 10000 + 0.5) / 10000.0 AS p90_sec,
+       floor((sum(us / 1000000.0) / count(*)) * 10000 + 0.5) / 10000.0 AS mean_sec
+FROM lat
+"""
+
+QUERIES["events_time_to_convert"] = events_time_to_convert
+ORACLE["events_time_to_convert"] = ORACLE_EVENTS_TIME_TO_CONVERT
