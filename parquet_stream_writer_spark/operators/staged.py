@@ -1638,3 +1638,559 @@ FROM lat
 
 QUERIES["events_time_to_convert"] = events_time_to_convert
 ORACLE["events_time_to_convert"] = ORACLE_EVENTS_TIME_TO_CONVERT
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on each event type's daily volume:
+    the day t maximizing |S_t|, S_t = sum_{i<=t}(x_i - mean), is the
+    most likely level-shift point — the drift alarm a data pipeline
+    runs on its own ingest counters (complements
+    `events_anomaly_zscore`, which flags single outlier days; CUSUM
+    finds sustained shifts a z-score never trips on).
+
+    Shape: one (type, day) count aggregation (map-side combine), then
+    all windows partition by event_type over the DAY-grain series —
+    partitions are #days rows regardless of corpus size, so a 100 TB
+    event log reduces to the same tiny per-type series after the
+    first shuffle.  Arithmetic is cross-engine exact: cumulative and
+    total counts are integers, the mean is one integer/integer double
+    division, and S_t = cum - t*mean composes identically in both
+    engines; ties on |S_t| break to the earliest day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    cur = (
+        daily.withColumn("cum", F.sum("x").over(w))
+        .withColumn("t", F.row_number().over(w))
+        .withColumn("total", F.sum("x").over(wall))
+        .withColumn("n_days", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "s", F.col("cum") - F.col("t") * (F.col("total") / F.col("n_days"))
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s"))), F.asc("day")
+    )
+    return (
+        cur.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            "n_days",
+            pround(F.abs(F.col("s")), 4).alias("cusum_stat"),
+            pround(F.col("cum") / F.col("t"), 4).alias("mean_pre"),
+            pround(
+                (F.col("total") - F.col("cum"))
+                / F.nullif(F.col("n_days") - F.col("t"), F.lit(0)),
+                4,
+            ).alias("mean_post"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+cur AS (
+  SELECT event_type, day, x,
+         sum(x) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         sum(x) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+scored AS (
+  SELECT *, cum - t * (CAST(total AS DOUBLE) / n_days) AS s,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY abs(cum - t * (CAST(total AS DOUBLE) / n_days)) DESC, day
+         ) AS rn
+  FROM cur
+)
+SELECT event_type, day AS cp_day, CAST(n_days AS BIGINT) AS n_days,
+       floor(abs(s) * 10000 + 0.5) / 10000.0 AS cusum_stat,
+       floor((CAST(cum AS DOUBLE) / t) * 10000 + 0.5) / 10000.0 AS mean_pre,
+       floor((CAST(total - cum AS DOUBLE) / nullif(n_days - t, 0)) * 10000 + 0.5) / 10000.0
+         AS mean_post
+FROM scored WHERE rn = 1
+ORDER BY event_type
+"""
+
+QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
+ORACLE["events_cusum_changepoint"] = ORACLE_EVENTS_CUSUM_CHANGEPOINT
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-contract validation
+# ---------------------------------------------------------------------------
+
+def pipeline_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit: one row per contract rule
+    (range / enum / cross-column / non-null checks over four tables)
+    with violation counts, rates, and a pass verdict — the
+    expectation-suite gate (Great-Expectations-style) a production
+    pipeline runs before publishing a dataset version (complements
+    `pipeline_fk_integrity_audit`, which covers referential rules,
+    and `profile_table`, which describes rather than asserts).
+
+    Shape: each table contributes ONE full scan that folds ALL of its
+    rules into conditional count aggregates (map-side partial
+    aggregation, no joins, no shuffle beyond the 1-row final agg);
+    the per-rule rows are then unpivoted from the single aggregate
+    row, so cost is one scan per table regardless of rule count.
+    Every predicate is integer/enum/comparison arithmetic that both
+    engines evaluate identically; rates divide exact integer counts.
+    """
+    def rules_for(df: DataFrame, table: str, rules: list[tuple[str, str, F.Column]]):
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for rid, _desc, bad in rules:
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(rid))
+        one = df.agg(*aggs)
+        out = None
+        for rid, desc, _bad in rules:
+            row = one.select(
+                F.lit(rid).alias("rule_id"),
+                F.lit(table).alias("table_name"),
+                F.lit(desc).alias("rule"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col(rid).cast("long").alias("n_violations"),
+                pround(F.col(rid) / F.col("n_rows"), 6).alias("violation_rate"),
+                (F.col(rid) == 0).alias("passed"),
+            )
+            out = row if out is None else out.unionAll(row)
+        return out
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        rules_for(
+            orders,
+            "orders",
+            [
+                ("R1", "o_totalprice > 0", F.col("o_totalprice") <= 0),
+                (
+                    "R2",
+                    "o_orderstatus in (O,F,P)",
+                    ~F.col("o_orderstatus").isin("O", "F", "P"),
+                ),
+            ],
+        ),
+        rules_for(
+            li,
+            "lineitem",
+            [
+                (
+                    "R3",
+                    "l_quantity in [1,50]",
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                ),
+                ("R4", "l_discount <= 0.05", F.col("l_discount") > 0.05),
+            ],
+        ),
+        rules_for(
+            cust,
+            "customer",
+            [("R5", "c_acctbal >= 0", F.col("c_acctbal") < 0)],
+        ),
+        rules_for(
+            docs,
+            "documents",
+            [
+                (
+                    "R6",
+                    "n_chars == length(text)",
+                    F.col("n_chars") != F.length("text"),
+                ),
+                ("R7", "text non-null", F.col("text").isNull()),
+            ],
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("rule_id")
+
+
+ORACLE_PIPELINE_DATA_CONTRACT = """
+WITH o AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS r1,
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS r2
+  FROM orders
+),
+l AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS r3,
+         sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS r4
+  FROM lineitem
+),
+c AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS r5
+  FROM customer
+),
+d AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS r6,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS r7
+  FROM documents
+),
+rows_ AS (
+  SELECT 'R1' AS rule_id, 'orders' AS table_name, 'o_totalprice > 0' AS rule,
+         n, r1 AS v FROM o
+  UNION ALL SELECT 'R2', 'orders', 'o_orderstatus in (O,F,P)', n, r2 FROM o
+  UNION ALL SELECT 'R3', 'lineitem', 'l_quantity in [1,50]', n, r3 FROM l
+  UNION ALL SELECT 'R4', 'lineitem', 'l_discount <= 0.05', n, r4 FROM l
+  UNION ALL SELECT 'R5', 'customer', 'c_acctbal >= 0', n, r5 FROM c
+  UNION ALL SELECT 'R6', 'documents', 'n_chars == length(text)', n, r6 FROM d
+  UNION ALL SELECT 'R7', 'documents', 'text non-null', n, r7 FROM d
+)
+SELECT rule_id, table_name, rule,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       floor((CAST(v AS DOUBLE) / n) * 1000000 + 0.5) / 1000000.0 AS violation_rate,
+       v = 0 AS passed
+FROM rows_
+ORDER BY rule_id
+"""
+
+QUERIES["pipeline_data_contract"] = pipeline_data_contract
+ORACLE["pipeline_data_contract"] = ORACLE_PIPELINE_DATA_CONTRACT
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust anomaly summary
+# ---------------------------------------------------------------------------
+
+#: Modified z-score threshold (Iglewicz-Hoaglin convention).
+_MAD_K = 0.6745
+_MAD_THRESHOLD = 2.5
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly profile per event type: median / MAD of the
+    daily volume series and the count of days whose modified z-score
+    ``0.6745*(x - median)/MAD`` exceeds ``2.5`` — the
+    outlier detector that survives the very outliers it hunts
+    (`events_anomaly_zscore`'s mean/stddev shift under a single
+    extreme day; median/MAD have a 50% breakdown point).
+
+    Shape: one (type, day) count aggregation collapses the corpus to
+    #types x #days rows; medians run over those tiny per-type
+    series via the exact interpolated-percentile parity convention
+    (`agg_percentiles`).  Two passes over the day-grain relation
+    (median, then MAD of residuals) — both trivial after the first
+    map-side-combined shuffle.  Counts are exact integers; the
+    medians of integers and of |int - median| interpolate
+    identically in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    resid = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = resid.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    scored = resid.join(F.broadcast(mad), "event_type").withColumn(
+        "z",
+        F.when(
+            F.col("mad") > 0,
+            F.lit(_MAD_K) * (F.col("x") - F.col("med")) / F.col("mad"),
+        ),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            pround(F.max("med"), 4).alias("median_daily"),
+            pround(F.max("mad"), 4).alias("mad_daily"),
+            F.sum(
+                F.when(F.abs(F.col("z")) > _MAD_THRESHOLD, 1).otherwise(0)
+            ).cast("long").alias("n_anomalous_days"),
+            pround(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_ANOMALY_MAD = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(x, 0.5) AS med, count(*) AS n_days
+  FROM daily GROUP BY 1
+),
+resid AS (
+  SELECT d.event_type, d.x, m.med, m.n_days, abs(d.x - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM resid GROUP BY 1
+),
+scored AS (
+  SELECT r.*, CASE WHEN m.mad > 0
+                   THEN {_MAD_K} * (r.x - r.med) / m.mad END AS z
+  FROM resid r JOIN mad m USING (event_type)
+)
+SELECT event_type,
+       CAST(max(n_days) AS BIGINT) AS n_days,
+       floor(max(med) * 10000 + 0.5) / 10000.0 AS median_daily,
+       floor(max(mad_v) * 10000 + 0.5) / 10000.0 AS mad_daily,
+       CAST(sum(CASE WHEN abs(z) > {_MAD_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalous_days,
+       floor(max(abs(z)) * 10000 + 0.5) / 10000.0 AS max_abs_z
+FROM (SELECT s.*, m.mad AS mad_v FROM scored s JOIN mad m USING (event_type))
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_anomaly_mad"] = events_anomaly_mad
+ORACLE["events_anomaly_mad"] = ORACLE_EVENTS_ANOMALY_MAD
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate refresh (materialized-view maintenance)
+# ---------------------------------------------------------------------------
+
+#: Batch boundary splitting the "already materialized" base from the
+#: "newly arrived" delta.
+_IAR_CUTOFF = "1998-01-01"
+
+
+def pipeline_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for an additive
+    aggregate: the (month, status) revenue rollup is refreshed by
+    merging the PRE-COMPUTED base partial (orders before
+    ``_IAR_CUTOFF``) with the delta batch's partial — touching only
+    O(|delta|) new rows plus view-sized state, never rescanning the
+    base — and each refreshed row carries a ``matches_full`` bit
+    proving the merge equals a from-scratch recompute (the
+    insert-only IVM contract; `dedup_incremental_ingest` is the
+    dedup-side twin of this discipline).
+
+    Shape: count and SUM partials are mergeable by a plain group-sum,
+    so refresh = union of partials + one view-keyed aggregation.  At
+    100 TB the base partial is a stored table of #months x #statuses
+    rows and only the delta is scanned; here both partials derive
+    from one predicate-split scan to keep the query self-contained.
+    Revenue sums in integer CENTS (pround x100 basis), so partial
+    merge order cannot perturb low bits in either engine.
+    """
+    cutoff = F.lit(_IAR_CUTOFF).cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        (F.col("o_orderdate") < cutoff).alias("is_base"),
+    )
+
+    def partial(df):
+        return df.groupBy("month", "status").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("sum_cents")
+        )
+
+    base = partial(orders.where(F.col("is_base")))
+    delta = partial(orders.where(~F.col("is_base")))
+    refreshed = (
+        base.unionAll(delta)
+        .groupBy("month", "status")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    full = partial(orders).select(
+        "month",
+        "status",
+        F.col("cnt").alias("cnt_f"),
+        F.col("sum_cents").alias("sum_f"),
+    )
+    return (
+        refreshed.join(full, ["month", "status"], "full_outer")
+        .select(
+            "month",
+            "status",
+            F.col("cnt").cast("long").alias("n_orders"),
+            pround(F.col("sum_cents") / 100.0, 2).alias("revenue"),
+            (
+                (F.col("cnt") == F.col("cnt_f"))
+                & (F.col("sum_cents") == F.col("sum_f"))
+            ).alias("matches_full"),
+        )
+        .orderBy("month", "status")
+    )
+
+
+ORACLE_PIPELINE_INCREMENTAL_AGG_REFRESH = f"""
+WITH src AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderdate < TIMESTAMP '{_IAR_CUTOFF}' AS is_base
+  FROM orders
+),
+base AS (
+  SELECT month, status, count(*) AS cnt, sum(cents) AS sum_cents
+  FROM src WHERE is_base GROUP BY 1, 2
+),
+delta AS (
+  SELECT month, status, count(*) AS cnt, sum(cents) AS sum_cents
+  FROM src WHERE NOT is_base GROUP BY 1, 2
+),
+refreshed AS (
+  SELECT month, status, sum(cnt) AS cnt, sum(sum_cents) AS sum_cents
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY 1, 2
+),
+full_ AS (
+  SELECT month, status, count(*) AS cnt_f, sum(cents) AS sum_f
+  FROM src GROUP BY 1, 2
+)
+SELECT month, status,
+       CAST(cnt AS BIGINT) AS n_orders,
+       floor((CAST(sum_cents AS DOUBLE) / 100.0) * 100 + 0.5) / 100.0 AS revenue,
+       cnt = cnt_f AND sum_cents = sum_f AS matches_full
+FROM refreshed FULL OUTER JOIN full_ USING (month, status)
+ORDER BY month, status
+"""
+
+QUERIES["pipeline_incremental_agg_refresh"] = pipeline_incremental_agg_refresh
+ORACLE["pipeline_incremental_agg_refresh"] = ORACLE_PIPELINE_INCREMENTAL_AGG_REFRESH
+
+
+# ---------------------------------------------------------------------------
+# Bounded-round min-label propagation (community structure)
+# ---------------------------------------------------------------------------
+
+#: Synchronous propagation rounds (fixed, so both engines unroll the
+#: same computation).
+_LP_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the customer-supplier trade graph via
+    ``_LP_ROUNDS`` synchronous rounds of min-label propagation,
+    reported as the per-round convergence trajectory (round,
+    communities remaining, largest community, singleton count) — the
+    bounded-round Pregel pass that profiles graph fragmentation and
+    its collapse rate without iterating to a fixpoint
+    (`dedup_connected_components` runs the same kernel to a fixpoint
+    on the dup graph; bounding rounds gives a deterministic
+    radius-K clustering whose cost is fixed at planning time).
+
+    Shape: ONE distinct-pair shuffle builds the bidirected edge list
+    (+ self-loops, so a node's own label competes in the same min
+    and no per-round left join is needed — the pagerank dangling
+    trick), lazily checkpointed and reused by every round; each
+    round is one label⋈edge hash join on dst and one min-agg by
+    src, both map-side-combinable, with node-sized state only.  Min
+    over bigint labels is associative and engine-exact; the final
+    histogram is two tiny aggregations.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    nodes = edges.select("src").distinct()
+    edges_plus = (
+        edges.union(nodes.select(F.col("src"), F.col("src").alias("dst")))
+        .repartition("dst")
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("src", F.col("src").alias("label")).withColumnRenamed(
+        "src", "node"
+    )
+    snapshots = []
+    for rnd in range(1, _LP_ROUNDS + 1):
+        labels = (
+            edges_plus.join(labels, edges_plus["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "node")
+        )
+        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+        snapshots.append(
+            sizes.agg(
+                F.lit(rnd).alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_communities"),
+                F.max("sz").cast("long").alias("largest_community"),
+                F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_singletons"),
+            )
+        )
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+def _lp_oracle() -> str:
+    rounds, stats = [], []
+    prev = "l0"
+    for i in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"l{i} AS (SELECT e.src AS node, min(p.label) AS label "
+            f"FROM edges_plus e JOIN {prev} p ON e.dst = p.node GROUP BY e.src)"
+        )
+        rounds.append(
+            f"s{i} AS (SELECT label, count(*) AS sz FROM l{i} GROUP BY 1)"
+        )
+        stats.append(
+            f"SELECT {i} AS round, CAST(count(*) AS BIGINT) AS n_communities, "
+            f"CAST(max(sz) AS BIGINT) AS largest_community, "
+            f"CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_singletons FROM s{i}"
+        )
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION SELECT snode, cnode FROM pairs
+),
+edges_plus AS (
+  SELECT src, dst FROM edges
+  UNION ALL SELECT DISTINCT src, src FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{','.join(rounds)}
+{' UNION ALL '.join(stats)}
+ORDER BY round
+"""
+
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLE["graph_label_propagation"] = _lp_oracle()
