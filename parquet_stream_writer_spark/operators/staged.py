@@ -74,7 +74,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").alias("w"),
     )
-    pv = li.groupBy("flag", "v").agg(F.sum("w").alias("w"))
+    # The (flag, value) weight relation feeds three consumers (stats,
+    # bucketing, the in-bucket pass) — checkpoint it lazily so the
+    # lineitem scan + pre-aggregation run once, not per branch (the
+    # orders_basket_affinity fan-out discipline).
+    pv = (
+        li.groupBy("flag", "v").agg(F.sum("w").alias("w")).localCheckpoint(eager=False)
+    )
     stats = pv.groupBy("flag").agg(
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
@@ -403,18 +409,22 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval and a RAG/labeling consumer, which plain top-k cannot
     express (near-duplicate hits crowd the list).
 
-    Shape (the Lloyd/BPE loop discipline): candidate retrieval is the
-    exact broadcast-query scan (`similarity_cosine_topk` shape); the
-    candidate set (≤ queries×30 rows) and its pairwise-sim relation
-    (≤ queries×30² rows) are built once and checkpointed; each greedy
-    round then runs entirely on those BOUNDED relations — one
-    max-sim-to-selected aggregate, one anti-join, one rank-1 window —
-    so the iteration cost is independent of corpus size.  All
-    comparisons happen on 4-dp-rounded similarities with identical
-    λ-arithmetic in both engines (ties → vec_id), so the greedy
+    Shape: candidate retrieval is the exact broadcast-query scan
+    (`similarity_cosine_topk` shape) and the pairwise-sim relation
+    (≤ queries×30² rows) is one checkpointed self-join; the greedy
+    selection itself is a per-``qid`` sequential algorithm over that
+    BOUNDED state, so it runs as ONE Arrow-batched ``applyInPandas``
+    group kernel — queries parallelize across executors and there are
+    no per-round global barriers (an earlier draft iterated ``_MMR_K``
+    DataFrame rounds; at 10 rounds the job-launch latency dominated
+    and the sequential barriers would serialize a million-query
+    workload).  The kernel never computes a dot product: it re-reads
+    the 4-dp-rounded Spark similarities and applies the identical
+    λ-arithmetic on IEEE doubles (ties → vec_id), so the greedy
     trajectory is engine-exact; the oracle replays it as an unrolled
     per-round CTE chain.
     """
+    import pandas as pd
     from parquet_stream_writer_spark.operators.similarity import _emb
 
     emb = _emb(spark, sf_dir)
@@ -448,53 +458,52 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
-    sel = (
-        cands.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") == 1)
-        .select(
-            "qid",
-            "vec_id",
-            "rel",
-            (F.lit(lam) * F.col("rel")).alias("score"),
-            F.lit(1).alias("pos"),
-        )
+    k = _MMR_K
+    # One row per (candidate a, candidate b) pair, carrying a's
+    # relevance — the complete per-qid greedy state in one relation.
+    state = pairs.join(
+        cands.select("qid", F.col("vec_id").alias("a"), F.col("rel")), ["qid", "a"]
     )
-    for r in range(2, _MMR_K + 1):
-        ms = (
-            pairs.join(
-                sel.select("qid", F.col("vec_id").alias("b")), ["qid", "b"]
-            )
-            .groupBy("qid", "a")
-            .agg(F.max("s").alias("ms"))
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = int(pdf["qid"].iloc[0])
+        rel = dict(pdf.groupby("a")["rel"].first())
+        sim: dict = {}
+        for a, b, s in zip(pdf["a"], pdf["b"], pdf["s"]):
+            sim[(int(a), int(b))] = float(s)
+        remaining = sorted(rel)  # vec_id ascending = the tie order
+        out = []
+        selected: list = []
+        for pos in range(1, min(k, len(remaining)) + 1):
+            best = None
+            for a in remaining:
+                if selected:
+                    ms = max(sim[(a, b)] for b in selected)
+                    score = lam * rel[a] - mu * ms
+                else:
+                    score = lam * rel[a]
+                # strict > keeps the FIRST (lowest vec_id) on ties,
+                # matching the (score DESC, vec_id ASC) window order.
+                if best is None or score > best[1]:
+                    best = (a, score)
+            a, score = best
+            out.append((qid, pos, a, rel[a], score))
+            selected.append(a)
+            remaining.remove(a)
+        return pd.DataFrame(
+            out, columns=["qid", "pos", "vec_id", "relevance", "mmr_score"]
         )
-        remaining = cands.join(
-            sel.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
-        )
-        scored_r = remaining.join(
-            ms.select("qid", F.col("a").alias("vec_id"), "ms"), ["qid", "vec_id"]
-        ).select(
-            "qid",
-            "vec_id",
-            "rel",
-            (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms")).alias("score"),
-        )
-        wr = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-        pick = (
-            scored_r.withColumn("rn", F.row_number().over(wr))
-            .where(F.col("rn") == 1)
-            .select("qid", "vec_id", "rel", "score", F.lit(r).alias("pos"))
-        )
-        # Checkpoint the ≤(queries·r)-row selection state each round
-        # (the sample_coreset_kcenter loop discipline): without it the
-        # lazily-chained union/anti-join lineage deepens every round
-        # and Catalyst's analysis time explodes.
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+
+    sel = state.groupBy("qid").applyInPandas(
+        greedy,
+        schema="qid long, pos int, vec_id long, relevance double, mmr_score double",
+    )
     return sel.select(
         "qid",
-        F.col("pos").cast("int").alias("pos"),
+        "pos",
         "vec_id",
-        F.col("rel").alias("relevance"),
-        pround("score", 6).alias("mmr_score"),
+        "relevance",
+        pround("mmr_score", 6).alias("mmr_score"),
     ).orderBy("qid", "pos")
 
 
@@ -2109,6 +2118,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # The distinct-pair relation feeds both edge directions, the node
+    # set, and (transitively) every propagation round — checkpoint it
+    # lazily so the lineitem⋈orders join and its distinct shuffle run
+    # once instead of once per consumer.
     pairs = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
@@ -2116,6 +2129,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
