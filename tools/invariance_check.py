@@ -18,6 +18,7 @@ Usage::
 
     python tools/invariance_check.py              # 7 vs 32 partitions
     python tools/invariance_check.py 5 64         # custom pair
+    python tools/invariance_check.py --staged     # staged pack instead
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/invariance_check.py
 
 Exit code 0 iff every query is invariant.  (Round-6 session 3: all
@@ -45,8 +46,12 @@ from parquet_stream_writer_spark.session import get_session
 import __spark_entry__ as e
 spark = get_session("inv" + {nparts!r})
 sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+qs = dict(e.queries())
+if {staged!r}:
+    from parquet_stream_writer_spark.operators import staged as _staged
+    qs = dict(_staged.QUERIES)
 res = {{}}
-for name, fn in sorted(e.queries().items()):
+for name, fn in sorted(qs.items()):
     df = fn(spark, sf).toPandas()
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -61,8 +66,8 @@ spark.stop()
 """
 
 
-def run_config(nparts: str, out: str) -> None:
-    code = _WORKER.format(repo=str(_REPO), nparts=nparts, out=out)
+def run_config(nparts: str, out: str, staged: bool = False) -> None:
+    code = _WORKER.format(repo=str(_REPO), nparts=nparts, out=out, staged=staged)
     subprocess.run(
         [sys.executable, "-c", code],
         check=True,
@@ -72,13 +77,16 @@ def run_config(nparts: str, out: str) -> None:
 
 
 def main() -> int:
-    pair = sys.argv[1:3] or ["7", "32"]
+    args = sys.argv[1:]
+    staged = "--staged" in args
+    args = [a for a in args if a != "--staged"]
+    pair = args[:2] or ["7", "32"]
     with tempfile.TemporaryDirectory() as d:
         outs = []
         for np_ in pair:
             out = os.path.join(d, f"inv{np_}.json")
             print(f"[invariance] running pack at shuffle.partitions={np_} ...")
-            run_config(np_, out)
+            run_config(np_, out, staged=staged)
             outs.append(json.load(open(out)))
     a, b = outs
     diff = sorted(k for k in a if a[k] != b.get(k))
