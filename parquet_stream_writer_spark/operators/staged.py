@@ -2208,3 +2208,190 @@ ORDER BY round
 
 QUERIES["graph_label_propagation"] = graph_label_propagation
 ORACLE["graph_label_propagation"] = _lp_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring
+# ---------------------------------------------------------------------------
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus readability profile per language: Flesch reading ease
+    and Flesch-Kincaid grade from word / sentence / syllable-proxy
+    counts — the classic curation signal separating encyclopedic from
+    conversational text that `text_quality_score`'s surface ratios
+    don't capture.
+
+    Shape: three ``regexp_extract_all`` counts per document (words =
+    maximal non-space runs, sentences = terminal punctuation,
+    syllable proxy = vowel groups) — pure map-side expression work —
+    then ONE per-language aggregation of exact integer totals; the
+    Flesch arithmetic runs on those totals (corpus-level formula, not
+    mean-of-per-doc), so both engines divide the same integers.  The
+    character classes are shared by Java regex and RE2, and the
+    vowel-group proxy degrades gracefully on non-Latin scripts (the
+    formula is Latin-calibrated; scores for e.g. zh are comparable
+    within the corpus, not against English norms).  Sentence counts
+    are floored at 1 per doc so empty/unpunctuated docs cannot
+    divide by zero.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(r"[^ \t\n\r]+"), 0)).alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0)),
+        ).alias("s"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[aeiouyAEIOUY]+"), 0)
+        ).alias("y"),
+    )
+    agg = counted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("tw"),
+        F.sum("s").alias("ts"),
+        F.sum("y").alias("ty"),
+    )
+    wps = F.col("tw").cast("double") / F.col("ts")
+    spw = F.col("ty").cast("double") / F.col("tw")
+    return agg.select(
+        "lang",
+        "n_docs",
+        pround(wps, 4).alias("words_per_sentence"),
+        pround(spw, 4).alias("syllables_per_word"),
+        pround(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch_ease"
+        ),
+        pround(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    ).orderBy("lang")
+
+
+ORACLE_TEXT_READABILITY = r"""
+WITH counted AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[^ \t\n\r]+')) AS w,
+         greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS s,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs, sum(w) AS tw, sum(s) AS ts, sum(y) AS ty
+  FROM counted GROUP BY lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       floor((CAST(tw AS DOUBLE) / ts) * 10000 + 0.5) / 10000.0 AS words_per_sentence,
+       floor((CAST(ty AS DOUBLE) / tw) * 10000 + 0.5) / 10000.0 AS syllables_per_word,
+       floor((206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
+              - 84.6 * (CAST(ty AS DOUBLE) / tw)) * 10000 + 0.5) / 10000.0
+         AS flesch_ease,
+       floor((0.39 * (CAST(tw AS DOUBLE) / ts)
+              + 11.8 * (CAST(ty AS DOUBLE) / tw) - 15.59) * 10000 + 0.5) / 10000.0
+         AS fk_grade
+FROM agg ORDER BY lang
+"""
+
+QUERIES["text_readability"] = text_readability
+ORACLE["text_readability"] = ORACLE_TEXT_READABILITY
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+#: Anonymity threshold: a quasi-identifier group smaller than this
+#: re-identifies its members.
+_KANON_K = 5
+#: Account-balance coarsening step for the fine QI set.
+_KANON_BAL_STEP = 100
+
+
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under two
+    quasi-identifier sets — coarse (nation, market segment) and fine
+    (+ balance bucketed to ``_KANON_BAL_STEP``) — reporting, per QI
+    set, how many rows sit in groups smaller than ``_KANON_K``: the
+    release gate a privacy review runs before publishing "anonymized"
+    records, and the quantitative form of the warning that every
+    extra attribute multiplies re-identifiability
+    (`text_pii_scrub` removes direct identifiers; this measures the
+    indirect ones).
+
+    Shape: per QI set one hash aggregation to group sizes (map-side
+    combine) and one 1-row rollup over the group-size relation —
+    two scans total, no joins, no windows.  All outputs are exact
+    integer counts and one integer-ratio rate.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    qi_sets = [
+        ("nation+segment", [F.col("c_nationkey"), F.col("c_mktsegment")]),
+        (
+            "nation+segment+balance_bucket",
+            [
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+                F.floor(F.col("c_acctbal") / _KANON_BAL_STEP).cast("long"),
+            ],
+        ),
+    ]
+    parts = []
+    for name, cols in qi_sets:
+        sizes = cust.groupBy(
+            *[c.alias(f"q{i}") for i, c in enumerate(cols)]
+        ).agg(F.count(F.lit(1)).alias("gsz"))
+        parts.append(
+            sizes.agg(
+                F.lit(name).alias("qi_set"),
+                F.lit(_KANON_K).cast("int").alias("k"),
+                F.sum("gsz").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.min("gsz").cast("long").alias("min_group_size"),
+                F.sum(F.when(F.col("gsz") < _KANON_K, F.col("gsz")).otherwise(0))
+                .cast("long")
+                .alias("n_unsafe_rows"),
+                pround(
+                    F.sum(
+                        F.when(F.col("gsz") < _KANON_K, F.col("gsz")).otherwise(0)
+                    )
+                    / F.sum("gsz"),
+                    6,
+                ).alias("unsafe_row_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("qi_set")
+
+
+ORACLE_PIPELINE_K_ANONYMITY = f"""
+WITH coarse AS (
+  SELECT count(*) AS gsz FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+fine AS (
+  SELECT count(*) AS gsz FROM customer
+  GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / {_KANON_BAL_STEP}) AS BIGINT)
+),
+rolled AS (
+  SELECT 'nation+segment' AS qi_set, sum(gsz) AS n_rows, count(*) AS n_groups,
+         min(gsz) AS min_group_size,
+         sum(CASE WHEN gsz < {_KANON_K} THEN gsz ELSE 0 END) AS n_unsafe_rows
+  FROM coarse
+  UNION ALL
+  SELECT 'nation+segment+balance_bucket', sum(gsz), count(*), min(gsz),
+         sum(CASE WHEN gsz < {_KANON_K} THEN gsz ELSE 0 END)
+  FROM fine
+)
+SELECT qi_set, CAST({_KANON_K} AS INTEGER) AS k,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(min_group_size AS BIGINT) AS min_group_size,
+       CAST(n_unsafe_rows AS BIGINT) AS n_unsafe_rows,
+       floor((CAST(n_unsafe_rows AS DOUBLE) / n_rows) * 1000000 + 0.5) / 1000000.0
+         AS unsafe_row_rate
+FROM rolled ORDER BY qi_set
+"""
+
+QUERIES["pipeline_k_anonymity"] = pipeline_k_anonymity
+ORACLE["pipeline_k_anonymity"] = ORACLE_PIPELINE_K_ANONYMITY
