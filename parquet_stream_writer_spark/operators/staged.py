@@ -21,10 +21,14 @@ ANSI-SQL oracle.
 Round-7 registration checklist:
 
 1. add ``staged`` to ``operators._modules()`` (after ``pipeline``);
-2. add ``similarity_mmr_rerank`` (broadcast-query non-equi scan, the
-   similarity_cosine_topk shape) and ``text_burstiness`` (1-row
-   corpus-size broadcast) to the plan sweep's ``_NLJ_OK`` whitelist
-   in tests/test_plan_introspection.py;
+2. add ``events_forecast_baseline`` (1-row backtest-window scalar),
+   ``text_bm25_search`` (bounded probe-term-set broadcast) and
+   ``text_burstiness`` (1-row corpus-size broadcast) to the plan
+   sweep's ``_NLJ_OK`` whitelist in tests/test_plan_introspection.py
+   — the pre-registration sweep (test_staged_operators.py::
+   test_staged_pack_plan_sweep, ``_STAGED_NLJ_OK``) pins the same
+   three; ``similarity_mmr_rerank``'s non-equi candidate scan sits
+   behind a localCheckpoint and does not appear in its final plan;
 3. fold the staged rows of SURVEY §2c into the main inventory (drop
    the "(staged)" marker) and re-run tools/record_query_hashes.py.
 """
@@ -1373,7 +1377,12 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     them identically in both engines (one division at the end), and
     the dominant type resolves ties by type name.  One fixed-width
     aggregate over (day, type); day-level windows run over the ≤5-row
-    per-day cell relation.
+    per-day cell relation.  The dominant type joins in from the
+    rank-1 window rows instead of riding a string ``max(when(...))``
+    through the aggregate — a string in the agg buffer demotes the
+    whole final aggregation to a SortAggregate (the profile_table
+    lesson), and the day-keyed equi join over the tiny cell relation
+    is free.
     """
     ev = load_table(spark, sf_dir, "events")
     cells = ev.groupBy(
@@ -1386,25 +1395,19 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("clogc", F.col("c") * F.log2("c"))
         .withColumn("rn", F.row_number().over(wr))
     )
-    return (
-        staged_.groupBy("day")
-        .agg(
-            F.max("t").cast("long").alias("n_events"),
-            F.count(F.lit(1)).alias("n_types"),
-            pround(
-                F.log2(F.max("t")) - F.sum("clogc") / F.max("t"), 6
-            ).alias("entropy_bits"),
-            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
-                "dominant_type"
-            ),
-            pround(
-                F.max(F.when(F.col("rn") == 1, F.col("c"))).cast("double")
-                / F.max("t"),
-                6,
-            ).alias("dominant_share"),
-        )
-        .orderBy("day")
+    num = staged_.groupBy("day").agg(
+        F.max("t").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        pround(F.log2(F.max("t")) - F.sum("clogc") / F.max("t"), 6).alias(
+            "entropy_bits"
+        ),
     )
+    dom = staged_.where(F.col("rn") == 1).select(
+        "day",
+        F.col("event_type").alias("dominant_type"),
+        pround(F.col("c").cast("double") / F.col("t"), 6).alias("dominant_share"),
+    )
+    return num.join(dom, "day").orderBy("day")
 
 
 ORACLE_AGG_ENTROPY_CATEGORICAL = """

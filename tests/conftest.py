@@ -89,3 +89,18 @@ def assert_results_match(spark_df, oracle_con, sql: str, float_tol: float = 1e-9
                 )
             else:
                 assert a == b, f"{c}[{i}]: {a!r} vs {b!r}"
+
+
+@pytest.fixture(scope="session")
+def empty_sf(spark, tmp_path_factory):
+    """Schema-exact empty corpus: every driver table, zero rows
+    (shared by the registered-pack and staged-pack empty sweeps)."""
+    sf = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        (
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+            .limit(0)
+            .coalesce(1)
+            .write.parquet(str(sf / f"{t}.parquet"))
+        )
+    return str(sf)

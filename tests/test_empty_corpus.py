@@ -14,9 +14,6 @@ from __future__ import annotations
 import pytest
 
 from parquet_stream_writer_spark.operators import all_queries
-from parquet_stream_writer_spark.sources import TABLES
-
-from tests.conftest import SF_DIR
 
 #: Queries whose outputs contain ratios/divisions of aggregates —
 #: the shapes ANSI division errors hide in.
@@ -72,20 +69,6 @@ _RATIO_KEYS = (
     "text_idf_rarity",
     "events_ewma_smooth",
 )
-
-
-@pytest.fixture(scope="module")
-def empty_sf(spark, tmp_path_factory):
-    """Schema-exact empty corpus: every driver table, zero rows."""
-    sf = tmp_path_factory.mktemp("empty_sf")
-    for t in TABLES:
-        (
-            spark.read.parquet(f"{SF_DIR}/{t}.parquet")
-            .limit(0)
-            .coalesce(1)
-            .write.parquet(str(sf / f"{t}.parquet"))
-        )
-    return str(sf)
 
 
 @pytest.mark.parametrize("key", _RATIO_KEYS)

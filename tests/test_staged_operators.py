@@ -27,3 +27,45 @@ def test_staged_keys_not_yet_registered():
 
     live = set(all_queries())
     assert not (set(staged.QUERIES) & live)
+
+
+@pytest.mark.parametrize("name", sorted(staged.QUERIES))
+def test_staged_query_survives_empty_corpus(name, spark, empty_sf):
+    """The FULL staged pack against a schema-exact zero-row corpus:
+    no ANSI DIVIDE_BY_ZERO (pyspark 4 default), no null-handling
+    crash — the registered pack's empty-sweep guarantee, applied
+    before registration instead of after."""
+    df = staged.QUERIES[name](spark, empty_sf)
+    assert df.count() >= 0  # materializes the plan; raises on ANSI errors
+
+
+#: Staged queries whose plans legitimately contain a
+#: BroadcastNestedLoopJoin — all O(1)-row scalar or bounded
+#: probe-set broadcasts (the registered pack's _NLJ_OK convention).
+_STAGED_NLJ_OK = {
+    "events_forecast_baseline",  # 1-row backtest-window scalar broadcast
+    "text_bm25_search",  # bounded probe-term-set broadcast (exact scan shape)
+    "text_burstiness",  # 1-row corpus-size broadcast
+}
+
+
+def test_staged_pack_plan_sweep(spark, sf_dir):
+    """The registered pack's plan sweep, applied BEFORE registration:
+    no SortAggregate (string-in-agg-buffer demotion), no unexpected
+    nested-loop join, no cartesian product anywhere in the staged
+    pack.  (similarity_mmr_rerank's non-equi candidate scan sits
+    behind a localCheckpoint, so its materialization plan — not the
+    final plan — carries the broadcast scan; the final plan is
+    checked here like any other.)"""
+    from parquet_stream_writer_spark.plans import summarize
+
+    offenders = {}
+    for name, fn in sorted(staged.QUERIES.items()):
+        s = summarize(fn(spark, sf_dir))
+        if s.nodes.get("SortAggregate"):
+            offenders.setdefault(name, []).append("SortAggregate")
+        if s.nodes.get("BroadcastNestedLoopJoin") and name not in _STAGED_NLJ_OK:
+            offenders.setdefault(name, []).append("BroadcastNestedLoopJoin")
+        if s.nodes.get("CartesianProduct"):
+            offenders.setdefault(name, []).append("CartesianProduct")
+    assert not offenders, offenders
