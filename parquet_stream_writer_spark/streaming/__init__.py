@@ -10,7 +10,10 @@
   (running counters, cross-batch dedup).
 """
 
-from parquet_stream_writer_spark.streaming.sinks import StreamingShardSink
+from parquet_stream_writer_spark.streaming.sinks import (
+    StreamingShardSink,
+    ViewMaintenanceSink,
+)
 from parquet_stream_writer_spark.streaming.windows import (
     interval_join,
     session_window_agg,
@@ -21,6 +24,7 @@ from parquet_stream_writer_spark.streaming.windows import (
 )
 
 __all__ = [
+    "ViewMaintenanceSink",
     "StreamingShardSink",
     "interval_join",
     "session_window_agg",

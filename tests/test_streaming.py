@@ -513,3 +513,42 @@ def test_stateful_streaming_funnel_matches_batch_across_batches(
         want_row["n_purchased_after_click"],
     )
     assert got == want
+
+
+def test_streaming_view_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming twin of pipeline_incremental_agg_refresh: a
+    ViewMaintenanceSink fed the orders table as four micro-batches
+    must end with EXACTLY the batch (month, status) rollup — counts
+    and integer-cents sums merge associatively, so batch boundaries
+    cannot perturb the view."""
+    from parquet_stream_writer_spark.sources import load_table
+    from parquet_stream_writer_spark.streaming import ViewMaintenanceSink
+
+    src = tmp_path / "orders_stream"
+    projected = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).cast("long").alias("n"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    projected.repartition(4).write.parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = ViewMaintenanceSink(["month", "status"], ["n", "cents"])
+    q = sink.start(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert sink.batches_seen >= 4  # one per source file
+
+    got = sink.view()
+    want = (
+        projected.groupBy("month", "status")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .toPandas()
+        .sort_values(["month", "status"], ignore_index=True)
+    )
+    assert got.equals(want)
