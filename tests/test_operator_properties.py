@@ -185,3 +185,227 @@ def test_km_survival_hits_zero_and_censors(spark, tmp_path):
     assert out[("B", 1)] == (4, 2, 0, 0.5)
     assert out[("B", 5)] == (2, 1, 0, 0.25)
     assert out[("B", _KM_CENSOR_DAYS)] == (1, 0, 1, 0.25)
+
+
+# ---------------------------------------------------------------------------
+# Staged-pack cross-checks (batch E): regimes the driver corpus never
+# reaches — CUSUM ties, all-flat series, merge over random batch
+# splits, label propagation on disconnected graphs.
+# ---------------------------------------------------------------------------
+
+def _pr(x, p):
+    return np.floor(np.asarray(x, dtype="float64") * 10**p + 0.5) / 10**p
+
+
+@pytest.mark.parametrize("seed", [3, 11, 500])
+def test_cusum_changepoint_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import events_cusum_changepoint
+
+    rng = np.random.default_rng(seed)
+    days = pd.date_range("2024-01-01", periods=20, freq="D")
+    rows = []
+    for etype, shift_at in [("a", 7), ("b", 13), ("flat", None)]:
+        for i, day in enumerate(days):
+            base = 5 if etype == "flat" else (3 if (shift_at and i < shift_at) else 9)
+            n = base + (0 if etype == "flat" else int(rng.integers(0, 3)))
+            for k in range(n):
+                rows.append(
+                    (len(rows), day + pd.Timedelta(minutes=int(k)), 1, etype, 1.0, "{}")
+                )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    got = {
+        r.event_type: (r.cp_day, r.n_days, r.cusum_stat, r.mean_pre, r.mean_post)
+        for r in events_cusum_changepoint(spark, sf).collect()
+    }
+
+    daily = (
+        pdf.assign(day=pdf.ts.dt.floor("D"))
+        .groupby(["event_type", "day"])
+        .size()
+        .reset_index(name="x")
+        .sort_values(["event_type", "day"])
+    )
+    for etype, grp in daily.groupby("event_type"):
+        x = grp.x.to_numpy(dtype="int64")
+        d = list(grp.day)
+        n = len(x)
+        mean = x.sum() / n
+        cum = np.cumsum(x)
+        t = np.arange(1, n + 1)
+        s = cum - t * mean
+        # argmax |s| with earliest-day tie-break = numpy argmax (first max)
+        i = int(np.argmax(np.abs(s)))
+        mean_post = (
+            (x.sum() - cum[i]) / (n - (i + 1)) if i + 1 < n else None
+        )
+        want = (
+            d[i].to_pydatetime(),
+            n,
+            float(_pr(abs(s[i]), 4)),
+            float(_pr(cum[i] / (i + 1), 4)),
+            None if mean_post is None else float(_pr(mean_post, 4)),
+        )
+        assert got[etype] == want, (etype, got[etype], want)
+
+
+@pytest.mark.parametrize("seed", [1, 42])
+def test_incremental_refresh_merge_equals_recompute(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        pipeline_incremental_agg_refresh,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    # Dates straddle the 1998-01-01 cutoff; prices exercise the cents
+    # rounding on .xx5 boundaries.
+    dates = pd.Timestamp("1997-06-01") + pd.to_timedelta(
+        rng.integers(0, 400, n), unit="D"
+    )
+    prices = np.round(rng.uniform(10, 1000, n), 3)  # 3dp → forces rounding
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.integers(1, 50, n).astype("int64"),
+            "o_orderstatus": rng.choice(["O", "F", "P"], n),
+            "o_totalprice": prices,
+            "o_orderdate": dates,
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    sf = _write(tmp_path, "orders", pdf)
+    out = pipeline_incremental_agg_refresh(spark, sf).toPandas()
+    assert out.matches_full.all()
+
+    brute = (
+        pdf.assign(
+            month=pdf.o_orderdate.dt.strftime("%Y-%m"),
+            cents=np.floor(pdf.o_totalprice * 100 + 0.5).astype("int64"),
+        )
+        .groupby(["month", "o_orderstatus"])
+        .agg(n_orders=("cents", "size"), cents=("cents", "sum"))
+        .reset_index()
+    )
+    got = out.set_index(["month", "status"]).sort_index()
+    want = brute.set_index(["month", "o_orderstatus"]).sort_index()
+    assert (got.n_orders.to_numpy() == want.n_orders.to_numpy()).all()
+    assert np.array_equal(
+        got.revenue.to_numpy(), _pr(want.cents.to_numpy() / 100.0, 2)
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 99])
+def test_label_propagation_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _LP_ROUNDS,
+        graph_label_propagation,
+    )
+
+    rng = np.random.default_rng(seed)
+    # Sparse bipartite graph → stays DISCONNECTED at 3 rounds (the
+    # regime the dense trade corpus never shows).
+    n_orders, n_cust, n_supp = 120, 60, 15
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype="int64"),
+            "o_custkey": rng.integers(0, n_cust, n_orders).astype("int64"),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_orders, 150).astype("int64"),
+            "l_suppkey": rng.integers(0, n_supp, 150).astype("int64"),
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir(exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(orders), d / "orders.parquet")
+    pq.write_table(pa.Table.from_pandas(li), d / "lineitem.parquet")
+    sf = str(d)
+
+    got = [
+        (r["round"], r.n_communities, r.largest_community, r.n_singletons)
+        for r in graph_label_propagation(spark, sf).collect()
+    ]
+
+    merged = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    pairs = {
+        (int(c) * 2, int(s) * 2 + 1)
+        for c, s in zip(merged.o_custkey, merged.l_suppkey)
+    }
+    adj: dict = {}
+    for c, s in pairs:
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    label = {v: v for v in adj}
+    want = []
+    for rnd in range(1, _LP_ROUNDS + 1):
+        label = {
+            v: min([label[v]] + [label[u] for u in adj[v]]) for v in adj
+        }
+        from collections import Counter
+
+        sizes = Counter(label.values())
+        want.append(
+            (
+                rnd,
+                len(sizes),
+                max(sizes.values()),
+                sum(1 for s in sizes.values() if s == 1),
+            )
+        )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [2, 77])
+def test_anomaly_mad_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _MAD_K,
+        _MAD_THRESHOLD,
+        events_anomaly_mad,
+    )
+
+    rng = np.random.default_rng(seed)
+    days = pd.date_range("2024-03-01", periods=15, freq="D")
+    rows = []
+    for etype in ["x", "y"]:
+        counts = rng.integers(4, 8, len(days))
+        counts[3] = 40  # guaranteed outlier day
+        if etype == "y":
+            counts[:] = 6  # constant series → MAD = 0 regime
+        for day, n in zip(days, counts):
+            for k in range(int(n)):
+                rows.append(
+                    (len(rows), day + pd.Timedelta(minutes=int(k)), 1, etype, 1.0, "{}")
+                )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    got = {
+        r.event_type: (r.n_days, r.median_daily, r.mad_daily, r.n_anomalous_days)
+        for r in events_anomaly_mad(spark, sf).collect()
+    }
+
+    daily = (
+        pdf.assign(day=pdf.ts.dt.floor("D"))
+        .groupby(["event_type", "day"])
+        .size()
+        .reset_index(name="x")
+    )
+    for etype, grp in daily.groupby("event_type"):
+        x = grp.x.to_numpy(dtype="float64")
+        med = float(np.percentile(x, 50))  # linear interpolation = percentile()
+        mad = float(np.percentile(np.abs(x - med), 50))
+        if mad > 0:
+            z = _MAD_K * (x - med) / mad
+            n_anom = int((np.abs(z) > _MAD_THRESHOLD).sum())
+        else:
+            n_anom = 0
+        want = (len(x), float(_pr(med, 4)), float(_pr(mad, 4)), n_anom)
+        assert got[etype] == want, (etype, got[etype], want)
