@@ -409,3 +409,176 @@ def test_anomaly_mad_matches_bruteforce(spark, tmp_path, seed):
             n_anom = 0
         want = (len(x), float(_pr(med, 4)), float(_pr(mad, 4)), n_anom)
         assert got[etype] == want, (etype, got[etype], want)
+
+
+# ---------------------------------------------------------------------------
+# Staged-pack cross-checks (batches D and F)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [4, 321])
+def test_transition_entropy_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import events_transition_entropy
+
+    rng = np.random.default_rng(seed)
+    n = 600
+    base = pd.Timestamp("2024-05-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            # duplicate timestamps per user force the event_id tie-break
+            "ts": base + pd.to_timedelta(rng.integers(0, 200, n), unit="min"),
+            "user_id": rng.integers(0, 20, n).astype("int64"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": np.ones(n),
+            "props": ["{}"] * n,
+        }
+    )
+    sf = _write(tmp_path, "events", pdf)
+    got = {
+        r.cur: (r.n_transitions, r.n_successors, r.cond_entropy_bits)
+        for r in events_transition_entropy(spark, sf).collect()
+    }
+
+    s = pdf.sort_values(["user_id", "ts", "event_id"])
+    s = s.assign(nxt=s.groupby("user_id").event_type.shift(-1)).dropna(
+        subset=["nxt"]
+    )
+    cells = s.groupby(["event_type", "nxt"]).size()
+    for cur in sorted(cells.index.get_level_values(0).unique()):
+        c = cells[cur].to_numpy(dtype="float64")
+        t = c.sum()
+        h = np.log2(t) - (c * np.log2(c)).sum() / t
+        want = (int(t), len(c), float(_pr(h, 6)))
+        assert got[cur] == want, (cur, got[cur], want)
+
+
+@pytest.mark.parametrize("seed", [6, 88])
+def test_reorder_interval_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _RI_BIN_DAYS,
+        _RI_MAX_BIN,
+        orders_reorder_interval,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.integers(0, 40, n).astype("int64"),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": np.full(n, 100.0),
+            # spread wide enough to hit the capped top bin; same-day
+            # duplicates force the orderkey tie-break
+            "o_orderdate": pd.Timestamp("1996-01-01")
+            + pd.to_timedelta(rng.integers(0, 500, n), unit="D"),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    sf = _write(tmp_path, "orders", pdf)
+    got = {
+        r.bin: (r.bin_start_day, r.n_gaps, r.mean_gap_days)
+        for r in orders_reorder_interval(spark, sf).collect()
+    }
+
+    s = pdf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    gaps = (
+        s.groupby("o_custkey")
+        .o_orderdate.diff()
+        .dropna()
+        .dt.days.to_numpy(dtype="int64")
+    )
+    bins = np.minimum(_RI_MAX_BIN, gaps // _RI_BIN_DAYS)
+    for b in sorted(set(bins)):
+        g = gaps[bins == b]
+        want = (
+            int(b) * _RI_BIN_DAYS,
+            len(g),
+            float(_pr(g.sum() / len(g), 4)),
+        )
+        assert got[b] == want, (b, got[b], want)
+
+
+def test_readability_matches_python_re(spark, tmp_path):
+    """Cross-checks the THIRD regex engine: Spark (Java) and DuckDB
+    (RE2) already agree via the oracle; Python re pins the intended
+    token semantics on adversarial text (tabs, CRLF, no-vowel words,
+    unpunctuated docs, empty-ish docs)."""
+    import re
+
+    from parquet_stream_writer_spark.operators.staged import text_readability
+
+    texts = [
+        "One two three. Four five! Six?",
+        "tabs\tand\r\nnewlines separate words",
+        "nopunctuationatall",
+        "rhythm myth crwth",  # y-only / no-vowel words
+        "...", "a", "  ",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    row = text_readability(spark, sf).collect()[0]
+
+    tw = sum(len(re.findall(r"[^ \t\n\r]+", t)) for t in texts)
+    ts_ = sum(max(1, len(re.findall(r"[.!?]", t))) for t in texts)
+    ty = sum(len(re.findall(r"[aeiouyAEIOUY]+", t)) for t in texts)
+    assert row.n_docs == len(texts)
+    assert row.words_per_sentence == float(_pr(tw / ts_, 4))
+    assert row.syllables_per_word == float(_pr(ty / tw, 4))
+    assert row.flesch_ease == float(
+        _pr(206.835 - 1.015 * (tw / ts_) - 84.6 * (ty / tw), 4)
+    )
+
+
+@pytest.mark.parametrize("seed", [9, 55])
+def test_k_anonymity_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _KANON_BAL_STEP,
+        _KANON_K,
+        pipeline_k_anonymity,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n, dtype="int64"),
+            "c_name": ["c"] * n,
+            "c_nationkey": rng.integers(0, 5, n).astype("int64"),
+            "c_acctbal": np.round(rng.uniform(-100, 400, n), 2),
+            "c_mktsegment": rng.choice(["A", "B"], n),
+        }
+    )
+    sf = _write(tmp_path, "customer", pdf)
+    got = {
+        r.qi_set: (r.n_rows, r.n_groups, r.min_group_size, r.n_unsafe_rows)
+        for r in pipeline_k_anonymity(spark, sf).collect()
+    }
+
+    for name, cols in [
+        ("nation+segment", [pdf.c_nationkey, pdf.c_mktsegment]),
+        (
+            "nation+segment+balance_bucket",
+            [
+                pdf.c_nationkey,
+                pdf.c_mktsegment,
+                np.floor(pdf.c_acctbal / _KANON_BAL_STEP).astype("int64"),
+            ],
+        ),
+    ]:
+        sizes = pdf.groupby([c for c in cols]).size()
+        want = (
+            n,
+            len(sizes),
+            int(sizes.min()),
+            int(sizes[sizes < _KANON_K].sum()),
+        )
+        assert got[name] == want, (name, got[name], want)
