@@ -2255,18 +2255,32 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").alias("ts"),
         F.sum("y").alias("ty"),
     )
+    # tw = 0 (a language whose docs are all wordless) must pin to NULL
+    # in both engines — Spark's double division yields NULL while
+    # DuckDB's follows IEEE, so an unguarded ratio diverges exactly
+    # there (the text_zipf_fit lesson).  ts is already floored at 1.
     wps = F.col("tw").cast("double") / F.col("ts")
-    spw = F.col("ty").cast("double") / F.col("tw")
+    spw = F.when(
+        F.col("tw") > 0, F.col("ty").cast("double") / F.col("tw")
+    )
     return agg.select(
         "lang",
         "n_docs",
         pround(wps, 4).alias("words_per_sentence"),
         pround(spw, 4).alias("syllables_per_word"),
-        pround(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
-            "flesch_ease"
-        ),
         pround(
-            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+            F.when(
+                F.col("tw") > 0,
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            ),
+            4,
+        ).alias("flesch_ease"),
+        pround(
+            F.when(
+                F.col("tw") > 0,
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+            ),
+            4,
         ).alias("fk_grade"),
     ).orderBy("lang")
 
@@ -2285,12 +2299,16 @@ agg AS (
 )
 SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
        floor((CAST(tw AS DOUBLE) / ts) * 10000 + 0.5) / 10000.0 AS words_per_sentence,
-       floor((CAST(ty AS DOUBLE) / tw) * 10000 + 0.5) / 10000.0 AS syllables_per_word,
-       floor((206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
-              - 84.6 * (CAST(ty AS DOUBLE) / tw)) * 10000 + 0.5) / 10000.0
+       CASE WHEN tw > 0 THEN
+         floor((CAST(ty AS DOUBLE) / tw) * 10000 + 0.5) / 10000.0 END
+         AS syllables_per_word,
+       CASE WHEN tw > 0 THEN
+         floor((206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
+                - 84.6 * (CAST(ty AS DOUBLE) / tw)) * 10000 + 0.5) / 10000.0 END
          AS flesch_ease,
-       floor((0.39 * (CAST(tw AS DOUBLE) / ts)
-              + 11.8 * (CAST(ty AS DOUBLE) / tw) - 15.59) * 10000 + 0.5) / 10000.0
+       CASE WHEN tw > 0 THEN
+         floor((0.39 * (CAST(tw AS DOUBLE) / ts)
+                + 11.8 * (CAST(ty AS DOUBLE) / tw) - 15.59) * 10000 + 0.5) / 10000.0 END
          AS fk_grade
 FROM agg ORDER BY lang
 """

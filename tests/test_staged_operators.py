@@ -69,3 +69,45 @@ def test_staged_pack_plan_sweep(spark, sf_dir):
         if s.nodes.get("CartesianProduct"):
             offenders.setdefault(name, []).append("CartesianProduct")
     assert not offenders, offenders
+
+
+def test_readability_wordless_lang_nulls_match_oracle(spark, tmp_path):
+    """A language whose docs contain no words must yield NULL Flesch
+    columns IDENTICALLY in both engines (Spark double division yields
+    NULL, DuckDB follows IEEE — the WHEN/CASE guard pins them to the
+    same NULL)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    texts = ["hello world. fine text!", "   \t ", " \n "]
+    langs = ["en", "xx", "xx"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": texts,
+            "lang": langs,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), d / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    assert_results_match(
+        staged.QUERIES["text_readability"](spark, str(d)),
+        con,
+        staged.ORACLE["text_readability"],
+    )
+    got = {
+        r.lang: r for r in staged.QUERIES["text_readability"](spark, str(d)).collect()
+    }
+    assert got["xx"].syllables_per_word is None
+    assert got["xx"].flesch_ease is None
+    assert got["en"].flesch_ease is not None
