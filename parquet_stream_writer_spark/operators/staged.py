@@ -195,8 +195,12 @@ def sample_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort at scale); the transcendental key is used ONLY for ordering
     and never emitted, so a 1-ulp libm difference cannot perturb the
     value hash (keys of distinct docs are ~1/n² separated).
+    Zero-weight docs (empty text) are excluded up front: their
+    inclusion probability is proportionally zero, and the unguarded
+    ``ln(u)/0`` diverges between engines (Spark nulls, IEEE gives
+    -inf) — caught by the adversarial-corpus sweep.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     u = (
         F.expr(
             "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
@@ -224,7 +228,7 @@ WITH keyed AS (
   SELECT doc_id, source, n_chars,
          ln((CAST({_hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))", 8)} AS BIGINT) + 1)
             / {float(_GK_SCALE + 2)!r}) / n_chars AS gk
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ),
 ranked AS (
   SELECT source, doc_id, n_chars,
