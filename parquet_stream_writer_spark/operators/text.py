@@ -294,6 +294,13 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols as separate tokens (the shape of GPT-style pre-tokenizers)
     and compares against the whitespace count — the standard
     tokens-per-document costing pass before training-data billing.
+
+    A zero-token document (whitespace-only text) pins
+    ``chars_per_token`` to NULL in BOTH engines: unguarded, Spark's
+    ANSI mode raises DIVIDE_BY_ZERO at runtime and DuckDB's ``*1.0``
+    double path gives ±∞ — the adversarial-corpus sweep (round 6
+    session 4) caught the fork; the WHEN/CASE pair is the
+    text_zipf_fit guard convention.
     """
     docs = load_table(spark, sf_dir, "documents")
     pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -308,7 +315,13 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
     ).withColumn(
         "chars_per_token",
-        pround(F.col("n_chars") / F.col("bpe_tokens"), 4),
+        pround(
+            F.when(
+                F.col("bpe_tokens") > 0,
+                F.col("n_chars") / F.col("bpe_tokens"),
+            ),
+            4,
+        ),
     )
 
 
@@ -317,7 +330,9 @@ SELECT doc_id,
        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
-       floor((length(text) * 1.0 / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 10000 + 0.5) / 10000.0 AS chars_per_token
+       CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0 THEN
+         floor((length(text) * 1.0 / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 10000 + 0.5) / 10000.0 END
+         AS chars_per_token
 FROM documents
 """
 
