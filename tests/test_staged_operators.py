@@ -111,3 +111,37 @@ def test_readability_wordless_lang_nulls_match_oracle(spark, tmp_path):
     assert got["xx"].syllables_per_word is None
     assert got["xx"].flesch_ease is None
     assert got["en"].flesch_ease is not None
+
+
+def test_round7_registration_dry_run(monkeypatch):
+    """Simulate the round-7 flip (staged joins _modules()) at the
+    moment it will actually happen — AFTER the round-6 driver run has
+    recorded verdicts for this round's window — without performing
+    it: no key collisions, an oracle for every staged key, and all
+    staged keys land inside the driver's 50-key prefix window as
+    tier-0.  (Simulated against TODAY's verdict files, the 36
+    not-yet-verified round-6 keys correctly outrank the staged ones
+    and 10 staged keys would wait a round — which is exactly why the
+    flip belongs after the round-6 verdicts land, not before.)"""
+    from parquet_stream_writer_spark import operators as ops
+
+    live = ops.all_queries()
+    merged = dict(live)
+    overlap = set(merged) & set(staged.QUERIES)
+    assert not overlap, f"staged keys shadow registered keys: {overlap}"
+    merged.update(staged.QUERIES)
+    assert all(k in staged.ORACLE for k in staged.QUERIES)
+    assert all(k not in ops._verdicts() for k in staged.QUERIES)
+
+    # Round-6 driver run simulated: every currently-registered key
+    # holds a green verdict (window keys get round 6, the rest keep
+    # their recorded round).
+    real = ops._verdicts()
+    simulated = {k: real.get(k, (True, 6)) for k in live}
+    monkeypatch.setattr(ops, "_verdicts", lambda: simulated)
+
+    prioritized = ops._prioritized(merged)
+    assert set(prioritized) == set(merged)
+    window = list(prioritized)[:50]
+    missing = [k for k in staged.QUERIES if k not in window]
+    assert not missing, f"staged keys outside the 50-key window: {missing}"
