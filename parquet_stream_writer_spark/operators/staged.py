@@ -22,8 +22,10 @@ Round-7 registration checklist:
 
 1. add ``staged`` to ``operators._modules()`` (after ``pipeline``);
 2. add ``events_forecast_baseline`` (1-row backtest-window scalar),
-   ``text_bm25_search`` (bounded probe-term-set broadcast) and
-   ``text_burstiness`` (1-row corpus-size broadcast) to the plan
+   ``text_bm25_search`` (bounded probe-term-set broadcast),
+   ``text_burstiness`` (1-row corpus-size broadcast) and
+   ``events_ab_conversion_ztest`` (1-row x 1-row arm-stats cross
+   join) to the plan
    sweep's ``_NLJ_OK`` whitelist in tests/test_plan_introspection.py
    — the pre-registration sweep (test_staged_operators.py::
    test_staged_pack_plan_sweep, ``_STAGED_NLJ_OK``) pins the same
@@ -2420,3 +2422,279 @@ FROM rolled ORDER BY qi_set
 
 QUERIES["pipeline_k_anonymity"] = pipeline_k_anonymity
 ORACLE["pipeline_k_anonymity"] = ORACLE_PIPELINE_K_ANONYMITY
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+#: Bootstrap replicates and the md5-uniform scale (the sampler-family
+#: convention: 8 hex chars → (0, 2^32]).
+_BT_REPLICATES = 120
+_BT_SCALE = 2 ** 32
+#: Poisson(1) CDF steps for the multinomial-approximation weights
+#: (P(W<=k) for k = 0..5; u above the last step → weight 6).
+_BT_POISSON_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+                   0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value per
+    order status — uncertainty quantification for a data-quality
+    metric, which no point-estimate op in the pack provides.  Classic
+    multiplier bootstrap: each of ``_BT_REPLICATES`` replicates
+    reweights every row by an i.i.d.-Poisson(1)-distributed integer
+    (the large-n limit of multinomial resampling); the replicate
+    means' 2.5/97.5 percentiles are the interval.
+
+    No RNG: ONE md5 per row (the sampler-family hash convention)
+    seeds a SplitMix-style integer mixer per replicate — two
+    xor-shift-multiply rounds in exact BIGINT arithmetic, so the
+    per-(row, replicate) uniform costs integer ops, not a fresh
+    digest (an md5-per-pair draft ran 25 s at sf0.1; this shape runs
+    ~2 s) — and the uniform inverts the Poisson(1) CDF through a
+    fixed 6-step CASE cascade: integer weights, bit-identical in
+    both engines, stable under re-runs and repartitioning.  Shape: the replicate dimension
+    explodes BEFORE aggregation but partial sums combine map-side,
+    so the shuffle carries #partitions x replicates partial rows,
+    never the exploded corpus; replicate means are exact-integer-
+    weighted sums of 2-dp prices, and the percentile runs over the
+    tiny (status x replicates) relation with the interpolated
+    convention.  Replicate count scales the scan cost linearly —
+    the docstring constant is the knob a 100 TB user tunes down.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    seeded = orders.withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8), 16, 10)"
+            " as bigint)"
+        ),
+    )
+    rep = seeded.select(
+        "status",
+        "cents",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_BT_REPLICATES - 1))).alias("r"),
+    )
+    z0 = "((h + r * 2654435761) % 4294967296)"
+    z1 = f"((({z0} ^ ({z0} div 65536)) * 73244475) % 4294967296)"
+    z2 = f"((({z1} ^ ({z1} div 65536)) * 73244475) % 4294967296)"
+    u = (F.expr(z2) + 1) / F.lit(float(_BT_SCALE + 2))
+    wexpr = F.lit(6)
+    for k in range(len(_BT_POISSON_CDF) - 1, -1, -1):
+        wexpr = F.when(u <= _BT_POISSON_CDF[k], k).otherwise(wexpr)
+    means = (
+        rep.withColumn("w", wexpr)
+        .groupBy("status", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+            F.sum("w").alias("wn"),
+        )
+        .where(F.col("wn") > 0)
+        .select(
+            "status", (F.col("wsum") / F.col("wn") / 100.0).alias("m")
+        )
+    )
+    point = orders.groupBy("status").agg(
+        pround(F.sum("cents") / F.count(F.lit(1)) / 100.0, 4).alias("mean_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ci = means.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        pround(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        pround(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
+    return (
+        point.join(ci, "status")
+        .select("status", "n_orders", "mean_value", "n_replicates", "ci_lo", "ci_hi")
+        .orderBy("status")
+    )
+
+
+def _bt_weight_sql() -> str:
+    z0 = "((h + r * 2654435761) % 4294967296)"
+    z1 = f"(((xor({z0}, {z0} // 65536)) * 73244475) % 4294967296)"
+    z2 = f"(((xor({z1}, {z1} // 65536)) * 73244475) % 4294967296)"
+    u = f"(({z2} + 1) / {float(_BT_SCALE + 2)!r})"
+    w = "6"
+    for k in range(len(_BT_POISSON_CDF) - 1, -1, -1):
+        w = f"CASE WHEN {u} <= {_BT_POISSON_CDF[k]!r} THEN {k} ELSE {w} END"
+    return w
+
+
+ORACLE_STATS_BOOTSTRAP_CI = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+seeded AS (
+  SELECT status, cents,
+         CAST({_hex_to_int_sql("md5(CAST(o_orderkey AS VARCHAR))", 8)} AS BIGINT) AS h
+  FROM o
+),
+means AS (
+  SELECT status, r, CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0 AS m
+  FROM (
+    SELECT status, cents, i AS r, ({_bt_weight_sql()}) AS w
+    FROM seeded CROSS JOIN (SELECT unnest(generate_series(0, {_BT_REPLICATES - 1})) AS i)
+  ) GROUP BY 1, 2
+  HAVING sum(w) > 0
+),
+point AS (
+  SELECT status,
+         floor((CAST(sum(cents) AS DOUBLE) / count(*) / 100.0) * 10000 + 0.5) / 10000.0
+           AS mean_value,
+         count(*) AS n_orders
+  FROM o GROUP BY 1
+),
+ci AS (
+  SELECT status, CAST(count(*) AS BIGINT) AS n_replicates,
+         floor(quantile_cont(m, 0.025) * 10000 + 0.5) / 10000.0 AS ci_lo,
+         floor(quantile_cont(m, 0.975) * 10000 + 0.5) / 10000.0 AS ci_hi
+  FROM means GROUP BY 1
+)
+SELECT status, CAST(n_orders AS BIGINT) AS n_orders, mean_value,
+       n_replicates, ci_lo, ci_hi
+FROM point JOIN ci USING (status)
+ORDER BY status
+"""
+
+QUERIES["stats_bootstrap_ci"] = stats_bootstrap_ci
+ORACLE["stats_bootstrap_ci"] = ORACLE_STATS_BOOTSTRAP_CI
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion z-test
+# ---------------------------------------------------------------------------
+
+#: Two-sided 5% critical value.
+_AB_Z_CRIT = 1.959963984540054
+
+
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on view→purchase conversion between a
+    deterministic 50/50 user split — the experiment-analysis readout
+    (`agg_chi_square_independence` tests a whole contingency table;
+    this is the paired-arm form with effect size and a significance
+    verdict that an A/B dashboard shows).
+
+    Assignment is the pack's hash convention (md5 parity of user_id:
+    no RNG, stable under reruns), so the two arms are a true null —
+    the expected verdict is NOT significant, and a significant one
+    flags exactly the hash-imbalance pathology the op exists to
+    detect.  Conversion is time-bounded (a purchase within 24 h of
+    the user's FIRST view — the events_time_to_convert attribution
+    shape) so the pooled rate sits strictly inside (0, 1) on any
+    active corpus; a degenerate corpus (rate 0 or 1) nulls the
+    z columns identically in both engines via the WHEN/CASE guard
+    rather than dividing by a zero standard error.  Shape: one
+    per-user conditional aggregation (the only corpus shuffle), then
+    1-row-per-arm stats and scalar arithmetic; the pooled z composes
+    from integer counts with identical double ops in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_type", "ts"
+    )
+    fv = base.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("fv")
+    )
+    conv = (
+        base.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(
+            (F.col("ts") > F.col("fv"))
+            & (F.col("ts") <= F.col("fv") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    users = fv.join(conv, "user_id", "left").select(
+        "user_id",
+        F.coalesce("converted", F.lit(0)).alias("converted"),
+    ).withColumn(
+        "arm",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)"
+            " as bigint) % 2"
+        ),
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    j = a.crossJoin(b)  # two 1-row relations
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    p = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = F.when((p > 0) & (p < 1), (p_a - p_b) / se)
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        pround(p_a, 6).alias("conv_rate_a"),
+        pround(p_b, 6).alias("conv_rate_b"),
+        pround(p_a - p_b, 6).alias("uplift"),
+        pround(z, 4).alias("z_stat"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant_05"),
+    )
+
+
+ORACLE_EVENTS_AB_CONVERSION_ZTEST = f"""
+WITH fv AS (
+  SELECT user_id, min(ts) AS fv FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN fv USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > fv.fv AND e.ts <= fv.fv + INTERVAL 24 HOUR
+),
+users AS (
+  SELECT fv.user_id,
+         CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS converted,
+         CAST({_hex_to_int_sql("md5(CAST(fv.user_id AS VARCHAR))", 8)} AS BIGINT) % 2 AS arm
+  FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
+),
+arms AS (
+  SELECT arm, count(*) AS n, sum(converted) AS conv FROM users GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n_a, a.conv AS c_a, b.n AS n_b, b.conv AS c_b
+  FROM (SELECT n, conv FROM arms WHERE arm = 0) a,
+       (SELECT n, conv FROM arms WHERE arm = 1) b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       floor((CAST(c_a AS DOUBLE) / n_a) * 1000000 + 0.5) / 1000000.0 AS conv_rate_a,
+       floor((CAST(c_b AS DOUBLE) / n_b) * 1000000 + 0.5) / 1000000.0 AS conv_rate_b,
+       floor((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) * 1000000 + 0.5) / 1000000.0 AS uplift,
+       CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+         floor(((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                       * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b))) * 10000 + 0.5) / 10000.0 END
+         AS z_stat,
+       CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+         abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))) > {_AB_Z_CRIT!r} END
+         AS significant_05
+FROM j
+"""
+
+QUERIES["events_ab_conversion_ztest"] = events_ab_conversion_ztest
+ORACLE["events_ab_conversion_ztest"] = ORACLE_EVENTS_AB_CONVERSION_ZTEST

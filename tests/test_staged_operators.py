@@ -46,6 +46,7 @@ _STAGED_NLJ_OK = {
     "events_forecast_baseline",  # 1-row backtest-window scalar broadcast
     "text_bm25_search",  # bounded probe-term-set broadcast (exact scan shape)
     "text_burstiness",  # 1-row corpus-size broadcast
+    "events_ab_conversion_ztest",  # 1-row x 1-row arm-stats cross join
 }
 
 
