@@ -582,3 +582,111 @@ def test_k_anonymity_matches_bruteforce(spark, tmp_path, seed):
             int(sizes[sizes < _KANON_K].sum()),
         )
         assert got[name] == want, (name, got[name], want)
+
+
+def test_bootstrap_ci_matches_python_model(spark, tmp_path):
+    """Replicates the whole deterministic bootstrap — md5 seed,
+    SplitMix mixer, Poisson CDF cascade, weighted replicate means,
+    interpolated percentiles — in pure Python/numpy and demands the
+    identical interval."""
+    import hashlib
+
+    from parquet_stream_writer_spark.operators.staged import (
+        _BT_POISSON_CDF,
+        _BT_REPLICATES,
+        _BT_SCALE,
+        stats_bootstrap_ci,
+    )
+
+    n = 80
+    rng = np.random.default_rng(12)
+    prices = np.round(rng.uniform(10, 500, n), 2)
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": np.int64(1),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": prices,
+            "o_orderdate": pd.Timestamp("1997-01-01"),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    sf = _write(tmp_path, "orders", pdf)
+    row = stats_bootstrap_ci(spark, sf).collect()[0]
+
+    cents = np.floor(prices * 100 + 0.5).astype("int64")
+    seeds = np.array(
+        [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in range(n)],
+        dtype="int64",
+    )
+    means = []
+    for r in range(_BT_REPLICATES):
+        z0 = (seeds + r * 2654435761) % 4294967296
+        z1 = ((z0 ^ (z0 // 65536)) * 73244475) % 4294967296
+        z2 = ((z1 ^ (z1 // 65536)) * 73244475) % 4294967296
+        u = (z2 + 1) / float(_BT_SCALE + 2)
+        w = np.full(n, 6, dtype="int64")
+        for k in range(len(_BT_POISSON_CDF) - 1, -1, -1):
+            w = np.where(u <= _BT_POISSON_CDF[k], k, w)
+        if w.sum() > 0:
+            means.append(float((w * cents).sum()) / w.sum() / 100.0)
+    lo = float(np.percentile(means, 2.5))
+    hi = float(np.percentile(means, 97.5))
+    assert row.n_replicates == len(means)
+    assert row.ci_lo == float(_pr(lo, 4))
+    assert row.ci_hi == float(_pr(hi, 4))
+    assert row.mean_value == float(_pr(cents.sum() / n / 100.0, 4))
+    assert row.ci_lo < row.mean_value < row.ci_hi
+
+
+@pytest.mark.parametrize("seed", [8, 44])
+def test_ab_ztest_matches_bruteforce(spark, tmp_path, seed):
+    import hashlib
+
+    from parquet_stream_writer_spark.operators.staged import (
+        events_ab_conversion_ztest,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = pd.Timestamp("2024-06-01")
+    for uid in range(120):
+        t_view = base + pd.Timedelta(minutes=int(rng.integers(0, 5000)))
+        rows.append((len(rows), t_view, uid, "view", 1.0, "{}"))
+        if rng.random() < 0.6:
+            # half convert inside the 24h window, half outside
+            delta = int(rng.integers(1, 1440)) if rng.random() < 0.5 else int(
+                rng.integers(1441, 10000)
+            )
+            rows.append(
+                (len(rows), t_view + pd.Timedelta(minutes=delta), uid, "purchase", 1.0, "{}")
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    row = events_ab_conversion_ztest(spark, sf).collect()[0]
+
+    stats = {0: [0, 0], 1: [0, 0]}
+    for uid, grp in pdf.groupby("user_id"):
+        views = grp[grp.event_type == "view"]
+        if views.empty:
+            continue
+        fv = views.ts.min()
+        conv = (
+            (grp.event_type == "purchase")
+            & (grp.ts > fv)
+            & (grp.ts <= fv + pd.Timedelta(hours=24))
+        ).any()
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+        stats[arm][0] += 1
+        stats[arm][1] += int(conv)
+    (n_a, c_a), (n_b, c_b) = stats[0], stats[1]
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.conv_rate_a == float(_pr(c_a / n_a, 6))
+    assert row.conv_rate_b == float(_pr(c_b / n_b, 6))
+    p = (c_a + c_b) / (n_a + n_b)
+    se = (p * (1 - p) * (1 / n_a + 1 / n_b)) ** 0.5
+    z = (c_a / n_a - c_b / n_b) / se
+    assert row.z_stat == float(_pr(z, 4))
+    assert row.significant_05 == (abs(z) > 1.959963984540054)
