@@ -690,3 +690,214 @@ def test_ab_ztest_matches_bruteforce(spark, tmp_path, seed):
     z = (c_a / n_a - c_b / n_b) / se
     assert row.z_stat == float(_pr(z, 4))
     assert row.significant_05 == (abs(z) > 1.959963984540054)
+
+
+def test_weighted_median_matches_bruteforce_with_ties(spark, tmp_path):
+    """Lower weighted median on a corpus built to hit the tricky
+    regimes: exact half-total crossings, duplicate values collapsed
+    by the pre-aggregation, a single-value group, heavy weight on
+    one value."""
+    from parquet_stream_writer_spark.operators.staged import agg_weighted_median
+
+    rows = []
+    # flag A: values 10,20,30 with weights 2,2,4 → half=4 → cum at 20 is 4 → median 20
+    for v, w in [(10.0, 2), (20.0, 2), (30.0, 4)]:
+        for _ in range(w):
+            rows.append(("A", v))
+    # flag B: single value
+    rows += [("B", 55.5)] * 7
+    # flag C: skew — one value carries 90% of weight
+    rows += [("C", 1.0)] * 1 + [("C", 99.0)] * 9
+    pdf = pd.DataFrame(rows, columns=["l_returnflag", "l_extendedprice"])
+    pdf["l_quantity"] = 1.0
+    for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]:
+        pdf[c] = np.arange(len(pdf), dtype="int64")
+    pdf["l_discount"] = 0.0
+    pdf["l_tax"] = 0.0
+    pdf["l_linestatus"] = "O"
+    pdf["l_shipdate"] = pd.Timestamp("1996-01-01")
+    sf = _write(tmp_path, "lineitem", pdf)
+    got = {
+        r.flag: r.weighted_median_price
+        for r in agg_weighted_median(spark, sf).collect()
+    }
+
+    for flag, grp in pdf.groupby("l_returnflag"):
+        agg = grp.groupby("l_extendedprice").l_quantity.sum().sort_index()
+        half = agg.sum() / 2.0
+        cum = agg.cumsum()
+        want = float(_pr(cum.index[(cum >= half).argmax()], 2))
+        assert got[flag] == want, (flag, got[flag], want)
+
+
+def test_bm25_matches_python_model(spark, tmp_path):
+    from parquet_stream_writer_spark.operators.staged import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_PROBES,
+        _BM25_TOP,
+        text_bm25_search,
+    )
+
+    texts = [
+        "spark sql engine",                # probes 0..4
+        "duck db sql engine fast",
+        "parquet file format columnar",
+        "spark streaming windows",
+        "graph label propagation rounds",
+        "sql engine tuning guide",
+        "columnar parquet reader spark",
+        "fast graph engine",
+        "completely unrelated words here",
+        "spark spark spark sql",           # high-tf doc
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    out = text_bm25_search(spark, sf).collect()
+
+    import math
+
+    postings = {}
+    for d, t in enumerate(texts):
+        for tok in t.lower().split(" "):
+            if tok:
+                postings.setdefault(d, {}).setdefault(tok, 0)
+                postings[d][tok] += 1
+    dl = {d: sum(tfs.values()) for d, tfs in postings.items()}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df_ = {}
+    for tfs in postings.values():
+        for tok in tfs:
+            df_[tok] = df_.get(tok, 0) + 1
+
+    for qid in range(_BM25_PROBES):
+        scores = {}
+        for d, tfs in postings.items():
+            if d == qid:
+                continue
+            s = 0.0
+            for tok in postings[qid]:
+                if tok in tfs:
+                    idf = math.log(
+                        1.0 + (n_docs - df_[tok] + 0.5) / (df_[tok] + 0.5)
+                    )
+                    tf = tfs[tok]
+                    s += idf * tf * (_BM25_K1 + 1.0) / (
+                        tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl[d] / avgdl)
+                    )
+            if s > 0:
+                scores[d] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOP]
+        got = [(r.doc_id, r.bm25) for r in out if r.qid == qid]
+        assert [d for d, _ in got] == [d for d, _ in want], (qid, got, want)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            # Spark emits pround(score, 4); round the model the same way
+            assert abs(gs - float(_pr(ws, 4))) < 1e-9, (qid, gd, gs, ws)
+
+
+@pytest.mark.parametrize("seed", [13, 202])
+def test_rolling_trend_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _TREND_K,
+        _TREND_USER_MOD,
+        events_rolling_trend,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = pd.Timestamp("2024-07-01")
+    for uid in [0, _TREND_USER_MOD, 3 * _TREND_USER_MOD, 7]:  # 7 filtered out
+        n = int(rng.integers(1, 2 * _TREND_K))
+        for i in range(n):
+            rows.append(
+                (
+                    len(rows),
+                    base + pd.Timedelta(minutes=i),
+                    uid,
+                    "view",
+                    float(np.round(rng.uniform(0, 10), 2)),
+                    "{}",
+                )
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    got = {
+        (r.user_id, r.event_id): (r.n_window, r.trend_slope)
+        for r in events_rolling_trend(spark, sf).collect()
+    }
+    assert all(uid % _TREND_USER_MOD == 0 for uid, _ in got)
+
+    sel = pdf[pdf.user_id % _TREND_USER_MOD == 0].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    for uid, grp in sel.groupby("user_id"):
+        ys = grp.value.to_numpy()
+        eids = grp.event_id.to_numpy()
+        for j in range(len(ys)):
+            lo = max(0, j - (_TREND_K - 1))
+            xs = np.arange(lo + 1, j + 2, dtype="float64")
+            yw = ys[lo : j + 1]
+            n = len(xs)
+            denom = n * (xs * xs).sum() - xs.sum() ** 2
+            want = (
+                float(_pr((n * (xs * yw).sum() - xs.sum() * yw.sum()) / denom, 6))
+                if denom > 0
+                else None
+            )
+            gn, gs = got[(uid, eids[j])]
+            assert gn == n
+            if want is None:
+                assert gs is None
+            else:
+                assert gs is not None and abs(gs - want) < 1e-9, (uid, j, gs, want)
+
+
+def test_forecast_baseline_matches_bruteforce(spark, tmp_path):
+    from parquet_stream_writer_spark.operators.staged import (
+        _FC_HORIZON,
+        _FC_PERIOD,
+        events_forecast_baseline,
+    )
+
+    rng = np.random.default_rng(21)
+    days = pd.date_range("2024-01-01", periods=21, freq="D")
+    counts = [5 + (i % _FC_PERIOD) + int(rng.integers(0, 2)) for i in range(len(days))]
+    rows = []
+    for day, n in zip(days, counts):
+        for k in range(n):
+            rows.append((len(rows), day + pd.Timedelta(minutes=k), 1, "view", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    row = events_forecast_baseline(spark, sf).collect()[0]
+
+    series = dict(zip(days, counts))
+    max_day = days[-1]
+    pairs = [
+        (series[d], series[d - pd.Timedelta(days=_FC_PERIOD)])
+        for d in days
+        if d > max_day - pd.Timedelta(days=_FC_HORIZON)
+        and (d - pd.Timedelta(days=_FC_PERIOD)) in series
+    ]
+    n = len(pairs)
+    errs = [y - yh for y, yh in pairs]
+    assert row.n_days == n
+    assert row.actual_total == sum(y for y, _ in pairs)
+    assert row.predicted_total == sum(yh for _, yh in pairs)
+    assert row.mae == float(_pr(sum(abs(e) for e in errs) / n, 4))
+    assert row.bias == float(_pr(sum(errs) / n, 4))
+    assert row.mape == float(
+        _pr(sum(abs(e) / y for e, (y, _) in zip(errs, pairs)) / n, 6)
+    )
