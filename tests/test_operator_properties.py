@@ -901,3 +901,204 @@ def test_forecast_baseline_matches_bruteforce(spark, tmp_path):
     assert row.mape == float(
         _pr(sum(abs(e) / y for e, (y, _) in zip(errs, pairs)) / n, 6)
     )
+
+
+@pytest.mark.parametrize("seed", [17, 404])
+def test_chi_square_matches_scipy_free_model(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _CHI2_CRIT_05_DF24,
+        agg_chi_square_independence,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 900
+    base = pd.Timestamp("2024-02-05")  # a Monday
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": base + pd.to_timedelta(rng.integers(0, 21 * 1440, n), unit="min"),
+            "user_id": rng.integers(0, 40, n).astype("int64"),
+            "event_type": rng.choice(["a", "b", "c", "d"], n, p=[0.4, 0.3, 0.2, 0.1]),
+            "value": np.ones(n),
+            "props": ["{}"] * n,
+        }
+    )
+    sf = _write(tmp_path, "events", pdf)
+    row = agg_chi_square_independence(spark, sf).collect()[0]
+
+    us = pdf.ts.astype("int64") // 1000  # ns -> us
+    dow = (us // 86_400_000_000 + 3) % 7
+    tab = pd.crosstab(pdf.event_type, dow)
+    obs = tab.to_numpy(dtype="float64")
+    rt = obs.sum(axis=1, keepdims=True)
+    ct = obs.sum(axis=0, keepdims=True)
+    t = obs.sum()
+    exp = rt * ct / t
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    dof = (tab.shape[0] - 1) * (tab.shape[1] - 1)
+    assert row.n_events == n
+    assert row.dof == dof
+    assert abs(row.chi2 - float(_pr(chi2, 6))) < 1e-9
+    assert row.dependent_at_05 == (chi2 > _CHI2_CRIT_05_DF24)
+
+
+@pytest.mark.parametrize("seed", [23, 909])
+def test_autocorrelation_matches_numpy(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _AC_LAGS,
+        events_autocorrelation,
+    )
+
+    rng = np.random.default_rng(seed)
+    days = pd.date_range("2024-04-01", periods=28, freq="D")
+    counts = (10 + 4 * np.sin(np.arange(len(days)) * 2 * np.pi / 7)
+              + rng.integers(0, 3, len(days))).astype(int)
+    rows = []
+    for day, c in zip(days, counts):
+        for k in range(int(c)):
+            rows.append((len(rows), day + pd.Timedelta(minutes=k), 1, "view", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    got = {r.lag_days: (r.n_pairs, r.autocorr)
+           for r in events_autocorrelation(spark, sf).collect()}
+
+    x = counts.astype("float64")
+    for lag in _AC_LAGS:
+        a, b = x[lag:], x[:-lag]
+        n = len(a)
+        num = n * (a * b).sum() - a.sum() * b.sum()
+        den = ((n * (a * a).sum() - a.sum() ** 2)
+               * (n * (b * b).sum() - b.sum() ** 2)) ** 0.5
+        want = float(_pr(num / den, 6))
+        gn, gr = got[lag]
+        assert gn == n
+        assert abs(gr - want) < 1e-9, (lag, gr, want)
+    # weekly seasonality planted: lag-7 autocorrelation must dominate lag-1
+    assert got[7][1] > got[1][1]
+
+
+@pytest.mark.parametrize("seed", [31, 77])
+def test_lorenz_curve_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _LZ_POINTS,
+        orders_lorenz_curve,
+    )
+
+    rng = np.random.default_rng(seed)
+    # two nations, skewed revenue, deliberate ties at low values
+    nat = pd.DataFrame({"n_nationkey": np.int64([0, 1]), "n_name": ["AAA", "BBB"]})
+    custs = pd.DataFrame(
+        {
+            "c_custkey": np.arange(40, dtype="int64"),
+            "c_name": ["c"] * 40,
+            "c_nationkey": np.int64([0] * 20 + [1] * 20),
+            "c_acctbal": np.zeros(40),
+            "c_mktsegment": ["BUILDING"] * 40,
+        }
+    )
+    n_ord = 300
+    prices = np.where(
+        rng.random(n_ord) < 0.3, 10.0, np.round(rng.pareto(1.5, n_ord) * 50 + 10, 2)
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord, dtype="int64"),
+            "o_custkey": rng.integers(0, 40, n_ord).astype("int64"),
+            "o_orderstatus": ["O"] * n_ord,
+            "o_totalprice": prices,
+            "o_orderdate": pd.Timestamp("1997-01-01"),
+            "o_orderpriority": ["1-URGENT"] * n_ord,
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir(exist_ok=True)
+    for name, frame in [("nation", nat), ("customer", custs), ("orders", orders)]:
+        pq.write_table(pa.Table.from_pandas(frame), d / f"{name}.parquet")
+    got = {
+        (r.nation, r.bottom_pct): (r.n_customers, r.k_customers, r.revenue_share)
+        for r in orders_lorenz_curve(spark, str(d)).collect()
+    }
+
+    cents = np.floor(orders.o_totalprice.to_numpy() * 100 + 0.5).astype("int64")
+    per_cust = (
+        pd.DataFrame({"cust": orders.o_custkey, "cents": cents})
+        .groupby("cust")
+        .cents.sum()
+    )
+    for nk, nname in [(0, "AAA"), (1, "BBB")]:
+        members = per_cust[per_cust.index.isin(custs[custs.c_nationkey == nk].c_custkey)]
+        vals = np.sort(members.to_numpy())
+        N, total = len(vals), int(vals.sum())
+        for p in _LZ_POINTS:
+            k = (p * N + 99) // 100
+            want = float(_pr(int(vals[:k].sum()) / total, 6))
+            gn, gk, gs = got[(nname, p)]
+            assert (gn, gk) == (N, k)
+            assert abs(gs - want) < 1e-9, (nname, p, gs, want)
+
+
+@pytest.mark.parametrize("seed", [41])
+def test_time_to_convert_matches_numpy(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import events_time_to_convert
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = pd.Timestamp("2024-08-01")
+    lat = {}
+    for uid in range(60):
+        tv = base + pd.Timedelta(minutes=int(rng.integers(0, 1000)))
+        rows.append((len(rows), tv, uid, "view", 1.0, "{}"))
+        r = rng.random()
+        if r < 0.5:
+            dt_us = int(rng.integers(1, 5_000_000_000))
+            rows.append((len(rows), tv + pd.Timedelta(microseconds=dt_us), uid, "purchase", 1.0, "{}"))
+            lat[uid] = dt_us
+        elif r < 0.65:  # purchase BEFORE first view → excluded
+            rows.append((len(rows), tv - pd.Timedelta(minutes=5), uid, "purchase", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    row = events_time_to_convert(spark, sf).collect()[0]
+
+    secs = np.array(sorted(v / 1e6 for v in lat.values()))
+    assert row.n_converting_users == len(secs)
+    assert row.p25_sec == float(_pr(np.percentile(secs, 25), 4))
+    assert row.p50_sec == float(_pr(np.percentile(secs, 50), 4))
+    assert row.p90_sec == float(_pr(np.percentile(secs, 90), 4))
+    assert abs(row.mean_sec - float(_pr(secs.mean(), 4))) < 1e-4
+
+
+@pytest.mark.parametrize("seed", [53])
+def test_dau_mau_matches_bruteforce(spark, tmp_path, seed):
+    from parquet_stream_writer_spark.operators.staged import (
+        _MAU_DAYS,
+        events_dau_mau_stickiness,
+    )
+
+    rng = np.random.default_rng(seed)
+    days = pd.date_range("2024-01-01", periods=45, freq="D")
+    rows = []
+    for day in days:
+        for uid in rng.choice(30, size=int(rng.integers(3, 12)), replace=False):
+            rows.append((len(rows), day + pd.Timedelta(hours=2), int(uid), "view", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    got = {r.day: (r.dau, r.mau, r.stickiness)
+           for r in events_dau_mau_stickiness(spark, sf).collect()}
+
+    pairs = pdf.assign(day=pdf.ts.dt.floor("D"))[["user_id", "day"]].drop_duplicates()
+    for d in pairs.day.unique():
+        dau = pairs[pairs.day == d].user_id.nunique()
+        win = pairs[(pairs.day <= d) & (pairs.day > d - pd.Timedelta(days=_MAU_DAYS))]
+        mau = win.user_id.nunique()
+        gd, gm, gs = got[pd.Timestamp(d).to_pydatetime()]
+        assert (gd, gm) == (dau, mau)
+        assert gs == float(_pr(dau / mau, 4))
