@@ -102,11 +102,21 @@ def _modules():
         pipeline,
         relational,
         similarity,
+        staged,
         streaming_batch,
         text,
     )
 
-    return (relational, dedup, similarity, text, streaming_batch, multimodal, pipeline)
+    return (
+        relational,
+        dedup,
+        similarity,
+        text,
+        streaming_batch,
+        multimodal,
+        pipeline,
+        staged,
+    )
 
 
 import functools

@@ -1,5 +1,7 @@
-"""Staged operator pack — implemented and oracle-tested THIS round,
-registered with the driver NEXT round.
+"""Staged operator pack — implemented and oracle-tested in round 6,
+REGISTERED with the driver in round 7 (this module is now in
+``operators._modules()``; every key here is live in
+``__spark_entry__.queries()``).
 
 The round driver verifies a 50-key prefix window of the registry per
 round.  Round 6's window is exactly filled (36 new keys + 14

@@ -114,6 +114,12 @@ _NLJ_OK = {
     # round-6 batch-5 additions, 1-row scalar broadcasts:
     "text_idf_rarity",  # 1-row corpus-size broadcast inside idf
     "sample_ks_drift",  # 1-row split-totals/min/max stats broadcast
+    # round-7 staged-pack registrations (pinned pre-registration by
+    # tests/test_staged_operators.py::_STAGED_NLJ_OK):
+    "events_forecast_baseline",  # 1-row backtest-window scalar
+    "text_bm25_search",  # bounded probe-term-set broadcast
+    "text_burstiness",  # 1-row corpus-size broadcast
+    "events_ab_conversion_ztest",  # 1-row x 1-row arm-stats cross join
 }
 
 

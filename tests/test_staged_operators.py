@@ -20,13 +20,20 @@ def test_staged_query_matches_oracle(name, spark, sf_dir, oracle_con):
     assert_results_match(df, oracle_con, staged.ORACLE[name])
 
 
-def test_staged_keys_not_yet_registered():
-    """While staged, these keys must NOT appear in the driver registry
-    (they would displace this round's window composition)."""
-    from parquet_stream_writer_spark.operators import all_queries
+def test_staged_keys_are_registered():
+    """Round 7 flipped the pack live: every staged key must appear in
+    the driver registry with its oracle (the round-6 inverse of this
+    test asserted the opposite while the keys were window-parked)."""
+    from parquet_stream_writer_spark.operators import all_oracles, all_queries
 
-    live = set(all_queries())
-    assert not (set(staged.QUERIES) & live)
+    live = all_queries()
+    oracles = all_oracles()
+    missing = set(staged.QUERIES) - set(live)
+    assert not missing, f"staged keys not registered: {missing}"
+    assert set(staged.ORACLE) <= set(oracles)
+    # Registered callables are the staged module's own (no shadowing).
+    for k, fn in staged.QUERIES.items():
+        assert live[k] is fn
 
 
 @pytest.mark.parametrize("name", sorted(staged.QUERIES))
@@ -114,35 +121,19 @@ def test_readability_wordless_lang_nulls_match_oracle(spark, tmp_path):
     assert got["en"].flesch_ease is not None
 
 
-def test_round7_registration_dry_run(monkeypatch):
-    """Simulate the round-7 flip (staged joins _modules()) at the
-    moment it will actually happen — AFTER the round-6 driver run has
-    recorded verdicts for this round's window — without performing
-    it: no key collisions, an oracle for every staged key, and all
-    staged keys land inside the driver's 50-key prefix window as
-    tier-0.  (Simulated against TODAY's verdict files, the 36
-    not-yet-verified round-6 keys correctly outrank the staged ones
-    and 10 staged keys would wait a round — which is exactly why the
-    flip belongs after the round-6 verdicts land, not before.)"""
+def test_registered_staged_keys_rank_into_window_until_verified():
+    """Post-registration window invariant: any staged key that does
+    not yet hold a driver verdict is tier-0 and MUST sit inside the
+    50-key prefix window (that is the whole point of the flip).  Once
+    CORRECTNESS_r07 lands, these keys carry verdicts and correctly
+    rotate out — so the assertion only binds while unverified keys
+    exist."""
     from parquet_stream_writer_spark import operators as ops
 
-    live = ops.all_queries()
-    merged = dict(live)
-    overlap = set(merged) & set(staged.QUERIES)
-    assert not overlap, f"staged keys shadow registered keys: {overlap}"
-    merged.update(staged.QUERIES)
-    assert all(k in staged.ORACLE for k in staged.QUERIES)
-    assert all(k not in ops._verdicts() for k in staged.QUERIES)
-
-    # Round-6 driver run simulated: every currently-registered key
-    # holds a green verdict (window keys get round 6, the rest keep
-    # their recorded round).
-    real = ops._verdicts()
-    simulated = {k: real.get(k, (True, 6)) for k in live}
-    monkeypatch.setattr(ops, "_verdicts", lambda: simulated)
-
-    prioritized = ops._prioritized(merged)
-    assert set(prioritized) == set(merged)
-    window = list(prioritized)[:50]
-    missing = [k for k in staged.QUERIES if k not in window]
-    assert not missing, f"staged keys outside the 50-key window: {missing}"
+    verdicts = dict(ops._verdicts())
+    unverified = [k for k in staged.QUERIES if k not in verdicts]
+    if not unverified:
+        pytest.skip("all staged keys already hold driver verdicts")
+    window = list(ops.all_queries())[:50]
+    missing = [k for k in unverified if k not in window]
+    assert not missing, f"unverified staged keys outside the window: {missing}"
