@@ -1405,7 +1405,16 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         cands.join(s1, F.col("d1") == F.col("s1.doc_id"))
         .join(s2, F.col("d2") == F.col("s2.doc_id"))
-        .select("d1", "d2", (matches / F.lit(float(_K))).alias("est_j"))
+        .select(
+            "d1",
+            "d2",
+            # Integer collision count kept alongside the ratio: the
+            # bin means are computed from exact integer sums
+            # (rounded-sum-divide convention) so no floating
+            # accumulation order can fork a 4-dp boundary.
+            matches.cast("long").alias("est_m"),
+            (matches / F.lit(float(_K))).alias("est_j"),
+        )
     )
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
@@ -1438,27 +1447,37 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.abs(F.col("est_j") - F.col("exact_j")) * _EST_ERR_BINS),
             F.lit(_EST_ERR_BINS - 1).cast("long"),
         ).alias("err_band"),
-        "est_j",
-        "exact_j",
+        "est_m",
+        # Per-pair 6-dp integer scaling of the exact Jaccard: one
+        # deterministic IEEE division + floor, identical bits in both
+        # engines; the bin mean then divides an exact BIGINT sum.
+        F.floor(F.col("exact_j") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("exact_e6"),
     )
     return (
         joined.groupBy("err_band")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            pround(F.avg("est_j"), 4).alias("mean_est"),
-            pround(F.avg("exact_j"), 4).alias("mean_exact"),
+            pround(F.sum("est_m") / (F.count(F.lit(1)) * F.lit(_K)), 4).alias(
+                "mean_est"
+            ),
+            pround(
+                F.sum("exact_e6") / (F.count(F.lit(1)) * F.lit(1000000)), 4
+            ).alias("mean_exact"),
         )
         .orderBy("err_band")
     )
 
 
 def _sql_est_matches() -> str:
+    """Integer signature-collision count (the est_j numerator)."""
     return (
         "("
         + " + ".join(
             f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END" for i in range(_K)
         )
-        + f") * 1.0 / {float(_K)}"
+        + ")"
     )
 
 
@@ -1466,7 +1485,8 @@ ORACLE_DEDUP_MINHASH_ESTIMATE_AUDIT = f"""
 WITH {_SQL_SHINGLES},
 {_sql_minhash_core().strip()},
 est AS (
-  SELECT c.d1, c.d2, {_sql_est_matches()} AS est_j
+  SELECT c.d1, c.d2, {_sql_est_matches()} AS est_m,
+         {_sql_est_matches()} * 1.0 / {float(_K)} AS est_j
   FROM candidates c
   JOIN sig s1 ON c.d1 = s1.doc_id
   JOIN sig s2 ON c.d2 = s2.doc_id
@@ -1491,13 +1511,14 @@ exact AS (
 joined AS (
   SELECT least(CAST(floor(abs(e.est_j - x.exact_j) * {_EST_ERR_BINS}) AS BIGINT),
                {_EST_ERR_BINS - 1}) AS err_band,
-         e.est_j, x.exact_j
+         e.est_m,
+         CAST(floor(x.exact_j * 1000000 + 0.5) AS BIGINT) AS exact_e6
   FROM est e JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2
 )
 SELECT err_band,
        count(*) AS n_pairs,
-       floor((avg(est_j)) * 10000 + 0.5) / 10000.0 AS mean_est,
-       floor((avg(exact_j)) * 10000 + 0.5) / 10000.0 AS mean_exact
+       floor((sum(est_m) / (count(*) * {_K})) * 10000 + 0.5) / 10000.0 AS mean_est,
+       floor((sum(exact_e6) / (count(*) * 1000000)) * 10000 + 0.5) / 10000.0 AS mean_exact
 FROM joined
 GROUP BY err_band
 ORDER BY err_band

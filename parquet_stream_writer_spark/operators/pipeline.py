@@ -151,7 +151,11 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             pround(F.sum("value"), 2).alias("sum_value"),
-            pround(F.avg("value"), 4).alias("avg_value"),
+            # Rounded-sum-divide (2-dp values): keeps the 4-dp band
+            # mean off engine-order-dependent half-steps.
+            pround(pround(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
         )
     )
 
@@ -166,7 +170,7 @@ WITH bands AS ({_SQL_BANDS})
 SELECT b.band,
        count(*) AS n_events,
        floor((sum(e.value)) * 100 + 0.5) / 100.0   AS sum_value,
-       floor((avg(e.value)) * 10000 + 0.5) / 10000.0 AS avg_value
+       floor(((floor(sum(e.value) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band
 """

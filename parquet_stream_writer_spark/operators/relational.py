@@ -91,9 +91,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            # Divide a 2-dp-ROUNDED sum, not avg(): the raw sum's
+            # engine-dependent addition order can land a group mean
+            # exactly on a 4-dp floor boundary (rounded-sum-divide
+            # convention, cf. events_seasonality_profile).  The inputs
+            # are 2-dp currency/ratio values, so the 2-dp pre-round
+            # recovers the exact decimal sum in both engines.
+            pround(pround(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_qty"
+            ),
+            pround(pround(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_price"
+            ),
+            pround(pround(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -105,9 +117,9 @@ SELECT l_returnflag, l_linestatus,
        floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0                                      AS sum_base_price,
        floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0                   AS sum_disc_price,
        floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100.0     AS sum_charge,
-       floor((avg(l_quantity)) * 10000 + 0.5) / 10000.0                                           AS avg_qty,
-       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000.0                                      AS avg_price,
-       floor((avg(l_discount)) * 10000 + 0.5) / 10000.0                                           AS avg_disc,
+       floor(((floor(sum(l_quantity) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0      AS avg_qty,
+       floor(((floor(sum(l_extendedprice) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_price,
+       floor(((floor(sum(l_discount) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0      AS avg_disc,
        count(*)                                                            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -304,7 +316,12 @@ def join_shuffle_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            # Rounded-sum-divide: 2-dp inputs sum exactly after the
+            # 2-dp pre-round, so the 4-dp mean never sits on an
+            # engine-order-dependent half-step.
+            pround(pround(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -313,7 +330,7 @@ def join_shuffle_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JOIN_SHUFFLE_LARGE = """
 SELECT o_orderstatus,
        floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_price,
-       floor((avg(l_discount)) * 10000 + 0.5) / 10000.0      AS avg_disc,
+       floor(((floor(sum(l_discount) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_disc,
        count(*)                       AS n_rows
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
@@ -1782,8 +1799,12 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     nations = [1, 3, 5, 7, 9, 11, 13]
     pool = customer.where(F.col("c_nationkey").isin(nations))
+    # Rounded-sum-divide for the threshold: c_acctbal is 2-dp, so the
+    # 2-dp pre-round recovers the exact decimal sum in both engines
+    # before the division — the comparison boundary can never fork on
+    # engine summation order.
     thresh = pool.where(F.col("c_acctbal") > 0.0).agg(
-        pround(F.avg("c_acctbal"), 2).alias("avg_bal")
+        pround(pround(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 2).alias("avg_bal")
     )
     recent = orders.where(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
@@ -1805,7 +1826,8 @@ SELECT c_nationkey AS cntry, count(*) AS numcust,
        floor(sum(c_acctbal) * 100 + 0.5) / 100.0 AS totacctbal
 FROM customer c
 WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-  AND c_acctbal > (SELECT floor(avg(c_acctbal) * 100 + 0.5) / 100.0 FROM customer
+  AND c_acctbal > (SELECT floor(((floor(sum(c_acctbal) * 100 + 0.5) / 100.0) / count(*)) * 100 + 0.5) / 100.0
+                   FROM customer
                    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1999-01-01')

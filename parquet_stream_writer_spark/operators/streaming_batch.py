@@ -63,7 +63,12 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.avg("value"), 4).alias("avg_value"),
+            # Rounded-sum-divide (2-dp values; convention of
+            # events_seasonality_profile): window means stay off
+            # engine-order-dependent 4-dp half-steps.
+            pround(pround(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
         )
         .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
     )
@@ -79,7 +84,7 @@ WITH expanded AS (
   FROM events
 )
 SELECT w_start, count(*) AS n_events,
-       floor((avg(value)) * 10000 + 0.5) / 10000.0 AS avg_value
+       floor(((floor(sum(value) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
 FROM expanded GROUP BY w_start
 """
 
