@@ -22,6 +22,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 #: Synthetic video framing: frame payload size / stride in bytes.
@@ -217,8 +218,12 @@ WITH sized AS (
   SELECT doc_id, octet_length(encode(text)) AS n FROM documents
 ),
 -- DuckDB 1.0 can't laterally correlate generate_series, so cross-join
--- a constant frame-index domain and filter (payloads are small).
-idx AS (SELECT i FROM generate_series(0, 4095) AS g(i)),
+-- a frame-index domain derived from the LARGEST payload (same
+-- derived-bound convention as the frame-dedup oracle) and filter.
+idx AS (
+  SELECT unnest(generate_series(
+    0, (SELECT CAST(max(n) / {_FRAME_STRIDE} AS BIGINT) FROM sized))) AS i
+),
 frames AS (
   SELECT doc_id, i AS frame_idx,
          least({_FRAME_LEN}, n - i * {_FRAME_STRIDE}) AS frame_bytes,
@@ -336,20 +341,34 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(docs, sniff_containers=False)
 
 
+# The samples are UTF-8 BYTES (Spark casts text→binary; one sample
+# per byte), NOT codepoints: an ascii()-per-character oracle diverges
+# on any non-ASCII document (multi-byte chars under-count samples and
+# yield >255 codepoint "samples").  Walk the hex expansion of the
+# UTF-8 encoding instead — byte i is hex pair substr(hx, 2i+1, 2),
+# decoded with the shared instr-alphabet hex→int convention.
 ORACLE_MULTIMODAL_AUDIO_FEATURES = f"""
-WITH samples AS (
-  SELECT doc_id,
-         unnest(string_split_regex(text, '')) AS ch,
-         generate_subscripts(string_split_regex(text, ''), 1) AS pos
+WITH doc AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
   FROM documents
+),
+idx AS (
+  SELECT unnest(generate_series(0, (SELECT max(n) - 1 FROM doc))) AS i
+),
+samples AS (
+  SELECT doc_id, i AS pos0,
+         {_hex_to_int_sql("substr(hx, i * 2 + 1, 2)", 2)} AS byte
+  FROM doc CROSS JOIN idx
+  WHERE i < n
 )
 SELECT doc_id,
-       CAST((pos - 1) // {_AUDIO_FRAME} AS INTEGER) AS frame_idx,
-       CAST(count(*) AS INTEGER)                    AS n_samples,
-       CAST(sum(ascii(ch) * ascii(ch)) AS BIGINT)   AS energy,
-       CAST(max(ascii(ch)) AS INTEGER)              AS peak
+       CAST(pos0 // {_AUDIO_FRAME} AS INTEGER) AS frame_idx,
+       CAST(count(*) AS INTEGER)               AS n_samples,
+       CAST(sum(byte * byte) AS BIGINT)        AS energy,
+       CAST(max(byte) AS INTEGER)              AS peak
 FROM samples
-GROUP BY doc_id, (pos - 1) // {_AUDIO_FRAME}
+GROUP BY doc_id, pos0 // {_AUDIO_FRAME}
 """
 
 
@@ -421,7 +440,10 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MULTIMODAL_SHARD_MANIFEST = f"""
 WITH sized AS (
-  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes
+  -- encode(), not CAST(text AS BLOB): the cast ERRORS on non-ASCII
+  -- text in DuckDB, encode() is the UTF-8-byte conversion (matches
+  -- Spark's cast(text as binary) on every corpus).
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
   FROM documents
 ),
 placed AS (

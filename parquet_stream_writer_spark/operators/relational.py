@@ -647,8 +647,8 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate back to BIGINT so both engines emit int64 columns.
 ORACLE_JSON_EXTRACTION = """
 SELECT event_type,
-       CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-       max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS max_k,
+       CAST(sum(TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       max(TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS max_k,
        count(*) AS n
 FROM events
 GROUP BY event_type

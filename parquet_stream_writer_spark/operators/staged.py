@@ -768,8 +768,19 @@ ORACLE["events_autocorrelation"] = ORACLE_EVENTS_AUTOCORRELATION
 # Chi-square independence test
 # ---------------------------------------------------------------------------
 
-#: 0.05 critical value for chi² at (5-1)(7-1) = 24 degrees of freedom.
-_CHI2_CRIT_05_DF24 = 36.415
+#: 0.05 chi² critical values for df = 1..60 (standard table) — the
+#: verdict is derived from the COMPUTED dof, not a fixed df=24
+#: assumption, so corpora with other type×weekday shapes are labeled
+#: correctly; dof outside the table (0, or > 60) yields NULL.
+_CHI2_CRIT_05 = [
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507, 16.919,
+    18.307, 19.675, 21.026, 22.362, 23.685, 24.996, 26.296, 27.587, 28.869,
+    30.144, 31.410, 32.671, 33.924, 35.172, 36.415, 37.652, 38.885, 40.113,
+    41.337, 42.557, 43.773, 44.985, 46.194, 47.400, 48.602, 49.802, 50.998,
+    52.192, 53.384, 54.572, 55.758, 56.942, 58.124, 59.304, 60.481, 61.656,
+    62.830, 64.001, 65.171, 66.339, 67.505, 68.669, 69.832, 70.993, 72.153,
+    73.311, 74.468, 75.624, 76.778, 77.931, 79.082,
+]
 
 
 def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,13 +811,28 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = F.col("rt").cast("double") * F.col("ct") / F.col("t")
     term = (F.col("o") - e) * (F.col("o") - e) / e
-    return staged_.agg(
+    agged = staged_.agg(
         F.sum("o").cast("long").alias("n_events"),
         ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
         .cast("long")
         .alias("dof"),
         pround(F.sum(term), 6).alias("chi2"),
-        (F.sum(term) > _CHI2_CRIT_05_DF24).alias("dependent_at_05"),
+        F.sum(term).alias("_chi2_raw"),
+    )
+    # try_element_at nulls an out-of-range index but still rejects
+    # index 0 (INVALID_INDEX_OF_ZERO) — guard the degenerate
+    # single-row/single-column contingency (dof = 0) explicitly.
+    crit = F.when(
+        F.col("dof") >= 1,
+        F.try_element_at(
+            F.array(*[F.lit(v) for v in _CHI2_CRIT_05]), F.col("dof").cast("int")
+        ),
+    )
+    return agged.select(
+        "n_events",
+        "dof",
+        "chi2",
+        (F.col("_chi2_raw") > crit).alias("dependent_at_05"),
     )
 
 
@@ -824,18 +850,23 @@ staged_ AS (
          event_type, dow
   FROM cells
 )
-SELECT CAST(sum(o) AS BIGINT) AS n_events,
-       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT)
-         AS dof,
-       floor(sum((o - CAST(rt AS DOUBLE) * ct / t)
-                 * (o - CAST(rt AS DOUBLE) * ct / t)
-                 / (CAST(rt AS DOUBLE) * ct / t)) * 1000000 + 0.5) / 1000000.0
-         AS chi2,
-       sum((o - CAST(rt AS DOUBLE) * ct / t)
-           * (o - CAST(rt AS DOUBLE) * ct / t)
-           / (CAST(rt AS DOUBLE) * ct / t)) > {_CHI2_CRIT_05_DF24}
+, agged AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n_events,
+         CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT)
+           AS dof,
+         floor(sum((o - CAST(rt AS DOUBLE) * ct / t)
+                   * (o - CAST(rt AS DOUBLE) * ct / t)
+                   / (CAST(rt AS DOUBLE) * ct / t)) * 1000000 + 0.5) / 1000000.0
+           AS chi2,
+         sum((o - CAST(rt AS DOUBLE) * ct / t)
+             * (o - CAST(rt AS DOUBLE) * ct / t)
+             / (CAST(rt AS DOUBLE) * ct / t)) AS chi2_raw
+  FROM staged_
+)
+SELECT n_events, dof, chi2,
+       chi2_raw > ([{", ".join(str(v) for v in _CHI2_CRIT_05)}][dof])
          AS dependent_at_05
-FROM staged_
+FROM agged
 """
 
 QUERIES["agg_chi_square_independence"] = agg_chi_square_independence
@@ -1224,12 +1255,15 @@ def events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a slope estimate).
 
     Exactness discipline: the regressor is the INTEGER event index
-    (not the timestamp), so all five frame sums (n, Σx, Σy, Σxy, Σx²)
-    accumulate in the deterministic frame order that both engines
-    share, and slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides
-    identically-computed doubles.  State per row is a bounded ROWS
-    frame; one user-keyed shuffle; single-observation frames emit
-    NULL.
+    (not the timestamp) and the response enters the frame sums as
+    INTEGER CENTS (2-dp values scaled by 100), so all five frame sums
+    (n, Σx, Σy_c, Σxy_c, Σx²) are exact integers regardless of how an
+    engine evaluates the sliding frame (Spark re-scans each frame;
+    DuckDB uses a segment tree — float sums could drift a ulp apart,
+    integer sums cannot).  slope = (nΣxy_c − ΣxΣy_c)/(100·(nΣx² −
+    (Σx)²)) is then ONE double division of identical integers.  State
+    per row is a bounded ROWS frame; one user-keyed shuffle;
+    single-observation frames emit NULL.
     """
     ev = (
         load_table(spark, sf_dir, "events")
@@ -1239,16 +1273,20 @@ def events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = wo.rowsBetween(-(_TREND_K - 1), Window.currentRow)
     x = F.row_number().over(wo)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     staged_ = (
         ev.withColumn("x", x.cast("long"))
+        .withColumn("yc", cents)
         .withColumn("n", F.count(F.lit(1)).over(frame))
         .withColumn("sx", F.sum("x").over(frame))
-        .withColumn("sy", F.sum("value").over(frame))
-        .withColumn("sxy", F.sum(F.col("x") * F.col("value")).over(frame))
+        .withColumn("syc", F.sum("yc").over(frame))
+        .withColumn("sxyc", F.sum(F.col("x") * F.col("yc")).over(frame))
         .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(frame))
     )
-    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    slope = (
+        (F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc")).cast("double")
+    ) / (denom * F.lit(100)).cast("double")
     return staged_.select(
         "user_id",
         "event_id",
@@ -1268,8 +1306,8 @@ framed AS (
   SELECT user_id, event_id, value,
          count(*) OVER w AS n,
          sum(x) OVER w AS sx,
-         sum(value) OVER w AS sy,
-         sum(x * value) OVER w AS sxy,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS syc,
+         sum(x * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS sxyc,
          sum(x * x) OVER w AS sxx
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY x
@@ -1278,7 +1316,8 @@ framed AS (
 SELECT user_id, event_id, value,
        CAST(n AS INTEGER) AS n_window,
        CASE WHEN (n * sxx - sx * sx) > 0
-            THEN floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+            THEN floor((CAST(n * sxyc - sx * syc AS DOUBLE)
+                        / CAST((n * sxx - sx * sx) * 100 AS DOUBLE))
                        * 1000000 + 0.5) / 1000000.0
        END AS trend_slope
 FROM framed
@@ -1778,19 +1817,34 @@ def pipeline_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rid, _desc, bad in rules:
             aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(rid))
         one = df.agg(*aggs)
-        out = None
-        for rid, desc, _bad in rules:
-            row = one.select(
-                F.lit(rid).alias("rule_id"),
-                F.lit(table).alias("table_name"),
-                F.lit(desc).alias("rule"),
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.col(rid).cast("long").alias("n_violations"),
-                pround(F.col(rid) / F.col("n_rows"), 6).alias("violation_rate"),
-                (F.col(rid) == 0).alias("passed"),
-            )
-            out = row if out is None else out.unionAll(row)
-        return out
+        # Unpivot the SINGLE aggregate row by exploding a literal
+        # rule array — the aggregate subtree appears exactly once in
+        # the plan (per-rule re-selects would repeat it per rule and
+        # rely on exchange reuse to avoid a rescan).
+        unpivoted = one.select(
+            F.col("n_rows"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rid).alias("rule_id"),
+                            F.lit(desc).alias("rule"),
+                            F.col(rid).alias("v"),
+                        )
+                        for rid, desc, _bad in rules
+                    ]
+                )
+            ).alias("r"),
+        )
+        return unpivoted.select(
+            F.col("r.rule_id").alias("rule_id"),
+            F.lit(table).alias("table_name"),
+            F.col("r.rule").alias("rule"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("r.v").cast("long").alias("n_violations"),
+            pround(F.col("r.v") / F.col("n_rows"), 6).alias("violation_rate"),
+            (F.col("r.v") == 0).alias("passed"),
+        )
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

@@ -101,6 +101,15 @@ class ViewMaintenanceSink:
     over exact (integer/decimal) columns for restart-order
     insensitivity; the caller pre-projects them (the integer-cents
     discipline).
+
+    Replay safety: ``foreachBatch`` is at-least-once — after a
+    failure, Structured Streaming re-delivers the last epoch.  The
+    merge is NOT idempotent (it is additive), so the sink records the
+    last merged ``epoch_id`` and skips re-deliveries; a production
+    keyed-store variant gets the same guarantee by writing the epoch
+    watermark transactionally with the merge.  Null group keys are
+    preserved (``dropna=False``) so the view matches its batch twin
+    on null-keyed rows.
     """
 
     def __init__(self, group_cols: list[str], sum_cols: list[str]) -> None:
@@ -108,11 +117,15 @@ class ViewMaintenanceSink:
         self.sum_cols = list(sum_cols)
         self._state = None  # pandas frame: group_cols + sum_cols
         self.batches_seen = 0
+        self._last_epoch: int | None = None
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         import pandas as pd
         from pyspark.sql import functions as F
 
+        if self._last_epoch is not None and epoch_id <= self._last_epoch:
+            return  # at-least-once re-delivery of an already-merged epoch
+        self._last_epoch = epoch_id
         self.batches_seen += 1
         partial = (
             batch_df.groupBy(*self.group_cols)
@@ -126,7 +139,7 @@ class ViewMaintenanceSink:
         else:
             self._state = (
                 pd.concat([self._state, partial], ignore_index=True)
-                .groupby(self.group_cols, as_index=False)[self.sum_cols]
+                .groupby(self.group_cols, as_index=False, dropna=False)[self.sum_cols]
                 .sum()
             )
 

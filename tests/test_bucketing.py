@@ -123,14 +123,14 @@ def test_bucketed_join_matches_unbucketed_results(spark, bucketed_tables):
     )
 
 
-def test_pagerank_segmentation_is_value_invariant(spark, monkeypatch):
+def test_pagerank_segmentation_is_value_invariant(spark, sf_dir, monkeypatch):
     """The hot-node bounds (pre-split modulus + absolute slice
     re-chunk) must never change PageRank values: shrinking the
     segment caps to force MANY segments per node at test scale gives
     byte-identical ranks to the production constants."""
     from parquet_stream_writer_spark.operators import pipeline
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     baseline = sorted(
         map(tuple, pipeline.graph_pagerank_bipartite(spark, sf).collect())
     )

@@ -11,6 +11,7 @@ import uuid
 
 import pyarrow.parquet as pq
 import pytest
+from pandas import isna as pd_isna
 
 from pyspark.sql import functions as F
 
@@ -552,3 +553,62 @@ def test_streaming_view_maintenance_matches_batch(spark, sf_dir, tmp_path):
         .sort_values(["month", "status"], ignore_index=True)
     )
     assert got.equals(want)
+
+
+def test_view_maintenance_state_is_view_sized_replay_safe_and_null_keyed(
+    spark, sf_dir
+):
+    """Three pinned ViewMaintenanceSink invariants, driven through
+    process_batch directly (the foreachBatch surface):
+
+    1. **View-sized state** — after EVERY merge, state rows equal the
+       number of distinct groups seen so far, never the input row
+       count (the documented 100 TB/day claim: only view-sized
+       partials cross to the maintained state).
+    2. **At-least-once replay safety** — re-delivering an epoch_id
+       must not double-merge its partial.
+    3. **Null group keys survive** — pandas groupby(dropna=True)
+       would silently drop them; the sink must match the batch twin
+       on null-keyed rows.
+    """
+    from parquet_stream_writer_spark.sources import load_table
+    from parquet_stream_writer_spark.streaming import ViewMaintenanceSink
+
+    projected = load_table(spark, sf_dir, "orders").select(
+        # Null out one month's key to exercise the null-group lane.
+        F.when(
+            F.date_format("o_orderdate", "yyyy-MM") > F.lit("1998-01"), None
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM"))
+        .alias("month"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    batches = [projected.where(F.crc32(F.coalesce("month", F.lit("x"))) % 3 == i)
+               for i in range(3)]
+
+    sink = ViewMaintenanceSink(["month"], ["n"])
+    groups_seen: set = set()
+    for epoch, b in enumerate(batches):
+        sink.process_batch(b, epoch)
+        groups_seen |= {r["month"] for r in b.select("month").distinct().collect()}
+        assert len(sink.view()) == len(groups_seen)  # view-sized, incl. null key
+
+    before = sink.view()
+    sink.process_batch(batches[-1], len(batches) - 1)  # replayed epoch
+    assert sink.view().equals(before), "replayed epoch double-merged"
+
+    want = (
+        projected.groupBy("month")
+        .agg(F.sum("n").alias("n"))
+        .toPandas()
+        .sort_values(["month"], ignore_index=True)
+    )
+    got = sink.view()
+    # Align pandas' NaN-vs-None key representation before comparing.
+    assert sorted(
+        [(None if pd_isna(m) else m, int(n)) for m, n in zip(got["month"], got["n"])]
+        , key=lambda t: (t[0] is None, t[0])
+    ) == sorted(
+        [(None if pd_isna(m) else m, int(n)) for m, n in zip(want["month"], want["n"])]
+        , key=lambda t: (t[0] is None, t[0])
+    )

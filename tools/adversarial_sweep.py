@@ -12,14 +12,12 @@ Usage::
     python tools/adversarial_sweep.py             # staged pack
     python tools/adversarial_sweep.py --registered
 
-Known registered-pack findings (round 6 session 4, queued for round 7
-— see SURVEY §7): json_extraction, multimodal_audio_features,
-multimodal_shard_manifest error ORACLE-side on hostile rows (DuckDB
-TRY_CAST / BIGINT / encode() gaps; the Spark operators are correct).
-They are reported but do not affect the exit code unless new keys
-join them.
+The round-6 known-findings list (json_extraction /
+multimodal_audio_features / multimodal_shard_manifest oracle
+brittleness) was fixed in round 7 (TRY_CAST / BIGINT / encode()) and
+the list is now EMPTY.
 
-Exit code 0 iff no NEW divergence or error beyond the known list.
+Exit code 0 iff no divergence or error anywhere in the pack.
 """
 
 from __future__ import annotations
@@ -32,13 +30,11 @@ import tempfile
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
-#: Registered keys whose ORACLES are known-brittle on hostile rows
-#: (operators verified correct; oracle edits queued for round 7).
-KNOWN_ORACLE_BRITTLE = {
-    "json_extraction",
-    "multimodal_audio_features",
-    "multimodal_shard_manifest",
-}
+#: Registered keys whose ORACLES are known-brittle on hostile rows.
+#: Emptied in round 7: the three round-6 findings were fixed with
+#: TRY_CAST (json_extraction), a BIGINT pre-cast before squaring
+#: (multimodal_audio_features) and encode() (multimodal_shard_manifest).
+KNOWN_ORACLE_BRITTLE: set[str] = set()
 
 
 def _load_adv_module():
