@@ -1471,13 +1471,12 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_est_matches() -> str:
-    """Integer signature-collision count (the est_j numerator)."""
     return (
         "("
         + " + ".join(
             f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END" for i in range(_K)
         )
-        + ")"
+        + f") * 1.0 / {float(_K)}"
     )
 
 
@@ -1485,8 +1484,7 @@ ORACLE_DEDUP_MINHASH_ESTIMATE_AUDIT = f"""
 WITH {_SQL_SHINGLES},
 {_sql_minhash_core().strip()},
 est AS (
-  SELECT c.d1, c.d2, {_sql_est_matches()} AS est_m,
-         {_sql_est_matches()} * 1.0 / {float(_K)} AS est_j
+  SELECT c.d1, c.d2, {_sql_est_matches()} AS est_j
   FROM candidates c
   JOIN sig s1 ON c.d1 = s1.doc_id
   JOIN sig s2 ON c.d2 = s2.doc_id
@@ -1511,7 +1509,11 @@ exact AS (
 joined AS (
   SELECT least(CAST(floor(abs(e.est_j - x.exact_j) * {_EST_ERR_BINS}) AS BIGINT),
                {_EST_ERR_BINS - 1}) AS err_band,
-         e.est_m,
+         -- floor(est_j*K + 0.5) recovers the INTEGER collision count
+         -- from the ratio (est_j is within 1 ulp of m/K, so the
+         -- round-half-up always lands on m) — the bin mean then
+         -- divides an exact integer sum, like the Spark side's est_m.
+         CAST(floor(e.est_j * {_K} + 0.5) AS BIGINT) AS est_m,
          CAST(floor(x.exact_j * 1000000 + 0.5) AS BIGINT) AS exact_e6
   FROM est e JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2
 )

@@ -1415,9 +1415,22 @@ _PR_SEG = 4096
 #: Fixed pre-split modulus bounding the collect_list aggregation buffer
 #: of a hot node to ~deg/_PR_PRESPLIT before the absolute re-chunk.
 _PR_PRESPLIT = 16
+#: Iteration count at which carrier="auto" switches from the
+#: checkpointed-arrays carrier to the bucketed-table carrier: the
+#: one-time bucketed write amortizes once enough iterations each save
+#: an adjacency re-exchange.
+_PR_BUCKETED_ITERS = 4
+#: Bucket count for the bucketed-table carrier (matches the session's
+#: shuffle parallelism so the node-sized side shuffles 1:1).
+_PR_BUCKETS = 32
 
 
-def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank_bipartite(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _PR_ITERS,
+    carrier: str = "auto",
+) -> DataFrame:
     """PageRank over the customer–supplier purchase graph (nodes =
     customers ∪ suppliers, an undirected edge per observed
     (customer, supplier) trade): the canonical importance score for
@@ -1446,6 +1459,16 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 6-dp rounded; top ``_PR_TOP`` nodes.  Node ids are namespaced
     even/odd (customer 2k, supplier 2k+1) so one bigint column holds
     both partitions.
+
+    ``carrier`` selects how the adjacency relation is carried across
+    iterations: ``"checkpoint"`` (localCheckpoint arrays — cheapest
+    at few iterations, re-exchanges the packed arrays per iteration
+    under AQE), ``"bucketed"`` (one-time bucketed+sorted table write
+    on ``src``; every iteration's adjacency⋈share join then runs
+    with zero exchange and zero sort on the heavy side), or
+    ``"auto"`` (bucketed iff ``iters >= _PR_BUCKETED_ITERS``).  Both
+    carriers produce identical output
+    (tests/test_bucketing.py::test_pagerank_carriers_agree).
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1482,19 +1505,36 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("dsts"),
         )
-        # Carrier trade-off, measured at sf0.1: a checkpointed plan
-        # reports UnknownPartitioning under AQE, so each iteration
-        # re-exchanges the PACKED arrays (~8 B/edge — 3× less data
-        # than re-shuffling raw (src, dst, deg) edge rows, which is
-        # what the pre-adjacency shape paid, plus its extra left
-        # join); persist() keeps the partitioning metadata but ran
-        # slower end-to-end (3.8 s vs 2.5 s) and pins executor
-        # memory.  At ≫3 iterations the exchange-free shape is a
-        # bucketed TABLE on src (the join_bucketed_colocated
-        # pattern), whose one-time write amortizes across
-        # iterations.
-        .localCheckpoint(eager=False)
     )
+    # Carrier trade-off, measured at sf0.1: a checkpointed plan
+    # reports UnknownPartitioning under AQE, so each iteration
+    # re-exchanges the PACKED arrays (~8 B/edge — 3× less data than
+    # re-shuffling raw (src, dst, deg) edge rows, which is what the
+    # pre-adjacency shape paid, plus its extra left join); persist()
+    # keeps the partitioning metadata but ran slower end-to-end
+    # (3.8 s vs 2.5 s) and pins executor memory.  At ≥
+    # _PR_BUCKETED_ITERS iterations the exchange-free shape is a
+    # bucketed TABLE on src (the join_bucketed_colocated pattern):
+    # the one-time bucketed+sorted write amortizes across iterations
+    # — every per-iteration adjacency⋈share join then reads the
+    # bucketed scan with NO exchange and NO sort on the heavy side.
+    if carrier == "auto":
+        carrier = "bucketed" if iters >= _PR_BUCKETED_ITERS else "checkpoint"
+    if carrier == "bucketed":
+        import hashlib
+
+        tag = hashlib.md5(f"{sf_dir}|{iters}".encode()).hexdigest()[:10]
+        table = f"pr_adj_b{_PR_BUCKETS}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            adj.write.bucketBy(_PR_BUCKETS, "src")
+            .sortBy("src")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+        adj = spark.table(table)
+    else:
+        adj = adj.localCheckpoint(eager=False)
     # Node-sized out-degree state: aggregated from segment sizes (small
     # rows, no arrays move), joined into the RANK state each iteration
     # so adjacency rows never carry deg.
@@ -1508,7 +1548,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = degs.crossJoin(F.broadcast(ndf)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
     )
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         shared = (
             ranks.withColumnRenamed("node", "src")
             .join(degs, "src")

@@ -123,6 +123,20 @@ def test_bucketed_join_matches_unbucketed_results(spark, bucketed_tables):
     )
 
 
+def test_pagerank_carriers_agree(spark, sf_dir):
+    """Both adjacency carriers (checkpointed arrays vs the one-time
+    bucketed table) must produce IDENTICAL ranked output at the same
+    iteration count — the physical layout is an optimization choice,
+    never a semantic one."""
+    from parquet_stream_writer_spark.operators.pipeline import (
+        graph_pagerank_bipartite,
+    )
+
+    a = graph_pagerank_bipartite(spark, sf_dir, iters=5, carrier="checkpoint")
+    b = graph_pagerank_bipartite(spark, sf_dir, iters=5, carrier="bucketed")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_pagerank_segmentation_is_value_invariant(spark, sf_dir, monkeypatch):
     """The hot-node bounds (pre-split modulus + absolute slice
     re-chunk) must never change PageRank values: shrinking the

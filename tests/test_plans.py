@@ -986,6 +986,44 @@ def test_bucketed_join_has_no_exchange_below_the_join(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
 
 
+def test_pagerank_bucketed_carrier_never_exchanges_the_adjacency(spark):
+    """The high-iteration PageRank lane (carrier='bucketed') must read
+    the one-time bucketed adjacency table in EVERY iteration's
+    adjacency⋈share join with zero exchange of the packed arrays:
+    the plan shows one 'Bucketed: true' scan per iteration and NO
+    Exchange whose input carries the ``dsts`` arrays.  The
+    checkpointed carrier (the few-iteration default) re-exchanges the
+    arrays once per iteration — the measured trade-off the threshold
+    _PR_BUCKETED_ITERS encodes."""
+    import re
+
+    from parquet_stream_writer_spark.operators.pipeline import (
+        graph_pagerank_bipartite,
+    )
+
+    iters = 4
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pb = plan(spark, graph_pagerank_bipartite(spark, SF_DIR, iters=iters))
+        pc = plan(
+            spark,
+            graph_pagerank_bipartite(spark, SF_DIR, iters=iters, carrier="checkpoint"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def dsts_exchanges(p: str) -> int:
+        exch = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p)
+        return sum("dsts" in e for e in exch)
+
+    # auto at iters >= _PR_BUCKETED_ITERS takes the bucketed lane
+    assert pb.count("Bucketed: true") == iters, pb
+    assert dsts_exchanges(pb) == 0, pb
+    # the checkpoint carrier pays one array exchange per iteration
+    assert dsts_exchanges(pc) == iters, pc
+
+
 def test_snapshot_diff_hashes_before_the_shuffle(spark):
     """The CDC diff must (a) plan the PK join as a shuffle join (no
     broadcast — neither snapshot is small at scale) and (b) compute
