@@ -1522,10 +1522,18 @@ def graph_pagerank_bipartite(
         carrier = "bucketed" if iters >= _PR_BUCKETED_ITERS else "checkpoint"
     if carrier == "bucketed":
         import hashlib
+        import shutil
+        from urllib.parse import urlparse
 
         tag = hashlib.md5(f"{sf_dir}|{iters}".encode()).hexdigest()[:10]
         table = f"pr_adj_b{_PR_BUCKETS}_{tag}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # A prior session's managed-table LOCATION survives while the
+        # in-memory catalog entry does not — clear the orphan dir or
+        # saveAsTable refuses with LOCATION_ALREADY_EXISTS.
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh:
+            shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
         (
             adj.write.bucketBy(_PR_BUCKETS, "src")
             .sortBy("src")

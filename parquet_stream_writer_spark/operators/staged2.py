@@ -1,0 +1,815 @@
+"""Second staged operator pack — implemented and oracle-tested in
+round 7, to be REGISTERED with the driver in round 8.
+
+Same contract as the first staged pack (operators/staged.py, round 6 →
+round 7): this module lives OUTSIDE ``operators._modules()`` so its
+keys consume no round-7 verification-window slot; every key ships with
+a DataFrame-first implementation, an ANSI/DuckDB oracle twin,
+engine-portable arithmetic (pround / integer scaling / cross-
+multiplied comparisons — no floating accumulation whose order an
+engine could pick differently), a scale-shape docstring, and local
+differential tests (tests/test_staged2_operators.py).
+
+Round-8 registration checklist (mirror of staged.py's round-7 list):
+
+1. add ``staged2`` to ``operators._modules()`` (after ``staged``);
+2. add the keys named in tests/test_staged2_operators.py::
+   ``_STAGED2_NLJ_OK`` to the plan sweep's ``_NLJ_OK`` whitelist in
+   tests/test_plan_introspection.py;
+3. fold the staged2 rows of SURVEY §2c into the main inventory and
+   re-run tools/record_query_hashes.py at the round-8 session start
+   (BEFORE any edits, preserving any recorded staleness the round-7
+   driver run left unverified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.sources import load_table, scan_parallel
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification
+# ---------------------------------------------------------------------------
+
+#: Cumulative-revenue-share boundaries for the A / B / C classes.
+_ABC_A, _ABC_B = 80, 95
+#: Value-range buckets for the distributed cumulative revenue rank
+#: (the agg_weighted_median / shard-manifest two-pass convention).
+_ABC_BUCKETS = 256
+
+
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by lineitem
+    revenue: parts are ranked by revenue descending, and the class
+    boundary is the cumulative revenue share — class A holds the head
+    parts covering the first 80 %, B to 95 %, C the tail.  The
+    standing answer to "which 20 % of the catalog earns 80 % of the
+    money", and the template for any cumulative-contribution cut.
+
+    Exactness: revenue is exact integer cents (2-dp prices pre-scaled
+    before the product with quantity); the cumulative rank is a
+    bucketed two-pass prefix sum (fixed ``_ABC_BUCKETS`` value-range
+    buckets over the per-part revenue → 256-row bucket-offset window
+    → per-bucket partitioned cumsum ordered by (revenue desc,
+    partkey)), so no corpus-wide single-partition window; the class
+    test cross-multiplies integers (cum·100 ≤ bound·total) — no
+    division anywhere before the final reported share.
+
+    Scale: one lineitem shuffle to part grain, one bounded bucket
+    window, one part-keyed cumsum, a 3-row final aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_partkey",
+            (
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                * F.col("l_quantity").cast("long")
+            ).alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    stats = rev.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.sum("cents").alias("total"),
+    )
+    # Bucket by revenue value DESCENDING so bucket order == rank order.
+    b = rev.crossJoin(F.broadcast(stats)).select(
+        "l_partkey",
+        "cents",
+        "total",
+        F.least(
+            F.lit(_ABC_BUCKETS - 1),
+            F.floor(
+                (F.col("hi") - F.col("cents"))
+                * _ABC_BUCKETS
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+        ).alias("bkt"),
+    )
+    totals = b.groupBy("bkt").agg(F.sum("cents").alias("bkt_cents"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("bkt_cents").over(woff), F.lit(0)).alias("off")
+    )
+    wcum = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        b.join(offsets, "bkt")
+        .withColumn("cum", F.col("off") + F.sum("cents").over(wcum))
+        .select(
+            "l_partkey",
+            "cents",
+            "total",
+            F.when(F.col("cum") * 100 <= F.col("total") * _ABC_A, "A")
+            .when(F.col("cum") * 100 <= F.col("total") * _ABC_B, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        cum.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("revenue_cents"),
+            pround(F.sum("cents") / F.max("total"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE_ORDERS_ABC_CLASSIFICATION = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT sum(cents) AS total FROM rev),
+cum AS (
+  SELECT l_partkey, cents, t.total,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM rev, t
+),
+classed AS (
+  SELECT cents, total,
+         CASE WHEN cum * 100 <= total * {_ABC_A} THEN 'A'
+              WHEN cum * 100 <= total * {_ABC_B} THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class,
+       count(*) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       floor((sum(cents) / CAST(max(total) AS DOUBLE)) * 1000000 + 0.5)
+         / 1000000.0 AS revenue_share
+FROM classed
+GROUP BY abc_class ORDER BY abc_class
+"""
+
+QUERIES["orders_abc_classification"] = orders_abc_classification
+ORACLE["orders_abc_classification"] = ORACLE_ORDERS_ABC_CLASSIFICATION
+
+
+# ---------------------------------------------------------------------------
+# Backlog aging
+# ---------------------------------------------------------------------------
+
+#: Aging-bucket upper bounds in days (the last bucket is open-ended).
+_AGING_DAYS = (30, 90, 365)
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still in status 'O', bucketed
+    by age in days relative to the corpus's observation horizon (the
+    max order date) — the 0–30 / 31–90 / 91–365 / 365+ aging report
+    every order-management pipeline runs nightly, crossed with order
+    priority so expedited backlog stands out.
+
+    Exactness: age is integer epoch-day subtraction (no calendar
+    functions); value totals are integer cents.  Shape: one scan with
+    a 1-row max-date broadcast (BNLJ-whitelisted scalar), one
+    fixed-width (priority × 4 buckets) hash aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    horizon = orders.agg(F.expr(f"max({day})").alias("h"))
+    age = F.col("h") - F.expr(day)
+    bucket = (
+        F.when(age <= _AGING_DAYS[0], F.lit(f"0-{_AGING_DAYS[0]}d"))
+        .when(age <= _AGING_DAYS[1], F.lit(f"{_AGING_DAYS[0] + 1}-{_AGING_DAYS[1]}d"))
+        .when(age <= _AGING_DAYS[2], F.lit(f"{_AGING_DAYS[1] + 1}-{_AGING_DAYS[2]}d"))
+        .otherwise(F.lit(f"{_AGING_DAYS[2]}d+"))
+    )
+    return (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"), bucket.alias("age_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("backlog_cents"),
+            F.max(age).cast("long").alias("oldest_days"),
+        )
+        .orderBy("priority", "age_bucket")
+    )
+
+
+ORACLE_ORDERS_BACKLOG_AGING = f"""
+WITH h AS (
+  SELECT max(epoch_us(o_orderdate) // 86400000000) AS h FROM orders
+),
+aged AS (
+  SELECT o_orderpriority AS priority,
+         h.h - (epoch_us(o_orderdate) // 86400000000) AS age,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders, h WHERE o_orderstatus = 'O'
+)
+SELECT priority,
+       CASE WHEN age <= {_AGING_DAYS[0]} THEN '0-{_AGING_DAYS[0]}d'
+            WHEN age <= {_AGING_DAYS[1]} THEN '{_AGING_DAYS[0] + 1}-{_AGING_DAYS[1]}d'
+            WHEN age <= {_AGING_DAYS[2]} THEN '{_AGING_DAYS[1] + 1}-{_AGING_DAYS[2]}d'
+            ELSE '{_AGING_DAYS[2]}d+' END AS age_bucket,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS backlog_cents,
+       CAST(max(age) AS BIGINT) AS oldest_days
+FROM aged
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["orders_backlog_aging"] = orders_backlog_aging
+ORACLE["orders_backlog_aging"] = ORACLE_ORDERS_BACKLOG_AGING
+
+
+# ---------------------------------------------------------------------------
+# Value-range (RANGE BETWEEN) window frame
+# ---------------------------------------------------------------------------
+
+#: Trailing-window width in days for the customer spend frame.
+_RANGE_FRAME_DAYS = 90
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-90-day customer spend via a value-based RANGE frame:
+    for every order, the count and cent-sum of the same customer's
+    orders in the preceding 90 days INCLUDING the current one — the
+    window family's value-frame member (the rest of the pack's frames
+    are ROWS-based), i.e. "how much has this account spent lately"
+    computed at order grain.
+
+    Exactness: the frame bound is integer epoch-days ordered by a
+    BIGINT day key, so frame membership is integer comparison in both
+    engines (RANGE over timestamps would drag in interval semantics);
+    sums are integer cents.  Ties on the same day are IN the frame
+    for both engines by RANGE semantics (peers of the current row).
+    One customer-keyed shuffle; frame state is bounded by the window
+    width.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    ).alias("day")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-_RANGE_FRAME_DAYS, 0)
+    )
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day,
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        base.select(
+            "o_custkey",
+            "o_orderkey",
+            "day",
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            F.sum("cents").over(w).alias("trailing_cents"),
+        )
+        .orderBy("o_custkey", "day", "o_orderkey")
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = f"""
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day,
+       count(*) OVER w AS n_trailing,
+       CAST(sum(cents) OVER w AS BIGINT) AS trailing_cents
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN {_RANGE_FRAME_DAYS} PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, day, o_orderkey
+"""
+
+QUERIES["window_range_frame"] = window_range_frame
+ORACLE["window_range_frame"] = ORACLE_WINDOW_RANGE_FRAME
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency (equi-depth) histogram
+# ---------------------------------------------------------------------------
+
+#: Number of equal-frequency buckets.
+_EQUIDEPTH_BUCKETS = 8
+
+
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order value: 8 buckets holding (as
+    close as rank arithmetic allows) equal row counts — the histogram
+    an optimizer or drift monitor wants when the distribution is
+    skewed and equal-WIDTH buckets would pile everything into one bin
+    (complement of ``events_value_histogram``'s fixed-width form).
+
+    Bucket of a row = floor(((rank−1) · B) / n) over the exact
+    integer dense ordering by (cents, orderkey) — pure integer
+    arithmetic, no quantile interpolation, engine-identical.  The
+    rank is the bucketed two-pass prefix COUNT (fixed 256 value-range
+    buckets → bucket-offset window → per-bucket row_number), not a
+    global single-partition window.  Reported per bucket: exact row
+    count and integer-cents min/max/sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    stats = vals.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = vals.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        "cents",
+        "n",
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col("cents") - F.col("lo")) * 256 / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+        ).alias("vb"),
+    )
+    counts = b.groupBy("vb").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "vb", F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off")
+    )
+    wrn = Window.partitionBy("vb").orderBy("cents", "o_orderkey")
+    ranked = (
+        b.join(offs, "vb")
+        .withColumn("rk", F.col("off") + F.row_number().over(wrn))
+        .select(
+            "cents",
+            F.floor((F.col("rk") - 1) * _EQUIDEPTH_BUCKETS / F.col("n"))
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_AGG_HISTOGRAM_EQUIDEPTH = f"""
+WITH vals AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT cents,
+         CAST(floor((row_number() OVER (ORDER BY cents, o_orderkey) - 1)
+                    * {_EQUIDEPTH_BUCKETS} / count(*) OVER ()) AS INTEGER)
+           AS bucket
+  FROM vals
+)
+SELECT bucket,
+       count(*) AS n_rows,
+       min(cents) AS min_cents,
+       max(cents) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ranked
+GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES["agg_histogram_equidepth"] = agg_histogram_equidepth
+ORACLE["agg_histogram_equidepth"] = ORACLE_AGG_HISTOGRAM_EQUIDEPTH
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+#: Benford expected first-digit probabilities log10(1 + 1/d), scaled
+#: to exact parts-per-million so both engines compare integers.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the
+    fraud/synthetic-data screen: the leading digit of naturally
+    occurring amounts follows log10(1 + 1/d), and a corpus whose
+    digits don't is either synthetic, capped, or manipulated.
+    Reports, per digit: observed count, expected parts-per-million,
+    observed ppm, and the integer ppm excess — NO cross-digit
+    statistic is aggregated, so every output value derives from exact
+    integers and one literal table (a chi-square over the 9 digits
+    would sum floats in engine-chosen order).
+
+    Shape: the digit is map-side string arithmetic on the integer
+    cents (first char of the cent value — prices are ≥ 1.00 so the
+    leading cent digit IS the leading price digit); one 9-row hash
+    aggregate with a 1-row total broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            expected[F.col("digit")].cast("long").alias("expected_ppm"),
+            # floor of the SAME IEEE double division both engines run
+            # (a truncating integer div on one side and a double div
+            # on the other could disagree by 1 on exact multiples).
+            F.floor(F.col("n") * 1000000 / F.col("t")).cast("long").alias(
+                "observed_ppm"
+            ),
+            (
+                F.floor(F.col("n") * 1000000 / F.col("t")).cast("long")
+                - expected[F.col("digit")].cast("long")
+            ).alias("excess_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in sorted(_BENFORD_PPM.items())
+)
+
+ORACLE_AGG_BENFORD_AUDIT = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(n) AS t FROM counts)
+SELECT digit,
+       n,
+       CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS expected_ppm,
+       CAST(floor(n * 1000000 / t) AS BIGINT) AS observed_ppm,
+       CAST(floor(n * 1000000 / t) AS BIGINT)
+         - CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS excess_ppm
+FROM counts, t
+ORDER BY digit
+"""
+
+QUERIES["agg_benford_audit"] = agg_benford_audit
+ORACLE["agg_benford_audit"] = ORACLE_AGG_BENFORD_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival statistics
+# ---------------------------------------------------------------------------
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival gap distribution: for each user's
+    consecutive events of a type, the gap in integer microseconds —
+    count, mean, p50 and p90 — the arrival-process profile that sizes
+    streaming state timeouts and sessionization gaps.
+
+    Exactness: gaps are exact integer µs (timestamp subtraction on
+    unix_micros); the mean divides an exact integer sum
+    (rounded-sum-divide is unnecessary — the sum is already integer);
+    p50/p90 use the pack's interpolated-percentile parity convention
+    computed from exact integer order statistics (two-sided nearest
+    ranks + linear interpolation as ONE double expression).
+
+    Shape: one (user, type)-keyed shuffle for the lag, then per-type
+    rank windows over the (small) per-type gap relations; a
+    fixed-width final aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "event_id", us.alias("us"))
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .where(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap")
+    ranked = gaps.withColumn("rk", F.row_number().over(wr))
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("gap").alias("s")
+    )
+
+    def interp(q: float):
+        # rank position h = (n-1)*q (0-based) -> 1-based ranks
+        h = (F.col("n") - 1) * F.lit(q)
+        lo = F.floor(h).cast("long") + 1
+        hi = -F.floor(-h).cast("long") + 1
+        frac = h - F.floor(h)
+        return lo, hi, frac
+
+    out = stats
+    for q, name in ((0.5, "p50"), (0.9, "p90")):
+        lo, hi, frac = interp(q)
+        lo_v = (
+            ranked.withColumnRenamed("gap", f"{name}_lo_gap")
+            .withColumnRenamed("rk", f"{name}_lo_rk")
+            .withColumnRenamed("event_type", f"{name}_lo_t")
+        )
+        hi_v = (
+            ranked.withColumnRenamed("gap", f"{name}_hi_gap")
+            .withColumnRenamed("rk", f"{name}_hi_rk")
+            .withColumnRenamed("event_type", f"{name}_hi_t")
+        )
+        out = (
+            out.withColumn(f"{name}_lo", lo)
+            .withColumn(f"{name}_hi", hi)
+            .withColumn(f"{name}_frac", frac)
+            .join(
+                lo_v,
+                (F.col("event_type") == F.col(f"{name}_lo_t"))
+                & (F.col(f"{name}_lo") == F.col(f"{name}_lo_rk")),
+            )
+            .join(
+                hi_v,
+                (F.col("event_type") == F.col(f"{name}_hi_t"))
+                & (F.col(f"{name}_hi") == F.col(f"{name}_hi_rk")),
+            )
+            .withColumn(
+                name,
+                pround(
+                    F.col(f"{name}_lo_gap")
+                    + (F.col(f"{name}_hi_gap") - F.col(f"{name}_lo_gap"))
+                    * F.col(f"{name}_frac"),
+                    2,
+                ),
+            )
+        )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        pround(F.col("s") / F.col("n"), 2).alias("mean_gap_us"),
+        F.col("p50").alias("p50_gap_us"),
+        F.col("p90").alias("p90_gap_us"),
+    ).orderBy("event_type")
+
+
+ORACLE_EVENTS_INTERARRIVAL_STATS = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id, event_type
+            ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+),
+g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rk
+  FROM g
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(gap) AS s FROM g GROUP BY 1
+),
+pcts AS (
+  SELECT s.event_type, s.n, s.s,
+         lo50.gap + (hi50.gap - lo50.gap)
+           * ((s.n - 1) * 0.5 - floor((s.n - 1) * 0.5)) AS p50,
+         lo90.gap + (hi90.gap - lo90.gap)
+           * ((s.n - 1) * 0.9 - floor((s.n - 1) * 0.9)) AS p90
+  FROM stats s
+  JOIN ranked lo50 ON lo50.event_type = s.event_type
+    AND lo50.rk = CAST(floor((s.n - 1) * 0.5) AS BIGINT) + 1
+  JOIN ranked hi50 ON hi50.event_type = s.event_type
+    AND hi50.rk = CAST(ceil((s.n - 1) * 0.5) AS BIGINT) + 1
+  JOIN ranked lo90 ON lo90.event_type = s.event_type
+    AND lo90.rk = CAST(floor((s.n - 1) * 0.9) AS BIGINT) + 1
+  JOIN ranked hi90 ON hi90.event_type = s.event_type
+    AND hi90.rk = CAST(ceil((s.n - 1) * 0.9) AS BIGINT) + 1
+)
+SELECT event_type,
+       n AS n_gaps,
+       floor((CAST(s AS DOUBLE) / n) * 100 + 0.5) / 100.0 AS mean_gap_us,
+       floor(p50 * 100 + 0.5) / 100.0 AS p50_gap_us,
+       floor(p90 * 100 + 0.5) / 100.0 AS p90_gap_us
+FROM pcts
+ORDER BY event_type
+"""
+
+QUERIES["events_interarrival_stats"] = events_interarrival_stats
+ORACLE["events_interarrival_stats"] = ORACLE_EVENTS_INTERARRIVAL_STATS
+
+
+# ---------------------------------------------------------------------------
+# Burst detection (trailing-baseline episodes)
+# ---------------------------------------------------------------------------
+
+#: Trailing baseline width (observed hour-rows) for the burst test.
+_BURST_WINDOW = 24
+#: Burst sigma threshold (Poisson): cnt > mean + _BURST_SIGMA*sqrt(mean).
+_BURST_SIGMA = 2
+
+
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-burst episodes per event type at hour grain: an hour is
+    BURSTY when its count exceeds the trailing-24h mean by more than
+    ``_BURST_SIGMA`` Poisson standard deviations, and consecutive
+    bursty hours merge into one episode (gaps-and-islands) — the
+    flash-crowd / incident detector a feed-health monitor runs on
+    arrival volumes.  A sigma rule (not a fixed multiplier) keeps the
+    detector meaningful across scale: at 100 TB the hourly mean is
+    huge and a 2x rule would never fire, while +2σ stays calibrated.
+
+    Exactness: the test is squared into exact integers —
+    cnt·bn > bs AND (cnt·bn − bs)² > σ²·bs·bn — no division, no
+    sqrt, no float anywhere; episode grouping is integer hour
+    arithmetic.  Hours with no preceding baseline are never bursty.
+
+    Shape: hour-grain aggregate (map-side combine), per-type ROWS
+    frame over the small hourly relation, gaps-islands window,
+    episode aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 3600000000"
+    ).alias("hour")
+    hourly = ev.select("event_type", hour).groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_BURST_WINDOW, -1)
+    )
+    excess = F.col("cnt") * F.col("base_n") - F.col("base_sum")
+    flagged = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.sum("cnt").over(wt).alias("base_sum"),
+        F.count(F.lit(1)).over(wt).alias("base_n"),
+    ).withColumn(
+        "bursty",
+        F.col("base_n").isNotNull()
+        & (F.col("base_n") > 0)
+        & (excess > 0)
+        & (
+            excess * excess
+            > F.lit(_BURST_SIGMA * _BURST_SIGMA)
+            * F.col("base_sum")
+            * F.col("base_n")
+        ),
+    )
+    wseq = Window.partitionBy("event_type").orderBy("hour")
+    episodes = (
+        flagged.where("bursty")
+        .withColumn("grp", F.col("hour") - F.row_number().over(wseq))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("hour").alias("start_hour"),
+            F.max("hour").alias("end_hour"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("cnt").alias("peak_count"),
+        )
+        .select("event_type", "start_hour", "end_hour", "n_hours", "peak_count")
+    )
+    return episodes.orderBy("event_type", "start_hour")
+
+
+ORACLE_EVENTS_BURST_DETECTION = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, hour, cnt,
+         sum(cnt) OVER w AS base_sum,
+         count(*) OVER w AS base_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_BURST_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+bursty AS (
+  SELECT event_type, hour, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM flagged
+  WHERE base_n IS NOT NULL AND base_n > 0
+    AND cnt * base_n - base_sum > 0
+    AND (cnt * base_n - base_sum) * (cnt * base_n - base_sum)
+        > {_BURST_SIGMA * _BURST_SIGMA} * base_sum * base_n
+)
+SELECT event_type,
+       min(hour) AS start_hour,
+       max(hour) AS end_hour,
+       count(*) AS n_hours,
+       max(cnt) AS peak_count
+FROM bursty
+GROUP BY event_type, hour - rn
+ORDER BY event_type, start_hour
+"""
+
+QUERIES["events_burst_detection"] = events_burst_detection
+ORACLE["events_burst_detection"] = ORACLE_EVENTS_BURST_DETECTION
+
+
+# ---------------------------------------------------------------------------
+# Event-type audience affinity (pairwise user-overlap Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def events_type_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every unordered type
+    pair, the Jaccard similarity of their user sets — "do the people
+    who purchase also share?", the cross-feature affinity matrix a
+    recommender or funnel designer reads first.
+
+    Exactness: |A∩B| and |A∪B| are exact distinct counts; the ratio
+    is ONE double division, 6-dp rounded.  Shape: the (user, type)
+    relation is deduped once (one shuffle); the pair intersection is
+    a user-keyed self-join restricted to t1 < t2 (each user
+    contributes C(k,2) pairs of their own k ≤ T types — bounded by
+    the type-universe size, never a cross join); per-type set sizes
+    broadcast back onto the T² ≤ 25-row pair relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    a = ut.withColumnRenamed("event_type", "t1")
+    b = ut.withColumnRenamed("event_type", "t2")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("t1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("event_type").alias("t2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            (F.col("sz1") + F.col("sz2") - F.col("n_both")).alias("n_either"),
+            pround(
+                F.col("n_both")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+ORACLE_EVENTS_TYPE_AFFINITY_JACCARD = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, count(*) AS sz FROM ut GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t1, t2, n_both,
+       s1.sz + s2.sz - n_both AS n_either,
+       floor((CAST(n_both AS DOUBLE) / (s1.sz + s2.sz - n_both)) * 1000000 + 0.5)
+         / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.event_type = t1
+JOIN sizes s2 ON s2.event_type = t2
+ORDER BY t1, t2
+"""
+
+QUERIES["events_type_affinity_jaccard"] = events_type_affinity_jaccard
+ORACLE["events_type_affinity_jaccard"] = ORACLE_EVENTS_TYPE_AFFINITY_JACCARD

@@ -906,7 +906,7 @@ def test_forecast_baseline_matches_bruteforce(spark, tmp_path):
 @pytest.mark.parametrize("seed", [17, 404])
 def test_chi_square_matches_scipy_free_model(spark, tmp_path, seed):
     from parquet_stream_writer_spark.operators.staged import (
-        _CHI2_CRIT_05_DF24,
+        _CHI2_CRIT_05,
         agg_chi_square_independence,
     )
 
@@ -939,7 +939,9 @@ def test_chi_square_matches_scipy_free_model(spark, tmp_path, seed):
     assert row.n_events == n
     assert row.dof == dof
     assert abs(row.chi2 - float(_pr(chi2, 6))) < 1e-9
-    assert row.dependent_at_05 == (chi2 > _CHI2_CRIT_05_DF24)
+    # round-7: the verdict derives its critical value from the
+    # COMPUTED dof (here (4-1)*(7-1) = 18), not a fixed df=24.
+    assert row.dependent_at_05 == (chi2 > _CHI2_CRIT_05[dof - 1])
 
 
 @pytest.mark.parametrize("seed", [23, 909])
