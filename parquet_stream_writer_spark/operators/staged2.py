@@ -813,3 +813,835 @@ ORDER BY t1, t2
 
 QUERIES["events_type_affinity_jaccard"] = events_type_affinity_jaccard
 ORACLE["events_type_affinity_jaccard"] = ORACLE_EVENTS_TYPE_AFFINITY_JACCARD
+
+# ---------------------------------------------------------------------------
+# Power-user contribution share (top decile with ties)
+# ---------------------------------------------------------------------------
+
+
+def events_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-decile user concentration per event type: the share of a
+    type's events contributed by its most-active 10 % of users
+    (ties at the threshold count included) — the "whales" readout
+    that decides whether per-user sampling caps are worth building
+    (complement of `events_user_gini`, which scores the whole curve).
+
+    Scale shape: the decile threshold is NOT a per-user rank window —
+    per-user counts collapse to a (type × distinct-count) HISTOGRAM
+    relation (bounded by the count range), the cumulative user/event
+    totals are windows over that tiny relation ordered by count
+    descending, and the threshold bucket is the one containing the
+    ceil(n/10)-th user.  All counts exact integers; the share is ONE
+    double division, 6-dp rounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = uc.groupBy("event_type", "cnt").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        (F.count(F.lit(1)) * F.col("cnt")).alias("ev"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("cnt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "cnt",
+        "n_u",
+        F.sum("n_u").over(wc).alias("cum_u"),
+        F.sum("ev").over(wc).alias("cum_ev"),
+    )
+    totals = hist.groupBy("event_type").agg(
+        F.sum("n_u").alias("n_users"), F.sum("ev").alias("n_events")
+    )
+    # k = ceil(n_users / 10) as integer arithmetic.
+    sel = (
+        cum.join(totals, "event_type")
+        .where(
+            (F.col("cum_u") - F.col("n_u")) * 10 < F.col("n_users") + 9 - (F.col("n_users") + 9) % 10
+        )
+    )
+    # Buckets from the top THROUGH the one containing the k-th user:
+    # cum_u - n_u < k  where  k = (n_users + 9) div 10 ... expressed
+    # integer-only above via k*10 = n_users+9 - (n_users+9)%10.
+    return (
+        sel.groupBy("event_type")
+        .agg(
+            F.max("n_users").alias("n_users"),
+            F.max("cum_u").alias("n_top_users"),
+            F.min("cnt").alias("threshold_count"),
+            F.max("cum_ev").alias("top_events"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_top_users",
+            "threshold_count",
+            "top_events",
+            "n_events",
+            pround(F.col("top_events") / F.col("n_events"), 6).alias("top_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_POWER_USER_SHARE = """
+WITH uc AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+hist AS (
+  SELECT event_type, cnt, count(*) AS n_u, count(*) * cnt AS ev
+  FROM uc GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cnt, n_u,
+         sum(n_u) OVER w AS cum_u,
+         sum(ev) OVER w AS cum_ev
+  FROM hist
+  WINDOW w AS (PARTITION BY event_type ORDER BY cnt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+totals AS (
+  SELECT event_type, sum(n_u) AS n_users, sum(ev) AS n_events
+  FROM hist GROUP BY 1
+),
+sel AS (
+  SELECT c.*, t.n_users, t.n_events
+  FROM cum c JOIN totals t USING (event_type)
+  WHERE (c.cum_u - c.n_u) * 10 < t.n_users + 9 - (t.n_users + 9) % 10
+)
+SELECT event_type,
+       CAST(max(n_users) AS BIGINT) AS n_users,
+       CAST(max(cum_u) AS BIGINT) AS n_top_users,
+       CAST(min(cnt) AS BIGINT) AS threshold_count,
+       CAST(max(cum_ev) AS BIGINT) AS top_events,
+       CAST(max(n_events) AS BIGINT) AS n_events,
+       floor((CAST(max(cum_ev) AS DOUBLE) / max(n_events)) * 1000000 + 0.5)
+         / 1000000.0 AS top_share
+FROM sel
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_power_user_share"] = events_power_user_share
+ORACLE["events_power_user_share"] = ORACLE_EVENTS_POWER_USER_SHARE
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (new / returning / resurrected)
+# ---------------------------------------------------------------------------
+
+#: A user returning after more than this many days is "resurrected".
+_GROWTH_GAP_DAYS = 7
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting of the active-user base: every active
+    (user, day) is classified NEW (first day ever), RETURNING (last
+    activity within 7 days) or RESURRECTED (a gap longer than 7
+    days) — the standard DAU decomposition a growth team reads
+    before anything else.
+
+    Exactness: pure integer epoch-day arithmetic over the deduped
+    (user, day) relation; one user-keyed shuffle powers both the
+    first-day window and the lag.  Output is day-grain fixed width.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000"
+    ).alias("day")
+    ud = ev.select("user_id", day).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    classed = (
+        ud.withColumn("prev_day", F.lag("day").over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("prev_day").isNull(), "new")
+            .when(F.col("day") - F.col("prev_day") > _GROWTH_GAP_DAYS, "resurrected")
+            .otherwise("returning"),
+        )
+    )
+    return (
+        classed.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("status") == "returning").cast("long")).alias(
+                "n_returning"
+            ),
+            F.sum((F.col("status") == "resurrected").cast("long")).alias(
+                "n_resurrected"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_EVENTS_GROWTH_ACCOUNTING = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+classed AS (
+  SELECT day,
+         CASE
+           WHEN lag(day) OVER w IS NULL THEN 'new'
+           WHEN day - lag(day) OVER w > {_GROWTH_GAP_DAYS} THEN 'resurrected'
+           ELSE 'returning'
+         END AS status
+  FROM ud
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+)
+SELECT day,
+       count(*) AS n_active,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN status = 'returning' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning,
+       CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected
+FROM classed
+GROUP BY day ORDER BY day
+"""
+
+QUERIES["events_growth_accounting"] = events_growth_accounting
+ORACLE["events_growth_accounting"] = ORACLE_EVENTS_GROWTH_ACCOUNTING
+
+
+# ---------------------------------------------------------------------------
+# Weekly event-type mix drift (L1 distance)
+# ---------------------------------------------------------------------------
+
+
+def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week drift of the event-type mix: the L1 distance
+    between consecutive weeks' type-share vectors — the categorical
+    drift gate a data-quality monitor alarms on ("the feed's
+    composition changed").
+
+    Exactness discipline: the L1 distance Σ|c_w/N_w − c_p/N_p| is
+    computed ENTIRELY in integers via the common denominator —
+    Σ|c_w·N_p − c_p·N_w| summed exactly, then ONE double division by
+    N_w·N_p, 6-dp rounded.  The (week × type) grid is densified from
+    the observed week and type universes (missing cells = 0) so the
+    lag is the true previous calendar week.
+
+    Shape: one (week, type) aggregate, a bounded grid cross join
+    (weeks × types), a type-keyed lag over the tiny grid, a week
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 604800000000"
+    ).alias("week")
+    wt = ev.select("event_type", week).groupBy("week", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    weeks = wt.select("week").distinct()
+    types = wt.select("event_type").distinct()
+    grid = (
+        weeks.crossJoin(types)
+        .join(wt, ["week", "event_type"], "left")
+        .select("week", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    totals = grid.groupBy("week").agg(F.sum("c").alias("n"))
+    lag_w = Window.partitionBy("event_type").orderBy("week")
+    lagged = (
+        grid.join(totals, "week")
+        .withColumn("c_prev", F.lag("c").over(lag_w))
+        .withColumn("n_prev", F.lag("n").over(lag_w))
+        .where(F.col("c_prev").isNotNull())
+    )
+    num = F.abs(F.col("c") * F.col("n_prev") - F.col("c_prev") * F.col("n"))
+    return (
+        lagged.groupBy("week")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("n_prev").alias("n_prev_events"),
+            F.sum(num).alias("l1_num"),
+        )
+        .where((F.col("n_events") > 0) & (F.col("n_prev_events") > 0))
+        .select(
+            "week",
+            "n_events",
+            "n_prev_events",
+            pround(
+                F.col("l1_num") / (F.col("n_events") * F.col("n_prev_events")), 6
+            ).alias("l1_drift"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_EVENTS_TYPE_SHARE_DRIFT = """
+WITH wt AS (
+  SELECT epoch_us(ts) // 604800000000 AS week, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT w.week, t.event_type, coalesce(x.c, 0) AS c
+  FROM (SELECT DISTINCT week FROM wt) w
+  CROSS JOIN (SELECT DISTINCT event_type FROM wt) t
+  LEFT JOIN wt x ON x.week = w.week AND x.event_type = t.event_type
+),
+totals AS (SELECT week, sum(c) AS n FROM grid GROUP BY 1),
+lagged AS (
+  SELECT g.week, g.event_type, g.c, t.n,
+         lag(g.c) OVER w AS c_prev,
+         lag(t.n) OVER w AS n_prev
+  FROM grid g JOIN totals t USING (week)
+  WINDOW w AS (PARTITION BY g.event_type ORDER BY g.week)
+)
+SELECT week,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(n_prev) AS BIGINT) AS n_prev_events,
+       floor((CAST(sum(abs(c * n_prev - c_prev * n)) AS DOUBLE)
+              / (max(n) * max(n_prev))) * 1000000 + 0.5) / 1000000.0 AS l1_drift
+FROM lagged
+WHERE c_prev IS NOT NULL
+GROUP BY week
+HAVING max(n) > 0 AND max(n_prev) > 0
+ORDER BY week
+"""
+
+QUERIES["events_type_share_drift"] = events_type_share_drift
+ORACLE["events_type_share_drift"] = ORACLE_EVENTS_TYPE_SHARE_DRIFT
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classifier (embedding-quality confusion matrix)
+# ---------------------------------------------------------------------------
+
+
+def similarity_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification audit of the
+    embedding space: every vector is assigned to the label whose
+    centroid it is most cosine-similar to, and the confusion matrix
+    (true label × assigned label, with counts) is reported — the
+    fastest "are these embeddings linearly separable by class" check
+    a training-data pipeline runs before spending on a probe model.
+
+    Exactness: per-dimension centroid numerators are exact integer
+    sums of 1e6-scaled components, the vector·centroid dot product is
+    an exact INTEGER sum (order-free), and the per-label score is
+    S_l / sqrt(Σ sum²) — one deterministic sqrt + division per
+    (vector, label); argmax ties break on the smaller label.
+
+    Shape: posexplode to (vec, dim) rows, a dim-keyed join against
+    the 640-row centroid relation (broadcast), one integer hash
+    aggregate per (vec, label), an argmax window keyed by vec, a
+    fixed-width confusion aggregate.  At 1e9 vectors the same
+    centroid relation broadcasts and the expansion stays map-side;
+    the dense-algebra lane (Arrow GEMM, similarity_pair_topk's
+    kernel) is the constant-factor upgrade, traded here for
+    integer-exact oracle parity.
+    """
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    vd = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("emb").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    cents = vd.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("v6").alias("s6")
+    )
+    cnorm = cents.groupBy("clabel").agg(
+        F.sum(F.col("s6") * F.col("s6")).alias("cn2")
+    )
+    scores = (
+        vd.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("v6") * F.col("s6")).alias("dot"))
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            (F.col("dot") / F.sqrt(F.col("cn2").cast("double"))).alias("score"),
+        )
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("clabel")
+    )
+    assigned = (
+        scores.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select("label", F.col("clabel").alias("predicted"))
+    )
+    return (
+        assigned.groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
+ORACLE_SIMILARITY_CENTROID_CLASSIFIER = """
+WITH vd AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+),
+cents AS (
+  SELECT label AS clabel, dim, sum(v6) AS s6 FROM vd GROUP BY 1, 2
+),
+cnorm AS (SELECT clabel, sum(s6 * s6) AS cn2 FROM cents GROUP BY 1),
+scores AS (
+  SELECT v.vec_id, v.label, c.clabel,
+         CAST(sum(v.v6 * c.s6) AS DOUBLE) / sqrt(CAST(n.cn2 AS DOUBLE))
+           AS score
+  FROM vd v
+  JOIN cents c USING (dim)
+  JOIN cnorm n USING (clabel)
+  GROUP BY v.vec_id, v.label, c.clabel, n.cn2
+),
+assigned AS (
+  SELECT label, clabel AS predicted,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, clabel ASC) AS rk
+  FROM scores
+)
+SELECT label, predicted, count(*) AS n
+FROM assigned WHERE rk = 1
+GROUP BY label, predicted
+ORDER BY label, predicted
+"""
+
+QUERIES["similarity_centroid_classifier"] = similarity_centroid_classifier
+ORACLE["similarity_centroid_classifier"] = ORACLE_SIMILARITY_CENTROID_CLASSIFIER
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics
+# ---------------------------------------------------------------------------
+
+
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding column —
+    the collapse detector: dimensions with near-zero variance are
+    dead capacity, a handful of dominant ones mean the encoder
+    collapsed; both are visible here before any index is built
+    (complements `embedding_norm_audit`, which profiles rows, by
+    profiling COLUMNS of the matrix).
+
+    Exactness: components are 1e6-integer-scaled map-side; per-dim
+    n/Σx/Σx² are exact integer sums, mean and variance each ONE
+    double division (population variance, ·1e12 descaled), 6-dp
+    rounded.  Shape: posexplode + one 64-key hash aggregate — one
+    scan, one tiny shuffle.
+    """
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+    vd = emb.select(F.posexplode("emb").alias("dim", "v")).select(
+        "dim",
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    return (
+        vd.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v6").alias("s"),
+            F.sum(F.col("v6") * F.col("v6")).alias("s2"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            pround(F.col("s") / (F.col("n") * F.lit(1000000.0)), 6).alias("mean"),
+            pround(
+                (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+                / (F.col("n") * F.col("n") * F.lit(1e12)),
+                6,
+            ).alias("variance"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMBEDDING_DIMENSION_STATS = """
+WITH vd AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+)
+SELECT dim,
+       count(*) AS n,
+       floor((sum(v6) / (count(*) * 1000000.0)) * 1000000 + 0.5)
+         / 1000000.0 AS mean,
+       floor(((count(*) * sum(v6 * v6) - sum(v6) * sum(v6))
+              / (count(*) * count(*) * 1e12)) * 1000000 + 0.5)
+         / 1000000.0 AS variance
+FROM vd
+GROUP BY dim ORDER BY dim
+"""
+
+QUERIES["embedding_dimension_stats"] = embedding_dimension_stats
+ORACLE["embedding_dimension_stats"] = ORACLE_EMBEDDING_DIMENSION_STATS
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid distance matrix
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroid_distance_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Euclidean distances between label centroids — the
+    class-separation map: labels whose centroids nearly coincide are
+    the confusion pairs a classifier (or the nearest-centroid audit)
+    will mix up, and merging/cleaning candidates for a taxonomy.
+
+    Exactness: centroid differences are exact integer cross products
+    ((S_a·n_b − S_b·n_a) per dimension over 1e6-scaled sums); the 64
+    squared terms are folded in DIMENSION order via a sorted
+    collect + sequential fold (the events_ewma_smooth convention), so
+    no engine picks its own summation order; one sqrt + one division
+    at the end.  Shape: label × label × dim is at most k²·d rows —
+    centroids are k·d (640) rows, everything downstream is bounded.
+    """
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    vd = emb.select("label", F.posexplode("emb").alias("dim", "v")).select(
+        "label",
+        "dim",
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    cents = vd.groupBy("label", "dim").agg(
+        F.sum("v6").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = cents.select(
+        F.col("label").alias("la"),
+        "dim",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = cents.select(
+        F.col("label").alias("lb"),
+        "dim",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    terms = (
+        a.join(b, "dim")
+        .where(F.col("la") < F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            "dim",
+            "na",
+            "nb",
+            (
+                (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(
+                    "double"
+                )
+                / (F.col("na") * F.col("nb") * F.lit(1000000.0))
+            ).alias("diff"),
+        )
+    )
+    folded = (
+        terms.groupBy("la", "lb")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "diff"))
+            ).alias("pairs"),
+        )
+        .select(
+            "la",
+            "lb",
+            "na",
+            "nb",
+            F.aggregate(
+                "pairs",
+                F.lit(0.0),
+                lambda acc, p: acc + p["diff"] * p["diff"],
+            ).alias("d2"),
+        )
+    )
+    return folded.select(
+        "la",
+        "lb",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        pround(F.sqrt(F.col("d2")), 6).alias("centroid_dist"),
+    ).orderBy("la", "lb")
+
+
+ORACLE_EMBEDDING_CENTROID_DISTANCE_MATRIX = """
+WITH vd AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+),
+cents AS (
+  SELECT label, dim, sum(v6) AS s, count(*) AS n FROM vd GROUP BY 1, 2
+),
+terms AS (
+  SELECT a.label AS la, b.label AS lb, a.dim, a.n AS na, b.n AS nb,
+         CAST(a.s * b.n - b.s * a.n AS DOUBLE)
+           / (a.n * b.n * 1000000.0) AS diff
+  FROM cents a JOIN cents b ON a.dim = b.dim AND a.label < b.label
+),
+folded AS (
+  SELECT la, lb, max(na) AS na, max(nb) AS nb,
+         list_reduce(
+           list_prepend(0.0, list_transform(list(diff ORDER BY dim),
+                                            x -> x * x)),
+           (acc, x) -> acc + x) AS d2
+  FROM terms
+  GROUP BY la, lb
+)
+SELECT la, lb,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       floor(sqrt(d2) * 1000000 + 0.5) / 1000000.0 AS centroid_dist
+FROM folded
+ORDER BY la, lb
+"""
+
+QUERIES["embedding_centroid_distance_matrix"] = embedding_centroid_distance_matrix
+ORACLE["embedding_centroid_distance_matrix"] = (
+    ORACLE_EMBEDDING_CENTROID_DISTANCE_MATRIX
+)
+
+# ---------------------------------------------------------------------------
+# Stopword profile
+# ---------------------------------------------------------------------------
+
+#: Function-word probe list (language-agnostic surface forms present
+#: across the corpus's five languages' shared vocabulary).
+_STOPWORDS = ("a", "the", "of", "and", "in", "to", "is", "on")
+
+
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword profile: token share of a literal
+    function-word list — the naturalness feature quality classifiers
+    lean on hardest (real prose carries a stable function-word load;
+    keyword-stuffed or template text does not), and the denominator
+    audit for `text_quality_score`'s stopword ratio.
+
+    Exactness: exact integer token counts; the share is ONE double
+    division, 6-dp rounded.  Shape: map-side tokenize + IN test
+    against the 8-word literal (no join — the list compiles into the
+    expression), one lang-keyed hash aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    is_stop = F.col("tok").isin(*_STOPWORDS)
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(is_stop.cast("long")).alias("n_stopwords"),
+            F.countDistinct(F.when(is_stop, F.col("tok"))).alias(
+                "distinct_stopwords"
+            ),
+            pround(F.sum(is_stop.cast("long")) / F.count(F.lit(1)), 6).alias(
+                "stopword_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+ORACLE_TEXT_STOPWORD_PROFILE = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN tok IN ({_SQL_STOP_LIST}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stopwords,
+       count(DISTINCT CASE WHEN tok IN ({_SQL_STOP_LIST}) THEN tok END)
+         AS distinct_stopwords,
+       floor((CAST(sum(CASE WHEN tok IN ({_SQL_STOP_LIST}) THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0
+         AS stopword_share
+FROM toks
+GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["text_stopword_profile"] = text_stopword_profile
+ORACLE["text_stopword_profile"] = ORACLE_TEXT_STOPWORD_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio proxy (distinct n-gram saturation)
+# ---------------------------------------------------------------------------
+
+#: Character n-gram width for the compressibility proxy.
+_COMPRESS_NGRAM = 4
+
+
+def text_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free compressibility proxy per document: the ratio of
+    DISTINCT character 4-grams to total 4-grams — highly repetitive
+    text (the stuff dedup and quality filters want gone) saturates
+    its n-gram vocabulary early and scores low, random-ish prose
+    scores high.  Reported as a decile histogram of the per-doc
+    ratio: bucket, doc count, exact mean ratio — the corpus-shape
+    readout without shipping zlib into the executors.
+
+    Exactness: the per-doc ratio is exact integer division scaled to
+    parts-per-million (distinct·1e6 div total — both engines floor
+    exact integers); the decile bucket and the bucket mean divide
+    those integers.  Shape: map-side position explode (len−3 rows per
+    doc), one (doc × gram) distinct aggregate, a doc-grain aggregate,
+    a 10-row histogram.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("t"), F.length("text").alias("len")
+    ).where(F.col("len") >= _COMPRESS_NGRAM)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("len") - (_COMPRESS_NGRAM - 1))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id", F.substring("t", F.col("i"), F.lit(_COMPRESS_NGRAM)).alias("g")
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("g").alias("dist"),
+    )
+    ratio_ppm = F.expr("dist * 1000000 div total")
+    bucketed = per_doc.select(
+        "doc_id",
+        ratio_ppm.alias("ppm"),
+        F.least(F.lit(9), F.expr("dist * 10 div total")).cast("int").alias(
+            "bucket"
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.sum("ppm") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6)
+            .alias("mean_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_TEXT_COMPRESSION_PROXY = f"""
+WITH docs AS (
+  SELECT doc_id, text AS t, length(text) AS len
+  FROM documents WHERE length(text) >= {_COMPRESS_NGRAM}
+),
+idx AS (
+  SELECT unnest(generate_series(
+    1, (SELECT max(len) - {_COMPRESS_NGRAM - 1} FROM docs))) AS i
+),
+grams AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), {_COMPRESS_NGRAM}) AS g
+  FROM docs CROSS JOIN idx
+  WHERE i <= len - {_COMPRESS_NGRAM - 1}
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+  FROM grams GROUP BY doc_id
+),
+bucketed AS (
+  SELECT doc_id,
+         dist * 1000000 // total AS ppm,
+         CAST(least(9, dist * 10 // total) AS INTEGER) AS bucket
+  FROM per_doc
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       floor((sum(ppm) / (count(*) * 1000000.0)) * 1000000 + 0.5)
+         / 1000000.0 AS mean_ratio
+FROM bucketed
+GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES["text_compression_proxy"] = text_compression_proxy
+ORACLE["text_compression_proxy"] = ORACLE_TEXT_COMPRESSION_PROXY
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio
+# ---------------------------------------------------------------------------
+
+
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per language: the fraction of the
+    vocabulary that occurs exactly once (and the once-token share of
+    the token stream) — the productivity/diversity index that pairs
+    with `text_zipf_fit`'s slope: natural corpora run 40–60 % hapax
+    vocabulary, template/duplicated corpora far lower, OCR-garbage
+    far higher.
+
+    Exactness: exact integer frequency counts over the vocab-bounded
+    (lang, token) aggregate; shares are single double divisions,
+    6-dp rounded.  Shape: tokenize map-side, one (lang, tok) hash
+    aggregate, one lang-grain rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("f") == 1).cast("long")).alias("n_hapax"),
+            F.sum("f").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "vocab",
+            "n_hapax",
+            "n_tokens",
+            pround(F.col("n_hapax") / F.col("vocab"), 6).alias("hapax_vocab_share"),
+            pround(F.col("n_hapax") / F.col("n_tokens"), 6).alias(
+                "hapax_token_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEXT_HAPAX_RATIO = """
+WITH tf AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+freq AS (SELECT lang, tok, count(*) AS f FROM tf GROUP BY 1, 2)
+SELECT lang,
+       count(*) AS vocab,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
+       floor((CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*)) * 1000000 + 0.5) / 1000000.0 AS hapax_vocab_share,
+       floor((CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / sum(f)) * 1000000 + 0.5) / 1000000.0 AS hapax_token_share
+FROM freq
+GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["text_hapax_ratio"] = text_hapax_ratio
+ORACLE["text_hapax_ratio"] = ORACLE_TEXT_HAPAX_RATIO
