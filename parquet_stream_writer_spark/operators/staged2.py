@@ -1645,3 +1645,621 @@ GROUP BY lang ORDER BY lang
 
 QUERIES["text_hapax_ratio"] = text_hapax_ratio
 ORACLE["text_hapax_ratio"] = ORACLE_TEXT_HAPAX_RATIO
+
+# ---------------------------------------------------------------------------
+# Schema/profile drift audit between snapshots
+# ---------------------------------------------------------------------------
+
+#: Epoch-day boundary splitting the "old" and "new" order snapshots
+#: (deterministic slices of the driver corpus, no synthesized data).
+_DRIFT_SPLIT_DAY = 10592  # 1999-01-01
+
+
+def pipeline_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift audit between two dataset versions: the
+    orders table is split at a date boundary into OLD and NEW
+    snapshots, and each column's profile (row count, null count,
+    distinct count, min/max of the canonical string form) is compared
+    side-by-side with drift verdicts — the publish gate that catches
+    "the upstream quietly changed an enum / started emitting nulls"
+    before a model trains on it.
+
+    Exactness: all counts exact integers; min/max compare canonical
+    strings (numerics cast via exact integer cents); the distinct
+    drift ratio cross-multiplies integers (|dn−do|·100 > do·threshold)
+    — no float anywhere.  Shape: ONE scan per snapshot folding every
+    column's profile into one aggregate row (count/countDistinct/
+    min/max per column), unpivoted by exploding a literal column
+    array — the data-contract shape applied to profile drift.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    # (value expr for null/distinct, ORDER-PRESERVING INTEGER surrogate
+    # for min/max) per column: the drift verdicts only need boolean
+    # min/max comparisons, and integer surrogates keep every
+    # aggregation buffer primitive — no string-in-buffer SortAggregate
+    # demotion (the profile_table ascii-code convention; enum columns
+    # are keyed by their first character).
+    cols = {
+        "o_orderstatus": (F.col("o_orderstatus"), F.ascii("o_orderstatus")),
+        "o_orderpriority": (
+            F.col("o_orderpriority"),
+            F.ascii(F.substring("o_orderpriority", 1, 1)),
+        ),
+        "o_custkey": (F.col("o_custkey"), F.col("o_custkey")),
+        "o_totalprice_cents": (
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+        ),
+    }
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for name, (c, o) in cols.items():
+            aggs += [
+                F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"),
+                F.countDistinct(c).alias(f"{name}__distinct"),
+                F.min(o).cast("long").alias(f"{name}__min"),
+                F.max(o).cast("long").alias(f"{name}__max"),
+            ]
+        one = df.agg(*aggs)
+        return one.select(
+            F.col("n_rows").alias(f"n_rows_{tag}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("column_name"),
+                            F.col(f"{name}__nulls").alias(f"nulls_{tag}"),
+                            F.col(f"{name}__distinct").alias(f"distinct_{tag}"),
+                            F.col(f"{name}__min").alias(f"min_{tag}"),
+                            F.col(f"{name}__max").alias(f"max_{tag}"),
+                        )
+                        for name in cols
+                    ]
+                )
+            ).alias("r"),
+        ).select(f"n_rows_{tag}", "r.*")
+
+    old = profile(orders.where(day < _DRIFT_SPLIT_DAY), "old")
+    new = profile(orders.where(day >= _DRIFT_SPLIT_DAY), "new")
+    joined = old.join(new, "column_name")
+    return joined.select(
+        "column_name",
+        "n_rows_old",
+        "n_rows_new",
+        "nulls_old",
+        "nulls_new",
+        "distinct_old",
+        "distinct_new",
+        (F.col("min_old") != F.col("min_new")).alias("min_drifted"),
+        (F.col("max_old") != F.col("max_new")).alias("max_drifted"),
+        (
+            F.abs(F.col("distinct_new") - F.col("distinct_old")) * 100
+            > F.col("distinct_old") * 10
+        ).alias("distinct_drifted_10pct"),
+    ).orderBy("column_name")
+
+
+def _sql_profile(tag: str, pred: str) -> str:
+    cols = {
+        "o_orderstatus": ("o_orderstatus", "ascii(o_orderstatus)"),
+        "o_orderpriority": (
+            "o_orderpriority",
+            "ascii(substr(o_orderpriority, 1, 1))",
+        ),
+        "o_custkey": ("o_custkey", "o_custkey"),
+        "o_totalprice_cents": (
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        ),
+    }
+    branches = " UNION ALL ".join(
+        f"""SELECT '{name}' AS column_name, n_rows AS n_rows_{tag},
+               {name}__nulls AS nulls_{tag},
+               {name}__distinct AS distinct_{tag},
+               {name}__min AS min_{tag}, {name}__max AS max_{tag}
+            FROM one_{tag}"""
+        for name in cols
+    )
+    aggs = ", ".join(
+        f"""sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS {name}__nulls,
+            count(DISTINCT {expr}) AS {name}__distinct,
+            CAST(min({oexpr}) AS BIGINT) AS {name}__min,
+            CAST(max({oexpr}) AS BIGINT) AS {name}__max"""
+        for name, (expr, oexpr) in cols.items()
+    )
+    return (
+        f"one_{tag} AS (SELECT count(*) AS n_rows, {aggs} FROM orders"
+        f" WHERE {pred}), prof_{tag} AS ({branches})"
+    )
+
+
+ORACLE_PIPELINE_SCHEMA_DRIFT_AUDIT = f"""
+WITH
+{_sql_profile("old", f"epoch_us(o_orderdate) // 86400000000 < {_DRIFT_SPLIT_DAY}")},
+{_sql_profile("new", f"epoch_us(o_orderdate) // 86400000000 >= {_DRIFT_SPLIT_DAY}")}
+SELECT o.column_name,
+       CAST(o.n_rows_old AS BIGINT) AS n_rows_old,
+       CAST(n.n_rows_new AS BIGINT) AS n_rows_new,
+       CAST(o.nulls_old AS BIGINT) AS nulls_old,
+       CAST(n.nulls_new AS BIGINT) AS nulls_new,
+       o.distinct_old, n.distinct_new,
+       o.min_old <> n.min_new AS min_drifted,
+       o.max_old <> n.max_new AS max_drifted,
+       abs(n.distinct_new - o.distinct_old) * 100 > o.distinct_old * 10
+         AS distinct_drifted_10pct
+FROM prof_old o JOIN prof_new n USING (column_name)
+ORDER BY o.column_name
+"""
+
+QUERIES["pipeline_schema_drift_audit"] = pipeline_schema_drift_audit
+ORACLE["pipeline_schema_drift_audit"] = ORACLE_PIPELINE_SCHEMA_DRIFT_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Quarantine router (multi-rule bitmask)
+# ---------------------------------------------------------------------------
+
+
+def pipeline_quarantine_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine routing over lineitem: four independent
+    validity rules fold into one integer BITMASK per row, and the
+    audit reports every observed mask combination with its count and
+    rate — unlike `pipeline_data_contract` (one verdict per rule),
+    this is the ROUTER's view: which rule COMBINATIONS co-occur, what
+    fraction of rows quarantine, and which single rule dominates.
+
+    Exactness: the mask is pure integer bit arithmetic; rates are
+    single divisions of exact counts.  Shape: one scan, map-side mask
+    expression, one ≤16-row hash aggregate with a 1-row total
+    broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    mask = (
+        ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int")
+        + ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.07)).cast("int")
+        * 2
+        + ((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08)).cast("int") * 4
+        + (F.col("l_shipdate").isNull()).cast("int") * 8
+    )
+    masked = li.select(mask.alias("mask"))
+    counts = masked.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("mask").cast("int").alias("mask"),
+            ((F.col("mask") % 2) == 1).alias("bad_quantity"),
+            ((F.col("mask") % 4) >= 2).alias("bad_discount"),
+            ((F.col("mask") % 8) >= 4).alias("bad_tax"),
+            (F.col("mask") >= 8).alias("null_shipdate"),
+            "n",
+            pround(F.col("n") / F.col("t"), 6).alias("rate"),
+        )
+        .orderBy("mask")
+    )
+
+
+ORACLE_PIPELINE_QUARANTINE_ROUTER = """
+WITH masked AS (
+  SELECT (CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+       + (CASE WHEN l_discount < 0 OR l_discount > 0.07 THEN 1 ELSE 0 END) * 2
+       + (CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) * 4
+       + (CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) * 8 AS mask
+  FROM lineitem
+),
+counts AS (SELECT mask, count(*) AS n FROM masked GROUP BY 1),
+t AS (SELECT sum(n) AS t FROM counts)
+SELECT CAST(mask AS INTEGER) AS mask,
+       mask % 2 = 1 AS bad_quantity,
+       mask % 4 >= 2 AS bad_discount,
+       mask % 8 >= 4 AS bad_tax,
+       mask >= 8 AS null_shipdate,
+       n,
+       floor((CAST(n AS DOUBLE) / t) * 1000000 + 0.5) / 1000000.0 AS rate
+FROM counts, t
+ORDER BY mask
+"""
+
+QUERIES["pipeline_quarantine_router"] = pipeline_quarantine_router
+ORACLE["pipeline_quarantine_router"] = ORACLE_PIPELINE_QUARANTINE_ROUTER
+
+
+# ---------------------------------------------------------------------------
+# Order fill-rate SLA
+# ---------------------------------------------------------------------------
+
+#: Days allowed between order date and the LAST line shipment.
+_SLA_DAYS = 90
+
+
+def orders_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level fulfillment SLA: an order is fully shipped when its
+    LAST lineitem ships; the audit reports, per order priority, how
+    many orders completed within the 90-day SLA, the violation count,
+    and the worst completion time — the operations dashboard row that
+    tells you whether expedited orders actually move faster.
+
+    Exactness: completion time is integer epoch-day subtraction
+    (max(shipdate) − orderdate); SLA verdicts are integer
+    comparisons; the rate is one division.  Shape: one lineitem→order
+    aggregate (map-side combine on the join key), a key join onto
+    orders, a fixed-width priority aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sd = "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+    od = "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    done = li.groupBy("l_orderkey").agg(F.expr(f"max({sd})").alias("last_ship"))
+    joined = orders.join(
+        done, orders["o_orderkey"] == done["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        (F.col("last_ship") - F.expr(od)).alias("days_to_fill"),
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((F.col("days_to_fill") <= _SLA_DAYS).cast("long")).alias(
+                "n_within_sla"
+            ),
+            F.max("days_to_fill").cast("long").alias("worst_days"),
+            pround(
+                F.sum((F.col("days_to_fill") <= _SLA_DAYS).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("fill_rate"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_ORDERS_FILL_RATE_SLA = f"""
+WITH done AS (
+  SELECT l_orderkey,
+         max(epoch_us(l_shipdate) // 86400000000) AS last_ship
+  FROM lineitem GROUP BY 1
+),
+joined AS (
+  SELECT o_orderpriority AS priority,
+         last_ship - (epoch_us(o_orderdate) // 86400000000) AS days_to_fill
+  FROM orders JOIN done ON o_orderkey = l_orderkey
+)
+SELECT priority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN days_to_fill <= {_SLA_DAYS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_sla,
+       CAST(max(days_to_fill) AS BIGINT) AS worst_days,
+       floor((CAST(sum(CASE WHEN days_to_fill <= {_SLA_DAYS} THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0
+         AS fill_rate
+FROM joined
+GROUP BY priority ORDER BY priority
+"""
+
+QUERIES["orders_fill_rate_sla"] = orders_fill_rate_sla
+ORACLE["orders_fill_rate_sla"] = ORACLE_ORDERS_FILL_RATE_SLA
+
+# ---------------------------------------------------------------------------
+# Graph degree histogram
+# ---------------------------------------------------------------------------
+
+#: Power-of-two degree bucket upper bounds (the last is open-ended).
+_DEG_BOUNDS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the customer–supplier
+    trade graph, per node partition — the first thing to read before
+    choosing any graph algorithm's partitioning (a heavy-tailed
+    histogram means hot-node bounds like PageRank's segmentation are
+    mandatory; a flat one means plain hash partitioning is fine).
+
+    Exactness: degrees are exact distinct-edge counts; the bucket is
+    a literal integer CASE cascade (no log2 float).  Shape: one edge
+    dedup + one node-grain count + one ≤ 2·12-row aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    def bucketize(deg):
+        expr = F.when(deg <= _DEG_BOUNDS[0], F.lit(f"<={_DEG_BOUNDS[0]}"))
+        for lo, hi in zip(_DEG_BOUNDS, _DEG_BOUNDS[1:]):
+            expr = expr.when(deg <= hi, F.lit(f"{lo + 1}-{hi}"))
+        return expr.otherwise(F.lit(f">{_DEG_BOUNDS[-1]}"))
+
+    cust = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.lit("customer").alias("node_type"), "deg"
+    )
+    supp = pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.lit("supplier").alias("node_type"), "deg"
+    )
+    both = cust.unionAll(supp)
+    return (
+        both.groupBy("node_type", bucketize(F.col("deg")).alias("deg_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("node_type", "min_deg")
+    )
+
+
+def _sql_deg_bucket(col: str) -> str:
+    branches = [f"WHEN {col} <= {_DEG_BOUNDS[0]} THEN '<={_DEG_BOUNDS[0]}'"]
+    for lo, hi in zip(_DEG_BOUNDS, _DEG_BOUNDS[1:]):
+        branches.append(f"WHEN {col} <= {hi} THEN '{lo + 1}-{hi}'")
+    return "CASE " + " ".join(branches) + f" ELSE '>{_DEG_BOUNDS[-1]}' END"
+
+
+ORACLE_GRAPH_DEGREE_HISTOGRAM = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+degs AS (
+  SELECT 'customer' AS node_type, count(*) AS deg
+  FROM pairs GROUP BY o_custkey
+  UNION ALL
+  SELECT 'supplier' AS node_type, count(*) AS deg
+  FROM pairs GROUP BY l_suppkey
+)
+SELECT node_type,
+       {_sql_deg_bucket("deg")} AS deg_bucket,
+       count(*) AS n_nodes,
+       min(deg) AS min_deg,
+       max(deg) AS max_deg
+FROM degs
+GROUP BY 1, 2 ORDER BY node_type, min_deg
+"""
+
+QUERIES["graph_degree_histogram"] = graph_degree_histogram
+ORACLE["graph_degree_histogram"] = ORACLE_GRAPH_DEGREE_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction (top supplier pairs)
+# ---------------------------------------------------------------------------
+
+#: Skip hub customers with more than this many suppliers when counting
+#: wedges (the standard link-prediction hub cut; also the hot-node
+#: bound that keeps the per-customer pair expansion quadratic only in
+#: a CONSTANT).
+_CN_HUB_CAP = 64
+#: Report the top-N supplier pairs.
+_CN_TOP = 20
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the supplier projection of
+    the trade graph: supplier pairs ranked by the number of customers
+    they share — "who will trade next", and the one-hop co-occurrence
+    signal behind people-also-bought.  Hub customers (> 64 suppliers)
+    are excluded before the wedge expansion, the standard cut that
+    both de-noises (hubs connect everyone) and bounds the per-key
+    blowup to a constant C(64,2).
+
+    Exactness: everything is exact integer counting with a total
+    order (count desc, s1, s2) on the reported top-20.  Shape: edge
+    dedup → customer-keyed degree filter → per-customer pair
+    expansion (bounded by the cap) → one pair-keyed count →
+    TakeOrdered 20.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    deg = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("deg"))
+    kept = pairs.join(
+        deg.where(F.col("deg") <= _CN_HUB_CAP).select("o_custkey"), "o_custkey"
+    )
+    a = kept.select("o_custkey", F.col("l_suppkey").alias("s1"))
+    b = kept.select("o_custkey", F.col("l_suppkey").alias("s2"))
+    return (
+        a.join(b, "o_custkey")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy(F.desc("n_common"), F.asc("s1"), F.asc("s2"))
+        .limit(_CN_TOP)
+    )
+
+
+ORACLE_GRAPH_COMMON_NEIGHBORS = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT o_custkey, count(*) AS deg FROM pairs GROUP BY 1),
+kept AS (
+  SELECT p.o_custkey, p.l_suppkey FROM pairs p
+  JOIN deg d ON p.o_custkey = d.o_custkey AND d.deg <= {_CN_HUB_CAP}
+)
+SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS n_common
+FROM kept a JOIN kept b
+  ON a.o_custkey = b.o_custkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+ORDER BY n_common DESC, s1 ASC, s2 ASC
+LIMIT {_CN_TOP}
+"""
+
+QUERIES["graph_common_neighbors"] = graph_common_neighbors
+ORACLE["graph_common_neighbors"] = ORACLE_GRAPH_COMMON_NEIGHBORS
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucket plan (multimodal batch layout)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_aspect_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing plan for batched image training: every
+    image is routed to portrait / squarish / landscape by integer
+    aspect percent, and per bucket the plan reports image count,
+    payload pixels, and the padding waste of aligning each image up
+    to 16-pixel tiles — the batch-shape planning a multimodal loader
+    does so same-shaped samples collate without mega-padding.
+
+    Dimensions come from the corpus stand-in's STUB decode lane
+    (width = 16 + n mod 64, height = 16 + (n div 64) mod 64 over the
+    payload byte length — the deterministic fake
+    `multimodal_image_meta`'s kernel falls back to on non-image
+    payloads, reproduced here map-side; a real corpus feeds the same
+    plan from the decoded header columns).  All arithmetic is integer
+    (aspect percent = w·100 div h; pad waste in exact pixels); the
+    waste ratio is one division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length(F.col("text").cast("binary")).cast("long")
+    w = (F.lit(16) + n % 64).alias("w")
+    h = (F.lit(16) + (n / 64).cast("long") % 64).alias("h")
+    sized = docs.select("doc_id", w, h)
+    aspect = F.expr("w * 100 div h")
+    pad_w = (16 - F.col("w") % 16) % 16
+    pad_h = (16 - F.col("h") % 16) % 16
+    waste = pad_w * F.col("h") + pad_h * (F.col("w") + pad_w)
+    bucket = (
+        F.when(aspect < 80, "portrait")
+        .when(aspect <= 125, "squarish")
+        .otherwise("landscape")
+    )
+    return (
+        sized.select(
+            bucket.alias("aspect_bucket"),
+            (F.col("w") * F.col("h")).alias("pixels"),
+            waste.alias("pad_pixels"),
+        )
+        .groupBy("aspect_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("pixels").alias("total_pixels"),
+            F.sum("pad_pixels").alias("total_pad_pixels"),
+            pround(F.sum("pad_pixels") / F.sum("pixels"), 6).alias("pad_ratio"),
+        )
+        .orderBy("aspect_bucket")
+    )
+
+
+ORACLE_MULTIMODAL_ASPECT_BUCKET_PLAN = """
+WITH sized AS (
+  SELECT doc_id,
+         16 + octet_length(encode(text)) % 64 AS w,
+         16 + (octet_length(encode(text)) // 64) % 64 AS h
+  FROM documents
+),
+routed AS (
+  SELECT CASE WHEN w * 100 // h < 80 THEN 'portrait'
+              WHEN w * 100 // h <= 125 THEN 'squarish'
+              ELSE 'landscape' END AS aspect_bucket,
+         w * h AS pixels,
+         ((16 - w % 16) % 16) * h
+           + ((16 - h % 16) % 16) * (w + (16 - w % 16) % 16) AS pad_pixels
+  FROM sized
+)
+SELECT aspect_bucket,
+       count(*) AS n_images,
+       CAST(sum(pixels) AS BIGINT) AS total_pixels,
+       CAST(sum(pad_pixels) AS BIGINT) AS total_pad_pixels,
+       floor((CAST(sum(pad_pixels) AS DOUBLE) / sum(pixels)) * 1000000 + 0.5)
+         / 1000000.0 AS pad_ratio
+FROM routed
+GROUP BY aspect_bucket ORDER BY aspect_bucket
+"""
+
+QUERIES["multimodal_aspect_bucket_plan"] = multimodal_aspect_bucket_plan
+ORACLE["multimodal_aspect_bucket_plan"] = ORACLE_MULTIMODAL_ASPECT_BUCKET_PLAN
+
+
+# ---------------------------------------------------------------------------
+# Session-duration distribution
+# ---------------------------------------------------------------------------
+
+#: Session-duration bucket upper bounds in MINUTES (last open-ended;
+#: bucket 0 is the single-event zero-duration session).
+_SESSDUR_BOUNDS = (0, 5, 15, 30)
+
+
+def events_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution over the oracle-verified
+    gap-sessionization: sessions bucketed by duration (single-event /
+    ≤5 min / ≤15 / ≤30 / longer) with exact counts and mean events
+    per session — the engagement-depth histogram that complements
+    `events_sessionize` (which emits the sessions) by profiling them.
+
+    Composes the registered sessionize operator directly (operator
+    reuse, not reimplementation); duration is exact integer
+    microseconds bucketed by integer comparison, and mean events per
+    session divides exact integer sums.
+    """
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_sessionize,
+    )
+
+    sessions = events_sessionize(spark, sf_dir)
+    dur_min = F.expr(
+        "(unix_micros(cast(session_end as timestamp))"
+        " - unix_micros(cast(session_start as timestamp))) div 60000000"
+    )
+    b = _SESSDUR_BOUNDS
+    bucket = (
+        F.when(dur_min <= b[0], F.lit("single"))
+        .when(dur_min <= b[1], F.lit(f"<={b[1]}m"))
+        .when(dur_min <= b[2], F.lit(f"<={b[2]}m"))
+        .when(dur_min <= b[3], F.lit(f"<={b[3]}m"))
+        .otherwise(F.lit(f">{b[3]}m"))
+    )
+    return (
+        sessions.groupBy(bucket.alias("duration_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            pround(F.sum("n_events") / F.count(F.lit(1)), 4).alias(
+                "mean_events_per_session"
+            ),
+        )
+        .orderBy("duration_bucket")
+    )
+
+def _sessdur_oracle() -> str:
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        ORACLE_EVENTS_SESSIONIZE,
+    )
+
+    b = _SESSDUR_BOUNDS
+    bucket = (
+        f"CASE WHEN dur_min <= {b[0]} THEN 'single' "
+        f"WHEN dur_min <= {b[1]} THEN '<={b[1]}m' "
+        f"WHEN dur_min <= {b[2]} THEN '<={b[2]}m' "
+        f"WHEN dur_min <= {b[3]} THEN '<={b[3]}m' "
+        f"ELSE '>{b[3]}m' END"
+    )
+    return f"""
+WITH sess AS ({ORACLE_EVENTS_SESSIONIZE}),
+durs AS (
+  SELECT n_events,
+         (epoch_us(session_end) - epoch_us(session_start)) // 60000000
+           AS dur_min
+  FROM sess
+)
+SELECT {bucket} AS duration_bucket,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       floor((CAST(sum(n_events) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         / 10000.0 AS mean_events_per_session
+FROM durs
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["events_session_duration"] = events_session_duration
+ORACLE["events_session_duration"] = _sessdur_oracle()

@@ -19,6 +19,7 @@ Usage::
     python tools/invariance_check.py              # 7 vs 32 partitions
     python tools/invariance_check.py 5 64         # custom pair
     python tools/invariance_check.py --staged     # staged pack instead
+    python tools/invariance_check.py --staged2    # second staged pack
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/invariance_check.py
 
 Exit code 0 iff every query is invariant.  (Round-6 session 3: all
@@ -47,9 +48,12 @@ import __spark_entry__ as e
 spark = get_session("inv" + {nparts!r})
 sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 qs = dict(e.queries())
-if {staged!r}:
+if {staged!r} == "staged":
     from parquet_stream_writer_spark.operators import staged as _staged
     qs = dict(_staged.QUERIES)
+elif {staged!r} == "staged2":
+    from parquet_stream_writer_spark.operators import staged2 as _staged2
+    qs = dict(_staged2.QUERIES)
 res = {{}}
 for name, fn in sorted(qs.items()):
     df = fn(spark, sf).toPandas()
@@ -66,7 +70,7 @@ spark.stop()
 """
 
 
-def run_config(nparts: str, out: str, staged: bool = False) -> None:
+def run_config(nparts: str, out: str, staged: str = "") -> None:
     code = _WORKER.format(repo=str(_REPO), nparts=nparts, out=out, staged=staged)
     subprocess.run(
         [sys.executable, "-c", code],
@@ -78,8 +82,10 @@ def run_config(nparts: str, out: str, staged: bool = False) -> None:
 
 def main() -> int:
     args = sys.argv[1:]
-    staged = "--staged" in args
-    args = [a for a in args if a != "--staged"]
+    staged = (
+        "staged2" if "--staged2" in args else "staged" if "--staged" in args else ""
+    )
+    args = [a for a in args if a not in ("--staged", "--staged2")]
     pair = args[:2] or ["7", "32"]
     with tempfile.TemporaryDirectory() as d:
         outs = []
