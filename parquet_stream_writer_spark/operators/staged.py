@@ -2161,7 +2161,20 @@ ORACLE["pipeline_incremental_agg_refresh"] = ORACLE_PIPELINE_INCREMENTAL_AGG_REF
 _LP_ROUNDS = 3
 
 
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Round count at which carrier="auto" switches the edge relation
+#: from the checkpointed carrier to a bucketed table (the PageRank
+#: _PR_BUCKETED_ITERS trade-off, applied to the dst-keyed join).
+_LP_BUCKETED_ROUNDS = 4
+#: Bucket count for the bucketed-edge carrier.
+_LP_BUCKETS = 32
+
+
+def graph_label_propagation(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = _LP_ROUNDS,
+    carrier: str = "auto",
+) -> DataFrame:
     """Community structure of the customer-supplier trade graph via
     ``_LP_ROUNDS`` synchronous rounds of min-label propagation,
     reported as the per-round convergence trajectory (round,
@@ -2175,7 +2188,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: ONE distinct-pair shuffle builds the bidirected edge list
     (+ self-loops, so a node's own label competes in the same min
     and no per-round left join is needed — the pagerank dangling
-    trick), lazily checkpointed and reused by every round; each
+    trick), carried across rounds either lazily checkpointed
+    (default at the registered 3 rounds) or as a one-time bucketed
+    table on dst (``carrier="bucketed"``, auto at ≥
+    ``_LP_BUCKETED_ROUNDS`` rounds — each round's edge⋈label join
+    then reads the bucketed scan exchange-free on the edge side;
+    value-identical across carriers, pinned in
+    tests/test_bucketing.py); each
     round is one label⋈edge hash join on dst and one min-agg by
     src, both map-side-combinable, with node-sized state only.  Min
     over bigint labels is associative and engine-exact; the final
@@ -2200,16 +2219,42 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
     )
     nodes = edges.select("src").distinct()
-    edges_plus = (
-        edges.union(nodes.select(F.col("src"), F.col("src").alias("dst")))
-        .repartition("dst")
-        .localCheckpoint(eager=False)
-    )
+    edges_plus = edges.union(
+        nodes.select(F.col("src"), F.col("src").alias("dst"))
+    ).repartition("dst")
+    # Carrier selection (the graph_pagerank_bipartite trade-off, on
+    # the dst-keyed propagation join): the checkpointed carrier
+    # re-exchanges the edge rows each round under AQE; at
+    # >= _LP_BUCKETED_ROUNDS rounds a one-time bucketed+sorted table
+    # on dst makes every round's edge⋈label join exchange-free and
+    # sort-free on the heavy side.
+    if carrier == "auto":
+        carrier = "bucketed" if rounds >= _LP_BUCKETED_ROUNDS else "checkpoint"
+    if carrier == "bucketed":
+        import hashlib
+        import shutil
+        from urllib.parse import urlparse
+
+        tag = hashlib.md5(f"{sf_dir}|{rounds}".encode()).hexdigest()[:10]
+        table = f"lp_edges_b{_LP_BUCKETS}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh:
+            shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+        (
+            edges_plus.write.bucketBy(_LP_BUCKETS, "dst")
+            .sortBy("dst")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+        edges_plus = spark.table(table)
+    else:
+        edges_plus = edges_plus.localCheckpoint(eager=False)
     labels = nodes.select("src", F.col("src").alias("label")).withColumnRenamed(
         "src", "node"
     )
     snapshots = []
-    for rnd in range(1, _LP_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         labels = (
             edges_plus.join(labels, edges_plus["dst"] == labels["node"])
             .groupBy("src")

@@ -123,6 +123,21 @@ def test_bucketed_join_matches_unbucketed_results(spark, bucketed_tables):
     )
 
 
+def test_label_propagation_carriers_agree(spark, sf_dir):
+    """Checkpointed vs bucketed edge carriers must produce IDENTICAL
+    convergence trajectories at the same round count (min over bigint
+    labels is exact, so even float wobble can't excuse a diff)."""
+    from parquet_stream_writer_spark.operators.staged import (
+        graph_label_propagation,
+    )
+
+    a = graph_label_propagation(spark, sf_dir, rounds=5, carrier="checkpoint")
+    b = graph_label_propagation(spark, sf_dir, rounds=5, carrier="bucketed")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 5
+
+
 def test_pagerank_carriers_agree(spark, sf_dir):
     """Both adjacency carriers (checkpointed arrays vs the one-time
     bucketed table) must produce IDENTICAL ranked output at the same

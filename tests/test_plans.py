@@ -1024,6 +1024,35 @@ def test_pagerank_bucketed_carrier_never_exchanges_the_adjacency(spark):
     assert dsts_exchanges(pc) == iters, pc
 
 
+def test_label_propagation_bucketed_carrier_never_exchanges_edges(spark):
+    """Label propagation's bucketed carrier (auto at >= 4 rounds) must
+    read the one-time bucketed edge table in every round's edge⋈label
+    join with zero exchange of the edge rows — same pin as the
+    PageRank carrier, on the dst-keyed join."""
+    import re
+
+    from parquet_stream_writer_spark.operators.staged import (
+        graph_label_propagation,
+    )
+
+    rounds = 4
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pb = plan(spark, graph_label_propagation(spark, SF_DIR, rounds=rounds))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # The final unioned trajectory re-derives round k's labels for
+    # every later snapshot, so the static plan holds 1+2+...+rounds
+    # bucketed scans — the salient pins are (a) bucketed scans exist
+    # and (b) NO Exchange input ever carries the edge (src, dst) rows.
+    assert pb.count("Bucketed: true") >= rounds, pb
+    exch = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", pb)
+    edge_exch = [e for e in exch if "src" in e and "dst" in e]
+    assert not edge_exch, edge_exch
+
+
 def test_snapshot_diff_hashes_before_the_shuffle(spark):
     """The CDC diff must (a) plan the PK join as a shuffle join (no
     broadcast — neither snapshot is small at scale) and (b) compute
