@@ -2263,3 +2263,385 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["events_session_duration"] = events_session_duration
 ORACLE["events_session_duration"] = _sessdur_oracle()
+
+# ---------------------------------------------------------------------------
+# Duplicate-invoice audit
+# ---------------------------------------------------------------------------
+
+#: Two same-customer orders with identical cent totals within this
+#: many days are flagged as suspected duplicates.
+_DUPINV_DAYS = 7
+
+
+def orders_duplicate_invoice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected duplicate-invoice detection: pairs of orders from
+    the SAME customer with IDENTICAL cent totals placed within 7
+    days of each other — the classic fin-ops double-payment screen,
+    and the relational cousin of the content-dedup family (exact key
+    equality + a bounded temporal predicate instead of text
+    similarity).
+
+    Exactness: the blocking key is exact (custkey, integer cents);
+    the day gap is integer epoch-day subtraction; outputs are exact
+    counts.  Shape: one equi self-join on the (custkey, cents)
+    blocking key — never a cross join; the within-key pair expansion
+    is quadratic only in the per-key duplicate multiplicity — then a
+    priority-grain rollup of pair counts and the flagged-order
+    distinct count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+        F.expr(day).alias("day"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            F.abs(F.col("a.day") - F.col("b.day")) <= _DUPINV_DAYS
+        )
+        .select(
+            F.col("a.o_orderpriority").alias("priority"),
+            F.col("a.o_orderkey").alias("k1"),
+            F.col("b.o_orderkey").alias("k2"),
+            F.col("a.cents").alias("cents"),
+        )
+    )
+    return (
+        pairs.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("k1").alias("n_flagged_first"),
+            F.sum("cents").alias("at_risk_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_ORDERS_DUPLICATE_INVOICE_AUDIT = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+pairs AS (
+  SELECT a.o_orderpriority AS priority, a.o_orderkey AS k1,
+         b.o_orderkey AS k2, a.cents
+  FROM base a JOIN base b
+    ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+   AND a.o_orderkey < b.o_orderkey
+  WHERE abs(a.day - b.day) <= {_DUPINV_DAYS}
+)
+SELECT priority,
+       count(*) AS n_pairs,
+       count(DISTINCT k1) AS n_flagged_first,
+       CAST(sum(cents) AS BIGINT) AS at_risk_cents
+FROM pairs
+GROUP BY priority ORDER BY priority
+"""
+
+QUERIES["orders_duplicate_invoice_audit"] = orders_duplicate_invoice_audit
+ORACLE["orders_duplicate_invoice_audit"] = ORACLE_ORDERS_DUPLICATE_INVOICE_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Discount effectiveness
+# ---------------------------------------------------------------------------
+
+
+def lineitem_discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band effectiveness: per 1%-discount band, line count,
+    mean quantity (does a deeper discount actually move more units?),
+    gross revenue and discount spend — the pricing-analytics readout
+    behind every promo post-mortem (TPC-H Q6 asks one band's revenue;
+    this profiles the whole policy).
+
+    Exactness: the band is an integer percent bucket from the 2-dp
+    discount; mean quantity divides exact integer sums
+    (rounded-sum-divide is unnecessary — quantities are integral);
+    revenue and discount spend are exact integer cent·basis-point
+    products descaled by ONE division each.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("int")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    bps = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        li.select(
+            band.alias("discount_pct"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            cents.alias("cents"),
+            (cents * bps).alias("disc_scaled"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            pround(F.sum("qty") / F.count(F.lit(1)), 4).alias("mean_quantity"),
+            F.sum("cents").alias("gross_cents"),
+            F.floor(F.sum("disc_scaled") / F.lit(10000)).cast("long").alias(
+                "discount_cents"
+            ),
+        )
+        .orderBy("discount_pct")
+    )
+
+
+ORACLE_LINEITEM_DISCOUNT_EFFECTIVENESS = """
+WITH lines AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS INTEGER) AS discount_pct,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_scaled
+  FROM lineitem
+)
+SELECT discount_pct,
+       count(*) AS n_lines,
+       floor((CAST(sum(qty) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         / 10000.0 AS mean_quantity,
+       CAST(sum(cents) AS BIGINT) AS gross_cents,
+       CAST(floor(CAST(sum(disc_scaled) AS DOUBLE) / 10000) AS BIGINT)
+         AS discount_cents
+FROM lines
+GROUP BY discount_pct ORDER BY discount_pct
+"""
+
+QUERIES["lineitem_discount_effectiveness"] = lineitem_discount_effectiveness
+ORACLE["lineitem_discount_effectiveness"] = ORACLE_LINEITEM_DISCOUNT_EFFECTIVENESS
+
+
+# ---------------------------------------------------------------------------
+# Brand price dispersion
+# ---------------------------------------------------------------------------
+
+
+def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand retail-price dispersion: min/max spread and the
+    quartile coefficient of dispersion ((Q3−Q1)/(Q3+Q1)) — the
+    assortment-pricing audit that flags brands whose catalog spans
+    wildly inconsistent price points.
+
+    Exactness: prices are integer cents; Q1/Q3 use the pack's
+    interpolated-percentile parity convention over ranked integer
+    order statistics (two nearest ranks + ONE interpolation
+    expression); the dispersion coefficient is one division of those
+    deterministic doubles, 6-dp rounded.  Shape: brand-keyed rank
+    windows over the small per-brand part relations + equi joins of
+    the four boundary ranks.
+    """
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    base = part.select("p_brand", cents.alias("cents"))
+    wr = Window.partitionBy("p_brand").orderBy("cents")
+    ranked = base.withColumn("rk", F.row_number().over(wr))
+    stats = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    out = stats
+    for q, name in ((0.25, "q1"), (0.75, "q3")):
+        h = (F.col("n") - 1) * F.lit(q)
+        out = (
+            out.withColumn(f"{name}_lo", F.floor(h).cast("long") + 1)
+            .withColumn(f"{name}_hi", -F.floor(-h).cast("long") + 1)
+            .withColumn(f"{name}_frac", h - F.floor(h))
+        )
+        lo_v = ranked.select(
+            F.col("p_brand").alias(f"{name}_lo_b"),
+            F.col("rk").alias(f"{name}_lo_rk"),
+            F.col("cents").alias(f"{name}_lo_c"),
+        )
+        hi_v = ranked.select(
+            F.col("p_brand").alias(f"{name}_hi_b"),
+            F.col("rk").alias(f"{name}_hi_rk"),
+            F.col("cents").alias(f"{name}_hi_c"),
+        )
+        out = out.join(
+            lo_v,
+            (F.col("p_brand") == F.col(f"{name}_lo_b"))
+            & (F.col(f"{name}_lo") == F.col(f"{name}_lo_rk")),
+        ).join(
+            hi_v,
+            (F.col("p_brand") == F.col(f"{name}_hi_b"))
+            & (F.col(f"{name}_hi") == F.col(f"{name}_hi_rk")),
+        )
+        out = out.withColumn(
+            name,
+            F.col(f"{name}_lo_c")
+            + (F.col(f"{name}_hi_c") - F.col(f"{name}_lo_c"))
+            * F.col(f"{name}_frac"),
+        )
+    return out.select(
+        "p_brand",
+        "n",
+        "min_cents",
+        "max_cents",
+        pround(F.col("q1"), 2).alias("q1_cents"),
+        pround(F.col("q3"), 2).alias("q3_cents"),
+        pround(
+            (F.col("q3") - F.col("q1")) / (F.col("q3") + F.col("q1")), 6
+        ).alias("quartile_dispersion"),
+    ).orderBy("p_brand")
+
+
+ORACLE_PART_BRAND_PRICE_DISPERSION = """
+WITH base AS (
+  SELECT p_brand,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+),
+ranked AS (
+  SELECT p_brand, cents,
+         row_number() OVER (PARTITION BY p_brand ORDER BY cents) AS rk
+  FROM base
+),
+stats AS (
+  SELECT p_brand, count(*) AS n, min(cents) AS min_cents,
+         max(cents) AS max_cents
+  FROM base GROUP BY 1
+),
+pcts AS (
+  SELECT s.p_brand, s.n, s.min_cents, s.max_cents,
+         q1lo.cents + (q1hi.cents - q1lo.cents)
+           * ((s.n - 1) * 0.25 - floor((s.n - 1) * 0.25)) AS q1,
+         q3lo.cents + (q3hi.cents - q3lo.cents)
+           * ((s.n - 1) * 0.75 - floor((s.n - 1) * 0.75)) AS q3
+  FROM stats s
+  JOIN ranked q1lo ON q1lo.p_brand = s.p_brand
+    AND q1lo.rk = CAST(floor((s.n - 1) * 0.25) AS BIGINT) + 1
+  JOIN ranked q1hi ON q1hi.p_brand = s.p_brand
+    AND q1hi.rk = CAST(ceil((s.n - 1) * 0.25) AS BIGINT) + 1
+  JOIN ranked q3lo ON q3lo.p_brand = s.p_brand
+    AND q3lo.rk = CAST(floor((s.n - 1) * 0.75) AS BIGINT) + 1
+  JOIN ranked q3hi ON q3hi.p_brand = s.p_brand
+    AND q3hi.rk = CAST(ceil((s.n - 1) * 0.75) AS BIGINT) + 1
+)
+SELECT p_brand, n, min_cents, max_cents,
+       floor(q1 * 100 + 0.5) / 100.0 AS q1_cents,
+       floor(q3 * 100 + 0.5) / 100.0 AS q3_cents,
+       floor(((q3 - q1) / (q3 + q1)) * 1000000 + 0.5) / 1000000.0
+         AS quartile_dispersion
+FROM pcts
+ORDER BY p_brand
+"""
+
+QUERIES["part_brand_price_dispersion"] = part_brand_price_dispersion
+ORACLE["part_brand_price_dispersion"] = ORACLE_PART_BRAND_PRICE_DISPERSION
+
+
+# ---------------------------------------------------------------------------
+# Row-size / partition-sizing profile
+# ---------------------------------------------------------------------------
+
+#: Partition-planning target in bytes (the classic 128 MB split).
+_ROWSIZE_TARGET = 128 * 1024 * 1024
+
+
+def pipeline_row_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialized row-size profile per table with a partition-count
+    plan: estimated in-flight bytes per row (UTF-8 text + fixed-width
+    column estimates), total bytes, and how many 128 MB partitions
+    that implies — the sizing pass behind every
+    ``spark.sql.files.maxPartitionBytes`` / repartition decision in a
+    100 TB pipeline.
+
+    Exactness: byte estimates are pure integer expressions
+    (octet_length for strings, literal widths for fixed columns);
+    the partition count is exact integer ceil-division.  Shape: one
+    map-side byte expression + 1-row aggregate per table, unioned —
+    no joins, no windows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        (
+            F.length(F.col("text").cast("binary")).cast("long")
+            + F.length(F.col("lang").cast("binary"))
+            + F.length(F.col("source").cast("binary"))
+            + F.lit(16)
+        ).alias("row_bytes")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (
+            F.length(F.col("o_orderstatus").cast("binary")).cast("long")
+            + F.length(F.col("o_orderpriority").cast("binary"))
+            + F.lit(8 + 8 + 8 + 8)
+        ).alias("row_bytes")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (
+            F.length(F.col("l_returnflag").cast("binary")).cast("long")
+            + F.length(F.col("l_linestatus").cast("binary"))
+            + F.lit(8 * 8 + 4 + 8)
+        ).alias("row_bytes")
+    )
+
+    def profile(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_bytes").alias("total_bytes"),
+            F.floor(
+                F.sum("row_bytes") / F.count(F.lit(1))
+            ).cast("long").alias("bytes_per_row"),
+            (
+                (F.sum("row_bytes") + F.lit(_ROWSIZE_TARGET - 1))
+                / F.lit(_ROWSIZE_TARGET)
+            ).cast("long").alias("target_partitions"),
+        )
+
+    out = profile(docs, "documents")
+    for df, name in ((orders, "orders"), (li, "lineitem")):
+        out = out.unionAll(profile(df, name))
+    return out.orderBy("table_name")
+
+
+ORACLE_PIPELINE_ROW_SIZE_PROFILE = f"""
+WITH d AS (
+  SELECT octet_length(encode(text)) + octet_length(encode(lang))
+         + octet_length(encode(source)) + 16 AS row_bytes
+  FROM documents
+),
+o AS (
+  SELECT octet_length(encode(o_orderstatus))
+         + octet_length(encode(o_orderpriority)) + 32 AS row_bytes
+  FROM orders
+),
+l AS (
+  SELECT octet_length(encode(l_returnflag))
+         + octet_length(encode(l_linestatus)) + 76 AS row_bytes
+  FROM lineitem
+),
+profiles AS (
+  SELECT 'documents' AS table_name, count(*) AS n_rows,
+         sum(row_bytes) AS total_bytes FROM d
+  UNION ALL
+  SELECT 'orders', count(*), sum(row_bytes) FROM o
+  UNION ALL
+  SELECT 'lineitem', count(*), sum(row_bytes) FROM l
+)
+SELECT table_name,
+       n_rows,
+       CAST(total_bytes AS BIGINT) AS total_bytes,
+       CAST(floor(CAST(total_bytes AS DOUBLE) / n_rows) AS BIGINT)
+         AS bytes_per_row,
+       CAST((total_bytes + {_ROWSIZE_TARGET - 1}) // {_ROWSIZE_TARGET}
+            AS BIGINT) AS target_partitions
+FROM profiles
+ORDER BY table_name
+"""
+
+QUERIES["pipeline_row_size_profile"] = pipeline_row_size_profile
+ORACLE["pipeline_row_size_profile"] = ORACLE_PIPELINE_ROW_SIZE_PROFILE
