@@ -1121,11 +1121,18 @@ def similarity_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFram
     fastest "are these embeddings linearly separable by class" check
     a training-data pipeline runs before spending on a probe model.
 
-    Exactness: per-dimension centroid numerators are exact integer
-    sums of 1e6-scaled components, the vector·centroid dot product is
-    an exact INTEGER sum (order-free), and the per-label score is
-    S_l / sqrt(Σ sum²) — one deterministic sqrt + division per
-    (vector, label); argmax ties break on the smaller label.
+    Exactness: per-dimension centroids are MEAN components rounded to
+    the 1e6 integer grid (c6 = floor(sum(v6)/n + 0.5) — sum and count
+    are exact integers, the single division is the same IEEE double in
+    both engines, so c6 is bit-identical), the vector·centroid dot
+    product is an exact INTEGER sum (order-free), and the per-label
+    score is dot / sqrt(Σ c6²) — one deterministic sqrt + division per
+    (vector, label); argmax ties break on the smaller label.  Mean (not
+    sum) centroids keep every intermediate inside int64 regardless of
+    per-label population: c6 stays on the component scale (~1e6-1e7),
+    so cn2 ≤ d·c6² ≈ 6e16 and each dot ≤ d·|v6|·|c6| ≈ 6e16 — no
+    overflow at any corpus size (sum-centroids overflowed cn2 past
+    ~3k same-sign vectors per label; ADVICE r7).
 
     Shape: posexplode to (vec, dim) rows, a dim-keyed join against
     the 640-row centroid relation (broadcast), one integer hash
@@ -1150,15 +1157,17 @@ def similarity_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFram
         F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
     )
     cents = vd.groupBy(F.col("label").alias("clabel"), "dim").agg(
-        F.sum("v6").alias("s6")
+        F.floor(F.sum("v6") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("c6")
     )
     cnorm = cents.groupBy("clabel").agg(
-        F.sum(F.col("s6") * F.col("s6")).alias("cn2")
+        F.sum(F.col("c6") * F.col("c6")).alias("cn2")
     )
     scores = (
         vd.join(F.broadcast(cents), "dim")
         .groupBy("vec_id", "label", "clabel")
-        .agg(F.sum(F.col("v6") * F.col("s6")).alias("dot"))
+        .agg(F.sum(F.col("v6") * F.col("c6")).alias("dot"))
         .join(F.broadcast(cnorm), "clabel")
         .select(
             "vec_id",
@@ -1191,12 +1200,14 @@ WITH vd AS (
   FROM embeddings
 ),
 cents AS (
-  SELECT label AS clabel, dim, sum(v6) AS s6 FROM vd GROUP BY 1, 2
+  SELECT label AS clabel, dim,
+         CAST(floor(sum(v6) / count(*) + 0.5) AS BIGINT) AS c6
+  FROM vd GROUP BY 1, 2
 ),
-cnorm AS (SELECT clabel, sum(s6 * s6) AS cn2 FROM cents GROUP BY 1),
+cnorm AS (SELECT clabel, sum(c6 * c6) AS cn2 FROM cents GROUP BY 1),
 scores AS (
   SELECT v.vec_id, v.label, c.clabel,
-         CAST(sum(v.v6 * c.s6) AS DOUBLE) / sqrt(CAST(n.cn2 AS DOUBLE))
+         CAST(sum(v.v6 * c.c6) AS DOUBLE) / sqrt(CAST(n.cn2 AS DOUBLE))
            AS score
   FROM vd v
   JOIN cents c USING (dim)
