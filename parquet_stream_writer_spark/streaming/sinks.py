@@ -107,14 +107,34 @@ class ViewMaintenanceSink:
     merge is NOT idempotent (it is additive), so the sink records the
     last merged ``epoch_id`` and skips re-deliveries; a production
     keyed-store variant gets the same guarantee by writing the epoch
-    watermark transactionally with the merge.  Null group keys are
-    preserved (``dropna=False``) so the view matches its batch twin
-    on null-keyed rows.
+    watermark transactionally with the merge.  The in-memory analogue
+    of that transaction: ``process_batch`` computes the merged state
+    into a local, and only commits ``_state``/``_last_epoch`` together
+    once every fallible step has succeeded — a batch that fails
+    mid-merge (collect error, cap breach) leaves BOTH unset, so the
+    replay re-merges exactly once instead of being skipped (ADVICE
+    r7: epoch-before-merge silently dropped the failed batch).  Null
+    group keys are preserved (``dropna=False``) so the view matches
+    its batch twin on null-keyed rows.
+
+    The view-sized-state contract is enforced, not just documented:
+    ``max_state_rows`` (default 1e6) caps the number of distinct
+    groups; a batch that would push the view past it raises before
+    anything is committed.  Group-by a high-cardinality key — the
+    misuse that silently turns "view-sized" into "input-sized" — now
+    fails fast with the keyed-store recommendation in the message.
     """
 
-    def __init__(self, group_cols: list[str], sum_cols: list[str]) -> None:
+    def __init__(
+        self,
+        group_cols: list[str],
+        sum_cols: list[str],
+        *,
+        max_state_rows: int = 1_000_000,
+    ) -> None:
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.max_state_rows = max_state_rows
         self._state = None  # pandas frame: group_cols + sum_cols
         self.batches_seen = 0
         self._last_epoch: int | None = None
@@ -125,23 +145,32 @@ class ViewMaintenanceSink:
 
         if self._last_epoch is not None and epoch_id <= self._last_epoch:
             return  # at-least-once re-delivery of an already-merged epoch
-        self._last_epoch = epoch_id
-        self.batches_seen += 1
         partial = (
             batch_df.groupBy(*self.group_cols)
             .agg(*[F.sum(c).alias(c) for c in self.sum_cols])
             .toPandas()
         )
         if partial.empty:
-            return
-        if self._state is None:
-            self._state = partial
+            new_state = self._state
+        elif self._state is None:
+            new_state = partial
         else:
-            self._state = (
+            new_state = (
                 pd.concat([self._state, partial], ignore_index=True)
                 .groupby(self.group_cols, as_index=False, dropna=False)[self.sum_cols]
                 .sum()
             )
+        if new_state is not None and len(new_state) > self.max_state_rows:
+            raise RuntimeError(
+                f"ViewMaintenanceSink state would grow to {len(new_state)} rows "
+                f"(> max_state_rows={self.max_state_rows}): the group keys "
+                f"{self.group_cols} are too high-cardinality for an in-memory "
+                "view — use a keyed store / Delta MERGE target instead"
+            )
+        # Commit point: state + epoch together, after every fallible step.
+        self._state = new_state
+        self.batches_seen += 1
+        self._last_epoch = epoch_id
 
     def start(
         self,

@@ -612,3 +612,55 @@ def test_view_maintenance_state_is_view_sized_replay_safe_and_null_keyed(
         [(None if pd_isna(m) else m, int(n)) for m, n in zip(want["month"], want["n"])]
         , key=lambda t: (t[0] is None, t[0])
     )
+
+
+def test_view_maintenance_failed_epoch_replays_and_state_cap_enforced(
+    spark, sf_dir
+):
+    """Two ViewMaintenanceSink contracts made code this round:
+
+    1. **Failed epochs are NOT skipped on replay** (ADVICE r7): a
+       batch that errors mid-merge (here an ANSI divide-by-zero
+       surfacing in ``toPandas``) must leave ``_last_epoch`` untouched
+       so Structured Streaming's at-least-once re-delivery of that
+       epoch merges it — recording the epoch before the merge turned
+       exactly this failure into a silent drop.
+    2. **The view-sized-state contract is enforced**: a merge that
+       would exceed ``max_state_rows`` raises with nothing committed,
+       instead of silently growing an input-sized in-memory view.
+    """
+    from parquet_stream_writer_spark.sources import load_table
+    from parquet_stream_writer_spark.streaming import ViewMaintenanceSink
+
+    projected = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    half = [projected.where(F.crc32("month") % 2 == i) for i in range(2)]
+
+    sink = ViewMaintenanceSink(["month"], ["n"])
+    sink.process_batch(half[0], 0)
+    poisoned = half[1].withColumn(
+        "n", F.expr("CAST(raise_error('poison: merge failure') AS LONG)")
+    )
+    with pytest.raises(Exception):
+        sink.process_batch(poisoned, 1)  # fails inside the merge
+    # The failed epoch must replay, and the replay must merge.
+    sink.process_batch(half[1], 1)
+    want = (
+        projected.groupBy("month")
+        .agg(F.sum("n").alias("n"))
+        .toPandas()
+        .sort_values("month", ignore_index=True)
+    )
+    got = sink.view()
+    assert list(got["month"]) == list(want["month"])
+    assert [int(x) for x in got["n"]] == [int(x) for x in want["n"]]
+
+    capped = ViewMaintenanceSink(["month"], ["n"], max_state_rows=3)
+    with pytest.raises(RuntimeError, match="max_state_rows"):
+        capped.process_batch(projected, 0)  # orders spans >3 months
+    assert len(capped.view()) == 0 and capped.batches_seen == 0
+    # A cap-compliant merge on the same sink still works afterwards.
+    capped.process_batch(projected.where(F.col("month") <= "1995-03"), 0)
+    assert 0 < len(capped.view()) <= 3
