@@ -1522,25 +1522,18 @@ def graph_pagerank_bipartite(
         carrier = "bucketed" if iters >= _PR_BUCKETED_ITERS else "checkpoint"
     if carrier == "bucketed":
         import hashlib
-        import shutil
-        from urllib.parse import urlparse
 
+        from parquet_stream_writer_spark.operators._carrier import bucketed_carrier
+
+        # Session-salted, lifecycle-managed carrier (ADVICE r7): the
+        # helper salts the table name with the applicationId (no
+        # concurrent-session clobber), keeps at most one live table per
+        # (key, args) with an atexit drop (no per-run leak), and clears
+        # orphaned locations via the Hadoop FS API (HDFS/S3-portable).
         tag = hashlib.md5(f"{sf_dir}|{iters}".encode()).hexdigest()[:10]
-        table = f"pr_adj_b{_PR_BUCKETS}_{tag}"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        # A prior session's managed-table LOCATION survives while the
-        # in-memory catalog entry does not — clear the orphan dir or
-        # saveAsTable refuses with LOCATION_ALREADY_EXISTS.
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if wh:
-            shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
-        (
-            adj.write.bucketBy(_PR_BUCKETS, "src")
-            .sortBy("src")
-            .mode("overwrite")
-            .saveAsTable(table)
+        adj = bucketed_carrier(
+            spark, adj, f"pr_adj_{tag}", buckets=_PR_BUCKETS, bucket_col="src"
         )
-        adj = spark.table(table)
     else:
         adj = adj.localCheckpoint(eager=False)
     # Node-sized out-degree state: aggregated from segment sizes (small

@@ -2232,22 +2232,19 @@ def graph_label_propagation(
         carrier = "bucketed" if rounds >= _LP_BUCKETED_ROUNDS else "checkpoint"
     if carrier == "bucketed":
         import hashlib
-        import shutil
-        from urllib.parse import urlparse
 
+        from parquet_stream_writer_spark.operators._carrier import bucketed_carrier
+
+        # Session-salted, lifecycle-managed carrier (ADVICE r7) — see
+        # operators/_carrier.py for the naming/drop/FS-cleanup contract.
         tag = hashlib.md5(f"{sf_dir}|{rounds}".encode()).hexdigest()[:10]
-        table = f"lp_edges_b{_LP_BUCKETS}_{tag}"
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if wh:
-            shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
-        (
-            edges_plus.write.bucketBy(_LP_BUCKETS, "dst")
-            .sortBy("dst")
-            .mode("overwrite")
-            .saveAsTable(table)
+        edges_plus = bucketed_carrier(
+            spark,
+            edges_plus,
+            f"lp_edges_{tag}",
+            buckets=_LP_BUCKETS,
+            bucket_col="dst",
         )
-        edges_plus = spark.table(table)
     else:
         edges_plus = edges_plus.localCheckpoint(eager=False)
     labels = nodes.select("src", F.col("src").alias("label")).withColumnRenamed(

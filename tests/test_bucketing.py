@@ -169,3 +169,32 @@ def test_pagerank_segmentation_is_value_invariant(spark, sf_dir, monkeypatch):
         map(tuple, pipeline.graph_pagerank_bipartite(spark, sf).collect())
     )
     assert baseline == segmented
+
+
+def test_carrier_tables_are_session_salted_and_dropped(spark, sf_dir):
+    """Carrier-table lifecycle contract (ADVICE r7): names are salted
+    with the applicationId (concurrent sessions can't clobber each
+    other), a repeat call leaves exactly one live table per logical
+    key, and drop_carrier_tables() removes everything this process
+    created from the catalog."""
+    import re
+
+    from parquet_stream_writer_spark.operators import _carrier
+    from parquet_stream_writer_spark.operators.staged import (
+        graph_label_propagation,
+    )
+
+    graph_label_propagation(spark, sf_dir, rounds=4, carrier="bucketed").collect()
+    app = re.sub(r"[^0-9a-z]", "_", spark.sparkContext.applicationId.lower())
+    live = [t for t in _carrier._LIVE_TABLES.values() if t.startswith("lp_edges_")]
+    assert live and all(t.endswith(app) for t in live)
+    n_before = len(_carrier._LIVE_TABLES)
+    # Repeat call with identical args: same key, still one live table.
+    graph_label_propagation(spark, sf_dir, rounds=4, carrier="bucketed").collect()
+    assert len(_carrier._LIVE_TABLES) == n_before
+    catalog = {t.name for t in spark.catalog.listTables()}
+    assert set(_carrier._LIVE_TABLES.values()) <= catalog
+    _carrier.drop_carrier_tables()
+    assert not _carrier._LIVE_TABLES
+    catalog_after = {t.name for t in spark.catalog.listTables()}
+    assert not any(t in catalog_after for t in live)
