@@ -95,8 +95,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # engine-dependent addition order can land a group mean
             # exactly on a 4-dp floor boundary (rounded-sum-divide
             # convention, cf. events_seasonality_profile).  The inputs
-            # are 2-dp currency/ratio values, so the 2-dp pre-round
-            # recovers the exact decimal sum in both engines.
+            # are 2-dp currency/ratio values, so the pre-round NARROWS
+            # the 4-dp half-step window by collapsing sub-cent FP fuzz
+            # — but does not close it: once the raw double sum's
+            # accumulated error exceeds 0.005 (possible over many
+            # millions of rows), the 2-dp-rounded sums themselves can
+            # fork between engines.  Where exact parity is required at
+            # any scale, sum pre-scaled integer cents instead (the
+            # staged/staged2 convention).
             pround(pround(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4).alias(
                 "avg_qty"
             ),
@@ -1800,9 +1806,10 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = [1, 3, 5, 7, 9, 11, 13]
     pool = customer.where(F.col("c_nationkey").isin(nations))
     # Rounded-sum-divide for the threshold: c_acctbal is 2-dp, so the
-    # 2-dp pre-round recovers the exact decimal sum in both engines
-    # before the division — the comparison boundary can never fork on
-    # engine summation order.
+    # 2-dp pre-round collapses sub-cent FP fuzz before the division,
+    # narrowing (not closing — see q1) the window where engine
+    # summation order could fork the comparison boundary; the residual
+    # risk needs >0.005 accumulated double error over the pool.
     thresh = pool.where(F.col("c_acctbal") > 0.0).agg(
         pround(pround(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 2).alias("avg_bal")
     )
