@@ -2600,17 +2600,27 @@ def pipeline_row_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def profile(df: DataFrame, name: str) -> DataFrame:
+        # target_partitions is TRUE integer ceil-division (`div`), not
+        # a double divide + truncating cast: past 2^53 total bytes the
+        # double quotient can round across an integer boundary while
+        # DuckDB's `//` stays exact — the 100 TB case is precisely
+        # where this query matters.
         return df.agg(
             F.lit(name).alias("table_name"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("row_bytes").alias("total_bytes"),
-            F.floor(
-                F.sum("row_bytes") / F.count(F.lit(1))
-            ).cast("long").alias("bytes_per_row"),
-            (
-                (F.sum("row_bytes") + F.lit(_ROWSIZE_TARGET - 1))
-                / F.lit(_ROWSIZE_TARGET)
-            ).cast("long").alias("target_partitions"),
+        ).select(
+            "table_name",
+            "n_rows",
+            "total_bytes",
+            F.floor(F.col("total_bytes") / F.col("n_rows"))
+            .cast("long")
+            .alias("bytes_per_row"),
+            F.expr(
+                f"(total_bytes + {_ROWSIZE_TARGET - 1}) div {_ROWSIZE_TARGET}"
+            )
+            .cast("long")
+            .alias("target_partitions"),
         )
 
     out = profile(docs, "documents")

@@ -384,3 +384,255 @@ def test_power_user_share_matches_bruteforce(spark, tmp_path, seed):
     assert row.n_top_users == len(top)
     assert row.top_events == int(top.sum())
     assert abs(row.top_share - int(top.sum()) / int(counts.sum())) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [5, 211])
+def test_duplicate_invoice_audit_matches_bruteforce(spark, tmp_path, seed):
+    """Duplicate-invoice pairs from an O(n^2) pandas model — the
+    coarse cent grid plants many (custkey, cents) collisions and the
+    date grid straddles the 7-day boundary exactly (gaps of 7 days
+    match, 8 days don't)."""
+    from parquet_stream_writer_spark.operators.staged2 import (
+        orders_duplicate_invoice_audit,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.integers(0, 12, n).astype("int64"),
+            "o_totalprice": rng.integers(1, 6, n) * 100.5,
+            "o_orderpriority": rng.choice(["1-URGENT", "3-MEDIUM"], n),
+            "o_orderdate": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 16, n), unit="D"),
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    got = {
+        (r.priority, r.n_pairs, r.n_flagged_first, r.at_risk_cents)
+        for r in orders_duplicate_invoice_audit(spark, sf).collect()
+    }
+
+    cents = (orders.o_totalprice * 100 + 0.5).astype("int64")
+    day = (orders.o_orderdate - pd.Timestamp("1970-01-01")).dt.days
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            if (
+                orders.o_orderkey[i] < orders.o_orderkey[j]
+                and orders.o_custkey[i] == orders.o_custkey[j]
+                and cents[i] == cents[j]
+                and abs(int(day[i]) - int(day[j])) <= 7
+            ):
+                rows.append(
+                    (orders.o_orderpriority[i], orders.o_orderkey[i], int(cents[i]))
+                )
+    pairs = pd.DataFrame(rows, columns=["priority", "k1", "cents"])
+    want = {
+        (
+            p,
+            len(g),
+            g.k1.nunique(),
+            int(g.cents.sum()),
+        )
+        for p, g in pairs.groupby("priority")
+    }
+    assert got == want and got  # non-vacuous: collisions must exist
+
+
+@pytest.mark.parametrize("seed", [13, 909])
+def test_discount_effectiveness_matches_bruteforce(spark, tmp_path, seed):
+    """Discount-band rollup vs a pandas model — off-grid discounts
+    (e.g. 0.034) pin the floor(+0.5) banding, and the exact
+    cent·basis-point descaling is checked against integer math."""
+    from parquet_stream_writer_spark.operators.staged2 import (
+        lineitem_discount_effectiveness,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 500
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype="int64"),
+            "l_quantity": rng.integers(1, 50, n).astype("float64"),
+            "l_extendedprice": rng.integers(100, 99999, n) / 100.0,
+            "l_discount": rng.choice(
+                [0.0, 0.01, 0.034, 0.05, 0.055, 0.1], n
+            ),
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+        }
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    got = {
+        (
+            r.discount_pct,
+            r.n_lines,
+            float(r.mean_quantity),
+            r.gross_cents,
+            r.discount_cents,
+        )
+        for r in lineitem_discount_effectiveness(spark, sf).collect()
+    }
+
+    pdf = pd.DataFrame(
+        {
+            "band": np.floor(li.l_discount * 100 + 0.5).astype("int32"),
+            "qty": li.l_quantity.astype("int64"),
+            "cents": np.floor(li.l_extendedprice * 100 + 0.5).astype("int64"),
+            "bps": np.floor(li.l_discount * 10000 + 0.5).astype("int64"),
+        }
+    )
+    pdf["disc_scaled"] = pdf.cents * pdf.bps
+    want = set()
+    for band, g in pdf.groupby("band"):
+        mean_q = np.floor(g.qty.sum() / len(g) * 10000 + 0.5) / 10000.0
+        want.add(
+            (
+                int(band),
+                len(g),
+                float(mean_q),
+                int(g.cents.sum()),
+                int(np.floor(g.disc_scaled.sum() / 10000)),
+            )
+        )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [21, 555])
+def test_brand_price_dispersion_matches_numpy(spark, tmp_path, seed):
+    """Quartile dispersion vs numpy's linear-interpolated percentiles
+    over integer cents — brand sizes are chosen so (n-1)*0.25 lands on
+    every fractional phase (0, .25, .5, .75), and duplicated prices
+    plant ties at the quartile seams."""
+    from parquet_stream_writer_spark.operators.staged2 import (
+        part_brand_price_dispersion,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    pk = 0
+    for b, size in enumerate([4, 5, 6, 7, 9, 16, 40]):
+        prices = rng.integers(100, 2000, size) / 4.0  # coarse grid → ties
+        frames.append(
+            pd.DataFrame(
+                {
+                    "p_partkey": np.arange(pk, pk + size, dtype="int64"),
+                    "p_brand": f"Brand#{b:02d}",
+                    "p_retailprice": prices,
+                }
+            )
+        )
+        pk += size
+    part = pd.concat(frames, ignore_index=True)
+    sf = _write(tmp_path, "part", part)
+    got = {
+        (
+            r.p_brand,
+            r.n,
+            r.min_cents,
+            r.max_cents,
+            float(r.q1_cents),
+            float(r.q3_cents),
+            float(r.quartile_dispersion),
+        )
+        for r in part_brand_price_dispersion(spark, sf).collect()
+    }
+
+    def pround(x, k):
+        return np.floor(x * 10**k + 0.5) / 10**k
+
+    want = set()
+    for b, g in part.groupby("p_brand"):
+        cents = np.sort(np.floor(g.p_retailprice.values * 100 + 0.5).astype("int64"))
+        q1 = np.percentile(cents, 25, method="linear")
+        q3 = np.percentile(cents, 75, method="linear")
+        want.add(
+            (
+                b,
+                len(cents),
+                int(cents.min()),
+                int(cents.max()),
+                float(pround(q1, 2)),
+                float(pround(q3, 2)),
+                float(pround((q3 - q1) / (q3 + q1), 6)),
+            )
+        )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [8, 4096])
+def test_row_size_profile_matches_bruteforce(spark, tmp_path, seed, monkeypatch):
+    """Row-size profile vs exact python byte accounting — documents
+    carry multi-byte UTF-8 text (octet length != char length), and the
+    partition target is monkeypatched small so the ceil-division
+    boundary (total % target == 0 vs != 0) is actually exercised."""
+    from parquet_stream_writer_spark.operators import staged2
+
+    monkeypatch.setattr(staged2, "_ROWSIZE_TARGET", 1000)
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    texts = [
+        ("héllo wörld " * int(rng.integers(1, 9))) + ("日本語" * int(rng.integers(0, 4)))
+        for _ in range(n)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": texts,
+            "lang": rng.choice(["en", "de", "ja"], n),
+            "source": rng.choice(["web", "книга"], n),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_orderstatus": rng.choice(["O", "F"], n),
+            "o_orderpriority": rng.choice(["1-URGENT", "5-LOW"], n),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype="int64"),
+            "l_returnflag": rng.choice(["A", "N", "R"], n),
+            "l_linestatus": rng.choice(["O", "F"], n),
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    got = {
+        (r.table_name, r.n_rows, r.total_bytes, r.bytes_per_row, r.target_partitions)
+        for r in staged2.pipeline_row_size_profile(spark, sf).collect()
+    }
+
+    def blen(s):
+        return len(s.encode("utf-8"))
+
+    totals = {
+        "documents": sum(
+            blen(t) + blen(g) + blen(s) + 16
+            for t, g, s in zip(docs.text, docs.lang, docs.source)
+        ),
+        "orders": sum(
+            blen(a) + blen(b) + 32
+            for a, b in zip(orders.o_orderstatus, orders.o_orderpriority)
+        ),
+        "lineitem": sum(
+            blen(a) + blen(b) + 76
+            for a, b in zip(li.l_returnflag, li.l_linestatus)
+        ),
+    }
+    want = {
+        (
+            t,
+            n,
+            total,
+            int(np.floor(total / n)),
+            (total + 999) // 1000,
+        )
+        for t, total in totals.items()
+    }
+    assert got == want
