@@ -11,6 +11,7 @@ Usage::
 
     python tools/adversarial_sweep.py             # staged pack
     python tools/adversarial_sweep.py --registered
+    python tools/adversarial_sweep.py --staged2   # pre-registration gate
 
 The round-6 known-findings list (json_extraction /
 multimodal_audio_features / multimodal_shard_manifest oracle
@@ -71,6 +72,10 @@ def main() -> int:
         import __spark_entry__ as entry
 
         queries, oracles = entry.queries(), entry.oracle_sql()
+    elif "--staged2" in sys.argv[1:]:
+        from parquet_stream_writer_spark.operators import staged2
+
+        queries, oracles = staged2.QUERIES, staged2.ORACLE
     else:
         from parquet_stream_writer_spark.operators import staged
 
