@@ -103,6 +103,7 @@ def _modules():
         relational,
         similarity,
         staged,
+        staged2,
         streaming_batch,
         text,
     )
@@ -116,6 +117,7 @@ def _modules():
         multimodal,
         pipeline,
         staged,
+        staged2,
     )
 
 
@@ -302,28 +304,32 @@ def _prioritized(merged: dict) -> dict:
 
     1. keys with no green verdict at all (new queries, regressions) —
        these MUST land in the window;
-    2. green keys whose source changed since the committed hash
-       snapshot (edited queries / rewritten helpers), oldest verdict
-       first — re-verification is due, but an old green verdict still
-       exists if the window overflows;
-    3. untouched green keys, OLDEST verdict round first — so stale
-       r1/r2 verdicts rotate through the window before
-       recently-verified keys burn a slot.
+    2. green keys by OLDEST verdict round first; within the same
+       round, source-stale keys (edited since the committed hash
+       snapshot) ahead of untouched ones.
 
-    Within each tier the static ``_PRIORITY`` seed order is kept
+    Verdict AGE outranks source-staleness across rounds (round-8
+    change): the old stale-tier-first ordering let a burst of edits
+    to recently-verified keys displace r2-vintage verdicts out of the
+    window two rounds running (VERDICT r6 item 4 → r7 backlog).  An
+    edited key outside the window keeps its OLD recorded hash (the
+    snapshot tool only refreshes keys the window will re-verify), so
+    it stays stale-marked and jumps its cohort's untouched keys when
+    its round comes up — staleness is never silently laundered, and
+    the oldest attestations always refresh first.
+
+    Within each rank the static ``_PRIORITY`` seed order is kept
     (Python's sort is stable)."""
     seeded = {k: merged[k] for k in _PRIORITY if k in merged}
     seeded.update({k: v for k, v in merged.items() if k not in seeded})
     verdicts = _verdicts()
     stale = _source_stale_keys(merged)
 
-    def rank(key: str) -> tuple[int, int]:
+    def rank(key: str) -> tuple[int, int, int]:
         green, rnd = verdicts.get(key, (False, 0))
         if not green:
-            return (0, 0)
-        if key in stale:
-            return (1, rnd)
-        return (2, rnd)
+            return (0, 0, 0)
+        return (1, rnd, 0 if key in stale else 1)
 
     return {k: seeded[k] for k in sorted(seeded, key=rank)}
 

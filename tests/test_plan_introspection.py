@@ -120,6 +120,14 @@ _NLJ_OK = {
     "text_bm25_search",  # bounded probe-term-set broadcast
     "text_burstiness",  # 1-row corpus-size broadcast
     "events_ab_conversion_ztest",  # 1-row x 1-row arm-stats cross join
+    # round-8 staged2 registration (folded from
+    # tests/test_staged2_operators.py::_STAGED2_NLJ_OK):
+    "orders_abc_classification",  # 1-row (lo, hi, total) stats broadcast
+    "orders_backlog_aging",  # 1-row max-date horizon broadcast
+    "agg_histogram_equidepth",  # 1-row (lo, hi, n) stats broadcast
+    "agg_benford_audit",  # 1-row total broadcast
+    "pipeline_quarantine_router",  # 1-row total broadcast
+    "events_type_share_drift",  # bounded weeks x types grid cross join
 }
 
 

@@ -157,10 +157,11 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
 
 def test_registry_fronts_unverified_and_stale_queries():
     """The driver's CORRECTNESS gate checks a prefix window of the
-    registry: keys without a green driver verdict (or whose source
-    changed since the verdict) must sort first, then green keys by
-    ascending verdict round — so the oldest verdicts rotate through
-    the window."""
+    registry: keys without a green driver verdict must sort first,
+    then green keys by ascending verdict round with source-stale keys
+    leading their round cohort (the round-8 age-first rotation) — so
+    the oldest verdicts rotate through the window and edit bursts
+    can't displace them."""
     from parquet_stream_writer_spark.operators import (
         _source_stale_keys,
         _verdicts,
@@ -177,8 +178,8 @@ def test_registry_fronts_unverified_and_stale_queries():
     def rank(key):
         green, rnd = verdicts.get(key, (False, 0))
         if not green:
-            return (0, 0)
-        return (1, rnd) if key in stale else (2, rnd)
+            return (0, 0, 0)
+        return (1, rnd, 0 if key in stale else 1)
 
     ranks = [rank(k) for k in keys]
     assert ranks == sorted(ranks), "registry not ordered by verdict need"

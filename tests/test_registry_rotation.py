@@ -1,11 +1,14 @@
 """Regression guards for the driver-window rotation machinery.
 
 The round driver verifies only the FIRST 50 registry keys each round;
-``operators._prioritized`` orders the registry so unverified keys,
-then stale-edited keys (oldest verdict first), then untouched green
-keys (oldest verdict first) fill that window.  A silent ordering bug
-here means the driver re-verifies the wrong keys and new or edited
-operators ship without a verdict — so the invariants are pinned.
+``operators._prioritized`` orders the registry so unverified keys come
+first, then green keys by OLDEST verdict round (source-stale keys
+ahead of untouched ones within the same round).  Verdict age outranks
+staleness across rounds — the round-8 change after edit bursts twice
+displaced r2-vintage verdicts out of the window (VERDICT r6 item 4 →
+r7 backlog).  A silent ordering bug here means the driver re-verifies
+the wrong keys and new or edited operators ship without a verdict —
+so the invariants are pinned.
 """
 
 from __future__ import annotations
@@ -15,7 +18,7 @@ from parquet_stream_writer_spark import operators as ops
 WINDOW = 50
 
 
-def _tiers():
+def _ranked():
     merged: dict = {}
     for mod in ops._modules():
         merged.update(mod.QUERIES)
@@ -23,13 +26,13 @@ def _tiers():
     stale = ops._source_stale_keys(merged)
     ordered = list(ops._prioritized(merged))
 
-    def tier(k: str) -> int:
-        green, _rnd = verdicts.get(k, (False, 0))
+    def rank(k: str) -> tuple[int, int, int]:
+        green, rnd = verdicts.get(k, (False, 0))
         if not green:
-            return 0
-        return 1 if k in stale else 2
+            return (0, 0, 0)
+        return (1, rnd, 0 if k in stale else 1)
 
-    return merged, verdicts, ordered, tier
+    return merged, verdicts, ordered, rank
 
 
 def test_ordering_is_deterministic():
@@ -41,14 +44,17 @@ def test_ordering_is_deterministic():
     assert set(ops.all_oracles()) <= set(a)
 
 
-def test_tiers_are_monotone():
-    """No later-tier key may precede an earlier-tier key — a tier-2
-    green key sitting above an unverified key would burn a window
-    slot the new key needs."""
-    _merged, _verdicts, ordered, tier = _tiers()
-    tiers = [tier(k) for k in ordered]
-    assert tiers == sorted(tiers), [
-        (k, t) for k, t in zip(ordered, tiers) if tiers != sorted(tiers)
+def test_rank_is_monotone():
+    """The registry order must be exactly the rank order: unverified
+    keys first, then green keys by oldest verdict round with
+    source-stale keys leading their round cohort — a green key sitting
+    above an unverified key would burn a window slot the new key
+    needs, and a fresh verdict sitting above an old one re-opens the
+    r2-backlog spill."""
+    _merged, _verdicts, ordered, rank = _ranked()
+    ranks = [rank(k) for k in ordered]
+    assert ranks == sorted(ranks), [
+        (k, r) for k, r in zip(ordered, ranks) if ranks != sorted(ranks)
     ][:10]
 
 
@@ -56,8 +62,8 @@ def test_unverified_keys_land_in_the_window():
     """Every key with no green driver verdict must sit inside the
     50-key prefix — if tier 0 ever outgrows the window, this fails
     and the registry must stop growing (or the window must move)."""
-    _merged, verdicts, ordered, tier = _tiers()
-    tier0 = [k for k in ordered if tier(k) == 0]
+    _merged, verdicts, ordered, rank = _ranked()
+    tier0 = [k for k in ordered if rank(k)[0] == 0]
     assert len(tier0) <= WINDOW, (
         f"{len(tier0)} unverified keys exceed the {WINDOW}-key driver window"
     )
@@ -66,10 +72,19 @@ def test_unverified_keys_land_in_the_window():
     assert not missing, missing
 
 
-def test_green_tiers_ordered_by_verdict_age():
-    """Within tiers 1 and 2, older verdicts must come first — the
-    verdict-age rotation that retires stale rounds."""
-    _merged, verdicts, ordered, tier = _tiers()
-    for want_tier in (1, 2):
-        rounds = [verdicts[k][1] for k in ordered if tier(k) == want_tier]
-        assert rounds == sorted(rounds), (want_tier, rounds[:20])
+def test_oldest_verdicts_fill_the_remaining_window():
+    """After the unverified keys, the window must hold exactly the
+    OLDEST green verdicts: no green key outside the window may carry
+    an older verdict round than any green key inside it (the
+    "no key older than r3 after this round" criterion is this
+    invariant applied at round 8)."""
+    _merged, verdicts, ordered, rank = _ranked()
+    greens = [k for k in ordered if rank(k)[0] == 1]
+    inside = set(ordered[:WINDOW])
+    in_rounds = [verdicts[k][1] for k in greens if k in inside]
+    out_rounds = [verdicts[k][1] for k in greens if k not in inside]
+    if in_rounds and out_rounds:
+        assert max(in_rounds) <= min(out_rounds), (
+            max(in_rounds),
+            min(out_rounds),
+        )

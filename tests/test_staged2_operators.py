@@ -20,14 +20,18 @@ def test_staged2_query_matches_oracle(name, spark, sf_dir, oracle_con):
     assert_results_match(df, oracle_con, staged2.ORACLE[name])
 
 
-def test_staged2_keys_not_yet_registered():
-    """While staged, these keys must NOT appear in the driver registry
-    (they would displace round 7's window composition).  Round 8
-    flips this assertion, as round 7 flipped staged.py's."""
-    from parquet_stream_writer_spark.operators import all_queries
+def test_staged2_keys_registered():
+    """Round-8 inversion of the staging assertion: all 28 staged2 keys
+    (and their oracles) are now IN the driver registry — they hold the
+    tier-0 (no-verdict) slots of round 8's verification window."""
+    from parquet_stream_writer_spark.operators import all_oracles, all_queries
 
-    live = set(all_queries())
-    assert not (set(staged2.QUERIES) & live)
+    live = all_queries()
+    assert set(staged2.QUERIES) <= set(live)
+    assert set(staged2.ORACLE) <= set(all_oracles())
+    # Tier-0: no staged2 key has a driver verdict yet, so the registry
+    # prefix (the driver's window) must lead with all 28 of them.
+    assert set(staged2.QUERIES) <= set(list(live)[: len(staged2.QUERIES)])
 
 
 @pytest.mark.parametrize("name", sorted(staged2.QUERIES))
