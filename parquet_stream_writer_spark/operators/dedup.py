@@ -86,6 +86,19 @@ _BUILD_LOCKS: dict[tuple, threading.RLock] = {}
 #: the process flat instead of accumulating dead checkpoint refs).
 _MEMO_CAP = 16
 
+#: Stages persisted ACROSS sessions as bucketed warehouse tables keyed
+#: on the corpus fingerprint (VERDICT r7 item 4: a new process
+#: re-paid the full mining pass; at 100× that is re-mining the corpus
+#: per job).  Values are (bucket column, bucket count).  Only the two
+#: mining OUTPUTS persist — they are deterministic functions of the
+#: corpus bytes (md5 shingling, exact Jaccard, min-label fixpoint), so
+#: a reload is value-identical to a rebuild; the corpus-sized shingle
+#: and candidate intermediates stay session-local.
+_PERSIST_STAGES: dict[str, tuple[str, int]] = {
+    "verified_pairs": ("d1", 16),
+    "cc_labels": ("node", 16),
+}
+
 
 def _drop_entry(key: tuple) -> None:
     """Pop + unpersist one memo entry (caller holds ``_MEMO_LOCK``)."""
@@ -121,7 +134,23 @@ def _memo(
         # build runs OUTSIDE the dict lock: unrelated stages never
         # serialize behind it, and a build failure leaves the old
         # entries untouched (eviction is deferred until success).
-        df = build()
+        if stage in _PERSIST_STAGES:
+            from parquet_stream_writer_spark.operators._memo_store import (
+                load_or_build_table,
+            )
+
+            bucket_col, buckets = _PERSIST_STAGES[stage]
+            df = load_or_build_table(
+                spark,
+                stage=stage,
+                sf_dir=sf_dir,
+                fingerprint=key[3],
+                bucket_col=bucket_col,
+                buckets=buckets,
+                build=build,
+            )
+        else:
+            df = build()
         with _MEMO_LOCK:
             # Superseded same-(stage, app, dir) entries: the corpus
             # was rewritten, their checkpoints describe dead data.
