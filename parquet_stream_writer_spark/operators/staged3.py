@@ -382,3 +382,428 @@ ORDER BY p_type
 
 QUERIES["part_type_price_premium"] = part_type_price_premium
 ORACLE["part_type_price_premium"] = ORACLE_PART_TYPE_PRICE_PREMIUM
+
+
+# ---------------------------------------------------------------------------
+# Dwell-time profile (gap to the user's NEXT event, keyed by current type)
+# ---------------------------------------------------------------------------
+
+
+def events_dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dwell time: for each event, the gap until the
+    same user's NEXT event of ANY type, attributed to the current
+    event's type — "how long do users sit on this step before doing
+    anything else".  The complement of the staged2 inter-arrival
+    profile (same-type gaps): dwell measures step friction, not
+    arrival rate.
+
+    Exactness: gaps are exact integer µs; the mean divides an exact
+    integer sum; p50/p90 use the pack's interpolated-percentile parity
+    convention over ranked integer order statistics.
+
+    Shape: one user-keyed shuffle for the lead window, then per-type
+    rank windows over the per-type dwell relations and a fixed-width
+    aggregate — the interarrival-stats shape with a lead instead of a
+    same-type lag.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    dwells = (
+        ev.select("user_id", "event_type", "event_id", us.alias("us"))
+        .withColumn("dwell", F.lead("us").over(w) - F.col("us"))
+        .where(F.col("dwell").isNotNull())
+        .select("event_type", "dwell")
+    )
+    wr = Window.partitionBy("event_type").orderBy("dwell")
+    ranked = dwells.withColumn("rk", F.row_number().over(wr))
+    stats = dwells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dwell").alias("s")
+    )
+
+    def interp(q: float):
+        h = (F.col("n") - 1) * F.lit(q)
+        return (
+            F.floor(h).cast("long") + 1,
+            -F.floor(-h).cast("long") + 1,
+            h - F.floor(h),
+        )
+
+    out = stats
+    for q, name in ((0.5, "p50"), (0.9, "p90")):
+        lo, hi, frac = interp(q)
+        lo_v = (
+            ranked.withColumnRenamed("dwell", f"{name}_lo_d")
+            .withColumnRenamed("rk", f"{name}_lo_rk")
+            .withColumnRenamed("event_type", f"{name}_lo_t")
+        )
+        hi_v = (
+            ranked.withColumnRenamed("dwell", f"{name}_hi_d")
+            .withColumnRenamed("rk", f"{name}_hi_rk")
+            .withColumnRenamed("event_type", f"{name}_hi_t")
+        )
+        out = (
+            out.withColumn(f"{name}_lo", lo)
+            .withColumn(f"{name}_hi", hi)
+            .withColumn(f"{name}_frac", frac)
+            .join(
+                lo_v,
+                (F.col("event_type") == F.col(f"{name}_lo_t"))
+                & (F.col(f"{name}_lo") == F.col(f"{name}_lo_rk")),
+            )
+            .join(
+                hi_v,
+                (F.col("event_type") == F.col(f"{name}_hi_t"))
+                & (F.col(f"{name}_hi") == F.col(f"{name}_hi_rk")),
+            )
+            .withColumn(
+                name,
+                pround(
+                    F.col(f"{name}_lo_d")
+                    + (F.col(f"{name}_hi_d") - F.col(f"{name}_lo_d"))
+                    * F.col(f"{name}_frac"),
+                    2,
+                ),
+            )
+        )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_dwells"),
+        pround(F.col("s") / F.col("n"), 2).alias("mean_dwell_us"),
+        F.col("p50").alias("p50_dwell_us"),
+        F.col("p90").alias("p90_dwell_us"),
+    ).orderBy("event_type")
+
+
+ORACLE_EVENTS_DWELL_TIME_PROFILE = """
+WITH dw AS (
+  SELECT event_type,
+         lead(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS dwell
+  FROM events
+),
+g AS (SELECT event_type, dwell FROM dw WHERE dwell IS NOT NULL),
+ranked AS (
+  SELECT event_type, dwell,
+         row_number() OVER (PARTITION BY event_type ORDER BY dwell) AS rk
+  FROM g
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(dwell) AS s FROM g GROUP BY 1
+),
+pcts AS (
+  SELECT s.event_type, s.n, s.s,
+         lo50.dwell + (hi50.dwell - lo50.dwell)
+           * ((s.n - 1) * 0.5 - floor((s.n - 1) * 0.5)) AS p50,
+         lo90.dwell + (hi90.dwell - lo90.dwell)
+           * ((s.n - 1) * 0.9 - floor((s.n - 1) * 0.9)) AS p90
+  FROM stats s
+  JOIN ranked lo50 ON lo50.event_type = s.event_type
+    AND lo50.rk = CAST(floor((s.n - 1) * 0.5) AS BIGINT) + 1
+  JOIN ranked hi50 ON hi50.event_type = s.event_type
+    AND hi50.rk = CAST(ceil((s.n - 1) * 0.5) AS BIGINT) + 1
+  JOIN ranked lo90 ON lo90.event_type = s.event_type
+    AND lo90.rk = CAST(floor((s.n - 1) * 0.9) AS BIGINT) + 1
+  JOIN ranked hi90 ON hi90.event_type = s.event_type
+    AND hi90.rk = CAST(ceil((s.n - 1) * 0.9) AS BIGINT) + 1
+)
+SELECT event_type,
+       n AS n_dwells,
+       floor((CAST(s AS DOUBLE) / n) * 100 + 0.5) / 100.0 AS mean_dwell_us,
+       floor(p50 * 100 + 0.5) / 100.0 AS p50_dwell_us,
+       floor(p90 * 100 + 0.5) / 100.0 AS p90_dwell_us
+FROM pcts
+ORDER BY event_type
+"""
+
+QUERIES["events_dwell_time_profile"] = events_dwell_time_profile
+ORACLE["events_dwell_time_profile"] = ORACLE_EVENTS_DWELL_TIME_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality strength (between-day-of-week variance share)
+# ---------------------------------------------------------------------------
+
+
+def events_weekly_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type weekly seasonality strength: the share of the
+    daily-count variance explained by day-of-week (SSB/SST over the
+    daily count series) — 1.0 means perfectly weekly traffic, 0 means
+    the weekday tells you nothing.  The quantitative gate before
+    fitting any weekly seasonal model.
+
+    Exactness: daily counts and their per-dow sums are exact integers;
+    day-of-week is pure integer arithmetic on the epoch day ((day + 4)
+    mod 7 — 1970-01-01 was a Thursday; no timezone/calendar
+    functions).  The ≤ 7 per-dow terms S_g²/n_g are each ONE double
+    expression of exact integers and are folded in dow order via the
+    pack's sorted-array sequential-fold convention, so no engine picks
+    its own summation order; SST comes from integer Σc² (int64
+    headroom: daily counts < ~3e9).
+
+    Shape: one (type, day) hash aggregate, then everything runs on
+    bounded cell relations (days × types, then 7 × types).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    per_dow = (
+        daily.withColumn("dow", F.pmod(F.col("day") + 4, F.lit(7)))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("ng"), F.sum("c").alias("sg"))
+        .select(
+            "event_type",
+            "dow",
+            (
+                (F.col("sg").cast("double") * F.col("sg"))
+                / F.col("ng")
+            ).alias("term"),
+        )
+    )
+    folded = per_dow.groupBy("event_type").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("dow", "term"))),
+            F.lit(0.0),
+            lambda acc, p: acc + p["term"],
+        ).alias("ssb_part")
+    )
+    return (
+        per_type.join(folded, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("n_events"),
+            pround(
+                F.when(
+                    F.col("q").cast("double")
+                    - (F.col("s").cast("double") * F.col("s")) / F.col("n")
+                    > 0,
+                    (
+                        F.col("ssb_part")
+                        - (F.col("s").cast("double") * F.col("s")) / F.col("n")
+                    )
+                    / (
+                        F.col("q").cast("double")
+                        - (F.col("s").cast("double") * F.col("s")) / F.col("n")
+                    ),
+                ),
+                6,
+            ).alias("weekly_strength"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_WEEKLY_SEASONALITY_STRENGTH = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS q
+  FROM daily GROUP BY 1
+),
+per_dow AS (
+  SELECT event_type, (day + 4) % 7 AS dow,
+         (CAST(sum(c) AS DOUBLE) * sum(c)) / count(*) AS term
+  FROM daily GROUP BY 1, 2
+),
+folded AS (
+  SELECT event_type,
+         list_reduce(
+           list_prepend(0.0, list(term ORDER BY dow)),
+           (acc, x) -> acc + x) AS ssb_part
+  FROM per_dow GROUP BY 1
+)
+SELECT t.event_type,
+       t.n AS n_days,
+       CAST(t.s AS BIGINT) AS n_events,
+       floor(CASE WHEN CAST(t.q AS DOUBLE)
+                       - (CAST(t.s AS DOUBLE) * t.s) / t.n > 0
+                  THEN (f.ssb_part
+                        - (CAST(t.s AS DOUBLE) * t.s) / t.n)
+                       / (CAST(t.q AS DOUBLE)
+                          - (CAST(t.s AS DOUBLE) * t.s) / t.n)
+             END * 1000000 + 0.5) / 1000000.0 AS weekly_strength
+FROM per_type t JOIN folded f USING (event_type)
+ORDER BY event_type
+"""
+
+QUERIES["events_weekly_seasonality_strength"] = events_weekly_seasonality_strength
+ORACLE["events_weekly_seasonality_strength"] = (
+    ORACLE_EVENTS_WEEKLY_SEASONALITY_STRENGTH
+)
+
+
+# ---------------------------------------------------------------------------
+# Cadence regularity buckets (per-user gap coefficient of variation)
+# ---------------------------------------------------------------------------
+
+#: Minimum gaps a user needs before their cadence is classified.
+_CADENCE_MIN_GAPS = 5
+
+
+def events_cadence_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users bucketed by the regularity of their event cadence: the
+    coefficient of variation of their inter-event gaps classifies each
+    user as ``regular`` (CV < 0.5 — clockwork traffic, likely
+    automation), ``steady`` (CV < 1 — Poisson-ish organic use) or
+    ``bursty`` (CV ≥ 1 — session bursts with long silences).  The
+    bot-vs-human prior every traffic-quality pipeline starts from.
+
+    Exactness: gaps are integer SECONDS (µs div 1e6 — second grain
+    keeps Σgap² inside int64 for ~1e5 day-scale gaps per user); the CV
+    thresholds are evaluated as cross-multiplied INTEGER comparisons
+    (CV² < t²  ⟺  k·(n·Q − S²) < m·S²), so no sqrt, no division, no
+    boundary that floating arithmetic could fork; users whose gaps sum
+    to zero (all events same-second) are ``degenerate``.
+
+    Shape: one user-keyed shuffle for the lag window, one per-user
+    hash aggregate, one bucket CASE + a ≤4-row rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select("user_id", "event_id", us.alias("us"))
+        .withColumn("gap_s", F.expr("(us - lag(us) over (partition by user_id order by us, event_id)) div 1000000"))
+        .where(F.col("gap_s").isNotNull())
+        .select("user_id", "gap_s")
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("q"),
+    ).where(F.col("n") >= _CADENCE_MIN_GAPS)
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    s2 = F.col("s") * F.col("s")
+    bucketed = per_user.select(
+        "n",
+        F.when(F.col("s") == 0, "degenerate")
+        .when(var_num * 4 < s2, "regular")
+        .when(var_num < s2, "steady")
+        .otherwise("bursty")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            pround(F.sum("n") / F.count(F.lit(1)), 2).alias("mean_gaps"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_EVENTS_CADENCE_REGULARITY = f"""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 1000000 AS gap_s
+  FROM events
+),
+per_user AS (
+  SELECT user_id, count(*) AS n, sum(gap_s) AS s,
+         sum(gap_s * gap_s) AS q
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY 1
+  HAVING count(*) >= {_CADENCE_MIN_GAPS}
+),
+bucketed AS (
+  SELECT n,
+         CASE WHEN s = 0 THEN 'degenerate'
+              WHEN (n * q - s * s) * 4 < s * s THEN 'regular'
+              WHEN (n * q - s * s) < s * s THEN 'steady'
+              ELSE 'bursty' END AS bucket
+  FROM per_user
+)
+SELECT bucket, count(*) AS n_users,
+       floor((CAST(sum(n) AS DOUBLE) / count(*)) * 100 + 0.5) / 100.0
+         AS mean_gaps
+FROM bucketed
+GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES["events_cadence_regularity"] = events_cadence_regularity
+ORACLE["events_cadence_regularity"] = ORACLE_EVENTS_CADENCE_REGULARITY
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users per type per day
+# ---------------------------------------------------------------------------
+
+
+def events_cumulative_unique_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative distinct-user growth per event type: for each day,
+    how many users touched the type for the FIRST time and the running
+    distinct-user total to date — the adoption curve, computed without
+    any day-over-day distinct recount.
+
+    Exactness: all integer counts; days are integer epoch days.
+
+    Shape: one (type, user) hash aggregate to first-touch days (the
+    only input-sized shuffle), one (type, day) count, then a
+    type-partitioned running sum over BOUNDED day cells — never a
+    cumulative distinct over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    first_touch = (
+        ev.select("event_type", "user_id", day.alias("day"))
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily_new = first_touch.groupBy("event_type", "first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily_new.select(
+            "event_type",
+            F.col("first_day").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_EVENTS_CUMULATIVE_UNIQUE_USERS = """
+WITH first_touch AS (
+  SELECT event_type, user_id,
+         min(epoch_us(ts) // 86400000000) AS first_day
+  FROM events GROUP BY 1, 2
+),
+daily_new AS (
+  SELECT event_type, first_day AS day, count(*) AS new_users
+  FROM first_touch GROUP BY 1, 2
+)
+SELECT event_type, day, new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM daily_new
+ORDER BY event_type, day
+"""
+
+QUERIES["events_cumulative_unique_users"] = events_cumulative_unique_users
+ORACLE["events_cumulative_unique_users"] = ORACLE_EVENTS_CUMULATIVE_UNIQUE_USERS
