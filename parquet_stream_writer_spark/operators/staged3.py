@@ -807,3 +807,323 @@ ORDER BY event_type, day
 
 QUERIES["events_cumulative_unique_users"] = events_cumulative_unique_users
 ORACLE["events_cumulative_unique_users"] = ORACLE_EVENTS_CUMULATIVE_UNIQUE_USERS
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (BPE-ish tokens per whitespace word, by language)
+# ---------------------------------------------------------------------------
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word — the per-language cost multiplier every
+    training-data budget applies before token billing (high-fertility
+    languages burn context window faster).
+
+    Exactness: both token counts are exact integers from the SAME
+    regex/split conventions as ``text_token_count_bpe``; fertility and
+    chars-per-token are single divisions of exact corpus-level sums.
+
+    Shape: one map-side projection (two counts per doc) + one per-lang
+    hash aggregate.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("ws"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("bpe"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("chars").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            pround(
+                F.when(
+                    F.col("ws_tokens") > 0,
+                    F.col("bpe_tokens") / F.col("ws_tokens"),
+                ),
+                4,
+            ).alias("fertility"),
+            pround(
+                F.when(
+                    F.col("bpe_tokens") > 0,
+                    F.col("n_chars") / F.col("bpe_tokens"),
+                ),
+                2,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEXT_TOKENIZER_FERTILITY = """
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split(trim(text), ' ')) AS ws,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
+           AS bpe,
+         length(text) AS chars
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+         sum(chars) AS n_chars
+  FROM per_doc GROUP BY 1
+)
+SELECT lang, n_docs,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+       floor(CASE WHEN ws_tokens > 0
+                  THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens END
+             * 10000 + 0.5) / 10000.0 AS fertility,
+       floor(CASE WHEN bpe_tokens > 0
+                  THEN CAST(n_chars AS DOUBLE) / bpe_tokens END
+             * 100 + 0.5) / 100.0 AS chars_per_token
+FROM agg
+ORDER BY lang
+"""
+
+QUERIES["text_tokenizer_fertility"] = text_tokenizer_fertility
+ORACLE["text_tokenizer_fertility"] = ORACLE_TEXT_TOKENIZER_FERTILITY
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram report
+# ---------------------------------------------------------------------------
+
+#: Boilerplate span width (words) and minimum document frequency.
+_BOILER_W = 6
+_BOILER_MIN_DF = 3
+_BOILER_TOP = 20
+
+
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate phrase report: the 6-word spans appearing in the
+    most DISTINCT documents (df ≥ 3), with their text recovered — the
+    header/footer/disclaimer detector that precedes any boilerplate
+    strip.  The phrase-grain complement of ``text_dup_span_fraction``
+    (which flags documents, not the offending spans).
+
+    Exactness: spans are md5-hashed to 48-bit ints before any shuffle
+    (identical digests both engines); counts are exact; the doc share
+    is one division against a 1-row total broadcast.  Strings never
+    enter an aggregation buffer: the winning spans' TEXT is rebuilt by
+    re-slicing the representative document (integer-min (doc, pos)
+    per winner), so the heavy aggregates stay hash-only — the
+    schema-drift-audit convention for avoiding string min/max
+    SortAggregates.
+
+    Shape: map-side span hashing → one hash-keyed distinct-doc
+    aggregate → TakeOrdered top-20 → 20-row broadcast joins to recover
+    representatives and text.
+    """
+    from parquet_stream_writer_spark.operators.dedup import _hex_prefix_int
+
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= _BOILER_W
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_BOILER_W - 1}),"
+                f" i -> struct(i as pos,"
+                f" md5(array_join(slice(t, i, {_BOILER_W}), ' ')) as gh))"
+            )
+        ).alias("sp"),
+    ).select(
+        "doc_id",
+        F.col("sp.pos").alias("pos"),
+        _hex_prefix_int("sp.gh", 12).alias("g"),
+    )
+    stats = spans.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df_docs"),
+        F.count(F.lit(1)).alias("occurrences"),
+    )
+    winners = (
+        stats.where(F.col("df_docs") >= _BOILER_MIN_DF)
+        .orderBy(F.desc("df_docs"), F.asc("g"))
+        .limit(_BOILER_TOP)
+    )
+    rep_doc = (
+        spans.join(F.broadcast(winners.select("g")), "g")
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("rdoc"))
+        .select(F.col("g").alias("rg"), "rdoc")
+    )
+    rep = (
+        spans.join(
+            F.broadcast(rep_doc),
+            (spans["g"] == rep_doc["rg"]) & (spans["doc_id"] == rep_doc["rdoc"]),
+        )
+        .groupBy("rg", "rdoc")
+        .agg(F.min("pos").alias("rpos"))
+    )
+    texts = rep.join(
+        docs.select("doc_id", "text"), rep["rdoc"] == F.col("doc_id")
+    ).select(
+        F.col("rg").alias("g"),
+        F.expr(
+            f"array_join(slice(split(text, ' '), rpos, {_BOILER_W}), ' ')"
+        ).alias("gram"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        winners.join(F.broadcast(texts), "g")
+        .join(F.broadcast(total))
+        .select(
+            "gram",
+            "df_docs",
+            "occurrences",
+            pround(F.col("df_docs") / F.col("n_total"), 6).alias("doc_share"),
+        )
+        .orderBy(F.desc("df_docs"), F.asc("gram"))
+    )
+
+
+def _sql_boiler() -> str:
+    from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
+
+    g = _hex_to_int_sql(
+        f"md5(array_to_string(t[i:i + {_BOILER_W - 1}], ' '))", 12
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {_BOILER_W}
+),
+spans AS (
+  SELECT doc_id, i AS pos, {g} AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_BOILER_W - 2})) AS i
+        FROM toks)
+),
+stats AS (
+  SELECT g, count(DISTINCT doc_id) AS df_docs, count(*) AS occurrences
+  FROM spans GROUP BY 1
+),
+winners AS (
+  SELECT g, df_docs, occurrences FROM stats
+  WHERE df_docs >= {_BOILER_MIN_DF}
+  ORDER BY df_docs DESC, g ASC LIMIT {_BOILER_TOP}
+),
+rep_doc AS (
+  SELECT s.g, min(s.doc_id) AS rdoc
+  FROM spans s JOIN winners w ON s.g = w.g GROUP BY 1
+),
+rep AS (
+  SELECT s.g, r.rdoc, min(s.pos) AS rpos
+  FROM spans s JOIN rep_doc r ON s.g = r.g AND s.doc_id = r.rdoc
+  GROUP BY 1, 2
+),
+texts AS (
+  SELECT r.g,
+         array_to_string(
+           string_split(d.text, ' ')[r.rpos:r.rpos + {_BOILER_W - 1}],
+           ' ') AS gram
+  FROM rep r JOIN documents d ON r.rdoc = d.doc_id
+),
+total AS (SELECT count(*) AS n_total FROM documents)
+SELECT x.gram, w.df_docs, w.occurrences,
+       floor((CAST(w.df_docs AS DOUBLE) / n_total) * 1000000 + 0.5)
+         / 1000000.0 AS doc_share
+FROM winners w JOIN texts x ON w.g = x.g, total
+ORDER BY df_docs DESC, gram ASC
+"""
+
+
+ORACLE_TEXT_BOILERPLATE_NGRAMS = f"WITH {_sql_boiler()}"
+
+QUERIES["text_boilerplate_ngrams"] = text_boilerplate_ngrams
+ORACLE["text_boilerplate_ngrams"] = ORACLE_TEXT_BOILERPLATE_NGRAMS
+
+
+# ---------------------------------------------------------------------------
+# Simpson lexical diversity per source
+# ---------------------------------------------------------------------------
+
+
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson index over token frequencies: the
+    probability two random tokens coincide (high = repetitive,
+    template-heavy source), plus the inverse-Simpson effective
+    vocabulary — the concentration complement of the Shannon-entropy
+    and hapax readouts.
+
+    Exactness: D = Σ nᵢ(nᵢ−1) / (N(N−1)) entirely in exact integers
+    with ONE final division (int64 headroom: per-(source, token)
+    counts < ~3e9); inverse-Simpson is one further division of that
+    double, CASE-guarded for the all-hapax D = 0 source.
+
+    Shape: one (source, token) hash aggregate (the only input-sized
+    shuffle), one per-source rollup.
+    """
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coincide"),
+    )
+    simpson = F.when(
+        F.col("n_tokens") > 1,
+        F.col("coincide") / (F.col("n_tokens") * (F.col("n_tokens") - 1)),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "distinct_tokens",
+        pround(simpson, 6).alias("simpson"),
+        pround(
+            F.when(F.col("coincide") > 0, F.lit(1.0) / simpson), 2
+        ).alias("effective_vocab"),
+    ).orderBy("source")
+
+
+ORACLE_TEXT_SIMPSON_DIVERSITY = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, sum(c) AS n_tokens, count(*) AS distinct_tokens,
+         sum(c * (c - 1)) AS coincide
+  FROM counts GROUP BY 1
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       distinct_tokens,
+       floor(CASE WHEN n_tokens > 1
+                  THEN CAST(coincide AS DOUBLE)
+                       / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)) END
+             * 1000000 + 0.5) / 1000000.0 AS simpson,
+       floor(CASE WHEN coincide > 0
+                  THEN 1.0 / (CAST(coincide AS DOUBLE)
+                              / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)))
+             END * 100 + 0.5) / 100.0 AS effective_vocab
+FROM agg
+ORDER BY source
+"""
+
+QUERIES["text_simpson_diversity"] = text_simpson_diversity
+ORACLE["text_simpson_diversity"] = ORACLE_TEXT_SIMPSON_DIVERSITY
