@@ -1127,3 +1127,214 @@ ORDER BY source
 
 QUERIES["text_simpson_diversity"] = text_simpson_diversity
 ORACLE["text_simpson_diversity"] = ORACLE_TEXT_SIMPSON_DIVERSITY
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve over corpus order
+# ---------------------------------------------------------------------------
+
+
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty across corpus order: per doc-id decile, the
+    share of documents' distinct bigrams that appear THERE first
+    (min doc_id over the whole corpus) — the saturation curve that
+    answers "is the tail of this crawl still contributing new
+    phrases, or just re-serving the head".
+
+    Exactness: bigrams are md5-hashed to 48-bit ints; novelty is an
+    integer min + equality; deciles come from pure integer arithmetic
+    against a 1-row (min, max) doc-id broadcast — no global ntile
+    window over the corpus.
+
+    Shape: map-side bigram hashing → per-doc distinct → one hash-keyed
+    min aggregate → join back on the hash → decile hash aggregate.
+    """
+    from parquet_stream_writer_spark.operators.dedup import _hex_prefix_int
+
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 2
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> md5(array_join(slice(t, i, 2), ' ')))"
+                )
+            ).alias("gh"),
+        )
+        .select("doc_id", _hex_prefix_int("gh", 12).alias("g"))
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    bounds = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(bounds))
+        .select(
+            F.expr("(doc_id - mn) * 10 div (mx - mn + 1)").alias("decile"),
+            "n_bigrams",
+            "novel",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("bigrams_total"),
+            F.sum("novel").alias("novel_total"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "bigrams_total",
+            "novel_total",
+            pround(F.col("novel_total") / F.col("bigrams_total"), 6).alias(
+                "novelty_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def _sql_novelty() -> str:
+    from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
+
+    g = _hex_to_int_sql("md5(array_to_string(t[i:i + 1], ' '))", 12)
+    return f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+grams AS (
+  SELECT DISTINCT doc_id, {g} AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+per_doc AS (
+  SELECT gr.doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS novel
+  FROM grams gr JOIN first f ON gr.g = f.g
+  GROUP BY 1
+)
+SELECT (p.doc_id - b.mn) * 10 // (b.mx - b.mn + 1) AS decile,
+       count(*) AS n_docs,
+       CAST(sum(p.n_bigrams) AS BIGINT) AS bigrams_total,
+       CAST(sum(p.novel) AS BIGINT) AS novel_total,
+       floor((CAST(sum(p.novel) AS DOUBLE) / sum(p.n_bigrams))
+             * 1000000 + 0.5) / 1000000.0 AS novelty_share
+FROM per_doc p, bounds b
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+ORACLE_TEXT_NGRAM_NOVELTY_CURVE = f"WITH {_sql_novelty()}"
+
+QUERIES["text_ngram_novelty_curve"] = text_ngram_novelty_curve
+ORACLE["text_ngram_novelty_curve"] = ORACLE_TEXT_NGRAM_NOVELTY_CURVE
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report (rides the mined CC labels)
+# ---------------------------------------------------------------------------
+
+
+def text_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dedup would delete, per source: documents in a mined
+    near-dup component that are NOT its representative (the component's
+    min doc_id), with the character volume they carry — the
+    savings-and-bias readout every dedup rollout decision reads first
+    (a source losing half its bytes is either boilerplate or a mirror).
+
+    Exactness: representatives and removals are integer label
+    comparisons over the deterministic mined components; counts and
+    char sums are exact; the share is one division.
+
+    Shape: rides the memoized (and cross-session persisted — see
+    operators/_memo_store.py) CC labels: no re-mining, one node-sized
+    anti-representative filter, one join to documents on doc_id, one
+    per-source hash aggregate with a left join so zero-impact sources
+    still report.
+    """
+    from parquet_stream_writer_spark.operators.dedup import _cc_labels
+
+    labels = _cc_labels(spark, sf_dir)
+    removed = labels.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("rdoc")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+    removed_per_source = (
+        docs.join(removed, docs["doc_id"] == removed["rdoc"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_removed"),
+            F.sum("n_chars").alias("chars_removed"),
+        )
+    )
+    return (
+        totals.join(removed_per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            "chars_total",
+            F.coalesce("chars_removed", F.lit(0)).alias("chars_removed"),
+            pround(
+                F.coalesce("chars_removed", F.lit(0)) / F.col("chars_total"),
+                6,
+            ).alias("removed_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_dedup_impact() -> str:
+    from parquet_stream_writer_spark.operators.dedup import _SQL_CC_COMPONENTS
+
+    return f"""WITH RECURSIVE {_SQL_CC_COMPONENTS},
+removed AS (
+  SELECT doc_id FROM comp WHERE doc_id <> component
+),
+totals AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS chars_total
+  FROM documents GROUP BY 1
+),
+rps AS (
+  SELECT d.source, count(*) AS n_removed, sum(d.n_chars) AS chars_removed
+  FROM documents d JOIN removed r ON d.doc_id = r.doc_id
+  GROUP BY 1
+)
+SELECT t.source, t.n_docs,
+       coalesce(r.n_removed, 0) AS n_removed,
+       CAST(t.chars_total AS BIGINT) AS chars_total,
+       CAST(coalesce(r.chars_removed, 0) AS BIGINT) AS chars_removed,
+       floor((CAST(coalesce(r.chars_removed, 0) AS DOUBLE) / t.chars_total)
+             * 1000000 + 0.5) / 1000000.0 AS removed_share
+FROM totals t LEFT JOIN rps r ON t.source = r.source
+ORDER BY t.source
+"""
+
+
+ORACLE_TEXT_DEDUP_IMPACT_REPORT = _sql_dedup_impact()
+
+QUERIES["text_dedup_impact_report"] = text_dedup_impact_report
+ORACLE["text_dedup_impact_report"] = ORACLE_TEXT_DEDUP_IMPACT_REPORT
