@@ -1338,3 +1338,221 @@ ORACLE_TEXT_DEDUP_IMPACT_REPORT = _sql_dedup_impact()
 
 QUERIES["text_dedup_impact_report"] = text_dedup_impact_report
 ORACLE["text_dedup_impact_report"] = ORACLE_TEXT_DEDUP_IMPACT_REPORT
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (bounded rounds) over the trade graph
+# ---------------------------------------------------------------------------
+
+#: Fixed peel rounds and the core threshold (k).  Bounded rounds keep
+#: the oracle expressible as unrolled CTEs (the PageRank convention);
+#: real corpora converge in a handful of rounds at k=2.
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling of the customer–supplier trade
+    graph (k=2): each round drops nodes with degree < k and the edges
+    touching them, reporting the per-round (nodes, edges) trajectory —
+    the standard dense-subgraph extraction that separates the
+    transactional core from one-off participants.
+
+    Exactness: pure integer degree counts and joins over the SAME
+    deterministic distinct edge set as ``graph_pagerank_bipartite``
+    (even/odd namespaced node ids).
+
+    Shape: one distinct-pair shuffle builds the bidirected edge set;
+    each round is one src-keyed degree aggregate + two semi joins
+    against the (node-sized) survivor set, with a localCheckpoint so
+    round N never replans rounds 1..N-1; at ≥ 4 rounds the bucketed
+    carrier of the label-propagation twin applies unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .union(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    snapshots = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+        snapshots.append(
+            edges.agg(
+                F.lit(rnd).alias("round"),
+                F.countDistinct("src").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            )
+        )
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+_KCORE_ORACLE_PARTS = [
+    """
+pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+)"""
+]
+for _r in range(1, _KCORE_ROUNDS + 1):
+    _KCORE_ORACLE_PARTS.append(
+        f""",
+k{_r} AS (
+  SELECT src FROM e{_r - 1} GROUP BY src HAVING count(*) >= {_KCORE_K}
+),
+e{_r} AS (
+  SELECT e.src, e.dst FROM e{_r - 1} e
+  JOIN k{_r} a ON e.src = a.src
+  JOIN k{_r} b ON e.dst = b.src
+)"""
+    )
+_KCORE_ORACLE_PARTS.append(
+    "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, count(DISTINCT src) AS n_nodes, "
+        f"CAST(count(*) / 2 AS BIGINT) AS n_edges FROM e{r}"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+ORACLE_GRAPH_KCORE_PEEL = "WITH " + "".join(_KCORE_ORACLE_PARTS)
+
+QUERIES["graph_kcore_peel"] = graph_kcore_peel
+ORACLE["graph_kcore_peel"] = ORACLE_GRAPH_KCORE_PEEL
+
+
+# ---------------------------------------------------------------------------
+# Payload chunk-level storage dedup estimate
+# ---------------------------------------------------------------------------
+
+#: Fixed chunk width in bytes (128 hex chars) — the CAS block grain.
+_CHUNK_BYTES = 64
+
+
+def multimodal_payload_chunk_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chunk-level (content-addressed-storage) dedup estimate per
+    source: payloads split into fixed 64-byte chunks, chunks hashed,
+    and the within-source duplicate-chunk share reported — the
+    storage-dedup savings estimate BELOW document grain (two documents
+    sharing half their bytes dedup at chunk level even though neither
+    is a document-level duplicate).
+
+    Exactness: chunking walks the hex expansion of the payload bytes
+    (the frame-sample convention — identical in both engines); chunk
+    ids are md5-derived 48-bit ints; counts exact; the ratio is one
+    division.  The reclaim estimate is (total − unique)·64 — chunk
+    grain, so the short final chunk is counted at full width
+    (documented estimate, identical in both engines).
+
+    Shape: map-side chunk explode (×len/64) → one (source, chunk)
+    hash aggregate → per-source rollup.
+    """
+    from parquet_stream_writer_spark.operators.dedup import _hex_prefix_int
+
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    hexed = docs.select(
+        "source",
+        F.hex(F.col("text").cast("binary")).alias("hx"),
+        F.expr("(octet_length(text) + 63) div 64").alias("nch"),
+    ).where(F.col("nch") > 0)
+    chunks = hexed.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(nch - 1 as int)),"
+                " i -> md5(substring(hx, i * 128 + 1, 128)))"
+            )
+        ).alias("ch"),
+    ).select("source", _hex_prefix_int("ch", 12).alias("c"))
+    per_chunk = chunks.groupBy("source", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("n").alias("total_chunks"),
+            F.count(F.lit(1)).alias("unique_chunks"),
+        )
+        .select(
+            "source",
+            "total_chunks",
+            "unique_chunks",
+            (
+                (F.col("total_chunks") - F.col("unique_chunks"))
+                * _CHUNK_BYTES
+            ).alias("reclaim_bytes"),
+            pround(
+                (F.col("total_chunks") - F.col("unique_chunks"))
+                / F.col("total_chunks"),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_chunk_dedup() -> str:
+    from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
+
+    c = _hex_to_int_sql("md5(substring(hx, i * 128 + 1, 128))", 12)
+    return f"""
+hexed AS (
+  SELECT source, hex(encode(text)) AS hx,
+         (octet_length(encode(text)) + 63) // 64 AS nch
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+chunks AS (
+  SELECT source, {c} AS c
+  FROM (SELECT source, hx, unnest(range(0, nch)) AS i FROM hexed)
+),
+per_chunk AS (
+  SELECT source, c, count(*) AS n FROM chunks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS total_chunks,
+       count(*) AS unique_chunks,
+       CAST((sum(n) - count(*)) * {_CHUNK_BYTES} AS BIGINT) AS reclaim_bytes,
+       floor((CAST(sum(n) - count(*) AS DOUBLE) / sum(n)) * 1000000 + 0.5)
+         / 1000000.0 AS dedup_ratio
+FROM per_chunk
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_MULTIMODAL_PAYLOAD_CHUNK_DEDUP = f"WITH {_sql_chunk_dedup()}"
+
+QUERIES["multimodal_payload_chunk_dedup"] = multimodal_payload_chunk_dedup
+ORACLE["multimodal_payload_chunk_dedup"] = ORACLE_MULTIMODAL_PAYLOAD_CHUNK_DEDUP
