@@ -1556,3 +1556,480 @@ ORACLE_MULTIMODAL_PAYLOAD_CHUNK_DEDUP = f"WITH {_sql_chunk_dedup()}"
 
 QUERIES["multimodal_payload_chunk_dedup"] = multimodal_payload_chunk_dedup
 ORACLE["multimodal_payload_chunk_dedup"] = ORACLE_MULTIMODAL_PAYLOAD_CHUNK_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# Dedup ↔ embedding agreement audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup_agreement_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do the text-mined near-duplicates look like duplicates in
+    embedding space?  For every MinHash-verified near-dup pair, the
+    cosine similarity of the two documents' embeddings, summarized —
+    the cross-modal sanity check before trusting either signal for
+    SemDeDup-style pruning (low agreement means the embeddings, the
+    mining, or the doc↔vector linkage is broken).
+
+    Exactness: dot products and norms are exact integer sums over
+    1e6-scaled components; each pair's cosine is ONE double expression
+    (dot / sqrt(n1·n2 as doubles)) then scaled to an exact 4-dp
+    integer, so every aggregate below is an order-free integer sum.
+
+    Shape: rides the memoized (cross-session persisted) verified-pair
+    relation — no re-mining; two vec_id-keyed equi joins explode the
+    pair's two vectors, one dim-matched integer aggregate per pair,
+    one fixed-width summary row.
+    """
+    from parquet_stream_writer_spark.operators.dedup import _verified_pairs
+
+    pairs = _verified_pairs(spark, sf_dir).select("d1", "d2")
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("d1"), "dim", F.col("v6").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("d2"),
+        F.col("dim").alias("dimb"),
+        F.col("v6").alias("vb"),
+    )
+    per_pair = (
+        pairs.join(a, "d1")
+        .join(b, (pairs["d2"] == b["d2"]) & (a["dim"] == b["dimb"]))
+        .groupBy(pairs["d1"], pairs["d2"])
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.sum(F.col("va") * F.col("va")).alias("n1"),
+            F.sum(F.col("vb") * F.col("vb")).alias("n2"),
+        )
+        .select(
+            F.floor(
+                F.col("dot")
+                / F.sqrt(F.col("n1").cast("double") * F.col("n2").cast("double"))
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c4")
+        )
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        pround(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum("c4") / (F.count(F.lit(1)) * F.lit(10000.0)),
+            ),
+            6,
+        ).alias("mean_cos"),
+        pround(F.min("c4") / F.lit(10000.0), 4).alias("min_cos"),
+        pround(F.max("c4") / F.lit(10000.0), 4).alias("max_cos"),
+        pround(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum(F.when(F.col("c4") >= 5000, 1).otherwise(0))
+                / F.count(F.lit(1)),
+            ),
+            6,
+        ).alias("agree_share"),
+    )
+
+
+def _sql_dedup_agreement() -> str:
+    from parquet_stream_writer_spark.operators.dedup import (
+        ORACLE_DEDUP_MINHASH_LSH,
+    )
+
+    return f"""WITH mined AS (
+{ORACLE_DEDUP_MINHASH_LSH}
+),
+vd AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+),
+per_pair AS (
+  SELECT CAST(floor(sum(a.v6 * b.v6)
+              / sqrt(CAST(sum(a.v6 * a.v6) AS DOUBLE)
+                     * sum(b.v6 * b.v6)) * 10000 + 0.5) AS BIGINT) AS c4
+  FROM mined m
+  JOIN vd a ON a.vec_id = m.d1
+  JOIN vd b ON b.vec_id = m.d2 AND a.dim = b.dim
+  GROUP BY m.d1, m.d2
+)
+SELECT count(*) AS n_pairs,
+       floor(CASE WHEN count(*) > 0
+                  THEN CAST(sum(c4) AS DOUBLE) / (count(*) * 10000.0) END
+             * 1000000 + 0.5) / 1000000.0 AS mean_cos,
+       floor((CAST(min(c4) AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000.0
+         AS min_cos,
+       floor((CAST(max(c4) AS DOUBLE) / 10000.0) * 10000 + 0.5) / 10000.0
+         AS max_cos,
+       floor(CASE WHEN count(*) > 0
+                  THEN CAST(sum(CASE WHEN c4 >= 5000 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*) END
+             * 1000000 + 0.5) / 1000000.0 AS agree_share
+FROM per_pair
+"""
+
+
+ORACLE_EMBEDDING_DEDUP_AGREEMENT_AUDIT = _sql_dedup_agreement()
+
+QUERIES["embedding_dedup_agreement_audit"] = embedding_dedup_agreement_audit
+ORACLE["embedding_dedup_agreement_audit"] = ORACLE_EMBEDDING_DEDUP_AGREEMENT_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pair-sample similarity histogram
+# ---------------------------------------------------------------------------
+
+#: Modular shift for the deterministic pair sample (coprime-ish with
+#: any realistic corpus size; self-pairs are excluded explicitly).
+_PAIR_SHIFT = 97
+
+
+def similarity_pair_sample_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Background similarity distribution of the embedding space from
+    a deterministic O(n) pair sample: each vector is paired with the
+    vector ``(id + 97) mod (max_id + 1)`` and the cosine histogram
+    (0.1-wide bins) reported — the null distribution that calibrates
+    every ANN threshold and SemDeDup epsilon, without an n² pair
+    expansion and without RNG.
+
+    Exactness: dots and norms are exact integer sums; each cosine is
+    one double expression scaled to an exact 4-dp integer; bins floor
+    the DOUBLE c4/1000 in both engines (integer div would truncate
+    negatives toward zero in Spark and floor in DuckDB).
+
+    Shape: one 1-row max-id broadcast, one modular-shift equi
+    self-join (n pairs, never n²), one dim-matched integer aggregate
+    per pair, a ≤ 21-row histogram rollup.
+    """
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bounds = emb.agg(F.max("vec_id").alias("mx"))
+    pairs = (
+        emb.select("vec_id")
+        .join(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            F.expr(f"pmod(vec_id + {_PAIR_SHIFT}, mx + 1)").alias("partner"),
+        )
+        .where(F.col("partner") != F.col("vec_id"))
+    )
+    vd = emb.select(
+        "vec_id", F.posexplode("emb").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    a = vd.select(F.col("vec_id").alias("vid"), "dim", F.col("v6").alias("va"))
+    b = vd.select(
+        F.col("vec_id").alias("pid"),
+        F.col("dim").alias("dimb"),
+        F.col("v6").alias("vb"),
+    )
+    c4 = (
+        pairs.join(a, pairs["vec_id"] == a["vid"])
+        .join(b, (pairs["partner"] == b["pid"]) & (F.col("dim") == F.col("dimb")))
+        .groupBy(pairs["vec_id"], pairs["partner"])
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.sum(F.col("va") * F.col("va")).alias("n1"),
+            F.sum(F.col("vb") * F.col("vb")).alias("n2"),
+        )
+        .select(
+            F.floor(
+                F.col("dot")
+                / F.sqrt(F.col("n1").cast("double") * F.col("n2").cast("double"))
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c4")
+        )
+    )
+    return (
+        c4.select(
+            F.floor(F.col("c4").cast("double") / 1000).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bin")
+    )
+
+
+ORACLE_SIMILARITY_PAIR_SAMPLE_HISTOGRAM = f"""
+WITH bounds AS (SELECT max(vec_id) AS mx FROM embeddings),
+pairs AS (
+  SELECT e.vec_id, (e.vec_id + {_PAIR_SHIFT}) % (b.mx + 1) AS partner
+  FROM embeddings e, bounds b
+  WHERE (e.vec_id + {_PAIR_SHIFT}) % (b.mx + 1) <> e.vec_id
+),
+vd AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+),
+c4 AS (
+  SELECT CAST(floor(sum(a.v6 * b.v6)
+              / sqrt(CAST(sum(a.v6 * a.v6) AS DOUBLE)
+                     * sum(b.v6 * b.v6)) * 10000 + 0.5) AS BIGINT) AS c4
+  FROM pairs p
+  JOIN vd a ON a.vec_id = p.vec_id
+  JOIN vd b ON b.vec_id = p.partner AND a.dim = b.dim
+  GROUP BY p.vec_id, p.partner
+)
+SELECT CAST(floor(CAST(c4 AS DOUBLE) / 1000) AS BIGINT) AS bin,
+       count(*) AS n_pairs
+FROM c4
+GROUP BY 1
+ORDER BY bin
+"""
+
+QUERIES["similarity_pair_sample_histogram"] = similarity_pair_sample_histogram
+ORACLE["similarity_pair_sample_histogram"] = (
+    ORACLE_SIMILARITY_PAIR_SAMPLE_HISTOGRAM
+)
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+#: Total sample size the allocation distributes.
+_NEYMAN_TARGET = 100
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over language
+    strata: each stratum gets sample slots ∝ N_h·σ_h (population size
+    × char-length standard deviation), integerized by the
+    largest-remainder method so the allocations sum EXACTLY to the
+    target — the textbook upgrade over proportional sampling when
+    strata differ in variance.
+
+    Exactness: per-stratum (N, Σx, Σx²) are exact integers (headroom:
+    Σx² needs n_chars² · N_h < 2^63); σ and the weights are single
+    deterministic double expressions of those integers; remainders
+    and ranks are computed identically in both engines, ties broken
+    on the lang key.  Zero-variance corpora fall back to
+    population-proportional weights (CASE on the weight sum).
+
+    Shape: one per-lang hash aggregate (the only input-sized pass);
+    the fold of the ≤ #langs weights uses the sorted-array
+    sequential-fold convention; allocation runs on the bounded
+    stratum relation.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("q"),
+    )
+    s2 = F.when(
+        F.col("nh") > 1,
+        (F.col("nh").cast("double") * F.col("q") - F.col("s").cast("double") * F.col("s"))
+        / (F.col("nh").cast("double") * (F.col("nh") - 1)),
+    ).otherwise(F.lit(0.0))
+    weighted = strata.select(
+        "lang", "nh", (F.col("nh") * F.sqrt(s2)).alias("w"),
+        pround(F.sqrt(s2), 4).alias("stddev_chars"),
+    )
+    total_w = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "w"))),
+            F.lit(0.0),
+            lambda acc, p: acc + p["w"],
+        ).alias("sw"),
+        F.sum("nh").alias("ntot"),
+    )
+    raw = F.when(
+        F.col("sw") > 0, F.col("w") * _NEYMAN_TARGET / F.col("sw")
+    ).otherwise(F.col("nh").cast("double") * _NEYMAN_TARGET / F.col("ntot"))
+    based = weighted.join(F.broadcast(total_w)).select(
+        "lang",
+        "nh",
+        "stddev_chars",
+        F.floor(raw).cast("long").alias("base"),
+        (raw - F.floor(raw)).alias("rem"),
+    )
+    deficit = based.agg(
+        (F.lit(_NEYMAN_TARGET) - F.sum("base")).alias("deficit")
+    )
+    wrk = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    return (
+        based.join(F.broadcast(deficit))
+        .withColumn("rk", F.row_number().over(wrk))
+        .select(
+            "lang",
+            F.col("nh").alias("n_docs"),
+            "stddev_chars",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+            ).alias("alloc_n"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_SAMPLE_NEYMAN_ALLOCATION = f"""
+WITH strata AS (
+  SELECT lang, count(*) AS nh, sum(n_chars) AS s,
+         sum(n_chars * n_chars) AS q
+  FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT lang, nh,
+         nh * sqrt(CASE WHEN nh > 1
+                        THEN (CAST(nh AS DOUBLE) * q
+                              - CAST(s AS DOUBLE) * s)
+                             / (CAST(nh AS DOUBLE) * (nh - 1))
+                        ELSE 0.0 END) AS w,
+         floor(sqrt(CASE WHEN nh > 1
+                         THEN (CAST(nh AS DOUBLE) * q
+                               - CAST(s AS DOUBLE) * s)
+                              / (CAST(nh AS DOUBLE) * (nh - 1))
+                         ELSE 0.0 END) * 10000 + 0.5) / 10000.0
+           AS stddev_chars
+  FROM strata
+),
+total_w AS (
+  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY lang)),
+                     (acc, x) -> acc + x) AS sw,
+         sum(nh) AS ntot
+  FROM weighted
+),
+based AS (
+  SELECT lang, nh, stddev_chars,
+         CAST(floor(CASE WHEN t.sw > 0
+                         THEN w * {_NEYMAN_TARGET} / t.sw
+                         ELSE CAST(nh AS DOUBLE) * {_NEYMAN_TARGET} / t.ntot
+                    END) AS BIGINT) AS base,
+         CASE WHEN t.sw > 0
+              THEN w * {_NEYMAN_TARGET} / t.sw
+              ELSE CAST(nh AS DOUBLE) * {_NEYMAN_TARGET} / t.ntot END
+           - floor(CASE WHEN t.sw > 0
+                        THEN w * {_NEYMAN_TARGET} / t.sw
+                        ELSE CAST(nh AS DOUBLE) * {_NEYMAN_TARGET} / t.ntot
+                   END) AS rem
+  FROM weighted, total_w t
+),
+deficit AS (
+  SELECT {_NEYMAN_TARGET} - sum(base) AS deficit FROM based
+),
+ranked AS (
+  SELECT lang, nh, stddev_chars, base, rem,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+  FROM based
+)
+SELECT lang, nh AS n_docs, stddev_chars,
+       CAST(base + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_n
+FROM ranked, deficit d
+ORDER BY lang
+"""
+
+QUERIES["sample_neyman_allocation"] = sample_neyman_allocation
+ORACLE["sample_neyman_allocation"] = ORACLE_SAMPLE_NEYMAN_ALLOCATION
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruning savings audit
+# ---------------------------------------------------------------------------
+
+#: The audited predicate: months scanned by a "1996 H1" filter.
+_PRUNE_LO, _PRUNE_HI = "1996-01", "1996-06"
+
+
+def pipeline_partition_pruning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What month-partitioning of ``orders`` would save for a 1996-H1
+    predicate: partitions and bytes scanned WITH pruning vs the full
+    scan — the sizing evidence for choosing a partition column before
+    committing a 100 TB layout (the measurement twin of
+    ``pipeline_zorder_layout``'s data-skipping arithmetic).
+
+    Exactness: per-month byte estimates are the row-size-profile
+    integer expressions (octet_length + fixed widths); all counts and
+    sums exact; the savings share is one division.
+
+    Shape: one (month) hash aggregate over orders, then conditional
+    sums over the bounded month-cell relation into ONE summary row.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (
+            F.length(F.col("o_orderstatus").cast("binary")).cast("long")
+            + F.length(F.col("o_orderpriority").cast("binary"))
+            + F.lit(32)
+        ).alias("row_bytes"),
+    )
+    cells = orders.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("row_bytes").alias("bytes")
+    )
+    sel = (F.col("month") >= _PRUNE_LO) & (F.col("month") <= _PRUNE_HI)
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum(F.when(sel, 1).otherwise(0)).alias("n_selected"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(sel, F.col("n_rows")).otherwise(0)).alias("rows_selected"),
+        F.sum("bytes").alias("bytes_total"),
+        F.sum(F.when(sel, F.col("bytes")).otherwise(0)).alias("bytes_scanned"),
+        pround(
+            F.lit(1.0)
+            - F.sum(F.when(sel, F.col("bytes")).otherwise(0))
+            / F.sum("bytes"),
+            6,
+        ).alias("savings_share"),
+    )
+
+
+ORACLE_PIPELINE_PARTITION_PRUNING_AUDIT = f"""
+WITH cells AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n_rows,
+         sum(octet_length(encode(o_orderstatus))
+             + octet_length(encode(o_orderpriority)) + 32) AS bytes
+  FROM orders GROUP BY 1
+)
+SELECT count(*) AS n_partitions,
+       CAST(sum(CASE WHEN month BETWEEN '{_PRUNE_LO}' AND '{_PRUNE_HI}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN month BETWEEN '{_PRUNE_LO}' AND '{_PRUNE_HI}'
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_selected,
+       CAST(sum(bytes) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN month BETWEEN '{_PRUNE_LO}' AND '{_PRUNE_HI}'
+                     THEN bytes ELSE 0 END) AS BIGINT) AS bytes_scanned,
+       floor((1.0 - CAST(sum(CASE WHEN month BETWEEN '{_PRUNE_LO}'
+                                       AND '{_PRUNE_HI}'
+                                  THEN bytes ELSE 0 END) AS DOUBLE)
+                    / sum(bytes)) * 1000000 + 0.5) / 1000000.0
+         AS savings_share
+FROM cells
+"""
+
+QUERIES["pipeline_partition_pruning_audit"] = pipeline_partition_pruning_audit
+ORACLE["pipeline_partition_pruning_audit"] = (
+    ORACLE_PIPELINE_PARTITION_PRUNING_AUDIT
+)
