@@ -12,6 +12,7 @@ Usage::
     python tools/adversarial_sweep.py             # staged pack
     python tools/adversarial_sweep.py --registered
     python tools/adversarial_sweep.py --staged2   # pre-registration gate
+    python tools/adversarial_sweep.py --staged3   # third staged pack
 
 The round-6 known-findings list (json_extraction /
 multimodal_audio_features / multimodal_shard_manifest oracle
@@ -76,6 +77,10 @@ def main() -> int:
         from parquet_stream_writer_spark.operators import staged2
 
         queries, oracles = staged2.QUERIES, staged2.ORACLE
+    elif "--staged3" in sys.argv[1:]:
+        from parquet_stream_writer_spark.operators import staged3
+
+        queries, oracles = staged3.QUERIES, staged3.ORACLE
     else:
         from parquet_stream_writer_spark.operators import staged
 

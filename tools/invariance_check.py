@@ -54,6 +54,9 @@ if {staged!r} == "staged":
 elif {staged!r} == "staged2":
     from parquet_stream_writer_spark.operators import staged2 as _staged2
     qs = dict(_staged2.QUERIES)
+elif {staged!r} == "staged3":
+    from parquet_stream_writer_spark.operators import staged3 as _staged3
+    qs = dict(_staged3.QUERIES)
 res = {{}}
 for name, fn in sorted(qs.items()):
     df = fn(spark, sf).toPandas()
@@ -83,9 +86,11 @@ def run_config(nparts: str, out: str, staged: str = "") -> None:
 def main() -> int:
     args = sys.argv[1:]
     staged = (
-        "staged2" if "--staged2" in args else "staged" if "--staged" in args else ""
+        "staged3"
+        if "--staged3" in args
+        else "staged2" if "--staged2" in args else "staged" if "--staged" in args else ""
     )
-    args = [a for a in args if a not in ("--staged", "--staged2")]
+    args = [a for a in args if a not in ("--staged", "--staged2", "--staged3")]
     pair = args[:2] or ["7", "32"]
     with tempfile.TemporaryDirectory() as d:
         outs = []

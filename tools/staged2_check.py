@@ -6,6 +6,7 @@ to keys that are not yet in the registry.
 Usage::
 
     python tools/staged2_check.py                 # all staged2 keys
+    python tools/staged2_check.py --staged3       # the third staged pack
     python tools/staged2_check.py key1 key2       # a subset
     SPARK_GRAFT_SF_DIR=... python tools/staged2_check.py
 """
@@ -37,11 +38,16 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    from parquet_stream_writer_spark.operators import staged2
     from parquet_stream_writer_spark.session import get_session
 
+    args = [a for a in sys.argv[1:] if a != "--staged3"]
+    if "--staged3" in sys.argv[1:]:
+        from parquet_stream_writer_spark.operators import staged3 as staged2
+    else:
+        from parquet_stream_writer_spark.operators import staged2
+
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    keys = sys.argv[1:] or sorted(staged2.QUERIES)
+    keys = args or sorted(staged2.QUERIES)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
