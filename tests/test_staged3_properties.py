@@ -1,0 +1,321 @@
+"""Randomized brute-force cross-checks for the THIRD staged pack
+(operators/staged3.py): each test builds a small synthetic corpus
+(fixed seeds), runs the operator through its real parquet-loading
+path, and compares against an independent pure-pandas/numpy model —
+covering regimes the driver corpus never reaches (k-core collapse,
+largest-remainder ties, all-boilerplate corpora, zero-variance
+strata, CV bucket boundaries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _write(tmp_path, name: str, pdf: pd.DataFrame) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir(exist_ok=True)
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf), d / f"{name}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [7, 301])
+def test_kcore_peel_matches_bruteforce(spark, tmp_path, seed):
+    """k-core trajectory vs an explicit python peel — the sparse
+    random bipartite graph plants chains and pendants so rounds
+    actually shrink the graph (including full collapse)."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        graph_kcore_peel,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 240
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype="int64"),
+            "l_suppkey": rng.integers(0, 12, n).astype("int64"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.integers(0, 60, n).astype("int64"),
+        }
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "orders", orders)
+    got = [
+        (r.round, r.n_nodes, r.n_edges)
+        for r in graph_kcore_peel(spark, sf).collect()
+    ]
+
+    pairs = {
+        (int(c) * 2, int(s) * 2 + 1)
+        for c, s in zip(orders.o_custkey, li.l_suppkey)
+    }
+    edges = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    want = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg: dict = {}
+        for a, _b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {v for v, d in deg.items() if d >= _KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        want.append(
+            (rnd, len({a for a, _ in edges}), len(edges) // 2)
+        )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [19, 808])
+def test_neyman_allocation_matches_bruteforce(spark, tmp_path, seed):
+    """Largest-remainder Neyman allocation vs a python model — strata
+    with equal weights plant remainder TIES (broken on lang), and one
+    single-doc stratum pins the zero-variance guard."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        _NEYMAN_TARGET,
+        sample_neyman_allocation,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    did = 0
+    sizes = {"aa": 40, "bb": 40, "cc": 17, "dd": 1, "ee": 25}
+    for lang, size in sizes.items():
+        chars = rng.integers(10, 5000, size).astype("int64")
+        frames.append(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(did, did + size, dtype="int64"),
+                    "text": ["x"] * size,
+                    "lang": lang,
+                    "source": "s",
+                    "n_chars": chars,
+                }
+            )
+        )
+        did += size
+    docs = pd.concat(frames, ignore_index=True)
+    sf = _write(tmp_path, "documents", docs)
+    got = {
+        (r.lang, r.n_docs, r.alloc_n)
+        for r in sample_neyman_allocation(spark, sf).collect()
+    }
+
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        x = g.n_chars.to_numpy("int64")
+        nh = len(x)
+        s2 = (
+            (nh * float((x.astype(object) ** 2).sum()) - float(x.sum()) ** 2)
+            / (nh * (nh - 1))
+            if nh > 1
+            else 0.0
+        )
+        rows.append((lang, nh, nh * np.sqrt(s2)))
+    sw = 0.0
+    for _lang, _nh, w in sorted(rows):
+        sw += w
+    raws = [
+        (lang, nh, w * _NEYMAN_TARGET / sw if sw > 0 else nh * _NEYMAN_TARGET / len(docs))
+        for lang, nh, w in rows
+    ]
+    base = {lang: int(np.floor(r)) for lang, _nh, r in raws}
+    rem = sorted(
+        ((r - np.floor(r), lang) for lang, _nh, r in raws),
+        key=lambda t: (-t[0], t[1]),
+    )
+    deficit = _NEYMAN_TARGET - sum(base.values())
+    bump = {lang for _r, lang in rem[:deficit]}
+    want = {
+        (lang, nh, base[lang] + (1 if lang in bump else 0))
+        for lang, nh, _r in raws
+    }
+    assert got == want
+    assert sum(a for _l, _n, a in got) == _NEYMAN_TARGET
+
+
+@pytest.mark.parametrize("seed", [23, 606])
+def test_cadence_buckets_match_bruteforce(spark, tmp_path, seed):
+    """CV bucket classification vs python — planted users sit exactly
+    ON the CV=0.5 and CV=1.0 boundaries (strict < in both engines),
+    plus a same-second degenerate user."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        events_cadence_regularity,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-05-01")
+
+    def add_user(uid, gaps_s):
+        nonlocal eid
+        t = base
+        rows.append((eid, t, uid, "view", 1.0, "{}"))
+        eid += 1
+        for g in gaps_s:
+            t = t + pd.Timedelta(seconds=int(g))
+            rows.append((eid, t, uid, "view", 1.0, "{}"))
+            eid += 1
+
+    add_user(1, [60] * 8)  # zero variance -> regular
+    add_user(2, [0] * 7)  # degenerate (sum 0)
+    # CV exactly 0.5: gaps {1,1,3,3} repeated -> mean 2, var 1, cv .5
+    add_user(3, [1, 1, 3, 3, 1, 1, 3, 3])
+    for uid in range(4, 20):
+        add_user(uid, rng.integers(1, 3600, rng.integers(5, 30)))
+    add_user(99, [10, 20])  # under _CADENCE_MIN_GAPS -> excluded
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", ev)
+    got = {
+        (r.bucket, r.n_users, float(r.mean_gaps))
+        for r in events_cadence_regularity(spark, sf).collect()
+    }
+
+    buckets: dict = {}
+    for uid, g in ev.groupby("user_id"):
+        ts = np.sort(g.ts.values.astype("datetime64[us]").astype("int64"))
+        gaps = np.diff(ts) // 1_000_000
+        n = len(gaps)
+        if n < 5:
+            continue
+        s, q = int(gaps.sum()), int((gaps.astype(object) ** 2).sum())
+        var_num = n * q - s * s
+        if s == 0:
+            b = "degenerate"
+        elif var_num * 4 < s * s:
+            b = "regular"
+        elif var_num < s * s:
+            b = "steady"
+        else:
+            b = "bursty"
+        buckets.setdefault(b, []).append(n)
+    want = {
+        (b, len(ns), float(np.floor(sum(ns) / len(ns) * 100 + 0.5) / 100))
+        for b, ns in buckets.items()
+    }
+    assert got == want
+    assert {"regular", "degenerate"} <= {b for b, _n, _m in got}
+
+
+@pytest.mark.parametrize("seed", [31, 404])
+def test_novelty_curve_matches_bruteforce(spark, tmp_path, seed):
+    """Bigram novelty deciles vs python — the head of the corpus is
+    fresh text, the tail re-serves head phrases, so novelty must FALL
+    across deciles (also asserted, non-vacuously)."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        text_ngram_novelty_curve,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    for d in range(100):
+        if d < 50:
+            words = list(rng.choice(vocab, 30))
+        else:  # tail: re-serve an earlier doc's phrases with light noise
+            src = texts[int(rng.integers(0, 40))].split()
+            words = src[:20] + list(rng.choice(vocab, 5))
+        texts.append(" ".join(words))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype="int64"),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    got = {
+        (r.decile, r.n_docs, r.bigrams_total, r.novel_total)
+        for r in text_ngram_novelty_curve(spark, sf).collect()
+    }
+
+    first: dict = {}
+    per_doc = []
+    for d, t in zip(docs.doc_id, docs.text):
+        ws = t.split()
+        grams = {(ws[i], ws[i + 1]) for i in range(len(ws) - 1)}
+        per_doc.append((int(d), grams))
+        for g in grams:
+            first.setdefault(g, int(d))
+    mn, mx = 0, 99
+    agg: dict = {}
+    for d, grams in per_doc:
+        dec = (d - mn) * 10 // (mx - mn + 1)
+        n_doc, tot, nov = agg.get(dec, (0, 0, 0))
+        agg[dec] = (
+            n_doc + 1,
+            tot + len(grams),
+            nov + sum(1 for g in grams if first[g] == d),
+        )
+    want = {(dec, a, b, c) for dec, (a, b, c) in agg.items()}
+    assert got == want
+    shares = sorted((dec, c / b) for dec, (a, b, c) in agg.items())
+    assert shares[0][1] > shares[-1][1]  # head novel, tail derivative
+
+
+@pytest.mark.parametrize("seed", [43])
+def test_weekly_seasonality_strength_matches_numpy(spark, tmp_path, seed):
+    """SSB/SST decomposition vs numpy — one planted perfectly-weekly
+    type (strength → ~1) and one uniform type (low strength)."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        events_weekly_seasonality_strength,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")  # a Monday
+    for d in range(56):
+        day = base + pd.Timedelta(days=d)
+        weekly = 40 if d % 7 in (5, 6) else 4  # weekend spikes
+        for _ in range(weekly):
+            rows.append((eid, day + pd.Timedelta(seconds=eid % 3600), 1, "weekly", 1.0, "{}"))
+            eid += 1
+        for _ in range(int(rng.integers(3, 7))):
+            rows.append((eid, day + pd.Timedelta(seconds=eid % 3600), 2, "flat", 1.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", ev)
+    got = {
+        r.event_type: (r.n_days, r.n_events, float(r.weekly_strength))
+        for r in events_weekly_seasonality_strength(spark, sf).collect()
+    }
+
+    for etype, g in ev.groupby("event_type"):
+        days = (
+            g.ts.values.astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        daily = pd.Series(days).value_counts().sort_index()
+        c = daily.to_numpy("int64")
+        dvals = daily.index.to_numpy("int64")
+        n, s, q = len(c), int(c.sum()), int((c.astype(object) ** 2).sum())
+        ssb = 0.0
+        for dow in sorted(set((dvals + 4) % 7)):
+            mask = (dvals + 4) % 7 == dow
+            sg, ng = int(c[mask].sum()), int(mask.sum())
+            ssb += float(sg) * sg / ng
+        num = ssb - float(s) * s / n
+        den = float(q) - float(s) * s / n
+        want = float(np.floor(num / den * 1e6 + 0.5) / 1e6) if den > 0 else None
+        assert got[etype][0] == n and got[etype][1] == s
+        assert got[etype][2] == pytest.approx(want, abs=2e-6)
+    assert got["weekly"][2] > 0.9 > got["flat"][2]
