@@ -95,6 +95,7 @@ _MEMO_CAP = 16
 #: a reload is value-identical to a rebuild; the corpus-sized shingle
 #: and candidate intermediates stay session-local.
 _PERSIST_STAGES: dict[str, tuple[str, int]] = {
+    "lsh_candidates": ("d1", 16),
     "verified_pairs": ("d1", 16),
     "cc_labels": ("node", 16),
 }
