@@ -2033,3 +2033,444 @@ QUERIES["pipeline_partition_pruning_audit"] = pipeline_partition_pruning_audit
 ORACLE["pipeline_partition_pruning_audit"] = (
     ORACLE_PIPELINE_PARTITION_PRUNING_AUDIT
 )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the trade graph
+# ---------------------------------------------------------------------------
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–supplier trade graph: the
+    Pearson correlation of endpoint degrees over all (directed) edges
+    — positive means hubs trade with hubs (a core-periphery market),
+    negative means hubs fan out to leaves.  One number that
+    characterizes the whole join-fan-out structure before any graph
+    algorithm is sized.
+
+    Exactness: degrees and the five co-moment sums are exact integers
+    (int64 headroom: Σ(dx·dy) < 2^63 — documented bound, ANSI raises
+    loudly past it); the correlation assembles those integers with
+    double products and ONE final division — identical expression in
+    both engines; zero-variance graphs yield null.
+
+    Shape: one distinct-pair shuffle, one degree aggregate, two
+    node-keyed joins to annotate edge endpoints, one fixed-width
+    co-moment aggregate to a single row.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dx = deg.select(F.col("src").alias("a"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("src").alias("b"), F.col("d").alias("dy"))
+    annotated = (
+        edges.join(dx, edges["src"] == dx["a"])
+        .join(dy, edges["dst"] == dy["b"])
+        .select("dx", "dy")
+    )
+    mom = annotated.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    vx = F.col("m").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = F.col("m").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    num = F.col("m").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        mom.join(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            (F.col("m") / 2).cast("long").alias("n_edges"),
+            pround(
+                F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)), 6
+            ).alias("assortativity"),
+        )
+    )
+
+
+ORACLE_GRAPH_ASSORTATIVITY = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+annotated AS (
+  SELECT a.d AS dx, b.d AS dy
+  FROM e0 e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
+),
+mom AS (
+  SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+  FROM annotated
+),
+nodes AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT n.n_nodes,
+       CAST(m / 2 AS BIGINT) AS n_edges,
+       floor(CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                   AND CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                  THEN (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / sqrt((CAST(m AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(m AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy))
+             END * 1000000 + 0.5) / 1000000.0 AS assortativity
+FROM mom, nodes n
+"""
+
+QUERIES["graph_assortativity"] = graph_assortativity
+ORACLE["graph_assortativity"] = ORACLE_GRAPH_ASSORTATIVITY
+
+
+# ---------------------------------------------------------------------------
+# Order-status mix trend
+# ---------------------------------------------------------------------------
+
+
+def orders_status_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-status mix: per month, the share of orders in
+    each status (fulfilled / open / pending) — the operational-health
+    trend line that surfaces fulfilment regressions long before
+    revenue does.
+
+    Exactness: conditional integer counts; each share is one division,
+    6-dp rounded.
+
+    Shape: one (month) hash aggregate with conditional sums — the mix
+    pivot is fixed-width (three TPC-H statuses), no second pass.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderstatus",
+    )
+
+    def share(status: str):
+        return pround(
+            F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return (
+        orders.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            share("F").alias("fulfilled_share"),
+            share("O").alias("open_share"),
+            share("P").alias("pending_share"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_ORDERS_STATUS_MIX_TREND = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       floor((CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0
+         AS fulfilled_share,
+       floor((CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0
+         AS open_share,
+       floor((CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0
+         AS pending_share
+FROM orders
+GROUP BY 1
+ORDER BY month
+"""
+
+QUERIES["orders_status_mix_trend"] = orders_status_mix_trend
+ORACLE["orders_status_mix_trend"] = ORACLE_ORDERS_STATUS_MIX_TREND
+
+
+# ---------------------------------------------------------------------------
+# Language × source association (Cramér's V)
+# ---------------------------------------------------------------------------
+
+
+def text_lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength between language and source in the corpus
+    (Cramér's V over the lang × source contingency table): V near 0
+    means sources are language-balanced, V near 1 means language is
+    effectively determined by source — the stratification-confound
+    check run before any per-source quality comparison.
+
+    Exactness: observed counts and marginals are exact integers; each
+    cell's (o−e)²/e is one double expression; the BOUNDED cell terms
+    (langs × sources) are folded in (lang, source) order via the
+    sorted-array sequential-fold convention; V is one sqrt + division.
+
+    Shape: one (lang, source) hash aggregate, marginal rollups on the
+    bounded cell relation, a single-row result.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rowm = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    dims = cells.agg(
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+        F.sum("o").alias("n"),
+    )
+    terms = (
+        cells.join(rowm, "lang")
+        .join(colm, "source")
+        .join(F.broadcast(dims))
+        .select(
+            "lang",
+            "source",
+            (
+                (
+                    F.col("o")
+                    - F.col("rt").cast("double") * F.col("ct") / F.col("n")
+                )
+                * (
+                    F.col("o")
+                    - F.col("rt").cast("double") * F.col("ct") / F.col("n")
+                )
+                / (F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    chi2 = terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "source", "term"))),
+            F.lit(0.0),
+            lambda acc, p: acc + p["term"],
+        ).alias("chi2")
+    )
+    return chi2.join(F.broadcast(dims)).select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_langs"),
+        F.col("c").alias("n_sources"),
+        pround(F.col("chi2"), 4).alias("chi2"),
+        pround(
+            F.when(
+                F.least("r", "c") > 1,
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least("r", "c") - 1))
+                ),
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+ORACLE_TEXT_LANG_SOURCE_CRAMERS_V = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+rowm AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+colm AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+dims AS (
+  SELECT count(DISTINCT lang) AS r, count(DISTINCT source) AS c,
+         sum(o) AS n
+  FROM cells
+),
+terms AS (
+  SELECT ce.lang, ce.source,
+         (ce.o - CAST(rm.rt AS DOUBLE) * cm.ct / d.n)
+         * (ce.o - CAST(rm.rt AS DOUBLE) * cm.ct / d.n)
+         / (CAST(rm.rt AS DOUBLE) * cm.ct / d.n) AS term
+  FROM cells ce
+  JOIN rowm rm USING (lang)
+  JOIN colm cm USING (source)
+  CROSS JOIN dims d
+),
+chi AS (
+  SELECT list_reduce(
+           list_prepend(0.0, list(term ORDER BY lang, source)),
+           (acc, x) -> acc + x) AS chi2
+  FROM terms
+)
+SELECT CAST(d.n AS BIGINT) AS n_docs,
+       d.r AS n_langs,
+       d.c AS n_sources,
+       floor(c.chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+       floor(CASE WHEN least(d.r, d.c) > 1
+                  THEN sqrt(c.chi2 / (d.n * (least(d.r, d.c) - 1))) END
+             * 1000000 + 0.5) / 1000000.0 AS cramers_v
+FROM chi c, dims d
+"""
+
+QUERIES["text_lang_source_cramers_v"] = text_lang_source_cramers_v
+ORACLE["text_lang_source_cramers_v"] = ORACLE_TEXT_LANG_SOURCE_CRAMERS_V
+
+
+# ---------------------------------------------------------------------------
+# Top-k with OTHERS rollup
+# ---------------------------------------------------------------------------
+
+#: Head size for the top-k-with-others revenue rollup.
+_TOPK_OTHERS_K = 5
+
+
+def agg_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 parts by lineitem revenue plus a single OTHERS row
+    carrying the remainder — the canonical dashboard rollup ("the head
+    by name, the tail as one bar") that naive top-k queries silently
+    drop.
+
+    Exactness: revenue is exact integer cents; OTHERS is an integer
+    subtraction against the 1-row total; shares are single divisions;
+    the head cut orders by (revenue desc, partkey asc) so rank-5 ties
+    cannot fork.
+
+    Shape: one per-part hash aggregate, a TakeOrdered(5) head, a 1-row
+    total broadcast, a bounded 6-row union — the tail is never
+    re-scanned.
+    """
+    li = scan_parallel(spark, sf_dir, "lineitem", "l_orderkey").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("revenue_cents"))
+    top = per_part.orderBy(
+        F.desc("revenue_cents"), F.asc("l_partkey")
+    ).limit(_TOPK_OTHERS_K)
+    total = per_part.agg(F.sum("revenue_cents").alias("total_cents"))
+    wr = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey"))
+    head = top.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).select(
+        "rank",
+        F.concat(F.lit("part_"), F.col("l_partkey")).alias("label"),
+        "revenue_cents",
+    )
+    head_sum = top.agg(F.sum("revenue_cents").alias("head_cents"))
+    others = (
+        total.join(F.broadcast(head_sum))
+        .select(
+            F.lit(_TOPK_OTHERS_K + 1).cast("long").alias("rank"),
+            F.lit("OTHERS").alias("label"),
+            (F.col("total_cents") - F.col("head_cents")).alias("revenue_cents"),
+        )
+    )
+    return (
+        head.unionAll(others)
+        .join(F.broadcast(total))
+        .select(
+            "rank",
+            "label",
+            "revenue_cents",
+            pround(F.col("revenue_cents") / F.col("total_cents"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLE_AGG_TOPK_WITH_OTHERS = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS revenue_cents
+  FROM lineitem GROUP BY 1
+),
+top AS (
+  SELECT l_partkey, revenue_cents,
+         row_number() OVER (ORDER BY revenue_cents DESC, l_partkey ASC)
+           AS rank
+  FROM per_part
+  ORDER BY revenue_cents DESC, l_partkey ASC LIMIT {_TOPK_OTHERS_K}
+),
+total AS (SELECT sum(revenue_cents) AS total_cents FROM per_part),
+head_sum AS (SELECT sum(revenue_cents) AS head_cents FROM top),
+unioned AS (
+  SELECT rank, 'part_' || l_partkey AS label, revenue_cents FROM top
+  UNION ALL
+  SELECT {_TOPK_OTHERS_K + 1} AS rank, 'OTHERS' AS label,
+         t.total_cents - h.head_cents AS revenue_cents
+  FROM total t, head_sum h
+)
+SELECT u.rank, u.label,
+       CAST(u.revenue_cents AS BIGINT) AS revenue_cents,
+       floor((CAST(u.revenue_cents AS DOUBLE) / t.total_cents)
+             * 1000000 + 0.5) / 1000000.0 AS revenue_share
+FROM unioned u, total t
+ORDER BY rank
+"""
+
+QUERIES["agg_topk_with_others"] = agg_topk_with_others
+ORACLE["agg_topk_with_others"] = ORACLE_AGG_TOPK_WITH_OTHERS
+
+
+# ---------------------------------------------------------------------------
+# Event-props JSON key census
+# ---------------------------------------------------------------------------
+
+
+def events_props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-level key census of the semi-structured ``props`` JSON
+    column: per key, how many events carry it and its presence share —
+    the schema-on-read inventory that decides which props are worth
+    promoting to typed columns (the 100 TB question: which keys
+    justify a backfill).
+
+    Exactness: key extraction uses each engine's JSON parser on the
+    same bytes; counts exact; shares are single divisions.  Events
+    whose props fail to parse as a JSON object are counted in
+    ``n_events`` but contribute no keys (both engines null-propagate).
+
+    Shape: map-side key extraction + explode, one per-key hash
+    aggregate, a 1-row total broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events").select("props")
+    total = ev.agg(F.count(F.lit(1)).alias("n_events"))
+    keys = ev.select(
+        F.explode(F.json_object_keys("props")).alias("key")
+    )
+    return (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            pround(F.col("n_present") / F.col("n_events"), 6).alias(
+                "presence_share"
+            ),
+        )
+        .orderBy("key")
+    )
+
+
+ORACLE_EVENTS_PROPS_KEY_CENSUS = """
+WITH total AS (SELECT count(*) AS n_events FROM events),
+keys AS (
+  SELECT unnest(json_keys(props)) AS key FROM events
+)
+SELECT k.key, count(*) AS n_present,
+       floor((CAST(count(*) AS DOUBLE) / t.n_events) * 1000000 + 0.5)
+         / 1000000.0 AS presence_share
+FROM keys k, total t
+GROUP BY k.key, t.n_events
+ORDER BY key
+"""
+
+QUERIES["events_props_key_census"] = events_props_key_census
+ORACLE["events_props_key_census"] = ORACLE_EVENTS_PROPS_KEY_CENSUS

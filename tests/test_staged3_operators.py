@@ -50,6 +50,10 @@ _STAGED3_NLJ_OK = {
     "sample_neyman_allocation",  # 1-row Σw / deficit broadcasts
     "pipeline_partition_pruning_audit",  # 1-row totals broadcast
     "embedding_dedup_agreement_audit",  # 1-row summary relation
+    "agg_topk_with_others",  # 1-row total + head-sum broadcasts
+    "events_props_key_census",  # 1-row event-total broadcast
+    "graph_assortativity",  # 1-row node-count broadcast
+    "text_lang_source_cramers_v",  # 1-row dims broadcast
 }
 
 
