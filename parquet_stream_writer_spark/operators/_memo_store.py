@@ -170,6 +170,10 @@ def load_or_build_table(
                     f"INTO {buckets} BUCKETS "
                     f"LOCATION '{loc}'"
                 )
+                # Housekeep on this path too: a long pytest session can
+                # leave dozens of throwaway-corpus tables that the next
+                # session may only ever re-register, never save.
+                _evict_old(spark, stage)
                 return spark.table(table)
 
     # Build OUTSIDE the lock (mining is the expensive part and builds
