@@ -2215,13 +2215,17 @@ def text_lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     effectively determined by source — the stratification-confound
     check run before any per-source quality comparison.
 
-    Exactness: observed counts and marginals are exact integers; each
-    cell's (o−e)²/e is one double expression; the BOUNDED cell terms
-    (langs × sources) are folded in (lang, source) order via the
-    sorted-array sequential-fold convention; V is one sqrt + division.
+    Exactness: observed counts and marginals are exact integers; the
+    χ² sum runs over the FULL r × c marginal grid — zero cells still
+    contribute their expected count (dropping them is the classic
+    observed-cells-only χ² bug; the perfect-association corpus in
+    tests/test_staged3_properties.py pins V = 1 exactly); each cell's
+    (o−e)²/e is one double expression, and the BOUNDED grid terms are
+    folded in (lang, source) order via the sorted-array
+    sequential-fold convention; V is one sqrt + division.
 
-    Shape: one (lang, source) hash aggregate, marginal rollups on the
-    bounded cell relation, a single-row result.
+    Shape: one (lang, source) hash aggregate, a bounded marginal-grid
+    broadcast cross join re-attaching zero cells, a single-row result.
     """
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
     cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
@@ -2232,9 +2236,10 @@ def text_lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("c"),
         F.sum("o").alias("n"),
     )
+    grid = rowm.crossJoin(F.broadcast(colm))
     terms = (
-        cells.join(rowm, "lang")
-        .join(colm, "source")
+        grid.join(cells, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
         .join(F.broadcast(dims))
         .select(
             "lang",
@@ -2288,14 +2293,18 @@ dims AS (
          sum(o) AS n
   FROM cells
 ),
+grid AS (
+  SELECT rm.lang, cm.source, rm.rt, cm.ct,
+         coalesce(ce.o, 0) AS o
+  FROM rowm rm CROSS JOIN colm cm
+  LEFT JOIN cells ce ON ce.lang = rm.lang AND ce.source = cm.source
+),
 terms AS (
-  SELECT ce.lang, ce.source,
-         (ce.o - CAST(rm.rt AS DOUBLE) * cm.ct / d.n)
-         * (ce.o - CAST(rm.rt AS DOUBLE) * cm.ct / d.n)
-         / (CAST(rm.rt AS DOUBLE) * cm.ct / d.n) AS term
-  FROM cells ce
-  JOIN rowm rm USING (lang)
-  JOIN colm cm USING (source)
+  SELECT g.lang, g.source,
+         (g.o - CAST(g.rt AS DOUBLE) * g.ct / d.n)
+         * (g.o - CAST(g.rt AS DOUBLE) * g.ct / d.n)
+         / (CAST(g.rt AS DOUBLE) * g.ct / d.n) AS term
+  FROM grid g
   CROSS JOIN dims d
 ),
 chi AS (

@@ -319,3 +319,105 @@ def test_weekly_seasonality_strength_matches_numpy(spark, tmp_path, seed):
         assert got[etype][0] == n and got[etype][1] == s
         assert got[etype][2] == pytest.approx(want, abs=2e-6)
     assert got["weekly"][2] > 0.9 > got["flat"][2]
+
+
+@pytest.mark.parametrize("seed", [53, 777])
+def test_assortativity_matches_numpy(spark, tmp_path, seed):
+    """Degree assortativity vs an explicit numpy Pearson over edge
+    endpoint degrees — a hub-and-spoke block (negative assortativity)
+    plus a clique-ish block keep the value well away from zero."""
+    from parquet_stream_writer_spark.operators.staged3 import graph_assortativity
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype="int64"),
+            # hub suppliers 0-1 take most trade; 2-9 are leaves
+            "l_suppkey": np.where(
+                rng.random(n) < 0.6, rng.integers(0, 2, n), rng.integers(2, 10, n)
+            ).astype("int64"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.integers(0, 80, n).astype("int64"),
+        }
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "orders", orders)
+    row = graph_assortativity(spark, sf).collect()[0]
+
+    pairs = {
+        (int(c) * 2, int(s) * 2 + 1)
+        for c, s in zip(orders.o_custkey, li.l_suppkey)
+    }
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg: dict = {}
+    for a, _b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    dx = np.array([deg[a] for a, _ in edges], dtype="int64")
+    dy = np.array([deg[b] for _, b in edges], dtype="int64")
+    m = len(edges)
+    num = float(m) * int((dx.astype(object) * dy).sum()) - float(
+        int(dx.sum())
+    ) * int(dy.sum())
+    vx = float(m) * int((dx.astype(object) ** 2).sum()) - float(int(dx.sum())) ** 2
+    vy = float(m) * int((dy.astype(object) ** 2).sum()) - float(int(dy.sum())) ** 2
+    want = num / np.sqrt(vx * vy)
+    assert row.n_nodes == len(deg) and row.n_edges == len(pairs)
+    assert float(row.assortativity) == pytest.approx(want, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [61])
+def test_cramers_v_matches_scipy_free_model(spark, tmp_path, seed):
+    """Cramér's V vs an explicit chi-square model — one corpus where
+    source fully determines lang (V == 1) and one independent mix
+    (V near 0), both checked exactly."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        text_lang_source_cramers_v,
+    )
+
+    rng = np.random.default_rng(seed)
+
+    def build(langs, sources):
+        n = len(langs)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype="int64"),
+                "text": ["t"] * n,
+                "lang": langs,
+                "source": sources,
+                "n_chars": np.ones(n, dtype="int64"),
+            }
+        )
+
+    # Determined: each source serves exactly one language.
+    langs = list(rng.choice(["en", "de", "fr"], 300))
+    det = build(langs, [{"en": "s1", "de": "s2", "fr": "s3"}[l] for l in langs])
+    sf = _write(tmp_path, "documents", det)
+    row = text_lang_source_cramers_v(spark, sf).collect()[0]
+    assert float(row.cramers_v) == pytest.approx(1.0, abs=1e-6)
+
+    # Independent: source drawn independently of lang.
+    ind = build(langs, list(rng.choice(["s1", "s2", "s3", "s4"], 300)))
+    sf2_dir = tmp_path / "c2"
+    sf2_dir.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(ind), sf2_dir / "documents.parquet")
+    row2 = text_lang_source_cramers_v(spark, str(sf2_dir)).collect()[0]
+
+    cells = ind.groupby(["lang", "source"]).size()
+    rt = ind.groupby("lang").size()
+    ct = ind.groupby("source").size()
+    ntot = len(ind)
+    chi2 = 0.0
+    for (l, s) in sorted(cells.index):
+        e = rt[l] * ct[s] / ntot
+        chi2 += (cells[(l, s)] - e) ** 2 / e
+    want_v = np.sqrt(chi2 / (ntot * (min(rt.size, ct.size) - 1)))
+    assert float(row2.cramers_v) == pytest.approx(want_v, abs=2e-6)
+    assert float(row2.cramers_v) < 0.3 < float(row.cramers_v)
