@@ -203,3 +203,34 @@ def value_histogram_agg(
             "sum_value",
         )
     )
+
+
+def first_touch_agg(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    user_col: str = "user_id",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Incrementally maintained first-touch relation: per (group,
+    user), the MINIMUM event time seen so far — the streaming
+    substrate of the batch adoption curve
+    (``operators.staged3.events_cumulative_unique_users``: its
+    first_touch aggregate is exactly this relation; the per-day
+    new/cumulative rollup is a bounded view over it).
+
+    MIN is mergeable and arrival-order-insensitive, so the maintained
+    state converges to the batch answer no matter how events are split
+    across micro-batches (a ``dropDuplicates``-based "first SEEN"
+    variant would depend on arrival order and fork from the batch
+    twin).  State is user-universe-sized by design — an all-time
+    adoption curve needs it; at 1e9 users this state lives in a keyed
+    store (RocksDB state backend), and the watermark bounds only the
+    lateness horizon, not the key count.  Run in "update" mode: each
+    micro-batch emits refined minimums for the keys it touched.
+    """
+    s = _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
+    return s.groupBy(group_col, user_col).agg(
+        F.min(ts_col).alias("first_touch")
+    )

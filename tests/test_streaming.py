@@ -664,3 +664,61 @@ def test_view_maintenance_failed_epoch_replays_and_state_cap_enforced(
     # A cap-compliant merge on the same sink still works afterwards.
     capped.process_batch(projected.where(F.col("month") <= "1995-03"), 0)
     assert 0 < len(capped.view()) <= 3
+
+
+def test_streaming_first_touch_matches_batch_adoption(
+    spark, sf_dir, events_stream_dir
+):
+    """The streaming first-touch relation (update-mode min aggregate)
+    must converge to the batch first-touch exactly, regardless of how
+    events are split across micro-batches — and therefore reproduce
+    the batch adoption curve (events_cumulative_unique_users) when
+    rolled up to per-day new-user counts."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.operators.staged3 import (
+        events_cumulative_unique_users,
+    )
+    from parquet_stream_writer_spark.streaming.windows import first_touch_agg
+
+    out = first_touch_agg(_events_stream(spark, events_stream_dir))
+    tbl = _run_to_memory(spark, out, "first_touch_adoption", "update")
+    # Update mode appends refinements: the LAST row per key is the
+    # maintained state.
+    pdf = tbl.toPandas()
+    state = (
+        pdf.groupby(["event_type", "user_id"], as_index=False)
+        .agg(first_touch=("first_touch", "min"))
+    )
+    # 1. State == batch first-touch (exact, arrival-order-proof).
+    batch = (
+        spark.read.parquet(str(events_stream_dir))
+        .groupBy("event_type", "user_id")
+        .agg(F.min("ts").alias("first_touch"))
+        .toPandas()
+    )
+    key = ["event_type", "user_id"]
+    state = state.sort_values(key, ignore_index=True)
+    batch = batch.sort_values(key, ignore_index=True)
+    assert state[key].equals(batch[key])
+    assert (
+        pd.to_datetime(state["first_touch"]).values
+        == pd.to_datetime(batch["first_touch"]).values
+    ).all()
+    # 2. Day rollup == the staged3 batch adoption curve's new_users.
+    state["day"] = (
+        pd.to_datetime(state["first_touch"]).astype("int64") // 86_400_000_000_000
+    )
+    rolled = (
+        state.groupby(["event_type", "day"])
+        .size()
+        .reset_index(name="new_users")
+        .sort_values(["event_type", "day"], ignore_index=True)
+    )
+    want = (
+        events_cumulative_unique_users(spark, sf_dir)
+        .select("event_type", "day", "new_users")
+        .toPandas()
+        .sort_values(["event_type", "day"], ignore_index=True)
+    )
+    assert rolled.astype({"day": "int64"}).values.tolist() == want.values.tolist()
