@@ -13,7 +13,7 @@ order matters), a scale-shape docstring, and local differential tests
 
 Round-9 registration checklist (mirror of staged2's round-8 record):
 
-1. re-run the full battery over ALL keys (tools/staged_pack_check.py
+1. re-run the full battery over ALL keys (tools/staged2_check.py
    --staged3 cross-SF strict at sf0.001/0.01/0.1, invariance_check
    --staged3, adversarial_sweep.py --staged3, the property tests);
 2. add ``staged3`` to ``operators._modules()`` (after ``staged2``);
