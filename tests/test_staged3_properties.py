@@ -421,3 +421,193 @@ def test_cramers_v_matches_scipy_free_model(spark, tmp_path, seed):
     want_v = np.sqrt(chi2 / (ntot * (min(rt.size, ct.size) - 1)))
     assert float(row2.cramers_v) == pytest.approx(want_v, abs=2e-6)
     assert float(row2.cramers_v) < 0.3 < float(row.cramers_v)
+
+
+@pytest.mark.parametrize("seed", [67, 929])
+def test_boilerplate_ngrams_matches_bruteforce(spark, tmp_path, seed):
+    """Boilerplate span report vs a python sliding-window model — a
+    planted footer phrase appears in most docs (must rank first) and
+    df ties between planted phrases pin the (df desc, gram asc)
+    order."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        _BOILER_MIN_DF,
+        _BOILER_W,
+        text_boilerplate_ngrams,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    footer = "subscribe to our newsletter for daily updates"
+    promo = "limited time offer ends this very friday"
+    texts = []
+    for d in range(80):
+        words = list(rng.choice(vocab, 20))
+        if d % 2 == 0:
+            words += footer.split()
+        if d % 4 == 0:
+            words += promo.split()
+        texts.append(" ".join(words))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype="int64"),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    got = [
+        (r.gram, r.df_docs, r.occurrences)
+        for r in text_boilerplate_ngrams(spark, sf).collect()
+    ]
+
+    from collections import defaultdict
+
+    df_docs = defaultdict(set)
+    occ = defaultdict(int)
+    for d, t in zip(docs.doc_id, docs.text):
+        ws = t.split()
+        for i in range(len(ws) - _BOILER_W + 1):
+            g = " ".join(ws[i : i + _BOILER_W])
+            df_docs[g].add(int(d))
+            occ[g] += 1
+    ranked = sorted(
+        ((len(ds), g) for g, ds in df_docs.items() if len(ds) >= _BOILER_MIN_DF),
+        key=lambda t: (-t[0], t[1]),
+    )
+    # Model ranks by (df, gram); the op ranks by (df, md5-hash) then
+    # REPORTS sorted by (df desc, gram asc) — compare as sets per df
+    # tier for the tiers fully inside the top-20 cut.
+    got_set = {(g, d, o) for g, d, o in got}
+    # The footer 6-grams (df=40) must all be present and first.
+    footer_grams = [
+        " ".join(footer.split()[i : i + _BOILER_W])
+        for i in range(len(footer.split()) - _BOILER_W + 1)
+    ]
+    for fg in footer_grams:
+        assert (fg, len(df_docs[fg]), occ[fg]) in got_set
+    assert got[0][1] == ranked[0][0] == 40
+    # Every reported row's numbers must match the model exactly.
+    for g, d, o in got:
+        assert len(df_docs[g]) == d and occ[g] == o
+
+
+@pytest.mark.parametrize("seed", [71])
+def test_chunk_dedup_matches_bruteforce(spark, tmp_path, seed):
+    """Chunk-level dedup vs a python 64-byte chunker — docs built from
+    a small set of shared 64-byte blocks plant exact chunk collisions,
+    and multi-byte UTF-8 pins byte (not char) chunking."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        multimodal_payload_chunk_dedup,
+    )
+
+    rng = np.random.default_rng(seed)
+    blocks = [
+        ("é" * 16 + f"b{i:02d}" + "x" * 28)[:48] for i in range(6)
+    ]  # é is 2 bytes -> 16*2+4+28 = 64 bytes
+    texts = []
+    for _ in range(40):
+        ks = rng.integers(0, 6, rng.integers(1, 5))
+        texts.append("".join(blocks[k] for k in ks))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype="int64"),
+            "text": texts,
+            "lang": "en",
+            "source": ["sA" if i < 20 else "sB" for i in range(40)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    got = {
+        (r.source, r.total_chunks, r.unique_chunks, r.reclaim_bytes)
+        for r in multimodal_payload_chunk_dedup(spark, sf).collect()
+    }
+
+    want = set()
+    for src, g in docs.groupby("source"):
+        chunks = []
+        for t in g.text:
+            b = t.encode("utf-8")
+            chunks += [b[i : i + 64] for i in range(0, len(b), 64)]
+        total, uniq = len(chunks), len(set(chunks))
+        want.add((src, total, uniq, (total - uniq) * 64))
+    assert got == want
+    assert any(t - u > 0 for _s, t, u, _r in want)  # collisions planted
+
+
+@pytest.mark.parametrize("seed", [83, 511])
+def test_trade_balance_matches_bruteforce(spark, tmp_path, seed):
+    """Trade-balance matrix vs a pandas model — asymmetric planted
+    flows make net balances nonzero in both directions."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        orders_trade_balance_matrix,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype="int64"),
+            "l_suppkey": rng.integers(0, 8, n).astype("int64"),
+            "l_extendedprice": rng.integers(100, 9999, n) / 100.0,
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.integers(0, 30, n).astype("int64"),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(30, dtype="int64"),
+            "c_nationkey": (np.arange(30) % 4).astype("int32"),
+        }
+    )
+    supp = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(8, dtype="int64"),
+            "s_nationkey": (np.arange(8) % 4).astype("int32"),
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(4, dtype="int32"),
+            "n_name": [f"NAT{i}" for i in range(4)],
+        }
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    for name, df in (("orders", orders), ("customer", cust), ("supplier", supp), ("nation", nation)):
+        _write(tmp_path, name, df)
+    got = {
+        (r.cust_nation, r.supp_nation, r.n_lines, r.revenue_cents, r.net_balance_cents)
+        for r in orders_trade_balance_matrix(spark, sf).collect()
+    }
+
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j = j.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j = j.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    j["cents"] = np.floor(j.l_extendedprice * 100 + 0.5).astype("int64")
+    cells = j.groupby(["c_nationkey", "s_nationkey"]).agg(
+        n_lines=("cents", "size"), revenue_cents=("cents", "sum")
+    )
+    want = set()
+    for (cn, sn), row in cells.iterrows():
+        mirror = (
+            int(cells.loc[(sn, cn)].revenue_cents)
+            if (sn, cn) in cells.index
+            else 0
+        )
+        want.add(
+            (
+                f"NAT{cn}",
+                f"NAT{sn}",
+                int(row.n_lines),
+                int(row.revenue_cents),
+                int(row.revenue_cents) - mirror,
+            )
+        )
+    assert got == want
+    assert any(b != 0 for *_x, b in want)
