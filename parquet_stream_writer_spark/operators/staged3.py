@@ -2483,3 +2483,218 @@ ORDER BY key
 
 QUERIES["events_props_key_census"] = events_props_key_census
 ORACLE["events_props_key_census"] = ORACLE_EVENTS_PROPS_KEY_CENSUS
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+#: Jaccard thresholds swept by the sensitivity report (the mined pair
+#: floor is 0.5, so the sweep starts there).
+_DEDUP_SWEEP = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How aggressive would near-dedup be at each Jaccard threshold:
+    per candidate cutoff, the surviving pair count and the number of
+    documents touched by at least one such pair — the sweep every
+    dedup rollout reads before committing to a threshold (0.8 trims
+    mirrors; 0.5 starts eating paraphrases).
+
+    Exactness: the mined 6-dp jaccards are bit-identical in both
+    engines, so every ``jaccard >= τ`` comparison agrees; counts are
+    exact integers.
+
+    Shape: rides the memoized (cross-session persisted) verified-pair
+    relation — no re-mining; a bounded ×5 literal-threshold explode,
+    one hash aggregate per metric.
+    """
+    from parquet_stream_writer_spark.operators.dedup import _verified_pairs
+
+    pairs = _verified_pairs(spark, sf_dir)
+    taus = ", ".join(f"{t}d" for t in _DEDUP_SWEEP)
+    swept = pairs.select(
+        "d1", "d2", "jaccard", F.explode(F.expr(f"array({taus})")).alias("threshold")
+    ).where(F.col("jaccard") >= F.col("threshold"))
+    pair_counts = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs_touched = (
+        swept.select(
+            "threshold", F.explode(F.array("d1", "d2")).alias("doc")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc").alias("n_docs_affected"))
+    )
+    return (
+        pair_counts.join(docs_touched, "threshold")
+        .orderBy("threshold")
+        .select("threshold", "n_pairs", "n_docs_affected")
+    )
+
+
+def _sql_threshold_sensitivity() -> str:
+    from parquet_stream_writer_spark.operators.dedup import (
+        ORACLE_DEDUP_MINHASH_LSH,
+    )
+
+    taus = ", ".join(str(t) for t in _DEDUP_SWEEP)
+    return f"""WITH mined AS (
+{ORACLE_DEDUP_MINHASH_LSH}
+),
+swept AS (
+  SELECT d1, d2, jaccard, unnest([{taus}]) AS threshold FROM mined
+),
+kept AS (SELECT * FROM swept WHERE jaccard >= threshold),
+pair_counts AS (
+  SELECT threshold, count(*) AS n_pairs FROM kept GROUP BY 1
+),
+docs_touched AS (
+  SELECT threshold, count(DISTINCT doc) AS n_docs_affected
+  FROM (SELECT threshold, unnest([d1, d2]) AS doc FROM kept)
+  GROUP BY 1
+)
+SELECT p.threshold, p.n_pairs, d.n_docs_affected
+FROM pair_counts p JOIN docs_touched d USING (threshold)
+ORDER BY threshold
+"""
+
+
+ORACLE_DEDUP_THRESHOLD_SENSITIVITY = _sql_threshold_sensitivity()
+
+QUERIES["dedup_threshold_sensitivity"] = dedup_threshold_sensitivity
+ORACLE["dedup_threshold_sensitivity"] = ORACLE_DEDUP_THRESHOLD_SENSITIVITY
+
+
+# ---------------------------------------------------------------------------
+# Embedding label silhouette audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for every
+    vector, a = distance to its own label centroid, b = distance to
+    the nearest OTHER centroid, silhouette = (b−a)/max(a,b); the
+    per-label mean and positive share — the label-quality score that
+    ranks which classes are cleanly separated and which need relabel
+    review.  (Centroid silhouette is the O(n·k) scale form; the
+    O(n²) pairwise silhouette is unusable at corpus scale.)
+
+    Exactness: centroids are the classifier's integer MEAN components
+    (c6), squared distances are exact integer sums (≤ d·(2·|v6|)²,
+    inside int64), each vector's silhouette is one double expression
+    scaled to an exact 4-dp integer, and every aggregate is an
+    order-free integer sum.
+
+    Shape: posexplode → broadcast (k·d)-row centroid join → one
+    integer aggregate per (vector, label) → per-vector min/own
+    conditional aggregate → per-label rollup.
+    """
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    vd = emb.select(
+        "vec_id", "label", F.posexplode("emb").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    cents = vd.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.floor(F.sum("v6") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("c6")
+    )
+    d2 = (
+        vd.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6"))
+            ).alias("d2")
+        )
+    )
+    per_vec = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("own"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias(
+            "other"
+        ),
+    )
+    sil = per_vec.select(
+        "label",
+        F.floor(
+            (F.sqrt(F.col("other").cast("double")) - F.sqrt(F.col("own").cast("double")))
+            / F.greatest(
+                F.sqrt(F.col("own").cast("double")),
+                F.sqrt(F.col("other").cast("double")),
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s4"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            pround(F.sum("s4") / (F.count(F.lit(1)) * F.lit(10000.0)), 6).alias(
+                "mean_silhouette"
+            ),
+            pround(
+                F.sum(F.when(F.col("s4") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("positive_share"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_LABEL_SILHOUETTE = """
+WITH vd AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+),
+cents AS (
+  SELECT label AS clabel, dim,
+         CAST(floor(sum(v6) / count(*) + 0.5) AS BIGINT) AS c6
+  FROM vd GROUP BY 1, 2
+),
+d2 AS (
+  SELECT v.vec_id, v.label, c.clabel,
+         sum((v.v6 - c.c6) * (v.v6 - c.c6)) AS d2
+  FROM vd v JOIN cents c USING (dim)
+  GROUP BY 1, 2, 3
+),
+per_vec AS (
+  SELECT vec_id, label,
+         min(CASE WHEN clabel = label THEN d2 END) AS own,
+         min(CASE WHEN clabel <> label THEN d2 END) AS other
+  FROM d2 GROUP BY 1, 2
+),
+sil AS (
+  SELECT label,
+         CAST(floor((sqrt(CAST(other AS DOUBLE)) - sqrt(CAST(own AS DOUBLE)))
+                    / greatest(sqrt(CAST(own AS DOUBLE)),
+                               sqrt(CAST(other AS DOUBLE)))
+                    * 10000 + 0.5) AS BIGINT) AS s4
+  FROM per_vec
+)
+SELECT label,
+       count(*) AS n_vectors,
+       floor((CAST(sum(s4) AS DOUBLE) / (count(*) * 10000.0))
+             * 1000000 + 0.5) / 1000000.0 AS mean_silhouette,
+       floor((CAST(sum(CASE WHEN s4 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*)) * 1000000 + 0.5) / 1000000.0 AS positive_share
+FROM sil
+GROUP BY label
+ORDER BY label
+"""
+
+QUERIES["embedding_label_silhouette"] = embedding_label_silhouette
+ORACLE["embedding_label_silhouette"] = ORACLE_EMBEDDING_LABEL_SILHOUETTE
