@@ -22,6 +22,14 @@ Round-9 registration checklist (mirror of staged2's round-8 record):
 4. fold the staged3 rows of SURVEY §2c into the main inventory and
    re-run tools/record_query_hashes.py (window-aware) at round-9
    session END.
+
+Round-9 window forecast (age-first rotation, assuming CORRECTNESS_r08
+lands green on round 8's 50-key window): 26 staged3 tier-0 slots + 24
+green slots taken oldest-cohort-first — the 12 remaining r3-vintage
+keys, then the oldest r4 cohort with round-8's 18 source-stale keys
+(dedup memo persistence + carrier/comment edits, every one locally
+driver_check-green at r8 close) leading their cohorts via the
+stale-first tie-break.
 """
 
 from __future__ import annotations
