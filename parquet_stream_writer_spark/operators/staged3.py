@@ -2706,3 +2706,144 @@ ORDER BY label
 
 QUERIES["embedding_label_silhouette"] = embedding_label_silhouette
 ORACLE["embedding_label_silhouette"] = ORACLE_EMBEDDING_LABEL_SILHOUETTE
+
+
+# ---------------------------------------------------------------------------
+# Time-series pattern match (z-normalized subsequence top-k)
+# ---------------------------------------------------------------------------
+
+#: Query pattern (a 7-day spike shape) and its z-normalized form —
+#: precomputed once in Python so BOTH engines consume identical
+#: double literals.
+_PATTERN = (1.0, 1.0, 1.0, 2.0, 4.0, 2.0, 1.0)
+_PATTERN_W = len(_PATTERN)
+
+
+def _pattern_z() -> tuple[float, ...]:
+    m = sum(_PATTERN) / len(_PATTERN)
+    var = sum((x - m) ** 2 for x in _PATTERN) / len(_PATTERN)
+    sd = var**0.5
+    return tuple((x - m) / sd for x in _PATTERN)
+
+
+def events_pattern_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k z-normalized subsequence matches of a literal 7-day spike
+    pattern against every event type's daily-count series — the
+    distributed time-series similarity-search primitive (cf. the
+    streaming subsequence-matching literature, e.g. "Time Series
+    Similarity Search for Streaming Data in Distributed Systems",
+    EDBT 2019): find WHERE the traffic looked like this shape,
+    shift- and scale-invariant.
+
+    Exactness: daily counts are exact integers; each window's seven
+    lagged values arrive via seven FIXED lag expressions, so the
+    window's sum/sum-of-squares and the seven distance terms are
+    written in one fixed textual order — both engines evaluate the
+    identical double expression (no engine-chosen summation order);
+    the z-normalized query constants are precomputed Python literals;
+    flat (zero-variance) windows are excluded; ties at the top-k cut
+    break on (distance, type, day).
+
+    Shape: one (type, day) hash aggregate (the only input-sized
+    pass), seven lags inside ONE type-partitioned window over bounded
+    day cells, a continuity guard across gaps, TakeOrdered top-10.
+    """
+    qz = _pattern_z()
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        *[
+            F.lag("c", _PATTERN_W - 1 - i).over(w).alias(f"l{i}")
+            for i in range(_PATTERN_W)
+        ],
+        F.lag("day", _PATTERN_W - 1).over(w).alias("day0"),
+    ).where(
+        F.col("day0").isNotNull()
+        & (F.col("day") - F.col("day0") == _PATTERN_W - 1)
+    )
+    ls = [F.col(f"l{i}") for i in range(_PATTERN_W)]
+    s = ls[0]
+    for c in ls[1:]:
+        s = s + c
+    q = ls[0] * ls[0]
+    for c in ls[1:]:
+        q = q + c * c
+    n = F.lit(_PATTERN_W)
+    var = (n.cast("double") * q - s.cast("double") * s) / (n * n)
+    sd = F.sqrt(var)
+    mean = s.cast("double") / n
+    dist = None
+    for i in range(_PATTERN_W):
+        term = (
+            F.lit(qz[i]) - (F.col(f"l{i}").cast("double") - mean) / sd
+        )
+        term = term * term
+        dist = term if dist is None else dist + term
+    return (
+        lagged.where(var > 0)
+        .select(
+            "event_type",
+            F.col("day0").alias("window_start_day"),
+            pround(dist, 6).alias("z_distance"),
+        )
+        .orderBy(F.asc("z_distance"), F.asc("event_type"), F.asc("window_start_day"))
+        .limit(10)
+    )
+
+
+def _sql_pattern_match() -> str:
+    qz = _pattern_z()
+    w = _PATTERN_W
+    lags = ",\n         ".join(
+        f"lag(c, {w - 1 - i}) OVER (PARTITION BY event_type ORDER BY day) AS l{i}"
+        for i in range(w)
+    )
+    s = " + ".join(f"l{i}" for i in range(w))
+    q = " + ".join(f"l{i} * l{i}" for i in range(w))
+    dist = " + ".join(
+        f"(({qz[i]!r}) - (CAST(l{i} AS DOUBLE) - (CAST({s} AS DOUBLE) / {w}))"
+        f" / sqrt(({w} * CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * ({s}))"
+        f" / ({w} * {w})))"
+        f" * (({qz[i]!r}) - (CAST(l{i} AS DOUBLE) - (CAST({s} AS DOUBLE) / {w}))"
+        f" / sqrt(({w} * CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * ({s}))"
+        f" / ({w} * {w})))"
+        for i in range(w)
+    )
+    return f"""
+daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day,
+         {lags},
+         lag(day, {w - 1}) OVER (PARTITION BY event_type ORDER BY day)
+           AS day0
+  FROM daily
+),
+ok AS (
+  SELECT * FROM lagged
+  WHERE day0 IS NOT NULL AND day - day0 = {w - 1}
+    AND ({w} * CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * ({s}))
+        / ({w} * {w}) > 0
+)
+SELECT event_type, day0 AS window_start_day,
+       floor(({dist}) * 1000000 + 0.5) / 1000000.0 AS z_distance
+FROM ok
+ORDER BY z_distance ASC, event_type ASC, window_start_day ASC
+LIMIT 10
+"""
+
+
+ORACLE_EVENTS_PATTERN_MATCH_TOPK = f"WITH {_sql_pattern_match()}"
+
+QUERIES["events_pattern_match_topk"] = events_pattern_match_topk
+ORACLE["events_pattern_match_topk"] = ORACLE_EVENTS_PATTERN_MATCH_TOPK
