@@ -1,14 +1,14 @@
 """Cross-session persistence for the dedup mining memo.
 
-The mined near-dup pair set and the connected-component labels are
-pure functions of the corpus bytes (md5-based shingling/banding, exact
-Jaccard verification, deterministic min-label fixpoint — no RNG, no
-session state).  The in-session memo (``dedup._memo``) already shares
+The LSH candidate set, the mined near-dup pair set and the
+connected-component labels are pure functions of the corpus bytes
+(md5-based shingling/banding, exact Jaccard verification,
+deterministic min-label fixpoint — no RNG, no session state).  The in-session memo (``dedup._memo``) already shares
 them across the five consumers, but a NEW process re-paid the full
 mining pass (~16 s at sf0.1; at 100× scale, re-mining the corpus per
 job — VERDICT r7 next-steps item 4).
 
-This store persists those two stages as **bucketed warehouse tables**
+This store persists those stages as **bucketed warehouse tables**
 keyed on the corpus fingerprint (the ``join_bucketed_colocated``
 pattern):
 
@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import threading
 from collections.abc import Callable
 
@@ -55,7 +56,22 @@ def _table_name(stage: str, sf_dir: str, fingerprint: tuple) -> str:
 
 
 def _warehouse(spark: SparkSession) -> str:
-    return spark.conf.get("spark.sql.warehouse.dir", "").rstrip("/")
+    """Root for the persisted memo tables.
+
+    Pinned to ``SPARK_GRAFT_MEMO_DIR`` or the repo's own
+    ``spark-warehouse/`` (derived from this file), NOT the session's
+    ``spark.sql.warehouse.dir`` — the driver harness owns its own
+    SparkSession with a cwd-dependent warehouse, and a cwd change must
+    not orphan the store (tables are written as EXTERNAL with an
+    explicit path for the same reason).  On a cluster, point
+    ``SPARK_GRAFT_MEMO_DIR`` at shared storage (hdfs://, s3a://)."""
+    env = os.environ.get("SPARK_GRAFT_MEMO_DIR")
+    if env:
+        return env.rstrip("/")
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, "spark-warehouse")
 
 
 def _fs_path(spark: SparkSession, path_str: str):
@@ -121,7 +137,7 @@ def drop_persisted_memo(spark: SparkSession) -> None:
     (``--cold`` deliberately keeps the disk tier: surviving process
     restarts is its purpose)."""
     wh = _warehouse(spark)
-    for stage in ("verified_pairs", "cc_labels"):
+    for stage in ("lsh_candidates", "verified_pairs", "cc_labels"):
         try:
             fs, glob = _fs_path(spark, f"{wh}/dedup_memo_{stage}_*")
             for st in fs.globStatus(glob) or []:
@@ -190,7 +206,8 @@ def load_or_build_table(
     (
         df.write.bucketBy(buckets, bucket_col)
         .sortBy(bucket_col)
-        .mode("overwrite")
+        .option("path", loc)  # external: location independent of the
+        .mode("overwrite")  # creating session's warehouse dir
         .saveAsTable(table)
     )
     spec = dict(want_spec)
