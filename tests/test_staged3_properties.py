@@ -611,3 +611,78 @@ def test_trade_balance_matches_bruteforce(spark, tmp_path, seed):
         )
     assert got == want
     assert any(b != 0 for *_x, b in want)
+
+
+@pytest.mark.parametrize("seed", [97])
+def test_pattern_match_finds_planted_spike(spark, tmp_path, seed):
+    """Subsequence search vs a numpy z-distance model — one event type
+    carries an exact scaled copy of the query spike (z-distance 0 must
+    rank first); a noise type fills the rest of the board."""
+    from parquet_stream_writer_spark.operators.staged3 import (
+        _PATTERN,
+        _pattern_z,
+        events_pattern_match_topk,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-03-01")
+
+    def day_events(day_idx, etype, count):
+        nonlocal eid
+        for _ in range(count):
+            rows.append(
+                (
+                    eid,
+                    base + pd.Timedelta(days=day_idx, seconds=eid % 1800),
+                    eid % 7,
+                    etype,
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+
+    # "spiky": 10 flat days, then an exact 5x-scaled copy of _PATTERN.
+    for d in range(10):
+        day_events(d, "spiky", 3)
+    for i, v in enumerate(_PATTERN):
+        day_events(10 + i, "spiky", int(v * 5))
+    # "noise": jittered counts.
+    for d in range(25):
+        day_events(d, "noise", int(rng.integers(2, 9)))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", ev)
+    got = [
+        (r.event_type, r.window_start_day, float(r.z_distance))
+        for r in events_pattern_match_topk(spark, sf).collect()
+    ]
+
+    # The scaled copy z-normalizes to the query exactly: distance 0.
+    assert got[0][0] == "spiky" and got[0][2] == 0.0
+    # Model every window's distance and check the reported ones.
+    qz = np.array(_pattern_z())
+    model = {}
+    for etype, g in ev.groupby("event_type"):
+        days = (
+            g.ts.values.astype("datetime64[us]").astype("int64") // 86_400_000_000
+        )
+        daily = pd.Series(days).value_counts().sort_index()
+        dvals, c = daily.index.to_numpy("int64"), daily.to_numpy("int64")
+        for i in range(len(c) - 6):
+            if dvals[i + 6] - dvals[i] != 6:
+                continue
+            w = c[i : i + 7].astype("float64")
+            sd = np.sqrt(((7 * (w**2).sum() - w.sum() ** 2) / 49))
+            if sd == 0:
+                continue
+            z = (w - w.sum() / 7) / sd
+            model[(etype, int(dvals[i]))] = float(
+                np.floor(((qz - z) ** 2).sum() * 1e6 + 0.5) / 1e6
+            )
+    for etype, d0, dist in got:
+        assert model[(etype, d0)] == pytest.approx(dist, abs=2e-6)
+    assert got == sorted(got, key=lambda t: (t[2], t[0], t[1]))[: len(got)]
