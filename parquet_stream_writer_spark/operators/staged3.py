@@ -2847,3 +2847,114 @@ ORACLE_EVENTS_PATTERN_MATCH_TOPK = f"WITH {_sql_pattern_match()}"
 
 QUERIES["events_pattern_match_topk"] = events_pattern_match_topk
 ORACLE["events_pattern_match_topk"] = ORACLE_EVENTS_PATTERN_MATCH_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern detection (MATCH_RECOGNIZE-style)
+# ---------------------------------------------------------------------------
+
+#: Event-type → symbol for the per-user journey string.
+_SEQ_SYMBOLS = {
+    "click": "c",
+    "error": "e",
+    "purchase": "p",
+    "signup": "s",
+    "view": "v",
+}
+#: The detected pattern: one or more views, then a click, then a
+#: purchase — the canonical browse→engage→convert journey.  Regex runs
+#: with identical semantics in Spark and DuckDB (RE2-compatible).
+_SEQ_PATTERN = "v+cp"
+
+
+def events_sequence_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern detection: each user's
+    event history becomes an ordered symbol string (v=view, c=click,
+    p=purchase, …) and the pattern ``v+cp`` (browse, engage, convert)
+    is counted per user — the SQL-2016 row-pattern-matching surface
+    (Flink/Trino MATCH_RECOGNIZE; Spark has no native operator)
+    expressed as ordered aggregation + regex.
+
+    Exactness: the journey string is built by an ORDER-PINNED
+    aggregation ((ts, event_id) sort — both engines produce the
+    identical string), matches are counted with non-overlapping
+    greedy regex semantics, identical in both engines; output counts
+    are exact integers.
+
+    Shape: one user-keyed sorted-collect (state bounded by per-user
+    history — cap journeys at scale with a rows-per-user window
+    guard), one map-side regex count, one fixed-width rollup: users
+    evaluated independently, embarrassingly parallel.
+    """
+    sym = F.create_map(
+        *[F.lit(x) for kv in _SEQ_SYMBOLS.items() for x in kv]
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_id",
+        sym[F.col("event_type")].alias("sym"),
+    )
+    journeys = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.expr("transform(array_sort(collect_list(struct(us, event_id, sym))), x -> x.sym)"),
+        ).alias("journey")
+    )
+    matched = journeys.select(
+        "user_id",
+        F.size(
+            F.expr(f"regexp_extract_all(journey, '{_SEQ_PATTERN}', 0)")
+        ).alias("n_matches"),
+        F.length("journey").alias("n_events"),
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n_matches") > 0, 1).otherwise(0)).alias(
+            "users_matched"
+        ),
+        F.sum("n_matches").alias("total_matches"),
+        pround(
+            F.sum(F.when(F.col("n_matches") > 0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("match_rate"),
+        pround(F.sum("n_events") / F.count(F.lit(1)), 2).alias(
+            "mean_journey_len"
+        ),
+    )
+
+
+ORACLE_EVENTS_SEQUENCE_PATTERN_DETECT = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE event_type
+           WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+           WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+           WHEN 'view' THEN 'v' END AS sym
+  FROM events
+),
+journeys AS (
+  SELECT user_id,
+         string_agg(sym, '' ORDER BY us, event_id) AS journey
+  FROM ev GROUP BY 1
+),
+matched AS (
+  SELECT user_id,
+         len(regexp_extract_all(journey, '{_SEQ_PATTERN}', 0)) AS n_matches,
+         length(journey) AS n_events
+  FROM journeys
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_matched,
+       CAST(sum(n_matches) AS BIGINT) AS total_matches,
+       floor((CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*)) * 1000000 + 0.5) / 1000000.0 AS match_rate,
+       floor((CAST(sum(n_events) AS DOUBLE) / count(*)) * 100 + 0.5) / 100.0
+         AS mean_journey_len
+FROM matched
+"""
+
+QUERIES["events_sequence_pattern_detect"] = events_sequence_pattern_detect
+ORACLE["events_sequence_pattern_detect"] = ORACLE_EVENTS_SEQUENCE_PATTERN_DETECT
