@@ -24,7 +24,7 @@ Round-9 registration checklist (mirror of staged2's round-8 record):
    session END.
 
 Round-9 window forecast (age-first rotation, assuming CORRECTNESS_r08
-lands green on round 8's 50-key window): 26 staged3 tier-0 slots + 24
+lands green on round 8's 50-key window): 28 staged3 tier-0 slots + 22
 green slots taken oldest-cohort-first — the 12 remaining r3-vintage
 keys, then the oldest r4 cohort with round-8's 18 source-stale keys
 (dedup memo persistence + carrier/comment edits, every one locally
