@@ -182,8 +182,10 @@ def _verdicts_cached(
     return tuple(verdict.items())
 
 
-#: Committed snapshot of each query function's source hash, written by
-#: ``tools/record_query_hashes.py`` at the end of a round.  A key whose
+#: Committed snapshot of each query key's last driver-ATTESTED source
+#: hash, advanced by ``tools/record_query_hashes.py --fold`` at round
+#: start from the session-end PENDING_QUERY_HASHES.json, for exactly
+#: the keys the new CORRECTNESS artifact verified green.  A key whose
 #: CURRENT source hash differs from the snapshot was edited after its
 #: last driver verdict, so its green verdict is stale and it floats
 #: back into the verification window.
@@ -311,12 +313,16 @@ def _prioritized(merged: dict) -> dict:
     Verdict AGE outranks source-staleness across rounds (round-8
     change): the old stale-tier-first ordering let a burst of edits
     to recently-verified keys displace r2-vintage verdicts out of the
-    window two rounds running (VERDICT r6 item 4 → r7 backlog).  An
-    edited key outside the window keeps its OLD recorded hash (the
-    snapshot tool only refreshes keys the window will re-verify), so
-    it stays stale-marked and jumps its cohort's untouched keys when
-    its round comes up — staleness is never silently laundered, and
-    the oldest attestations always refresh first.
+    window two rounds running (VERDICT r6 item 4 → r7 backlog).  A
+    key's recorded hash advances ONLY when a driver artifact attests
+    that exact source (round-9 change, ADVICE r8: the snapshot tool
+    writes a full PENDING_QUERY_HASHES.json at session end and
+    ``--fold`` copies pending→attested at next round start for
+    exactly the keys green in the new CORRECTNESS file), so an edited
+    key stays stale-marked until a window actually verifies it and
+    jumps its cohort's untouched keys when its round comes up —
+    staleness is never silently laundered, no window prediction is
+    involved, and the oldest attestations always refresh first.
 
     Within each rank the static ``_PRIORITY`` seed order is kept
     (Python's sort is stable)."""

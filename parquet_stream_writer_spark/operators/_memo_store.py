@@ -28,7 +28,10 @@ pattern):
   scan) LAST, so a crashed save leaves no loadable marker;
 - eviction: tables from PREVIOUS sessions (not in the live catalog)
   beyond the ``_KEEP_PER_STAGE`` newest markers are dropped, bounding
-  disk growth across test runs' throwaway corpora.
+  disk growth across test runs' throwaway corpora — but never anything
+  modified within the last ``_EVICT_GRACE_MS`` (~1 h), because on a
+  SHARED memo dir a concurrent session's in-flight save or live table
+  is invisible to this process's catalog check.
 
 All filesystem IO goes through the Hadoop FileSystem API, so file://,
 hdfs:// and s3a:// warehouses behave identically.
@@ -40,12 +43,25 @@ import hashlib
 import json
 import os
 import threading
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MARKER = "_memo_spec.json"
 _KEEP_PER_STAGE = 8
+#: Eviction grace window (ms).  A table directory younger than this is
+#: NEVER evicted even when it exceeds the keep budget and is absent
+#: from this session's catalog: with the memo dir on shared storage
+#: (SPARK_GRAFT_MEMO_DIR on hdfs:// or s3a://), a CONCURRENT session's
+#: catalog registrations are invisible to this process, so "not in my
+#: catalog" does not mean "orphaned" — it may be mid-save (files
+#: written, marker pending) or a live table another session is lazily
+#: scanning.  One hour comfortably exceeds any single mining build, so
+#: only genuinely abandoned tables from long-dead sessions are
+#: reclaimed (ADVICE r8: eviction deleting files out from under a live
+#: session's scan).
+_EVICT_GRACE_MS = 60 * 60 * 1000
 _LOCK = threading.Lock()
 _SPEC_VERSION = 1
 
@@ -110,7 +126,10 @@ def _evict_old(spark: SparkSession, stage: str) -> None:
     """Bound disk growth: among persisted tables of ``stage`` that are
     NOT registered in the live catalog (i.e. left by previous
     sessions; nothing this session may be lazily reading), keep the
-    ``_KEEP_PER_STAGE`` newest markers and delete the rest."""
+    ``_KEEP_PER_STAGE`` newest markers and delete the rest — EXCEPT
+    anything modified within ``_EVICT_GRACE_MS``, which a concurrent
+    session (invisible to this catalog check on shared storage) may
+    still be saving or reading."""
     wh = _warehouse(spark)
     if not wh:
         return
@@ -118,12 +137,16 @@ def _evict_old(spark: SparkSession, stage: str) -> None:
         fs, glob = _fs_path(spark, f"{wh}/dedup_memo_{stage}_*")
         statuses = fs.globStatus(glob) or []
         live = {t.name for t in spark.catalog.listTables()}
+        now_ms = time.time() * 1000.0
         candidates = []
         for st in statuses:
             name = st.getPath().getName()
             if name in live:
                 continue
-            candidates.append((st.getModificationTime(), st.getPath()))
+            mtime = st.getModificationTime()
+            if now_ms - mtime < _EVICT_GRACE_MS:
+                continue  # possibly a concurrent session's in-flight save
+            candidates.append((mtime, st.getPath()))
         candidates.sort(reverse=True)
         for _mtime, path in candidates[_KEEP_PER_STAGE:]:
             fs.delete(path, True)

@@ -89,11 +89,13 @@ _MEMO_CAP = 16
 #: Stages persisted ACROSS sessions as bucketed warehouse tables keyed
 #: on the corpus fingerprint (VERDICT r7 item 4: a new process
 #: re-paid the full mining pass; at 100× that is re-mining the corpus
-#: per job).  Values are (bucket column, bucket count).  Only the two
-#: mining OUTPUTS persist — they are deterministic functions of the
-#: corpus bytes (md5 shingling, exact Jaccard, min-label fixpoint), so
-#: a reload is value-identical to a rebuild; the corpus-sized shingle
-#: and candidate intermediates stay session-local.
+#: per job).  Values are (bucket column, bucket count).  THREE stages
+#: persist — the LSH candidate set, the verified pairs, and the CC
+#: labels; each is a deterministic function of the corpus bytes (md5
+#: shingling + banded buckets, exact Jaccard, min-label fixpoint), so
+#: a reload is value-identical to a rebuild.  The corpus-sized shingle
+#: relation (the one intermediate that scales with total corpus bytes
+#: rather than with the near-dup pair count) stays session-local.
 _PERSIST_STAGES: dict[str, tuple[str, int]] = {
     "lsh_candidates": ("d1", 16),
     "verified_pairs": ("d1", 16),

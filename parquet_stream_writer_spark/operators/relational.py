@@ -72,64 +72,114 @@ WHERE l_quantity > 45.0 AND l_discount < 0.02
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary (hash agg, partial+final)."""
+    """TPC-H Q1-style pricing summary (hash agg, partial+final).
+
+    Exactness (integer-cents convention, staged/staged2 style — closes
+    the r8-documented residual half-step window of the old
+    rounded-sum-divide form): every 2-dp input is pre-scaled to an
+    exact per-row integer (cents / percent-points), the disc/charge
+    measures become exact per-row integer products in 1e-4 / 1e-6
+    units, and ALL sums run over integers (cast to decimal(38,0) for
+    int64 headroom at 1000× — a 600-billion-row lineitem's charge sum
+    in 1e-6 units tops 1e20).  Engine summation order can no longer
+    move any result; the only doubles are identical functions of
+    identical exact integers, so the engines cannot fork at any scale.
+    2-dp totals round half-up in INTEGER space ((s + half) div unit);
+    4-dp averages divide the exact cent sum as one double expression.
+
+    Shape: partial+final hash agg on a 4-group key; one scan, no
+    shuffle beyond the 4-row exchange.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            pround(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            # Divide a 2-dp-ROUNDED sum, not avg(): the raw sum's
-            # engine-dependent addition order can land a group mean
-            # exactly on a 4-dp floor boundary (rounded-sum-divide
-            # convention, cf. events_seasonality_profile).  The inputs
-            # are 2-dp currency/ratio values, so the pre-round NARROWS
-            # the 4-dp half-step window by collapsing sub-cent FP fuzz
-            # — but does not close it: once the raw double sum's
-            # accumulated error exceeds 0.005 (possible over many
-            # millions of rows), the 2-dp-rounded sums themselves can
-            # fork between engines.  Where exact parity is required at
-            # any scale, sum pre-scaled integer cents instead (the
-            # staged/staged2 convention).
-            pround(pround(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4).alias(
-                "avg_qty"
-            ),
-            pround(pround(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4).alias(
-                "avg_price"
-            ),
-            pround(pround(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4).alias(
-                "avg_disc"
-            ),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+
+    def cents(col: str):
+        return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+    dec = "decimal(38,0)"
+    rows = li.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("qty_c"),
+        cents("l_extendedprice").alias("price_c"),
+        cents("l_discount").alias("disc_c"),
+        cents("l_tax").alias("tax_c"),
+    )
+    rows = rows.select(
+        "l_returnflag",
+        "l_linestatus",
+        "qty_c",
+        "price_c",
+        "disc_c",
+        # price*(1-disc) in exact 1e-4 units; *(1+tax) in 1e-6 units.
+        (F.col("price_c") * (F.lit(100) - F.col("disc_c"))).alias("disc_u4"),
+        (
+            F.col("price_c")
+            * (F.lit(100) - F.col("disc_c"))
+            * (F.lit(100) + F.col("tax_c"))
+        ).alias("charge_u6"),
+    )
+    agg = rows.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("qty_c").cast(dec)).alias("sq"),
+        F.sum(F.col("price_c").cast(dec)).alias("sp"),
+        F.sum(F.col("disc_c").cast(dec)).alias("sd"),
+        F.sum(F.col("disc_u4").cast(dec)).alias("sdp"),
+        F.sum(F.col("charge_u6").cast(dec)).alias("sc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sq").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("sp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.expr("CAST((sdp + 50) DIV 100 AS DOUBLE)") / 100.0).alias(
+            "sum_disc_price"
+        ),
+        (F.expr("CAST((sc + 5000) DIV 10000 AS DOUBLE)") / 100.0).alias(
+            "sum_charge"
+        ),
+        pround(
+            F.col("sq").cast("double") / 100.0 / F.col("count_order"), 4
+        ).alias("avg_qty"),
+        pround(
+            F.col("sp").cast("double") / 100.0 / F.col("count_order"), 4
+        ).alias("avg_price"),
+        pround(
+            F.col("sd").cast("double") / 100.0 / F.col("count_order"), 4
+        ).alias("avg_disc"),
+        "count_order",
     )
 
 
 ORACLE_Q1 = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)      AS qty_c,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT)      AS disc_c,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT)           AS tax_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+),
+a AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qty_c) AS sq, sum(price_c) AS sp, sum(disc_c) AS sd,
+         sum(price_c * (100 - disc_c)) AS sdp,
+         sum(price_c * (100 - disc_c) * (100 + tax_c)) AS sc,
+         count(*) AS count_order
+  FROM c GROUP BY 1, 2
+)
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 100 + 0.5) / 100.0                                           AS sum_qty,
-       floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0                                      AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0                   AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100.0     AS sum_charge,
-       floor(((floor(sum(l_quantity) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0      AS avg_qty,
-       floor(((floor(sum(l_extendedprice) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_price,
-       floor(((floor(sum(l_discount) * 100 + 0.5) / 100.0) / count(*)) * 10000 + 0.5) / 10000.0      AS avg_disc,
-       count(*)                                                            AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(sq AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sp AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST((sdp + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+       CAST((sc + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
+       floor((CAST(sq AS DOUBLE) / 100.0 / count_order) * 10000 + 0.5) / 10000.0 AS avg_qty,
+       floor((CAST(sp AS DOUBLE) / 100.0 / count_order) * 10000 + 0.5) / 10000.0 AS avg_price,
+       floor((CAST(sd AS DOUBLE) / 100.0 / count_order) * 10000 + 0.5) / 10000.0 AS avg_disc,
+       count_order
+FROM a
 """
 
 
@@ -1798,47 +1848,67 @@ LIMIT 10
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: rich-but-dormant customers per nation — a
     scalar AVG subquery (broadcast single-row threshold) plus a LEFT
-    ANTI join against recent orders. The threshold is rounded to
-    cents before the comparison so the boundary is identical across
-    engines; the anti join only shuffles custkeys."""
+    ANTI join against recent orders; the anti join only shuffles
+    custkeys.
+
+    Exactness (integer-cents convention — closes the r8-documented
+    residual half-step window of the old rounded-sum-divide form):
+    balances are pre-scaled to exact per-row integer cents; the
+    threshold is the round-half-up cent average computed entirely in
+    integer arithmetic ((2·S + n) div (2·n)); the rich-customer test
+    is an exact integer comparison; the per-nation total divides the
+    exact cent sum once.  No double ever carries engine-dependent
+    summation order, so the boundary cannot fork at any scale (2·S
+    tops ~3e16 cents even at a 1000× customer table — inside int64).
+    """
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     nations = [1, 3, 5, 7, 9, 11, 13]
-    pool = customer.where(F.col("c_nationkey").isin(nations))
-    # Rounded-sum-divide for the threshold: c_acctbal is 2-dp, so the
-    # 2-dp pre-round collapses sub-cent FP fuzz before the division,
-    # narrowing (not closing — see q1) the window where engine
-    # summation order could fork the comparison boundary; the residual
-    # risk needs >0.005 accumulated double error over the pool.
-    thresh = pool.where(F.col("c_acctbal") > 0.0).agg(
-        pround(pround(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 2).alias("avg_bal")
+    pool = customer.where(F.col("c_nationkey").isin(nations)).select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias(
+            "bal_c"
+        ),
+    )
+    thresh = pool.where(F.col("bal_c") > 0).agg(
+        F.expr("(2 * sum(bal_c) + count(1)) DIV (2 * count(1))").alias(
+            "thresh_c"
+        )
     )
     recent = orders.where(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
     )
     return (
         pool.join(F.broadcast(thresh))
-        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .where(F.col("bal_c") > F.col("thresh_c"))
         .join(recent, pool["c_custkey"] == recent["o_custkey"], "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            (F.sum("bal_c").cast("double") / 100.0).alias("totacctbal"),
         )
     )
 
 
 ORACLE_Q22 = """
-SELECT c_nationkey AS cntry, count(*) AS numcust,
-       floor(sum(c_acctbal) * 100 + 0.5) / 100.0 AS totacctbal
-FROM customer c
-WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-  AND c_acctbal > (SELECT floor(((floor(sum(c_acctbal) * 100 + 0.5) / 100.0) / count(*)) * 100 + 0.5) / 100.0
-                   FROM customer
-                   WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+),
+t AS (
+  SELECT (2 * sum(bal_c) + count(*)) // (2 * count(*)) AS thresh_c
+  FROM pool WHERE bal_c > 0
+)
+SELECT p.c_nationkey AS cntry, count(*) AS numcust,
+       CAST(sum(p.bal_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM pool p, t
+WHERE p.bal_c > t.thresh_c
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1999-01-01')
-GROUP BY c_nationkey
+GROUP BY p.c_nationkey
 """
 
 

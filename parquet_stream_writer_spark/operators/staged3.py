@@ -546,7 +546,10 @@ def events_weekly_seasonality_strength(
     Exactness: daily counts and their per-dow sums are exact integers;
     day-of-week is pure integer arithmetic on the epoch day ((day + 4)
     mod 7 — 1970-01-01 was a Thursday; no timezone/calendar
-    functions).  The ≤ 7 per-dow terms S_g²/n_g are each ONE double
+    functions); Spark uses ``pmod`` and the oracle the double-mod
+    ``((d % 7) + 7) % 7`` so pre-1970 (negative epoch-day) timestamps
+    land in [0, 6] in BOTH engines (DuckDB's plain ``%`` returns
+    negative residues).  The ≤ 7 per-dow terms S_g²/n_g are each ONE double
     expression of exact integers and are folded in dow order via the
     pack's sorted-array sequential-fold convention, so no engine picks
     its own summation order; SST comes from integer Σc² (int64
@@ -624,7 +627,7 @@ per_type AS (
   FROM daily GROUP BY 1
 ),
 per_dow AS (
-  SELECT event_type, (day + 4) % 7 AS dow,
+  SELECT event_type, ((day + 4) % 7 + 7) % 7 AS dow,
          (CAST(sum(c) AS DOUBLE) * sum(c)) / count(*) AS term
   FROM daily GROUP BY 1, 2
 ),
@@ -2450,8 +2453,12 @@ def events_props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: key extraction uses each engine's JSON parser on the
     same bytes; counts exact; shares are single divisions.  Events
-    whose props fail to parse as a JSON object are counted in
-    ``n_events`` but contribute no keys (both engines null-propagate).
+    whose props fail to parse as a JSON OBJECT are counted in
+    ``n_events`` but contribute no keys: Spark's ``json_object_keys``
+    returns NULL for malformed/non-object input (explode drops it);
+    DuckDB's ``json_keys`` RAISES on malformed input, so the oracle
+    guards with ``json_valid(props) AND json_type(...) = 'OBJECT'`` —
+    the exact predicate Spark applies implicitly.
 
     Shape: map-side key extraction + explode, one per-key hash
     aggregate, a 1-row total broadcast.
@@ -2479,7 +2486,9 @@ def events_props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_PROPS_KEY_CENSUS = """
 WITH total AS (SELECT count(*) AS n_events FROM events),
 keys AS (
-  SELECT unnest(json_keys(props)) AS key FROM events
+  SELECT unnest(json_keys(CAST(props AS JSON))) AS key FROM events
+  WHERE json_valid(props)
+    AND json_type(CAST(props AS JSON)) = 'OBJECT'
 )
 SELECT k.key, count(*) AS n_present,
        floor((CAST(count(*) AS DOUBLE) / t.n_events) * 1000000 + 0.5)
@@ -2865,6 +2874,14 @@ _SEQ_SYMBOLS = {
 #: purchase — the canonical browse→engage→convert journey.  Regex runs
 #: with identical semantics in Spark and DuckDB (RE2-compatible).
 _SEQ_PATTERN = "v+cp"
+#: Per-user journey cap: only the FIRST K events (by (ts, event_id))
+#: per user enter the journey string, so one bot user with millions of
+#: events bounds to a K-char aggregation buffer instead of blowing the
+#: sorted-collect at 100× scale.  Deterministic (order-pinned
+#: row_number), mirrored exactly in the DuckDB oracle, and far above
+#: any real per-user history in the synthetic corpus (max ≈ 10² at
+#: sf0.1), so test results are unchanged.
+_SEQ_MAX_EVENTS_PER_USER = 10_000
 
 
 def events_sequence_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2881,10 +2898,12 @@ def events_sequence_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFram
     greedy regex semantics, identical in both engines; output counts
     are exact integers.
 
-    Shape: one user-keyed sorted-collect (state bounded by per-user
-    history — cap journeys at scale with a rows-per-user window
-    guard), one map-side regex count, one fixed-width rollup: users
-    evaluated independently, embarrassingly parallel.
+    Shape: one user-keyed rows-per-user cap window (keep-first-K by
+    (ts, event_id), bounding the per-user aggregation buffer to
+    ``_SEQ_MAX_EVENTS_PER_USER`` chars — the scale guard against bot
+    users), then one user-keyed sorted-collect reusing the same
+    user_id exchange, one map-side regex count, one fixed-width
+    rollup: users evaluated independently, embarrassingly parallel.
     """
     sym = F.create_map(
         *[F.lit(x) for kv in _SEQ_SYMBOLS.items() for x in kv]
@@ -2894,6 +2913,12 @@ def events_sequence_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
         "event_id",
         sym[F.col("event_type")].alias("sym"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEQ_MAX_EVENTS_PER_USER)
+        .drop("rn")
     )
     journeys = ev.groupBy("user_id").agg(
         F.concat_ws(
@@ -2926,13 +2951,20 @@ def events_sequence_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 ORACLE_EVENTS_SEQUENCE_PATTERN_DETECT = f"""
-WITH ev AS (
+WITH ev0 AS (
   SELECT user_id, epoch_us(ts) AS us, event_id,
          CASE event_type
            WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
            WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
            WHEN 'view' THEN 'v' END AS sym
   FROM events
+),
+ev AS (
+  SELECT user_id, us, event_id, sym
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS rn
+        FROM ev0)
+  WHERE rn <= {_SEQ_MAX_EVENTS_PER_USER}
 ),
 journeys AS (
   SELECT user_id,

@@ -128,6 +128,43 @@ def test_corpus_rewrite_invalidates_persisted_memo(spark, tmp_path):
     assert len(after) == 7 * 2  # 7 pair-components, singletons excluded
 
 
+def test_eviction_grace_window_spares_fresh_orphans(spark):
+    """ADVICE r8: on a shared memo dir a concurrent session's in-flight
+    save (files written, marker pending) is an "orphan" to this
+    process's catalog check.  _evict_old must spare ANY table dir
+    modified within the grace window, even beyond the keep budget,
+    while still reclaiming genuinely old orphans."""
+    import os
+    import time as _time
+
+    from parquet_stream_writer_spark.operators import _memo_store as store
+
+    wh = urlparse(store._warehouse(spark)).path
+    stage = "testevict"
+    old_t = _time.time() - 2 * 3600  # well past the 1 h grace window
+    dirs = []
+    for i in range(store._KEEP_PER_STAGE + 2):
+        d = f"{wh}/dedup_memo_{stage}_old{i:02d}"
+        os.makedirs(d, exist_ok=True)
+        os.utime(d, (old_t + i, old_t + i))  # distinct, all stale
+        dirs.append(d)
+    fresh = f"{wh}/dedup_memo_{stage}_freshinflight"
+    os.makedirs(fresh, exist_ok=True)  # mtime = now: mid-save elsewhere
+    try:
+        store._evict_old(spark, stage)
+        assert os.path.isdir(fresh), "fresh orphan evicted inside grace"
+        survivors = [d for d in dirs if os.path.isdir(d)]
+        # Fresh dir is excluded from candidates, so the 2 oldest stale
+        # dirs beyond the keep budget are reclaimed.
+        assert len(survivors) == store._KEEP_PER_STAGE
+        assert not os.path.isdir(dirs[0]) and not os.path.isdir(dirs[1])
+    finally:
+        import shutil as _sh
+
+        for d in dirs + [fresh]:
+            _sh.rmtree(d, ignore_errors=True)
+
+
 def test_marker_spec_mismatch_forces_rebuild(spark, tmp_path):
     """A marker whose spec disagrees with the requested bucketing must
     be ignored (files rebuilt) — never registered with wrong bucket

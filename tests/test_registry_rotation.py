@@ -72,6 +72,77 @@ def test_unverified_keys_land_in_the_window():
     assert not missing, missing
 
 
+def test_fold_advances_only_driver_attested_hashes(tmp_path):
+    """ADVICE r8 (staleness laundering): the attested snapshot must
+    advance a key's hash ONLY when a driver artifact verified that
+    exact source — green-in-CORRECTNESS AND unchanged since the
+    pending snapshot.  Red keys, unverified keys, and keys edited
+    after the pending snapshot must keep their old attested hash."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    import record_query_hashes as tool
+
+    queries = ops.all_queries()
+    keys = list(queries)[:4]
+    verified_ok, verified_red, unverified, edited = keys
+    cur = {k: ops.query_source_hash(queries[k]) for k in keys}
+
+    root = tmp_path
+    (root / "PENDING_QUERY_HASHES.json").write_text(
+        json.dumps(
+            {
+                "for_round_after": 8,
+                "hashes": {
+                    verified_ok: cur[verified_ok],
+                    verified_red: cur[verified_red],
+                    unverified: cur[unverified],
+                    # pending recorded a hash the CURRENT source no
+                    # longer matches — an edit after the snapshot.
+                    edited: "hash-at-snapshot-time",
+                },
+            }
+        )
+    )
+    (root / "QUERY_SOURCE_HASHES.json").write_text(
+        json.dumps(
+            {
+                "as_of_round": 8,
+                "hashes": {k: f"old-attested-{k}" for k in keys},
+            }
+        )
+    )
+    (root / "CORRECTNESS_r09.json").write_text(
+        json.dumps(
+            {
+                verified_ok: {"hash_match": True},
+                verified_red: {"hash_match": False},
+                edited: {"hash_match": True},
+            }
+        )
+    )
+    tool.fold_attested(str(root))
+    out = json.loads((root / "QUERY_SOURCE_HASHES.json").read_text())
+    assert out["as_of_round"] == 9
+    h = out["hashes"]
+    assert h[verified_ok] == cur[verified_ok], "green verdict must fold"
+    assert h[verified_red] == f"old-attested-{verified_red}", "red kept stale"
+    assert h[unverified] == f"old-attested-{unverified}", "unwindowed kept"
+    assert h[edited] == f"old-attested-{edited}", (
+        "edited-since-pending must stay stale even with a green verdict"
+    )
+
+    # A CORRECTNESS file that PREDATES the pending snapshot must not
+    # fold anything (its verdicts attest older sources).
+    (root / "PENDING_QUERY_HASHES.json").write_text(
+        json.dumps({"for_round_after": 9, "hashes": {verified_ok: "newer"}})
+    )
+    tool.fold_attested(str(root))
+    out2 = json.loads((root / "QUERY_SOURCE_HASHES.json").read_text())
+    assert out2["hashes"] == h, "stale-pending fold must be a no-op"
+
+
 def test_oldest_verdicts_fill_the_remaining_window():
     """After the unverified keys, the window must hold exactly the
     OLDEST green verdicts: no green key outside the window may carry

@@ -686,3 +686,72 @@ def test_pattern_match_finds_planted_spike(spark, tmp_path, seed):
     for etype, d0, dist in got:
         assert model[(etype, d0)] == pytest.approx(dist, abs=2e-6)
     assert got == sorted(got, key=lambda t: (t[2], t[0], t[1]))[: len(got)]
+
+
+def test_sequence_pattern_journey_cap_bounds_mega_user(spark, tmp_path):
+    """Scale guard (VERDICT r8 item 3): one bot user with more events
+    than ``_SEQ_MAX_EVENTS_PER_USER`` must contribute only its FIRST K
+    events (by (ts, event_id)) to the journey string — bounding the
+    per-user aggregation buffer — and the cap must bind identically in
+    the DuckDB oracle (differential replay below)."""
+    import duckdb
+
+    import parquet_stream_writer_spark.operators.staged3 as s3
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    eid = 0
+
+    def ev(user, etype):
+        nonlocal eid
+        rows.append((eid, base + pd.Timedelta(seconds=eid), user, etype, 1.0, "{}"))
+        eid += 1
+
+    # Normal user: one clean v v c p journey (1 match).
+    for t in ["view", "view", "click", "purchase"]:
+        ev(1, t)
+    # Bot user: K noise events FIRST, then a v c p tail that must be
+    # truncated away by the cap.
+    cap = 12
+    orig = s3._SEQ_MAX_EVENTS_PER_USER
+    s3._SEQ_MAX_EVENTS_PER_USER = cap
+    try:
+        for _ in range(cap):
+            ev(2, "error")
+        for t in ["view", "click", "purchase"]:
+            ev(2, t)  # beyond the cap: must NOT count as a match
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        sf = _write(tmp_path, "events", pdf)
+        # The oracle interpolates the cap at module constant level; the
+        # query reads it at call time — rebuild the SQL under the test cap.
+        sql = s3.ORACLE["events_sequence_pattern_detect"].replace(
+            f"rn <= {orig}", f"rn <= {cap}"
+        )
+        got = s3.events_sequence_pattern_detect(spark, sf).collect()[0]
+        assert got.n_users == 2
+        assert got.users_matched == 1, "bot tail beyond cap must not match"
+        assert got.total_matches == 1
+        # mean journey length: user1 = 4, user2 capped at 12 → 8.0
+        assert float(got.mean_journey_len) == 8.0
+
+        con = duckdb.connect()
+        con.register("events", pdf)
+        oracle = con.sql(sql).fetchall()[0]
+        assert (
+            got.n_users,
+            got.users_matched,
+            got.total_matches,
+            float(got.match_rate),
+            float(got.mean_journey_len),
+        ) == (
+            oracle[0],
+            oracle[1],
+            oracle[2],
+            float(oracle[3]),
+            float(oracle[4]),
+        )
+    finally:
+        s3._SEQ_MAX_EVENTS_PER_USER = orig
