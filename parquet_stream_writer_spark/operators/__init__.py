@@ -104,6 +104,7 @@ def _modules():
         similarity,
         staged,
         staged2,
+        staged3,
         streaming_batch,
         text,
     )
@@ -118,6 +119,7 @@ def _modules():
         pipeline,
         staged,
         staged2,
+        staged3,
     )
 
 

@@ -1,35 +1,39 @@
-"""Third staged operator pack — built in round 8, to be REGISTERED
-with the driver in round 9.
+"""Third staged operator pack — built in round 8, REGISTERED with the
+driver in round 9 (the ``staged3`` entry in ``operators._modules()``).
 
 Same contract as the first two staged packs (operators/staged.py round
-6 → 7, operators/staged2.py round 7 → 8): this module lives OUTSIDE
-``operators._modules()`` so its keys consume no round-8
-verification-window slot; every key ships with a DataFrame-first
-implementation, an ANSI/DuckDB oracle twin, engine-portable arithmetic
-(pround / integer scaling / cross-multiplied comparisons / the
-sorted-array sequential-fold convention where a bounded double sum's
-order matters), a scale-shape docstring, and local differential tests
+6 → 7, operators/staged2.py round 7 → 8): every key ships with a
+DataFrame-first implementation, an ANSI/DuckDB oracle twin,
+engine-portable arithmetic (pround / integer scaling /
+cross-multiplied comparisons / the sorted-array sequential-fold
+convention where a bounded double sum's order matters), a scale-shape
+docstring, and local differential tests
 (tests/test_staged3_operators.py).
 
-Round-9 registration checklist (mirror of staged2's round-8 record):
+Round-9 registration record (mirror of staged2's round-8 record):
 
-1. re-run the full battery over ALL keys (tools/staged2_check.py
-   --staged3 cross-SF strict at sf0.001/0.01/0.1, invariance_check
-   --staged3, adversarial_sweep.py --staged3, the property tests);
-2. add ``staged3`` to ``operators._modules()`` (after ``staged2``);
-3. fold ``_STAGED3_NLJ_OK`` (tests/test_staged3_operators.py) into
+1. full battery re-run AT registration, all green: strict replay
+   28/28 at each of sf0.001/0.01/0.1 (tools/staged2_check.py
+   --staged3), adversarial sweep 28/28 clean, partition invariance
+   28/28 (tools/invariance_check.py --staged3), 14 property tests —
+   after the round-9 pre-registration fixes (per-user journey cap in
+   events_sequence_pattern_detect with a planted-mega-user test,
+   double-mod dow in the weekly-seasonality oracle, json_valid/
+   json_type guards in the props-census oracle);
+2. ``staged3`` added to ``operators._modules()`` (after ``staged2``);
+3. ``_STAGED3_NLJ_OK`` (tests/test_staged3_operators.py) folded into
    the plan sweep's ``_NLJ_OK`` in tests/test_plan_introspection.py;
-4. fold the staged3 rows of SURVEY §2c into the main inventory and
-   re-run tools/record_query_hashes.py (window-aware) at round-9
-   session END.
+4. SURVEY §2c rows were folded at build time;
+   tools/record_query_hashes.py (attestation-driven, round-9
+   semantics) runs at session END.
 
-Round-9 window forecast (age-first rotation, assuming CORRECTNESS_r08
-lands green on round 8's 50-key window): 28 staged3 tier-0 slots + 22
-green slots taken oldest-cohort-first — the 12 remaining r3-vintage
-keys, then the oldest r4 cohort with round-8's 18 source-stale keys
-(dedup memo persistence + carrier/comment edits, every one locally
-driver_check-green at r8 close) leading their cohorts via the
-stale-first tie-break.
+Round-9 window composition (age-first rotation over the 267-key
+registry): 28 staged3 tier-0 slots + 22 green slots taken
+oldest-cohort-first — the 12 remaining r3-vintage keys, then the
+oldest cohort with source-stale keys (dedup memo persistence +
+carrier/comment edits + the round-9 q1/q22 integer-cents rewrite)
+leading via the stale-first tie-break; the overflow spills to
+round 10 (recorded in SURVEY §7).
 """
 
 from __future__ import annotations

@@ -128,6 +128,19 @@ _NLJ_OK = {
     "agg_benford_audit",  # 1-row total broadcast
     "pipeline_quarantine_router",  # 1-row total broadcast
     "events_type_share_drift",  # bounded weeks x types grid cross join
+    # round-9 staged3 registration (folded from
+    # tests/test_staged3_operators.py::_STAGED3_NLJ_OK):
+    "part_type_price_premium",  # 1-row catalog-mean broadcast
+    "text_boilerplate_ngrams",  # 1-row corpus-size broadcast
+    "text_ngram_novelty_curve",  # 1-row (min, max) doc-id broadcast
+    "similarity_pair_sample_histogram",  # 1-row max-id broadcast
+    "sample_neyman_allocation",  # 1-row Σw / deficit broadcasts
+    "pipeline_partition_pruning_audit",  # 1-row totals broadcast
+    "embedding_dedup_agreement_audit",  # 1-row summary relation
+    "agg_topk_with_others",  # 1-row total + head-sum broadcasts
+    "events_props_key_census",  # 1-row event-total broadcast
+    "graph_assortativity",  # 1-row node-count broadcast
+    "text_lang_source_cramers_v",  # 1-row dims broadcast
 }
 
 
