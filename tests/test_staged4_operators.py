@@ -1,0 +1,75 @@
+"""Oracle differential tests for the FOURTH staged operator pack
+(operators/staged4.py) — the same local gate the first three staged
+packs passed before registration; the driver sees these keys when
+round 10 adds ``staged4`` to ``operators._modules()``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_stream_writer_spark.operators import staged4
+
+from tests.conftest import assert_results_match
+
+
+@pytest.mark.parametrize("name", sorted(staged4.QUERIES))
+def test_staged4_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    df = staged4.QUERIES[name](spark, sf_dir)
+    assert name in staged4.ORACLE
+    assert_results_match(df, oracle_con, staged4.ORACLE[name])
+
+
+def test_staged4_keys_not_yet_registered():
+    """While staged, these keys must NOT appear in the driver registry
+    (they would displace round 9's window composition).  Round 10
+    flips this assertion, as round 9 flipped staged3's."""
+    from parquet_stream_writer_spark.operators import all_queries
+
+    live = set(all_queries())
+    assert not (set(staged4.QUERIES) & live)
+
+
+def test_staged4_every_key_has_an_oracle():
+    assert set(staged4.QUERIES) == set(staged4.ORACLE)
+
+
+@pytest.mark.parametrize("name", sorted(staged4.QUERIES))
+def test_staged4_query_survives_empty_corpus(name, spark, empty_sf):
+    """The FULL staged4 pack against a schema-exact zero-row corpus:
+    no ANSI DIVIDE_BY_ZERO, no null-handling crash."""
+    df = staged4.QUERIES[name](spark, empty_sf)
+    assert df.count() >= 0  # materializes the plan; raises on ANSI errors
+
+
+#: Staged4 queries whose plans legitimately contain a
+#: BroadcastNestedLoopJoin — all O(1)–O(k)-row scalar/grid broadcasts
+#: (the registered pack's _NLJ_OK convention).  Fold into _NLJ_OK at
+#: round-10 registration.
+_STAGED4_NLJ_OK = {
+    "text_oov_coverage",  # 8-row K-grid + 1-row totals broadcasts
+    "similarity_hamming_topk",  # probe-code broadcast (non-equi id test)
+    "sample_dedup_aware",  # 1-row totals broadcast
+    "orders_basket_size_histogram",  # 1-row totals broadcast
+    "orders_customer_migration",  # 1-row total broadcast
+    "events_user_lifetime",  # 1-row totals broadcast
+    "text_vocab_jaccard_by_lang",  # bounded lang-pair grid (lang < lang)
+}
+
+
+def test_staged4_pack_plan_sweep(spark, sf_dir):
+    """The registered pack's plan sweep, applied BEFORE registration:
+    no SortAggregate, no unexpected nested-loop join, no cartesian
+    product anywhere in the staged4 pack."""
+    from parquet_stream_writer_spark.plans import summarize
+
+    offenders = {}
+    for name, fn in sorted(staged4.QUERIES.items()):
+        s = summarize(fn(spark, sf_dir))
+        if s.nodes.get("SortAggregate"):
+            offenders.setdefault(name, []).append("SortAggregate")
+        if s.nodes.get("BroadcastNestedLoopJoin") and name not in _STAGED4_NLJ_OK:
+            offenders.setdefault(name, []).append("BroadcastNestedLoopJoin")
+        if s.nodes.get("CartesianProduct"):
+            offenders.setdefault(name, []).append("CartesianProduct")
+    assert not offenders, offenders

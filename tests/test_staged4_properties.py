@@ -1,0 +1,336 @@
+"""Randomized brute-force cross-checks for the FOURTH staged pack
+(operators/staged4.py): each test builds a small synthetic corpus
+(fixed seeds), runs the operator through its real parquet-loading
+path, and compares against an independent pure-pandas/numpy model —
+covering regimes the driver corpus never reaches (band boundaries,
+zero-variance brands, single-user lifetimes, planted sign structure,
+anisotropic cones).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _write(tmp_path, name: str, pdf: pd.DataFrame) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir(exist_ok=True)
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf), d / f"{name}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [11, 503])
+def test_hamming_topk_matches_numpy_popcount(spark, tmp_path, seed):
+    """Sign-code Hamming vs a numpy popcount model, with one planted
+    exact-duplicate sign pattern per probe (distance 0 must rank
+    first, tie-broken by id)."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        _HAM_PROBE_STRIDE,
+        _HAM_TOPK,
+        similarity_hamming_topk,
+    )
+
+    rng = np.random.default_rng(seed)
+    d = 64
+    n = 3 * _HAM_PROBE_STRIDE + 1  # 4 probes (0, 101, 202, 303)
+    vecs = rng.normal(size=(n, d)).astype("float32")
+    # Plant: vector qid+1 copies qid's SIGN pattern exactly.
+    for qid in range(0, n, _HAM_PROBE_STRIDE):
+        if qid + 1 < n:
+            vecs[qid + 1] = np.abs(vecs[qid + 1]) * np.sign(vecs[qid])
+            vecs[qid + 1][vecs[qid] == 0] = 0.0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [v for v in vecs],
+            "label": np.zeros(n, dtype="int32"),
+        }
+    )
+    sf = _write(tmp_path, "embeddings", pdf)
+    got = [
+        (r.qid, r.rk, r.nid, r.hamming)
+        for r in similarity_hamming_topk(spark, sf).collect()
+    ]
+
+    signs = vecs >= 0.0
+    model = []
+    for qid in range(0, n, _HAM_PROBE_STRIDE):
+        dists = np.count_nonzero(signs != signs[qid], axis=1)
+        order = sorted(
+            (int(dists[i]), i) for i in range(n) if i != qid
+        )[:_HAM_TOPK]
+        for rk, (dist, nid) in enumerate(order, start=1):
+            model.append((qid, rk, nid, dist))
+    assert got == model
+    # the planted sign-copy is distance 0 and ranks first
+    for qid in range(0, n - 1, _HAM_PROBE_STRIDE):
+        row = next(r for r in got if r[0] == qid and r[1] == 1)
+        assert row[2] == qid + 1 and row[3] == 0
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+def test_isotropy_audit_matches_bruteforce_pairwise(spark, tmp_path, seed):
+    """The closed-form mean pairwise cosine must agree with the brute
+    O(n²) average over the quantized unit vectors — including an
+    anisotropic planted label (all vectors in a tight cone → mean_cos
+    near 1) and an isotropic one (near 0)."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        embedding_isotropy_audit,
+    )
+
+    rng = np.random.default_rng(seed)
+    d, rows = 16, []
+    base = rng.normal(size=d)
+    vid = 0
+    for _ in range(12):  # label 0: tight cone around base
+        v = base + rng.normal(size=d) * 0.05
+        rows.append((vid, v.astype("float32"), 0))
+        vid += 1
+    for _ in range(15):  # label 1: isotropic
+        rows.append((vid, rng.normal(size=d).astype("float32"), 1))
+        vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sf = _write(tmp_path, "embeddings", pdf)
+    got = {
+        r.label: float(r.mean_cos)
+        for r in embedding_isotropy_audit(spark, sf).collect()
+    }
+
+    for label in (0, 1):
+        vecs = np.stack(
+            [np.asarray(v, dtype="float64") for v, l in
+             zip(pdf.embedding, pdf.label) if l == label]
+        )
+        u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        q = np.floor(u * 1_000_000 + 0.5)  # the quantized convention
+        n = len(q)
+        ss = (q.sum(axis=0) ** 2).sum()
+        selfsum = (q * q).sum()
+        expect = (ss - selfsum) / (selfsum / n * n * (n - 1))
+        expect = np.floor(expect * 1e6 + 0.5) / 1e6
+        assert got[label] == pytest.approx(expect, abs=2e-6)
+    assert got[0] > 0.9 and abs(got[1]) < 0.35
+
+
+def test_oov_coverage_matches_pandas_model(spark, tmp_path):
+    """Coverage at each K vs a pandas frequency model, on a corpus
+    with a deliberately skewed Zipf-ish token mix and a vocab smaller
+    than the largest K (coverage must saturate at 1.0)."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        _COVERAGE_KS,
+        text_oov_coverage,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    docs = []
+    for i in range(40):
+        toks = []
+        for j, w in enumerate(words):
+            toks.extend([w] * max(0, 40 - 2 * j - (i % 3)))
+        docs.append(" ".join(toks))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(docs), dtype="int64"),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = {
+        int(r.k): (int(r.covered), float(r.coverage))
+        for r in text_oov_coverage(spark, sf).collect()
+    }
+
+    freq = pd.Series(
+        " ".join(docs).split()
+    ).value_counts().sort_values(ascending=False)
+    # deterministic tie-break: count desc, token asc
+    freq = freq.reset_index()
+    freq.columns = ["tok", "cnt"]
+    freq = freq.sort_values(["cnt", "tok"], ascending=[False, True])
+    total = int(freq.cnt.sum())
+    for k in _COVERAGE_KS:
+        covered = int(freq.cnt.head(k).sum())
+        assert got[k][0] == covered
+        assert got[k][1] == pytest.approx(
+            np.floor(covered / total * 1e6 + 0.5) / 1e6, abs=1e-9
+        )
+    assert got[max(_COVERAGE_KS)][1] == 1.0  # vocab(20) < 128: saturates
+
+
+def test_customer_migration_band_boundaries(spark, tmp_path):
+    """Band routing at EXACT band-edge cents: a customer whose spend
+    lands exactly on an edge must route to the upper band (strict <)
+    in both engines, and single-period customers are excluded."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        _MIGRATION_BANDS,
+        orders_customer_migration,
+    )
+
+    lo, mid, hi = _MIGRATION_BANDS
+    t1, t2 = pd.Timestamp("1995-06-01"), pd.Timestamp("1997-06-01")
+    rows = [
+        # cust 1: exactly lo cents in p1 (→ 'M'), lo-1 in p2 (→ 'S')
+        (1, 1, "F", lo / 100.0, t1, "1-URGENT"),
+        (2, 1, "F", (lo - 1) / 100.0, t2, "1-URGENT"),
+        # cust 2: exactly mid in p1 (→ 'L'), exactly hi in p2 (→ 'XL')
+        (3, 2, "F", mid / 100.0, t1, "1-URGENT"),
+        (4, 2, "F", hi / 100.0, t2, "1-URGENT"),
+        # cust 3: p1 only — excluded
+        (5, 3, "F", 500.0, t1, "1-URGENT"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    sf = _write(tmp_path, "orders", pdf)
+    got = {
+        (r.band_from, r.band_to): r.n_customers
+        for r in orders_customer_migration(spark, sf).collect()
+    }
+    assert got == {("M", "S"): 1, ("L", "XL"): 1}
+
+
+def test_user_lifetime_nearest_rank_percentiles(spark, tmp_path):
+    """Nearest-rank percentiles over a crafted span distribution:
+    5 users with spans [0, 1, 2, 10, 100] days → p50 = 3rd value (2),
+    p90 = 5th value (100); ceil boundaries exercised exactly."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        events_user_lifetime,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for uid, span in enumerate([0, 1, 2, 10, 100]):
+        rows.append((eid, base, uid, "view", 1.0, "{}")); eid += 1
+        rows.append(
+            (eid, base + pd.Timedelta(days=span), uid, "click", 1.0, "{}")
+        ); eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    row = events_user_lifetime(spark, sf).collect()[0]
+    assert row.n_users == 5
+    assert row.p50_span_days == 2  # ceil(0.5*5)=3rd smallest
+    assert row.p90_span_days == 100  # ceil(0.9*5)=5th smallest
+    assert float(row.mean_span_days) == pytest.approx(22.6)
+    assert float(row.mean_events_per_user) == 2.0
+
+
+def test_price_elasticity_recovers_planted_slope(spark, tmp_path):
+    """A brand with EXACT linear quantity response y = 3x + 2 must
+    report slope 3.0; a zero-discount-variance brand must report
+    null."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        orders_price_elasticity,
+    )
+
+    li_rows, part_rows = [], []
+    part_rows.append((1, "p1", "BRAND_LIN", "T", 1, 10.0))
+    part_rows.append((2, "p2", "BRAND_FLAT", "T", 1, 10.0))
+    k = 0
+    for x in range(0, 11):  # discounts 0..10 points
+        li_rows.append(
+            (k, 1, 1, 1, float(3 * x + 2), 100.0, x / 100.0, 0.0,
+             "N", "O", pd.Timestamp("1995-01-01"))
+        )
+        k += 1
+    for _ in range(5):  # flat brand: every sale at 5% discount
+        li_rows.append(
+            (k, 2, 1, 1, 7.0, 100.0, 0.05, 0.0, "N", "O",
+             pd.Timestamp("1995-01-01"))
+        )
+        k += 1
+    li = pd.DataFrame(
+        li_rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    part = pd.DataFrame(
+        part_rows,
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    )
+    sf = _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "part", part)
+    got = {
+        r.p_brand: r.qty_per_discount_pt
+        for r in orders_price_elasticity(spark, sf).collect()
+    }
+    assert got["BRAND_LIN"] == pytest.approx(3.0, abs=1e-9)
+    assert got["BRAND_FLAT"] is None
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_dedup_aware_ess_matches_bruteforce(spark, tmp_path, seed):
+    """ESS and weighted shares vs a pandas model on a corpus with one
+    big near-dup cluster concentrated in a single source — that
+    source's weighted share must collapse toward its unique content."""
+    from parquet_stream_writer_spark.operators.dedup import clear_dedup_memo
+    from parquet_stream_writer_spark.operators.staged4 import (
+        sample_dedup_aware,
+    )
+
+    rows = []
+    # source A: a 6-way near-dup cluster + 2 unique docs
+    base = "shared shingle content block alpha " * 12
+    for i in range(6):
+        rows.append((i, base + ("tail " * i), "A", "en"))
+    rows.append((6, "completely unique a-doc one with own words", "A", "en"))
+    rows.append((7, "another unique a-doc with different words", "A", "en"))
+    # source B: 8 unique docs
+    for i in range(8):
+        rows.append(
+            (8 + i, f"unique b content {i} nothing shared here {i*13}", "B", "en")
+        )
+    pdf = pd.DataFrame(
+        [(d, t, l, s) for d, t, s, l in rows],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    sf = _write(tmp_path, "documents", pdf)
+    clear_dedup_memo()
+    got = {
+        r.source: (r.n_docs, float(r.weighted_share), float(r.ess))
+        for r in sample_dedup_aware(spark, sf).collect()
+    }
+
+    # model: cluster of 6 in A → weights 1e6//6 each; all else 1e6
+    w = {i: 1_000_000 // 6 for i in range(6)}
+    for i in range(6, 16):
+        w[i] = 1_000_000
+    for src, ids in (("A", range(0, 8)), ("B", range(8, 16))):
+        wsum = sum(w[i] for i in ids)
+        wsq = sum(w[i] ** 2 for i in ids)
+        tot_w = sum(w.values())
+        assert got[src][0] == len(list(ids))
+        assert got[src][1] == pytest.approx(
+            np.floor(wsum / tot_w * 1e6 + 0.5) / 1e6, abs=1e-9
+        )
+        assert got[src][2] == pytest.approx(
+            np.floor(wsum * wsum / wsq * 100 + 0.5) / 100, abs=1e-9
+        )
+    # the 6-way cluster devalues A: B carries more weighted share
+    assert got["B"][1] > got["A"][1]

@@ -13,6 +13,7 @@ Usage::
     python tools/adversarial_sweep.py --registered
     python tools/adversarial_sweep.py --staged2   # pre-registration gate
     python tools/adversarial_sweep.py --staged3   # third staged pack
+    python tools/adversarial_sweep.py --staged4   # fourth staged pack
 
 The round-6 known-findings list (json_extraction /
 multimodal_audio_features / multimodal_shard_manifest oracle
@@ -81,6 +82,10 @@ def main() -> int:
         from parquet_stream_writer_spark.operators import staged3
 
         queries, oracles = staged3.QUERIES, staged3.ORACLE
+    elif "--staged4" in sys.argv[1:]:
+        from parquet_stream_writer_spark.operators import staged4
+
+        queries, oracles = staged4.QUERIES, staged4.ORACLE
     else:
         from parquet_stream_writer_spark.operators import staged
 

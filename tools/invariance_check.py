@@ -57,6 +57,9 @@ elif {staged!r} == "staged2":
 elif {staged!r} == "staged3":
     from parquet_stream_writer_spark.operators import staged3 as _staged3
     qs = dict(_staged3.QUERIES)
+elif {staged!r} == "staged4":
+    from parquet_stream_writer_spark.operators import staged4 as _staged4
+    qs = dict(_staged4.QUERIES)
 res = {{}}
 for name, fn in sorted(qs.items()):
     df = fn(spark, sf).toPandas()
@@ -86,11 +89,13 @@ def run_config(nparts: str, out: str, staged: str = "") -> None:
 def main() -> int:
     args = sys.argv[1:]
     staged = (
-        "staged3"
+        "staged4"
+        if "--staged4" in args
+        else "staged3"
         if "--staged3" in args
         else "staged2" if "--staged2" in args else "staged" if "--staged" in args else ""
     )
-    args = [a for a in args if a not in ("--staged", "--staged2", "--staged3")]
+    args = [a for a in args if a not in ("--staged", "--staged2", "--staged3", "--staged4")]
     pair = args[:2] or ["7", "32"]
     with tempfile.TemporaryDirectory() as d:
         outs = []
