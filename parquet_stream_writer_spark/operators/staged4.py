@@ -22,9 +22,9 @@ Round-10 registration checklist (mirror of staged3's round-9 record):
    run tools/record_query_hashes.py (pending snapshot) at round-10
    session END, ``--fold`` at round-10 START.
 
-Round-10 window forecast (age-first rotation at a 280-key registry,
+Round-10 window forecast (age-first rotation at a 283-key registry,
 assuming CORRECTNESS_r09 lands green on round 9's 50-key window):
-13 staged4 tier-0 slots + 37 green slots oldest-cohort-first — the
+16 staged4 tier-0 slots + 34 green slots oldest-cohort-first — the
 9 round-9 stale spills (4 r5-vintage dedup keys ahead of their cohort,
 then the r7-vintage dedup_minhash_estimate_audit / graph carriers /
 q1 / q22 when r7 comes up) ride their cohorts' stale-first tie-break
@@ -1306,3 +1306,409 @@ ORDER BY c.band_from, c.band_to
 
 QUERIES["orders_customer_migration"] = orders_customer_migration
 ORACLE["orders_customer_migration"] = ORACLE_ORDERS_CUSTOMER_MIGRATION
+
+
+# ---------------------------------------------------------------------------
+# Seasonality-adjusted anomaly days (residual vs dow baseline)
+# ---------------------------------------------------------------------------
+
+
+def events_seasonal_residual_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-ADJUSTED anomaly detection: a day is anomalous for
+    an event type when its count exceeds 2× that type's same-weekday
+    baseline mean — the correction the plain z-score/MAD alarms lack
+    (a normal Monday peak looks like an outlier against an all-days
+    baseline; against the Monday baseline it is quiet).
+
+    Exactness: daily counts are exact integers; dow is pure epoch-day
+    integer arithmetic (pmod / double-mod, the pack convention); the
+    2× test cross-multiplies exact integers (c·n_cell > 2·s_cell — no
+    division in the predicate); the reported max ratio is ONE double
+    expression of exact integers, 6-dp rounded.
+
+    Shape: one (type, day) hash aggregate, one (type, dow) cell
+    aggregate, a cells⋈days equi join on bounded keys, one type
+    rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("dow", F.pmod(F.col("day") + 4, F.lit(7)))
+    )
+    cells = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("ncell"), F.sum("c").alias("scell")
+    )
+    joined = daily.join(cells, ["event_type", "dow"])
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.when(
+                    F.col("c") * F.col("ncell") > 2 * F.col("scell"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+            pround(
+                F.max(
+                    (F.col("c") * F.col("ncell")).cast("double")
+                    / F.col("scell")
+                ),
+                6,
+            ).alias("max_dow_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_SEASONAL_RESIDUAL_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+dowd AS (
+  SELECT event_type, day, c,
+         (((day + 4) % 7) + 7) % 7 AS dow
+  FROM daily
+),
+cells AS (
+  SELECT event_type, dow, count(*) AS ncell, sum(c) AS scell
+  FROM dowd GROUP BY 1, 2
+)
+SELECT d.event_type,
+       count(*) AS n_days,
+       CAST(sum(CASE WHEN d.c * x.ncell > 2 * x.scell THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies,
+       floor(max(CAST(d.c * x.ncell AS DOUBLE) / x.scell) * 1000000 + 0.5)
+         / 1000000.0 AS max_dow_ratio
+FROM dowd d JOIN cells x ON d.event_type = x.event_type AND d.dow = x.dow
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["events_seasonal_residual_anomaly"] = events_seasonal_residual_anomaly
+ORACLE["events_seasonal_residual_anomaly"] = (
+    ORACLE_EVENTS_SEASONAL_RESIDUAL_ANOMALY
+)
+
+
+# ---------------------------------------------------------------------------
+# Part-size price curve (monotonicity check on bounded size bands)
+# ---------------------------------------------------------------------------
+
+
+def part_size_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price curve across part-size bands (p_size div 10):
+    per band, the part count and mean retail price, plus whether the
+    band's mean DROPPED vs the previous band — the monotonicity sanity
+    check behind size-based pricing ("bigger should not be cheaper"
+    catalog audits).
+
+    Exactness: prices are exact integer cents; the mean is one
+    division; the drop test cross-multiplies exact integer sums
+    (s_prev·n_cur > s_cur·n_prev), so no division enters the
+    predicate; the first band reports null.
+
+    Shape: one part scan → bounded band cells (≤ 6 rows), one lag
+    window over the cell relation only.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        (F.col("p_size").cast("long") / 10).cast("long").alias("size_band"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cells = part.groupBy("size_band").agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum("cents").alias("s")
+    )
+    w = Window.orderBy("size_band")
+    lagged = cells.withColumn("pn", F.lag("n_parts").over(w)).withColumn(
+        "ps", F.lag("s").over(w)
+    )
+    return lagged.select(
+        "size_band",
+        "n_parts",
+        pround(F.col("s") / F.col("n_parts") / 100.0, 2).alias(
+            "mean_price"
+        ),
+        F.when(
+            F.col("pn").isNotNull(),
+            F.col("ps") * F.col("n_parts") > F.col("s") * F.col("pn"),
+        ).alias("dropped_vs_prev"),
+    ).orderBy("size_band")
+
+
+ORACLE_PART_SIZE_PRICE_CURVE = """
+WITH cells AS (
+  SELECT CAST(p_size // 10 AS BIGINT) AS size_band,
+         count(*) AS n_parts,
+         sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS s
+  FROM part GROUP BY 1
+),
+lagged AS (
+  SELECT size_band, n_parts, s,
+         lag(n_parts) OVER (ORDER BY size_band) AS pn,
+         lag(s) OVER (ORDER BY size_band) AS ps
+  FROM cells
+)
+SELECT size_band, n_parts,
+       floor((CAST(s AS DOUBLE) / n_parts / 100.0) * 100 + 0.5) / 100.0
+         AS mean_price,
+       CASE WHEN pn IS NOT NULL THEN ps * n_parts > s * pn END
+         AS dropped_vs_prev
+FROM lagged
+ORDER BY size_band
+"""
+
+QUERIES["part_size_price_curve"] = part_size_price_curve
+ORACLE["part_size_price_curve"] = ORACLE_PART_SIZE_PRICE_CURVE
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid shift between dataset halves (version drift)
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between two dataset versions: splitting the
+    corpus into deterministic halves (vec_id parity — the stand-in for
+    v1/v2 snapshots), the per-label distance between the halves'
+    centroids — the regression alarm that fires when a re-embedding
+    run or upstream data shift silently moves a class.
+
+    Exactness: components quantize to exact 1e-6-unit integers; the
+    per-dimension centroid difference is an exact integer cross
+    product ((S_a·n_b − S_b·n_a)) descaled once; the 64 squared terms
+    fold in DIMENSION order via the pack's sorted-collect sequential
+    fold, so no engine picks its own summation order; one sqrt at the
+    end.
+
+    Shape: one posexplode → (label, half, dim) cells (k·2·d rows);
+    everything downstream runs on bounded cell relations.
+    """
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    vd = emb.select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("half"),
+        F.posexplode("emb").alias("dim", "v"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    cents = vd.groupBy("label", "half", "dim").agg(
+        F.sum("v6").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = cents.where(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = cents.where(F.col("half") == 1).select(
+        F.col("label").alias("lb"),
+        F.col("dim").alias("dimb"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    terms = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("dim") == F.col("dimb"))
+    ).select(
+        "label",
+        "dim",
+        "na",
+        "nb",
+        (
+            (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(
+                "double"
+            )
+            / (F.col("na") * F.col("nb") * F.lit(1000000.0))
+        ).alias("diff"),
+    )
+    folded = (
+        terms.groupBy("label")
+        .agg(
+            F.max("na").alias("n_v1"),
+            F.max("nb").alias("n_v2"),
+            F.array_sort(F.collect_list(F.struct("dim", "diff"))).alias(
+                "pairs"
+            ),
+        )
+        .select(
+            "label",
+            "n_v1",
+            "n_v2",
+            F.aggregate(
+                "pairs", F.lit(0.0), lambda acc, p: acc + p["diff"] * p["diff"]
+            ).alias("d2"),
+        )
+    )
+    return folded.select(
+        "label",
+        "n_v1",
+        "n_v2",
+        pround(F.sqrt(F.col("d2")), 6).alias("centroid_shift"),
+    ).orderBy("label")
+
+
+ORACLE_EMBEDDING_CENTROID_SHIFT = """
+WITH vd AS (
+  SELECT label, vec_id % 2 AS half,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+),
+cents AS (
+  SELECT label, half, dim, sum(v6) AS s, count(*) AS n
+  FROM vd GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT a.label, a.dim, a.n AS na, b.n AS nb,
+         CAST(a.s * b.n - b.s * a.n AS DOUBLE)
+           / (a.n * b.n * 1000000.0) AS diff
+  FROM cents a JOIN cents b
+    ON a.label = b.label AND a.dim = b.dim
+   AND a.half = 0 AND b.half = 1
+),
+folded AS (
+  SELECT label, max(na) AS n_v1, max(nb) AS n_v2,
+         list_reduce(list_prepend(0.0, list(diff * diff ORDER BY dim)),
+                     (acc, x) -> acc + x) AS d2
+  FROM terms GROUP BY 1
+)
+SELECT label, n_v1, n_v2,
+       floor(sqrt(d2) * 1000000 + 0.5) / 1000000.0 AS centroid_shift
+FROM folded
+ORDER BY label
+"""
+
+QUERIES["embedding_centroid_shift"] = embedding_centroid_shift
+ORACLE["embedding_centroid_shift"] = ORACLE_EMBEDDING_CENTROID_SHIFT
+
+
+# ---------------------------------------------------------------------------
+# Doc-length vs embedding-norm correlation (cross-table hygiene audit)
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_length_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson correlation between document length and embedding norm
+    over the documents⋈embeddings key (doc_id = vec_id) — the
+    hygiene audit for un-normalized embedding exports: a strong
+    length–norm correlation means cosine thresholds silently encode
+    document length, poisoning dedup and retrieval calibration.
+
+    Exactness: components quantize to exact 1e-6-unit integers, so
+    the per-vector squared norm is an exact integer; the norm is
+    floor(sqrt) of that integer (IEEE sqrt of the same exact integer
+    — identical in both engines); all five Pearson co-moments are
+    exact integer sums (y² products ride decimal(38,0) — Σy² tops
+    int64 beyond ~1e5 vectors); the correlation is ONE double
+    expression, 6-dp rounded.
+
+    Shape: one posexplode → per-vector integer aggregate, one
+    id-keyed equi join to documents, one 1-row co-moment rollup.
+    """
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sumsq = (
+        emb.select("vec_id", F.posexplode("emb").alias("dim", "v"))
+        .select(
+            "vec_id",
+            F.floor(F.col("v") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("v6"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("v6") * F.col("v6")).alias("ss"))
+        .select(
+            "vec_id",
+            F.floor(F.sqrt(F.col("ss").cast("double")))
+            .cast("long")
+            .alias("norm6"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("x")
+    )
+    xy = docs.join(sumsq, "vec_id").select("x", F.col("norm6").alias("y"))
+    dec = "decimal(38,0)"
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    return m.select(
+        "n",
+        pround(
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            ),
+            6,
+        ).alias("len_norm_corr"),
+    )
+
+
+ORACLE_EMBEDDING_NORM_LENGTH_CORRELATION = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         CAST(floor(sqrt(CAST(sum(v6 * v6) AS DOUBLE))) AS BIGINT) AS y
+  FROM q GROUP BY 1
+),
+xy AS (
+  SELECT d.n_chars AS x, n.y
+  FROM documents d JOIN norms n ON d.doc_id = n.vec_id
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT n,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+             * 1000000 + 0.5) / 1000000.0 AS len_norm_corr
+FROM m
+"""
+
+QUERIES["embedding_norm_length_correlation"] = embedding_norm_length_correlation
+ORACLE["embedding_norm_length_correlation"] = (
+    ORACLE_EMBEDDING_NORM_LENGTH_CORRELATION
+)

@@ -334,3 +334,102 @@ def test_dedup_aware_ess_matches_bruteforce(spark, tmp_path, seed):
         )
     # the 6-way cluster devalues A: B carries more weighted share
     assert got["B"][1] > got["A"][1]
+
+
+def test_seasonal_residual_anomaly_respects_dow_baseline(spark, tmp_path):
+    """A type that is ALWAYS high on Mondays must show zero anomalies
+    (the Monday baseline absorbs it), while one isolated mid-week
+    spike on an otherwise-flat type must be flagged — the exact
+    distinction the unadjusted z-score alarms miss."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        events_seasonal_residual_anomaly,
+    )
+
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01")  # a Monday
+
+    def day_events(day_idx, etype, count):
+        nonlocal eid
+        for _ in range(count):
+            rows.append(
+                (eid, base + pd.Timedelta(days=day_idx, seconds=eid % 3600),
+                 eid % 5, etype, 1.0, "{}")
+            )
+            eid += 1
+
+    for wk in range(6):
+        for d in range(7):
+            # "weekly": every Monday 30 events, other days 5 — periodic
+            day_events(wk * 7 + d, "weekly", 30 if d == 0 else 5)
+            # "flat": always 6, except ONE Wednesday spike of 40
+            day_events(wk * 7 + d, "flat",
+                       40 if (wk == 3 and d == 2) else 6)
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", ev)
+    got = {
+        r.event_type: (r.n_anomalies, float(r.max_dow_ratio))
+        for r in events_seasonal_residual_anomaly(spark, sf).collect()
+    }
+    assert got["weekly"][0] == 0, "periodic Monday peak must not alarm"
+    assert got["flat"][0] == 1, "the one Wednesday spike must alarm"
+    # flat Wednesdays: counts [6,6,6,40,6,6] → mean 70/6; 40/(70/6)≈3.43
+    assert got["flat"][1] == pytest.approx(
+        np.floor(40 * 6 / 70 * 1e6 + 0.5) / 1e6, abs=1e-9
+    )
+
+
+def test_norm_length_correlation_recovers_planted_line(spark, tmp_path):
+    """Vectors built with norm exactly proportional to doc length must
+    report correlation ≈ 1; shuffled norms must not."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        embedding_norm_length_correlation,
+    )
+
+    d, n = 8, 24
+    docs, vecs = [], []
+    for i in range(n):
+        length = 100 + 40 * i
+        docs.append((i, "x" * length, "en", "s", length))
+        v = np.zeros(d, dtype="float32")
+        v[0] = length / 1000.0  # norm strictly proportional to length
+        vecs.append((i, v, 0))
+    ddf = pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    edf = pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"])
+    sf = _write(tmp_path, "documents", ddf)
+    _write(tmp_path, "embeddings", edf)
+    row = embedding_norm_length_correlation(spark, sf).collect()[0]
+    assert row.n == n
+    assert float(row.len_norm_corr) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_centroid_shift_detects_planted_half_shift(spark, tmp_path):
+    """A label whose odd-id half is displaced by a constant vector
+    must report a shift close to that vector's norm; an unshifted
+    label reports near zero."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        embedding_centroid_shift,
+    )
+
+    rng = np.random.default_rng(13)
+    d, rows = 16, []
+    shift = np.zeros(d); shift[0] = 2.0
+    vid = 0
+    for label, shifted in ((0, True), (1, False)):
+        for _ in range(20):
+            v = rng.normal(size=d) * 0.01
+            if shifted and vid % 2 == 1:
+                v = v + shift
+            rows.append((vid, v.astype("float32"), label))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sf = _write(tmp_path, "embeddings", pdf)
+    got = {
+        r.label: float(r.centroid_shift)
+        for r in embedding_centroid_shift(spark, sf).collect()
+    }
+    assert got[0] == pytest.approx(2.0, abs=0.05)
+    assert got[1] < 0.05
