@@ -22,9 +22,9 @@ Round-10 registration checklist (mirror of staged3's round-9 record):
    run tools/record_query_hashes.py (pending snapshot) at round-10
    session END, ``--fold`` at round-10 START.
 
-Round-10 window forecast (age-first rotation at a 283-key registry,
+Round-10 window forecast (age-first rotation at a 286-key registry,
 assuming CORRECTNESS_r09 lands green on round 9's 50-key window):
-16 staged4 tier-0 slots + 34 green slots oldest-cohort-first — the
+19 staged4 tier-0 slots + 31 green slots oldest-cohort-first — the
 9 round-9 stale spills (4 r5-vintage dedup keys ahead of their cohort,
 then the r7-vintage dedup_minhash_estimate_audit / graph carriers /
 q1 / q22 when r7 comes up) ride their cohorts' stale-first tie-break
@@ -1712,3 +1712,269 @@ QUERIES["embedding_norm_length_correlation"] = embedding_norm_length_correlation
 ORACLE["embedding_norm_length_correlation"] = (
     ORACLE_EMBEDDING_NORM_LENGTH_CORRELATION
 )
+
+
+# ---------------------------------------------------------------------------
+# Bot-user detection heuristic
+# ---------------------------------------------------------------------------
+
+#: Rate flag: more than this many events per active day reads as
+#: automation (cross-multiplied, never divided).
+_BOT_RATE_PER_DAY = 20
+#: Monotony flag: one event type carrying more than half a user's
+#: stream reads as scripted behaviour.
+_BOT_MONOTONY_NUM, _BOT_MONOTONY_DEN = 1, 2
+
+
+def events_bot_detection_heuristic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bot-user detection for training-data hygiene: flag users whose
+    event RATE (events per active day) or MONOTONY (single type share
+    of their stream) exceeds scripted-behaviour thresholds, and report
+    the corpus-level flag census — the pre-filter that keeps
+    automation artifacts out of behavioural training corpora.
+
+    Exactness: both flags are cross-multiplied exact-integer
+    predicates (n > RATE·days; 2·max_type > n), so no division enters
+    a decision; the only divisions are the reported shares, each ONE
+    division of exact integers, 6-dp rounded.
+
+    Shape: one (user, type) hash aggregate, one user rollup (max over
+    bounded type cells + distinct-day count), one 1-row census.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    per_type = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # distinct days per user count over ALL types: a second agg on the
+    # raw grain, same user_id shuffle key.
+    days = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("day").alias("active_days"))
+    )
+    per_user = (
+        per_type.groupBy("user_id")
+        .agg(F.sum("c").alias("n"), F.max("c").alias("max_type"))
+        .join(days, "user_id")
+        .select(
+            "user_id",
+            (F.col("n") > F.lit(_BOT_RATE_PER_DAY) * F.col("active_days"))
+            .alias("rate_flag"),
+            (
+                F.lit(_BOT_MONOTONY_DEN) * F.col("max_type")
+                > F.lit(_BOT_MONOTONY_NUM) * F.col("n")
+            ).alias("monotony_flag"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("rate_flag"), 1).otherwise(0)).alias(
+            "n_rate_flagged"
+        ),
+        F.sum(F.when(F.col("monotony_flag"), 1).otherwise(0)).alias(
+            "n_monotony_flagged"
+        ),
+        F.sum(
+            F.when(F.col("rate_flag") & F.col("monotony_flag"), 1).otherwise(
+                0
+            )
+        ).alias("n_both"),
+        pround(
+            F.sum(
+                F.when(F.col("rate_flag") | F.col("monotony_flag"), 1)
+                .otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("flagged_share"),
+    )
+
+
+ORACLE_EVENTS_BOT_DETECTION_HEURISTIC = f"""
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (
+  SELECT user_id,
+         count(DISTINCT epoch_us(ts) // 86400000000) AS active_days
+  FROM events GROUP BY 1
+),
+per_user AS (
+  SELECT t.user_id,
+         sum(t.c) > {_BOT_RATE_PER_DAY} * max(d.active_days) AS rate_flag,
+         {_BOT_MONOTONY_DEN} * max(t.c)
+           > {_BOT_MONOTONY_NUM} * sum(t.c) AS monotony_flag
+  FROM per_type t JOIN days d ON t.user_id = d.user_id
+  GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN rate_flag THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rate_flagged,
+       CAST(sum(CASE WHEN monotony_flag THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_monotony_flagged,
+       CAST(sum(CASE WHEN rate_flag AND monotony_flag THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both,
+       floor((CAST(sum(CASE WHEN rate_flag OR monotony_flag
+                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+             * 1000000 + 0.5) / 1000000.0 AS flagged_share
+FROM per_user
+"""
+
+QUERIES["events_bot_detection_heuristic"] = events_bot_detection_heuristic
+ORACLE["events_bot_detection_heuristic"] = ORACLE_EVENTS_BOT_DETECTION_HEURISTIC
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate embedding audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_duplicate_vector_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate EMBEDDING detection: fingerprint each vector's
+    quantized components and census identical vectors attached to
+    different ids — the embedding-pipeline bug detector (a stuck
+    encoder, a default-vector fallback, or an upstream join fanout all
+    manifest as one vector serving many documents, which silently
+    collapses ANN neighbourhoods and poisons SemDeDup).
+
+    Exactness: components quantize to exact 1e-6-unit integers; the
+    fingerprint is md5 over the identical comma-joined decimal string
+    in both engines; counts exact; the share is one division.
+
+    Shape: one map-side fingerprint expression, one fingerprint hash
+    aggregate, a 1-row census — linear, no joins.
+    """
+    emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id",
+        F.md5(
+            F.expr(
+                "concat_ws(',', transform(cast(embedding as array<double>), "
+                "v -> cast(floor(v * 1000000 + 0.5) as bigint)))"
+            )
+        ).alias("fp"),
+    )
+    groups = emb.groupBy("fp").agg(F.count(F.lit(1)).alias("gsize"))
+    return groups.agg(
+        F.sum("gsize").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("gsize") > 1, 1).otherwise(0)).alias(
+            "n_dup_groups"
+        ),
+        F.sum(
+            F.when(F.col("gsize") > 1, F.col("gsize")).otherwise(0)
+        ).alias("n_dup_vectors"),
+        F.max("gsize").alias("max_group"),
+        pround(
+            F.sum(F.when(F.col("gsize") > 1, F.col("gsize")).otherwise(0))
+            / F.sum("gsize"),
+            6,
+        ).alias("dup_share"),
+    )
+
+
+ORACLE_EMBEDDING_DUPLICATE_VECTOR_AUDIT = """
+WITH fp AS (
+  SELECT vec_id,
+         md5(array_to_string(
+           list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+           ',')) AS fp
+  FROM embeddings
+),
+groups AS (SELECT fp.fp, count(*) AS gsize FROM fp GROUP BY 1)
+SELECT CAST(sum(gsize) AS BIGINT) AS n_vectors,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN gsize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(sum(CASE WHEN gsize > 1 THEN gsize ELSE 0 END) AS BIGINT)
+         AS n_dup_vectors,
+       CAST(max(gsize) AS BIGINT) AS max_group,
+       floor((CAST(sum(CASE WHEN gsize > 1 THEN gsize ELSE 0 END) AS DOUBLE)
+              / sum(gsize)) * 1000000 + 0.5) / 1000000.0 AS dup_share
+FROM groups
+"""
+
+QUERIES["embedding_duplicate_vector_audit"] = embedding_duplicate_vector_audit
+ORACLE["embedding_duplicate_vector_audit"] = (
+    ORACLE_EMBEDDING_DUPLICATE_VECTOR_AUDIT
+)
+
+
+# ---------------------------------------------------------------------------
+# Quota sampling per source (cap, don't equalize)
+# ---------------------------------------------------------------------------
+
+#: Per-source document quota.
+_QUOTA_PER_SOURCE = 8
+
+
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: CAP each source at a fixed document quota,
+    keeping a deterministic hash-ranked subset — the third sampling
+    flavour next to proportional (stratified) and equal-per-class
+    (balanced): sources under quota keep everything, oversampled
+    crawl dumps are truncated, and the result is reproducible with no
+    RNG.
+
+    Exactness: the keep set is a per-source row_number over the
+    (md5(doc_id), doc_id) order — md5 hex strings sort identically in
+    both engines; counts exact; the kept share is one division.
+
+    Shape: one source-keyed rank window (partition-parallel), one
+    source rollup; at 100× the window state per source is one counter.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("rk") <= _QUOTA_PER_SOURCE, 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            pround(F.col("n_kept") / F.col("n_docs"), 6).alias("kept_share"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SAMPLE_QUOTA_PER_SOURCE = f"""
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rk <= {_QUOTA_PER_SOURCE} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN rk <= {_QUOTA_PER_SOURCE}
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       floor((CAST(sum(CASE WHEN rk <= {_QUOTA_PER_SOURCE} THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000.0
+         AS kept_share
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["sample_quota_per_source"] = sample_quota_per_source
+ORACLE["sample_quota_per_source"] = ORACLE_SAMPLE_QUOTA_PER_SOURCE

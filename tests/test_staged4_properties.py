@@ -433,3 +433,95 @@ def test_centroid_shift_detects_planted_half_shift(spark, tmp_path):
     }
     assert got[0] == pytest.approx(2.0, abs=0.05)
     assert got[1] < 0.05
+
+
+def test_bot_detection_flags_planted_bot_only(spark, tmp_path):
+    """A planted bot (hundreds of same-type events in one day) must
+    trip BOTH flags; a human-shaped user (few events across days,
+    mixed types) must trip neither."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        events_bot_detection_heuristic,
+    )
+
+    base = pd.Timestamp("2024-05-01")
+    rows, eid = [], 0
+    # bot: 300 clicks in a single day → rate 300/day, monotony 100%
+    for _ in range(300):
+        rows.append((eid, base + pd.Timedelta(seconds=eid), 1, "click", 1.0, "{}"))
+        eid += 1
+    # human: 12 events over 6 days, alternating types
+    for d in range(6):
+        for t in ("view", "purchase"):
+            rows.append(
+                (eid, base + pd.Timedelta(days=d, hours=eid % 12), 2, t, 1.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    row = events_bot_detection_heuristic(spark, sf).collect()[0]
+    assert row.n_users == 2
+    assert row.n_rate_flagged == 1
+    assert row.n_monotony_flagged == 1
+    assert row.n_both == 1
+    assert float(row.flagged_share) == 0.5
+
+
+def test_duplicate_vector_audit_counts_planted_group(spark, tmp_path):
+    """Three ids sharing one exact vector + two sharing another must
+    census as 2 dup groups / 5 dup vectors; near-misses (1e-6-unit
+    component delta) must NOT merge."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        embedding_duplicate_vector_audit,
+    )
+
+    rng = np.random.default_rng(29)
+    d = 8
+    a = rng.normal(size=d).astype("float32")
+    b = rng.normal(size=d).astype("float32")
+    near = a.copy(); near[0] += 1e-4  # beyond the 1e-6 quantum: distinct
+    rows = [(0, a, 0), (1, a, 0), (2, a, 0), (3, b, 0), (4, b, 0), (5, near, 0)]
+    for i in range(6, 14):
+        rows.append((i, rng.normal(size=d).astype("float32"), 0))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sf = _write(tmp_path, "embeddings", pdf)
+    row = embedding_duplicate_vector_audit(spark, sf).collect()[0]
+    assert row.n_vectors == 14
+    assert row.n_dup_groups == 2
+    assert row.n_dup_vectors == 5
+    assert row.max_group == 3
+    assert float(row.dup_share) == pytest.approx(
+        np.floor(5 / 14 * 1e6 + 0.5) / 1e6, abs=1e-9
+    )
+
+
+def test_quota_sampling_caps_only_oversized_sources(spark, tmp_path):
+    """A source over quota truncates to exactly Q kept; one under
+    quota keeps everything; and the kept set is deterministic across
+    runs (hash order, no RNG)."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        _QUOTA_PER_SOURCE,
+        sample_quota_per_source,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"doc {i}", "en", "big", 10))
+    for i in range(30, 33):
+        rows.append((i, f"doc {i}", "en", "small", 10))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got1 = {
+        r.source: (r.n_docs, r.n_kept, r.n_dropped)
+        for r in sample_quota_per_source(spark, sf).collect()
+    }
+    got2 = {
+        r.source: (r.n_docs, r.n_kept, r.n_dropped)
+        for r in sample_quota_per_source(spark, sf).collect()
+    }
+    assert got1 == got2  # deterministic
+    assert got1["big"] == (30, _QUOTA_PER_SOURCE, 30 - _QUOTA_PER_SOURCE)
+    assert got1["small"] == (3, 3, 0)
