@@ -253,3 +253,81 @@ def streaming_funnel(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bot-flag maintenance (merge-safe per-user behaviour state)
+# ---------------------------------------------------------------------------
+
+_BOT_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, max_type_count long, active_days long, "
+    "rate_flag boolean, monotony_flag boolean"
+)
+#: Per-user state: parallel (type → count) arrays plus the distinct
+#: active-day set.  Type cardinality is the event-type universe
+#: (bounded); the day set is bounded by the observation window's
+#: calendar days — both grow with the DOMAIN, not the event count.
+_BOT_STATE_SCHEMA = (
+    "types array<string>, counts array<long>, days array<long>"
+)
+
+
+def _update_bot_flags(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    from parquet_stream_writer_spark.operators.staged4 import (
+        _BOT_MONOTONY_DEN,
+        _BOT_MONOTONY_NUM,
+        _BOT_RATE_PER_DAY,
+    )
+
+    if state.exists:
+        types, counts, days = state.get
+        counts = dict(zip(types, counts))
+        days = set(days)
+    else:
+        counts, days = {}, set()
+    for pdf in pdf_iter:
+        for t, c in pdf["event_type"].value_counts().items():
+            counts[t] = counts.get(t, 0) + int(c)
+        day = (
+            pd.to_datetime(pdf["ts"]).astype("int64") // 86_400_000_000_000
+        )
+        days.update(int(d) for d in day)
+    ts = sorted(counts)
+    state.update((ts, [counts[t] for t in ts], sorted(days)))
+    n = sum(counts.values())
+    mx = max(counts.values()) if counts else 0
+    nd = len(days)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "max_type_count": [mx],
+            "active_days": [nd],
+            "rate_flag": [n > _BOT_RATE_PER_DAY * nd],
+            "monotony_flag": [_BOT_MONOTONY_DEN * mx > _BOT_MONOTONY_NUM * n],
+        }
+    )
+
+
+def streaming_bot_flags(stream: DataFrame) -> DataFrame:
+    """Per-user streaming bot-flag state, the lift of
+    ``operators.staged4.events_bot_detection_heuristic``: per-type
+    counts + the distinct active-day set per key, refreshed flags
+    emitted per micro-batch (update semantics).  Counts and set-unions
+    are merge-safe and arrival-order-insensitive, so the maintained
+    state converges to the batch answer exactly no matter how events
+    are split across micro-batches; the batch operator's census is a
+    4-column aggregate over this relation."""
+    return (
+        stream.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_bot_flags,
+            outputStructType=_BOT_OUTPUT_SCHEMA,
+            stateStructType=_BOT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -722,3 +722,54 @@ def test_streaming_first_touch_matches_batch_adoption(
         .sort_values(["event_type", "day"], ignore_index=True)
     )
     assert rolled.astype({"day": "int64"}).values.tolist() == want.values.tolist()
+
+
+def test_streaming_bot_flags_match_batch_census(
+    spark, sf_dir, events_stream_dir
+):
+    """The streaming bot-flag state (per-type counts + distinct-day
+    set, both merge-safe) must converge to the batch heuristic exactly
+    regardless of micro-batch splits: the LAST emitted row per user is
+    the final state, and its 4-column census must equal
+    events_bot_detection_heuristic's output on the same events."""
+    from parquet_stream_writer_spark.operators.staged4 import (
+        events_bot_detection_heuristic,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_bot_flags,
+    )
+
+    out = streaming_bot_flags(_events_stream(spark, events_stream_dir))
+    tbl = _run_to_memory(spark, out, "bot_flags_stream", "update")
+    pdf = tbl.toPandas()
+    # Update mode appends refinements; the row with the max n_events
+    # per user is the final (monotone) state.
+    final = (
+        pdf.sort_values(["user_id", "n_events"])
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    got = (
+        int(len(final)),
+        int(final.rate_flag.sum()),
+        int(final.monotony_flag.sum()),
+        int((final.rate_flag & final.monotony_flag).sum()),
+    )
+    want_row = events_bot_detection_heuristic(spark, sf_dir).collect()[0]
+    assert got == (
+        want_row.n_users,
+        want_row.n_rate_flagged,
+        want_row.n_monotony_flagged,
+        want_row.n_both,
+    )
+    # And the per-user counts themselves must match the batch grain.
+    batch = (
+        spark.read.parquet(str(events_stream_dir))
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    final = final.sort_values("user_id", ignore_index=True)
+    assert final["user_id"].tolist() == batch["user_id"].tolist()
+    assert final["n_events"].tolist() == batch["count"].tolist()
