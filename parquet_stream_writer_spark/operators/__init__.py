@@ -342,10 +342,58 @@ def _prioritized(merged: dict) -> dict:
     return {k: seeded[k] for k in sorted(seeded, key=rank)}
 
 
+def _warn_if_fold_overdue(root: str | None = None) -> None:
+    """One-time stderr nudge when a new CORRECTNESS artifact has
+    landed but its verdicts were never folded into the attested hash
+    snapshot (``tools/record_query_hashes.py --fold`` — the mandatory
+    round-start step under the round-9 attestation protocol).  An
+    unfolded round leaves every verified key stale-marked, so the
+    window would wastefully re-verify the same 50 keys.  stderr only:
+    bench.py's stdout JSON-line contract must stay clean."""
+    import json
+    import os
+    import sys
+
+    if getattr(_warn_if_fold_overdue, "_done", False):
+        return
+    _warn_if_fold_overdue._done = True
+    root = root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    try:
+        with open(os.path.join(root, "PENDING_QUERY_HASHES.json")) as fh:
+            pending_round = json.load(fh).get("for_round_after", -1)
+        with open(os.path.join(root, _HASH_SNAPSHOT)) as fh:
+            attested_round = json.load(fh).get("as_of_round", -1)
+    except (OSError, ValueError):
+        return
+    latest = max((r for _p, r in _correctness_rounds()), default=0)
+    if latest > pending_round and latest > attested_round:
+        print(
+            f"[operators] CORRECTNESS_r{latest} has landed but its verdicts "
+            f"are not folded into {_HASH_SNAPSHOT} (attested round "
+            f"{attested_round}) — run `python tools/record_query_hashes.py "
+            f"--fold` before editing queries, or the window re-verifies "
+            f"stale-marked keys it already proved.",
+            file=sys.stderr,
+        )
+
+
+def _correctness_rounds() -> list[tuple[str, int]]:
+    import re
+
+    return [
+        (path, int(m.group(1)))
+        for path, _mtime in _correctness_snapshot()
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", path))
+    ]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
         merged.update(mod.QUERIES)
+    _warn_if_fold_overdue()
     return _prioritized(merged)
 
 

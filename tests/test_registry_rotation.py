@@ -159,3 +159,42 @@ def test_oldest_verdicts_fill_the_remaining_window():
             max(in_rounds),
             min(out_rounds),
         )
+
+
+def test_fold_overdue_warning_fires_and_clears(tmp_path, capsys, monkeypatch):
+    """The registry must warn (stderr, once) when a CORRECTNESS round
+    newer than both the pending and attested snapshots exists — and
+    stay silent once the fold has advanced the attested round."""
+    import json
+
+    root = tmp_path
+    (root / "PENDING_QUERY_HASHES.json").write_text(
+        json.dumps({"for_round_after": 8, "hashes": {}})
+    )
+    (root / "QUERY_SOURCE_HASHES.json").write_text(
+        json.dumps({"as_of_round": 8, "hashes": {}})
+    )
+    (root / "CORRECTNESS_r09.json").write_text("{}")
+
+    monkeypatch.setattr(
+        ops,
+        "_correctness_snapshot",
+        lambda: ((str(root / "CORRECTNESS_r09.json"), 0.0),),
+    )
+    ops._warn_if_fold_overdue._done = False
+    ops._warn_if_fold_overdue(str(root))
+    err = capsys.readouterr().err
+    assert "--fold" in err and "CORRECTNESS_r9" in err
+
+    # Fires once per process: a second call is silent even while due.
+    ops._warn_if_fold_overdue(str(root))
+    assert "--fold" not in capsys.readouterr().err
+
+    # After the fold advances the attested round, the warning clears.
+    (root / "QUERY_SOURCE_HASHES.json").write_text(
+        json.dumps({"as_of_round": 9, "hashes": {}})
+    )
+    ops._warn_if_fold_overdue._done = False
+    ops._warn_if_fold_overdue(str(root))
+    assert "--fold" not in capsys.readouterr().err
+    ops._warn_if_fold_overdue._done = False
