@@ -65,7 +65,12 @@ def main() -> None:
         here = Path(__file__).resolve().parent
         stale = _source_stale_keys(queries)
         timed: set[str] = set()
-        fulls = sorted(here.glob("bench_full_r[0-9]*.json"))
+        # Sort by parsed round number, not filename — lexicographic
+        # order puts r100 before r99 (ADVICE r9).
+        fulls = sorted(
+            here.glob("bench_full_r[0-9]*.json"),
+            key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+        )
         fulls = [p for p in fulls if "_cold" not in p.name and "_changed" not in p.name]
         if fulls:
             try:

@@ -282,9 +282,7 @@ def query_source_hash(fn) -> str:
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
-def _source_stale_keys(merged: dict) -> frozenset[str]:
-    """Keys whose implementation changed since the committed hash
-    snapshot (i.e. since their last driver verdict was recorded)."""
+def _snapshot_doc() -> dict:
     import json
     import os
 
@@ -292,9 +290,15 @@ def _source_stale_keys(merged: dict) -> frozenset[str]:
     path = os.path.join(os.path.dirname(root), _HASH_SNAPSHOT)
     try:
         with open(path) as fh:
-            recorded = json.load(fh).get("hashes", {})
+            return json.load(fh)
     except (OSError, ValueError):
-        return frozenset()
+        return {}
+
+
+def _source_stale_keys(merged: dict) -> frozenset[str]:
+    """Keys whose implementation changed since the committed hash
+    snapshot (i.e. since their last driver verdict was recorded)."""
+    recorded = _snapshot_doc().get("hashes", {})
     return frozenset(
         k
         for k, fn in merged.items()
@@ -302,12 +306,49 @@ def _source_stale_keys(merged: dict) -> frozenset[str]:
     )
 
 
+def oracle_text_hash(key: str) -> str | None:
+    """sha256 of the key's EVALUATED oracle SQL (None if no oracle) —
+    the comparison contract itself, separately from the combined
+    :func:`query_source_hash`.  Recorded alongside the source hashes so
+    :func:`_oracle_stale_keys` can tell a re-implemented key (old
+    verdict still attests the same comparison) from a re-contracted one
+    (old verdict attests a comparison that no longer exists)."""
+    import hashlib
+
+    for mod in _modules():
+        oracle = getattr(mod, "ORACLE", {})
+        if key in getattr(mod, "QUERIES", {}):
+            if key not in oracle:
+                return None
+            return hashlib.sha256(oracle[key].encode()).hexdigest()
+    return None
+
+
+def _oracle_stale_keys(merged: dict) -> frozenset[str]:
+    """Keys whose evaluated ORACLE TEXT changed since attestation
+    (VERDICT r9 item 3): their green verdict attests a comparison that
+    no longer exists, so they rank like never-verified keys instead of
+    waiting behind older-but-contract-intact cohorts.  Keys absent from
+    the snapshot's ``oracle_hashes`` (pre-r10 attestations) fall back
+    to plain verdict-age rotation."""
+    recorded = _snapshot_doc().get("oracle_hashes", {})
+    return frozenset(
+        k
+        for k in merged
+        if k in recorded and recorded[k] != oracle_text_hash(k)
+    )
+
+
 def _prioritized(merged: dict) -> dict:
     """Order the registry so the driver's 50-key prefix window always
     covers the keys most in need of a fresh verdict:
 
-    1. keys with no green verdict at all (new queries, regressions) —
-       these MUST land in the window;
+    1. keys with no green verdict at all (new queries, regressions),
+       and keys whose evaluated ORACLE text changed since attestation
+       (round-10 change, VERDICT r9 item 3: an oracle rewrite retires
+       the attested comparison itself, so the key is unverified under
+       its new contract, not merely stale) — these MUST land in the
+       window;
     2. green keys by OLDEST verdict round first; within the same
        round, source-stale keys (edited since the committed hash
        snapshot) ahead of untouched ones.
@@ -332,10 +373,11 @@ def _prioritized(merged: dict) -> dict:
     seeded.update({k: v for k, v in merged.items() if k not in seeded})
     verdicts = _verdicts()
     stale = _source_stale_keys(merged)
+    oracle_stale = _oracle_stale_keys(merged)
 
     def rank(key: str) -> tuple[int, int, int]:
         green, rnd = verdicts.get(key, (False, 0))
-        if not green:
+        if not green or key in oracle_stale:
             return (0, 0, 0)
         return (1, rnd, 0 if key in stale else 1)
 

@@ -272,13 +272,16 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity and silently breaks threshold-based dedup/ANN; this is
     the one-pass detector.
 
-    Exactness: each unit-normalized component is quantized to an exact
-    1e-6-unit integer (the pack's embedding convention; ‖x̂‖ divides by
-    an IEEE sqrt both engines round identically); per-dimension sums
-    and their squares are exact integer arithmetic; the final
-    mean-cos is ONE double expression of exact integers, 6-dp rounded
-    (n quantized self-cosines ≈ 1e12 each, so the identity subtracts
-    the exact Σ‖x̂ᵢ‖² integer rather than assuming n·1e12).
+    Exactness: RAW components quantize to exact 1e-6-unit integers
+    FIRST (ADVICE r9 fix: quantize-before-norm, the pack convention),
+    so ‖v₆‖² is an exact integer sum — order-independent in any
+    engine — and the norm is one IEEE sqrt of that exact integer that
+    both engines round identically; the unit component v₆/‖v₆‖ then
+    re-quantizes to 1e-6-unit integers, per-dimension sums and their
+    squares are exact integer arithmetic, and the final mean-cos is
+    ONE double expression of exact integers, 6-dp rounded (n quantized
+    self-cosines ≈ 1e12 each, so the identity subtracts the exact
+    Σ‖x̂ᵢ‖² integer rather than assuming n·1e12).
 
     Shape: one posexplode (n·d rows), one (label, dim) hash aggregate
     to d-sized cells, one label rollup — linear in n·d, constant
@@ -287,23 +290,36 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    norm = emb.select(
-        "vec_id",
-        "label",
-        F.sqrt(
-            F.aggregate(
-                "emb", F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        ).alias("nrm"),
-        "emb",
-    ).where(F.col("nrm") > 0)
+    norm = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.transform(
+                "emb",
+                lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+            ).alias("v6s"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "v6s",
+            F.sqrt(
+                F.aggregate(
+                    "v6s",
+                    F.lit(0.0),
+                    lambda acc, x: acc + (x * x).cast("double"),
+                )
+            ).alias("nrm"),
+        )
+        .where(F.col("nrm") > 0)
+    )
     comps = norm.select(
-        "vec_id", "label", F.posexplode("emb").alias("dim", "v"), "nrm"
+        "vec_id", "label", F.posexplode("v6s").alias("dim", "v6"), "nrm"
     ).select(
         "vec_id",
         "label",
         "dim",
-        F.floor(F.col("v") / F.col("nrm") * 1000000 + F.lit(0.5))
+        F.floor(F.col("v6") / F.col("nrm") * 1000000 + F.lit(0.5))
         .cast("long")
         .alias("u6"),
     )
@@ -342,16 +358,17 @@ ORACLE_EMBEDDING_ISOTROPY_AUDIT = """
 WITH comps AS (
   SELECT vec_id, label,
          generate_subscripts(embedding, 1) - 1 AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS v
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v6
   FROM embeddings
 ),
 norms AS (
-  SELECT vec_id, label, sqrt(sum(v * v)) AS nrm
-  FROM comps GROUP BY 1, 2 HAVING sqrt(sum(v * v)) > 0
+  SELECT vec_id, label, sqrt(CAST(sum(v6 * v6) AS DOUBLE)) AS nrm
+  FROM comps GROUP BY 1, 2 HAVING sum(v6 * v6) > 0
 ),
 q AS (
   SELECT c.vec_id, c.label, c.dim,
-         CAST(floor(c.v / n.nrm * 1000000 + 0.5) AS BIGINT) AS u6
+         CAST(floor(c.v6 / n.nrm * 1000000 + 0.5) AS BIGINT) AS u6
   FROM comps c JOIN norms n ON c.vec_id = n.vec_id
 ),
 per_vec AS (
@@ -899,6 +916,9 @@ def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one user hash aggregate (min/max/count), one bounded
     span-day cell aggregate, a cumulative window over the cell
     relation only (≤ observation-window-days rows), a 1-row rollup.
+    Empty-input contract: zero users → zero rows in BOTH engines (the
+    oracle filters its totals CTE on n_users > 0 to match this
+    pipeline's empty cells relation — ADVICE r9 parity fix).
     """
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("unix_micros(cast(ts as timestamp))")
@@ -979,6 +999,7 @@ SELECT t.n_users,
        floor((CAST(t.ev_sum AS DOUBLE) / t.n_users) * 100 + 0.5) / 100.0
          AS mean_events_per_user
 FROM totals t
+WHERE t.n_users > 0
 """
 
 QUERIES["events_user_lifetime"] = events_user_lifetime

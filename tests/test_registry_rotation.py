@@ -24,11 +24,12 @@ def _ranked():
         merged.update(mod.QUERIES)
     verdicts = ops._verdicts()
     stale = ops._source_stale_keys(merged)
+    oracle_stale = ops._oracle_stale_keys(merged)
     ordered = list(ops._prioritized(merged))
 
     def rank(k: str) -> tuple[int, int, int]:
         green, rnd = verdicts.get(k, (False, 0))
-        if not green:
+        if not green or k in oracle_stale:
             return (0, 0, 0)
         return (1, rnd, 0 if k in stale else 1)
 
@@ -159,6 +160,145 @@ def test_oldest_verdicts_fill_the_remaining_window():
             max(in_rounds),
             min(out_rounds),
         )
+
+
+def test_oracle_stale_outranks_impl_stale(monkeypatch):
+    """VERDICT r9 item 3: an ORACLE-text rewrite retires the attested
+    comparison itself, so the key must rank like a never-verified key
+    (tier 0, guaranteed window slot) — while a plain implementation
+    edit stays a rank-1 stale key inside its verdict-round cohort.
+    Pre-fix, the q1/q22 integer-cents rewrites (oracle + impl changed)
+    ranked behind the r4 cohort and would not re-attest until ~r11."""
+    merged: dict = {}
+    for mod in ops._modules():
+        merged.update(mod.QUERIES)
+    verdicts = ops._verdicts()
+    impl_stale, oracle_stale = None, None
+    for k in merged:
+        green, _rnd = verdicts.get(k, (False, 0))
+        if green and ops.oracle_text_hash(k) is not None:
+            if impl_stale is None:
+                impl_stale = k
+            elif oracle_stale is None and k != impl_stale:
+                oracle_stale = k
+                break
+    assert impl_stale and oracle_stale
+
+    fake = {
+        "as_of_round": 9,
+        "hashes": {
+            # both keys' implementations changed since attestation...
+            impl_stale: "retired-impl-hash",
+            oracle_stale: "retired-impl-hash",
+        },
+        "oracle_hashes": {
+            # ...but only one key's ORACLE text did.
+            impl_stale: ops.oracle_text_hash(impl_stale),
+            oracle_stale: "retired-oracle-hash",
+        },
+    }
+    monkeypatch.setattr(ops, "_snapshot_doc", lambda: fake)
+    ordered = list(ops._prioritized(merged))
+    verdict_rnd = verdicts[impl_stale][1]
+    cohort = [
+        k
+        for k in ordered
+        if verdicts.get(k, (False, 0)) == (True, verdict_rnd)
+        and k not in ops._oracle_stale_keys(merged)
+    ]
+    # impl-stale: stays green-tier, but LEADS its verdict-round cohort.
+    assert cohort[0] == impl_stale
+    # oracle-stale: promoted to tier 0 — ahead of every green key.
+    first_green = next(
+        i
+        for i, k in enumerate(ordered)
+        if verdicts.get(k, (False, 0))[0] and k != oracle_stale
+    )
+    assert ordered.index(oracle_stale) < first_green
+    # A key ABSENT from oracle_hashes (pre-r10 snapshot) must not be
+    # treated as oracle-stale.
+    assert not ops._oracle_stale_keys({"never_recorded": merged[impl_stale]})
+
+
+def test_fold_advances_oracle_hashes_with_attestations(tmp_path):
+    """The fold must advance a green key's attested ORACLE hash in
+    lockstep with its source hash, and leave red/unverified keys'
+    oracle hashes untouched — otherwise an oracle rewrite would stay
+    tier-0 forever (or worse, launder silently)."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    import record_query_hashes as tool
+
+    queries = ops.all_queries()
+    keys = [k for k in queries if ops.oracle_text_hash(k) is not None][:2]
+    green, red = keys
+    cur = {k: ops.query_source_hash(queries[k]) for k in keys}
+    cur_oracle = {k: ops.oracle_text_hash(k) for k in keys}
+
+    root = tmp_path
+    (root / "PENDING_QUERY_HASHES.json").write_text(
+        json.dumps(
+            {
+                "for_round_after": 9,
+                "hashes": cur,
+                "oracle_hashes": cur_oracle,
+            }
+        )
+    )
+    (root / "QUERY_SOURCE_HASHES.json").write_text(
+        json.dumps(
+            {
+                "as_of_round": 9,
+                "hashes": {k: f"old-{k}" for k in keys},
+                "oracle_hashes": {k: f"old-oracle-{k}" for k in keys},
+            }
+        )
+    )
+    (root / "CORRECTNESS_r10.json").write_text(
+        json.dumps({green: {"hash_match": True}, red: {"hash_match": False}})
+    )
+    tool.fold_attested(str(root))
+    out = json.loads((root / "QUERY_SOURCE_HASHES.json").read_text())
+    assert out["oracle_hashes"][green] == cur_oracle[green]
+    assert out["oracle_hashes"][red] == f"old-oracle-{red}"
+
+
+def test_snapshot_pending_autofolds_unbanked_round(tmp_path, capsys):
+    """ADVICE r9 (record_query_hashes self-heal): running the plain
+    session-end snapshot while a landed CORRECTNESS round is still
+    unfolded must auto-fold FIRST — otherwise pending.for_round_after
+    catches up to that round and the ``rnd <= for_round_after`` guard
+    makes its attestations permanently unfoldable."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    import record_query_hashes as tool
+
+    queries = ops.all_queries()
+    key = next(iter(queries))
+    cur = ops.query_source_hash(queries[key])
+
+    root = tmp_path
+    (root / "PENDING_QUERY_HASHES.json").write_text(
+        json.dumps({"for_round_after": 9, "hashes": {key: cur}})
+    )
+    (root / "QUERY_SOURCE_HASHES.json").write_text(
+        json.dumps({"as_of_round": 9, "hashes": {key: "old-attested"}})
+    )
+    (root / "CORRECTNESS_r10.json").write_text(
+        json.dumps({key: {"hash_match": True}})
+    )
+    tool.snapshot_pending(str(root))
+    out = json.loads((root / "QUERY_SOURCE_HASHES.json").read_text())
+    # the green r10 verdict was banked before pending was replaced
+    assert out["as_of_round"] == 10
+    assert out["hashes"][key] == cur
+    pending = json.loads((root / "PENDING_QUERY_HASHES.json").read_text())
+    assert pending["for_round_after"] == 10
+    assert "auto-folding" in capsys.readouterr().out
 
 
 def test_fold_overdue_warning_fires_and_clears(tmp_path, capsys, monkeypatch):

@@ -42,6 +42,40 @@ def test_staged4_query_survives_empty_corpus(name, spark, empty_sf):
     assert df.count() >= 0  # materializes the plan; raises on ANSI errors
 
 
+@pytest.fixture(scope="module")
+def empty_oracle_con(empty_sf):
+    import duckdb
+
+    from parquet_stream_writer_spark.sources import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        # empty_sf is Spark-written (a directory per table) — glob the
+        # part files, unlike the single-file driver testdata.
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_sf}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(staged4.QUERIES))
+def test_staged4_empty_corpus_oracle_differential(
+    name, spark, empty_sf, empty_oracle_con
+):
+    """ADVICE r9: an empty-input PARITY fork (Spark emits 0 rows while
+    the oracle's ungrouped-totals CTE emits 1, as pre-fix
+    events_user_lifetime did) must fail, not just a crash.  Row-count
+    equality is the contract here — value/dtype strictness on zero- or
+    constant-row frames is the sf>0 differential's job."""
+    spark_rows = staged4.QUERIES[name](spark, empty_sf).count()
+    oracle_rows = len(empty_oracle_con.sql(staged4.ORACLE[name]).df())
+    assert spark_rows == oracle_rows, (
+        f"empty-corpus parity fork: spark={spark_rows} oracle={oracle_rows}"
+    )
+
+
 #: Staged4 queries whose plans legitimately contain a
 #: BroadcastNestedLoopJoin — all O(1)–O(k)-row scalar/grid broadcasts
 #: (the registered pack's _NLJ_OK convention).  Fold into _NLJ_OK at

@@ -57,6 +57,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parquet_stream_writer_spark.operators import (  # noqa: E402
     all_queries,
+    oracle_text_hash,
     query_source_hash,
 )
 
@@ -87,10 +88,38 @@ def _latest_round(root: str) -> int:
 
 def snapshot_pending(root: str | None = None) -> None:
     """Session-END step: record every key's current source hash as the
-    PENDING attestation candidate for the upcoming driver run."""
+    PENDING attestation candidate for the upcoming driver run.
+
+    Self-heal (ADVICE r9): if a new CORRECTNESS round landed and was
+    never folded, overwriting pending would advance ``for_round_after``
+    past that round and make its attestations permanently unfoldable
+    (the ``rnd <= for_round_after`` guard) — the whole verified window
+    would re-verify.  Auto-fold first so the verdicts are banked
+    against the OLD pending snapshot before it is replaced."""
     root = root or _root()
+    pending_doc = _load(os.path.join(root, _PENDING_FILE))
+    attested_doc = _load(os.path.join(root, _HASH_FILE))
+    latest = _latest_round(root)
+    if latest > pending_doc.get("for_round_after", -1) and latest > attested_doc.get(
+        "as_of_round", -1
+    ):
+        print(
+            f"CORRECTNESS_r{latest} landed but was never folded — "
+            f"auto-folding before the pending snapshot is replaced:"
+        )
+        fold_attested(root)
     cur = {k: query_source_hash(fn) for k, fn in sorted(all_queries().items())}
-    pending = {"for_round_after": _latest_round(root), "hashes": cur}
+    # Oracle-TEXT hashes ride alongside (round 10, VERDICT r9 item 3):
+    # the fold advances them with the source hashes so _prioritized can
+    # rank an oracle-recontracted key as unverified rather than stale.
+    cur_oracle = {
+        k: h for k in cur if (h := oracle_text_hash(k)) is not None
+    }
+    pending = {
+        "for_round_after": _latest_round(root),
+        "hashes": cur,
+        "oracle_hashes": cur_oracle,
+    }
     out = os.path.join(root, _PENDING_FILE)
     with open(out, "w") as fh:
         json.dump(pending, fh, indent=1, sort_keys=True)
@@ -108,7 +137,11 @@ def snapshot_pending(root: str | None = None) -> None:
     if not os.path.exists(attested_path):
         with open(attested_path, "w") as fh:
             json.dump(
-                {"as_of_round": _latest_round(root), "hashes": cur},
+                {
+                    "as_of_round": _latest_round(root),
+                    "hashes": cur,
+                    "oracle_hashes": cur_oracle,
+                },
                 fh,
                 indent=1,
                 sort_keys=True,
@@ -135,9 +168,11 @@ def fold_attested(root: str | None = None) -> None:
         )
         return
     pending = pending_doc.get("hashes", {})
+    pending_oracle = pending_doc.get("oracle_hashes", {})
     attested_path = os.path.join(root, _HASH_FILE)
     attested = _load(attested_path)
     hashes = dict(attested.get("hashes", {}))
+    oracle_hashes = dict(attested.get("oracle_hashes", {}))
 
     cur = {k: query_source_hash(fn) for k, fn in all_queries().items()}
     folded, skipped_red, skipped_edited = 0, 0, 0
@@ -160,7 +195,18 @@ def fold_attested(root: str | None = None) -> None:
         if hashes.get(key) != pending[key]:
             folded += 1
         hashes[key] = pending[key]
-    snapshot = {"as_of_round": rnd, "hashes": hashes}
+        # The combined-hash guard above also covers the oracle text
+        # (it is folded into query_source_hash), so the pending oracle
+        # hash is exactly the contract the driver just attested.
+        if key in pending_oracle:
+            oracle_hashes[key] = pending_oracle[key]
+        else:
+            oracle_hashes.pop(key, None)
+    snapshot = {
+        "as_of_round": rnd,
+        "hashes": hashes,
+        "oracle_hashes": oracle_hashes,
+    }
     with open(attested_path, "w") as fh:
         json.dump(snapshot, fh, indent=1, sort_keys=True)
     print(
