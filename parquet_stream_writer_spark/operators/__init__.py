@@ -105,6 +105,7 @@ def _modules():
         staged,
         staged2,
         staged3,
+        staged4,
         streaming_batch,
         text,
     )
@@ -120,6 +121,7 @@ def _modules():
         staged,
         staged2,
         staged3,
+        staged4,
     )
 
 

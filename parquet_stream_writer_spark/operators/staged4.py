@@ -1,34 +1,24 @@
-"""Fourth staged operator pack — built in round 9, to be REGISTERED
-with the driver in round 10.
+"""Fourth staged operator pack — built in round 9, REGISTERED with
+the driver in round 10 (registry 267 → 286).
 
 Same contract as the first three staged packs (operators/staged.py
-round 6 → 7, staged2.py 7 → 8, staged3.py 8 → 9): this module lives
-OUTSIDE ``operators._modules()`` so its keys consume no round-9
-verification-window slot; every key ships with a DataFrame-first
-implementation, an ANSI/DuckDB oracle twin, engine-portable arithmetic
-(pround / integer scaling / cross-multiplied comparisons / single
-double expressions over exact integer sums), a scale-shape docstring,
-and local differential tests (tests/test_staged4_operators.py).
+round 6 → 7, staged2.py 7 → 8, staged3.py 8 → 9): every key ships
+with a DataFrame-first implementation, an ANSI/DuckDB oracle twin,
+engine-portable arithmetic (pround / integer scaling /
+cross-multiplied comparisons / single double expressions over exact
+integer sums), a scale-shape docstring, and local differential tests
+(tests/test_staged4_operators.py, including a pack-wide empty-corpus
+oracle differential).
 
-Round-10 registration checklist (mirror of staged3's round-9 record):
-
-1. re-run the full battery over ALL keys (tools/staged2_check.py
-   --staged4 cross-SF strict at sf0.001/0.01/0.1, invariance_check
-   --staged4, adversarial_sweep.py --staged4, the property tests);
-2. add ``staged4`` to ``operators._modules()`` (after ``staged3``);
-3. fold ``_STAGED4_NLJ_OK`` (tests/test_staged4_operators.py) into
-   the plan sweep's ``_NLJ_OK`` in tests/test_plan_introspection.py;
-4. fold the staged4 rows of SURVEY §2c into the main inventory and
-   run tools/record_query_hashes.py (pending snapshot) at round-10
-   session END, ``--fold`` at round-10 START.
-
-Round-10 window forecast (age-first rotation at a 286-key registry,
-assuming CORRECTNESS_r09 lands green on round 9's 50-key window):
-19 staged4 tier-0 slots + 31 green slots oldest-cohort-first — the
-9 round-9 stale spills (4 r5-vintage dedup keys ahead of their cohort,
-then the r7-vintage dedup_minhash_estimate_audit / graph carriers /
-q1 / q22 when r7 comes up) ride their cohorts' stale-first tie-break
-behind the 33-key r4 cohort.
+Round-10 registration record (the staged3 drill, re-run same-session
+before the ``_modules()`` flip): strict dtype-exact battery 19/19 at
+sf0.001 AND sf0.01 AND sf0.1 (tools/staged2_check.py --staged4),
+adversarial sweep 19/19 clean, partition invariance 19/19, 75 pack
+tests green; ``_STAGED4_NLJ_OK`` folded into the plan sweep's
+``_NLJ_OK``; the staging guard inverted to
+``test_staged4_keys_registered``.  Window at the flip: 19 staged4
+tier-0 + q1/q22 (oracle-recontracted tier-0) + the 29 oldest
+r4-vintage greens (spills recorded in SURVEY §7 round-10 item 5).
 """
 
 from __future__ import annotations

@@ -141,6 +141,15 @@ _NLJ_OK = {
     "events_props_key_census",  # 1-row event-total broadcast
     "graph_assortativity",  # 1-row node-count broadcast
     "text_lang_source_cramers_v",  # 1-row dims broadcast
+    # round-10 staged4 registration (folded from
+    # tests/test_staged4_operators.py::_STAGED4_NLJ_OK):
+    "text_oov_coverage",  # 8-row K-grid + 1-row totals broadcasts
+    "similarity_hamming_topk",  # probe-code broadcast (non-equi id test)
+    "sample_dedup_aware",  # 1-row totals broadcast
+    "orders_basket_size_histogram",  # 1-row totals broadcast
+    "orders_customer_migration",  # 1-row total broadcast
+    "events_user_lifetime",  # 1-row totals broadcast
+    "text_vocab_jaccard_by_lang",  # bounded lang-pair grid (lang < lang)
 }
 
 

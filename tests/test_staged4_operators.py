@@ -20,14 +20,31 @@ def test_staged4_query_matches_oracle(name, spark, sf_dir, oracle_con):
     assert_results_match(df, oracle_con, staged4.ORACLE[name])
 
 
-def test_staged4_keys_not_yet_registered():
-    """While staged, these keys must NOT appear in the driver registry
-    (they would displace round 9's window composition).  Round 10
-    flips this assertion, as round 9 flipped staged3's."""
-    from parquet_stream_writer_spark.operators import all_queries
+def test_staged4_keys_registered():
+    """Round-10 inversion of the staging assertion: all 19 staged4
+    keys (and their oracles) are now IN the driver registry."""
+    from parquet_stream_writer_spark.operators import all_oracles, all_queries
 
-    live = set(all_queries())
-    assert not (set(staged4.QUERIES) & live)
+    live = all_queries()
+    assert set(staged4.QUERIES) <= set(live)
+    assert set(staged4.ORACLE) <= set(all_oracles())
+
+
+def test_staged4_unverified_keys_lead_the_window():
+    """Post-registration window invariant (the staged.py convention):
+    any staged4 key without a driver verdict is tier-0 and MUST sit
+    inside the 50-key prefix window.  Once CORRECTNESS_r10 lands,
+    these keys carry verdicts and correctly rotate out — the
+    assertion only binds while unverified keys exist."""
+    from parquet_stream_writer_spark import operators as ops
+
+    verdicts = ops._verdicts()
+    unverified = [k for k in staged4.QUERIES if not verdicts.get(k, (False, 0))[0]]
+    if not unverified:
+        pytest.skip("all staged4 keys already hold driver verdicts")
+    window = list(ops.all_queries())[:50]
+    missing = [k for k in unverified if k not in window]
+    assert not missing, f"unverified staged4 keys outside the window: {missing}"
 
 
 def test_staged4_every_key_has_an_oracle():
