@@ -331,3 +331,63 @@ def streaming_bot_flags(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+
+
+_LIFETIME_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, first_us long, last_us long, "
+    "span_days long"
+)
+#: Per-user state: (first-seen µs, last-seen µs, event count) — three
+#: scalars per key, O(users) total.  min/max/sum are commutative and
+#: associative, so the maintained state is merge-safe under any
+#: micro-batch split or arrival order.
+_LIFETIME_STATE_SCHEMA = "first_us long, last_us long, n long"
+
+
+def _update_lifetime(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    first, last, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdf_iter:
+        us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        bmin, bmax = int(us.min()), int(us.max())
+        first = bmin if first is None or bmin < first else first
+        last = bmax if last is None or bmax > last else last
+        n += len(pdf)
+    state.update((first, last, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "first_us": [first],
+            "last_us": [last],
+            "span_days": [(last - first) // 86_400_000_000],
+        }
+    )
+
+
+def streaming_user_lifetime(stream: DataFrame) -> DataFrame:
+    """Per-user streaming lifetime state, the lift of
+    ``operators.staged4.events_user_lifetime``'s per-user grain:
+    first-seen / last-seen / event count per key, refreshed span-days
+    emitted per micro-batch (update semantics).  min, max and count
+    are merge-safe and arrival-order-insensitive, so the final state
+    converges EXACTLY to the batch per_user relation no matter how
+    events are split across micro-batches; the batch operator's
+    nearest-rank percentile rollup is a bounded-cell aggregate over
+    this relation (pinned by
+    test_streaming_user_lifetime_matches_batch)."""
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_lifetime,
+            outputStructType=_LIFETIME_OUTPUT_SCHEMA,
+            stateStructType=_LIFETIME_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

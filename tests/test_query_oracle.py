@@ -161,8 +161,10 @@ def test_registry_fronts_unverified_and_stale_queries():
     then green keys by ascending verdict round with source-stale keys
     leading their round cohort (the round-8 age-first rotation) — so
     the oldest verdicts rotate through the window and edit bursts
-    can't displace them."""
+    can't displace them.  Oracle-recontracted keys count as
+    unverified (the round-10 tier-0 promotion)."""
     from parquet_stream_writer_spark.operators import (
+        _oracle_stale_keys,
         _source_stale_keys,
         _verdicts,
         all_queries,
@@ -174,10 +176,11 @@ def test_registry_fronts_unverified_and_stale_queries():
     if not verdicts:  # fresh checkout without CORRECTNESS files
         return
     stale = _source_stale_keys(merged)
+    oracle_stale = _oracle_stale_keys(merged)
 
     def rank(key):
         green, rnd = verdicts.get(key, (False, 0))
-        if not green:
+        if not green or key in oracle_stale:
             return (0, 0, 0)
         return (1, rnd, 0 if key in stale else 1)
 

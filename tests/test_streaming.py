@@ -773,3 +773,64 @@ def test_streaming_bot_flags_match_batch_census(
     final = final.sort_values("user_id", ignore_index=True)
     assert final["user_id"].tolist() == batch["user_id"].tolist()
     assert final["n_events"].tolist() == batch["count"].tolist()
+
+
+def test_streaming_user_lifetime_matches_batch(
+    spark, sf_dir, events_stream_dir
+):
+    """The streaming lifetime state (per-user first/last/count, all
+    merge-safe) must converge to the batch per-user grain exactly
+    regardless of micro-batch splits, and the nearest-rank rollup of
+    the final relation must equal events_user_lifetime's 1-row
+    summary on the same events."""
+    import math
+
+    from parquet_stream_writer_spark.operators.staged4 import (
+        events_user_lifetime,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_user_lifetime,
+    )
+
+    out = streaming_user_lifetime(_events_stream(spark, events_stream_dir))
+    tbl = _run_to_memory(spark, out, "user_lifetime_stream", "update")
+    pdf = tbl.toPandas()
+    # Update mode appends refinements; the row with the max n_events
+    # per user is the final (monotone) state.
+    final = (
+        pdf.sort_values(["user_id", "n_events"])
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    # Per-user grain vs a batch recompute on the SAME files.
+    batch = (
+        spark.read.parquet(str(events_stream_dir))
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    final = final.sort_values("user_id", ignore_index=True)
+    assert final["user_id"].tolist() == batch["user_id"].tolist()
+    assert final["n_events"].tolist() == batch["count"].tolist()
+    assert (final["last_us"] >= final["first_us"]).all()
+    assert (
+        final["span_days"]
+        == (final["last_us"] - final["first_us"]) // 86_400_000_000
+    ).all()
+
+    # Nearest-rank rollup of the final relation == the batch operator.
+    want = events_user_lifetime(spark, sf_dir).collect()[0]
+    n = len(final)
+    spans = sorted(final["span_days"].tolist())
+    assert n == want.n_users
+    assert spans[math.ceil(0.5 * n) - 1] == want.p50_span_days
+    assert spans[math.ceil(0.9 * n) - 1] == want.p90_span_days
+    assert (
+        math.floor(sum(spans) / n * 100 + 0.5) / 100.0
+        == want.mean_span_days
+    )
+    assert (
+        math.floor(final["n_events"].sum() / n * 100 + 0.5) / 100.0
+        == want.mean_events_per_user
+    )
