@@ -265,6 +265,54 @@ def test_fold_advances_oracle_hashes_with_attestations(tmp_path):
     assert out["oracle_hashes"][red] == f"old-oracle-{red}"
 
 
+def test_refold_of_banked_round_is_a_noop(tmp_path, capsys):
+    """A second ``--fold`` for an already-attested round must change
+    NOTHING (observed live at round-10 start: the re-run kept the
+    source hashes but silently dropped the 50 seeded oracle hashes of
+    the round-9 window, because the pre-oracle pending file reads as
+    'these keys have no oracle')."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    import record_query_hashes as tool
+
+    queries = ops.all_queries()
+    key = next(k for k in queries if ops.oracle_text_hash(k) is not None)
+    cur = ops.query_source_hash(queries[key])
+
+    root = tmp_path
+    # Legacy pending: NO oracle_hashes section (pre-r10 format).
+    (root / "PENDING_QUERY_HASHES.json").write_text(
+        json.dumps({"for_round_after": 8, "hashes": {key: cur}})
+    )
+    (root / "QUERY_SOURCE_HASHES.json").write_text(
+        json.dumps(
+            {
+                "as_of_round": 8,
+                "hashes": {key: "old-attested"},
+                "oracle_hashes": {key: "seeded-oracle-hash"},
+            }
+        )
+    )
+    (root / "CORRECTNESS_r09.json").write_text(
+        json.dumps({key: {"hash_match": True}})
+    )
+    tool.fold_attested(str(root))
+    first = (root / "QUERY_SOURCE_HASHES.json").read_text()
+    out = json.loads(first)
+    assert out["hashes"][key] == cur
+    # Legacy pending carries no oracle information — the seeded oracle
+    # attestation must survive the fold, not be retired.
+    assert out["oracle_hashes"][key] == "seeded-oracle-hash"
+
+    # Folding the SAME round again must be a byte-identical no-op.
+    capsys.readouterr()
+    tool.fold_attested(str(root))
+    assert "no fold" in capsys.readouterr().out
+    assert (root / "QUERY_SOURCE_HASHES.json").read_text() == first
+
+
 def test_snapshot_pending_autofolds_unbanked_round(tmp_path, capsys):
     """ADVICE r9 (record_query_hashes self-heal): running the plain
     session-end snapshot while a landed CORRECTNESS round is still

@@ -169,8 +169,21 @@ def fold_attested(root: str | None = None) -> None:
         return
     pending = pending_doc.get("hashes", {})
     pending_oracle = pending_doc.get("oracle_hashes", {})
+    # A pending file written before oracle-hash recording existed has
+    # no ``oracle_hashes`` section at all — that is "no information",
+    # not "these keys have no oracle", so such a fold must leave the
+    # attested oracle hashes untouched (seeded attestations survive).
+    pending_has_oracle = "oracle_hashes" in pending_doc
     attested_path = os.path.join(root, _HASH_FILE)
     attested = _load(attested_path)
+    if rnd <= attested.get("as_of_round", -1):
+        # Already banked (e.g. the fold was re-run at a later session's
+        # start) — a second fold must be a no-op, not a partial rewrite.
+        print(
+            f"no fold: CORRECTNESS_r{rnd} is already attested "
+            f"(snapshot as of round {attested['as_of_round']})"
+        )
+        return
     hashes = dict(attested.get("hashes", {}))
     oracle_hashes = dict(attested.get("oracle_hashes", {}))
 
@@ -200,7 +213,9 @@ def fold_attested(root: str | None = None) -> None:
         # hash is exactly the contract the driver just attested.
         if key in pending_oracle:
             oracle_hashes[key] = pending_oracle[key]
-        else:
+        elif pending_has_oracle:
+            # Pending records the key as oracle-less (rows-only): the
+            # attested oracle contract is retired with this fold.
             oracle_hashes.pop(key, None)
     snapshot = {
         "as_of_round": rnd,
