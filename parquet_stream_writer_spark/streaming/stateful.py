@@ -391,3 +391,74 @@ def streaming_user_lifetime(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+
+
+_RESERVOIR_OUTPUT_SCHEMA = (
+    "lang string, rk int, doc_id long, bucket long, n_seen long"
+)
+#: Per-lang state: the current bottom-k (hash-bucket, doc_id) pairs
+#: plus a monotone seen-counter.  Bottom-k under a total order is
+#: commutative and associative, so the reservoir is merge-safe under
+#: any micro-batch split or arrival order — unlike a rand()-based
+#: reservoir, re-runs and re-splits yield the SAME sample.
+_RESERVOIR_STATE_SCHEMA = "hs array<long>, ids array<long>, n_seen long"
+
+
+def _update_reservoir(key, pdf_iter, state: GroupState):
+    import hashlib
+
+    import pandas as pd
+
+    from parquet_stream_writer_spark.operators.pipeline import (
+        _N_BUCKETS,
+        _RESERVOIR_K,
+    )
+
+    hs, ids, seen = state.get if state.exists else ([], [], 0)
+    pool = list(zip(hs, ids))
+    for pdf in pdf_iter:
+        seen += len(pdf)
+        for did in pdf["doc_id"]:
+            d = int(did)
+            h = int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+            pool.append((h % _N_BUCKETS, d))
+        pool.sort()
+        del pool[_RESERVOIR_K:]
+    state.update(([h for h, _ in pool], [d for _, d in pool], seen))
+    yield pd.DataFrame(
+        {
+            "lang": key[0],
+            "rk": pd.array(range(1, len(pool) + 1), dtype="int32"),
+            "doc_id": [d for _, d in pool],
+            "bucket": [h for h, _ in pool],
+            "n_seen": seen,
+        }
+    )
+
+
+def streaming_reservoir_per_group(stream: DataFrame) -> DataFrame:
+    """Per-lang streaming deterministic reservoir, the lift of
+    ``operators.pipeline.sample_reservoir_per_group``: the k documents
+    with the lowest (md5-hex4 mod 100, doc_id) rank per language,
+    refreshed per micro-batch (update semantics; ``n_seen`` is the
+    monotone emission counter a consumer uses to pick each key's final
+    state).  Bottom-k by a deterministic content hash is merge-safe
+    and arrival-order-insensitive, so the final reservoir converges
+    EXACTLY to the batch sample no matter how documents are split
+    across micro-batches (pinned by
+    test_streaming_reservoir_matches_batch).  State is k (long, long)
+    pairs per language — bounded regardless of stream length."""
+    return (
+        stream.select("lang", "doc_id")
+        .groupBy("lang")
+        .applyInPandasWithState(
+            _update_reservoir,
+            outputStructType=_RESERVOIR_OUTPUT_SCHEMA,
+            stateStructType=_RESERVOIR_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -834,3 +834,53 @@ def test_streaming_user_lifetime_matches_batch(
         math.floor(final["n_events"].sum() / n * 100 + 0.5) / 100.0
         == want.mean_events_per_user
     )
+
+
+@pytest.fixture()
+def documents_stream_dir(spark, sf_dir, tmp_path):
+    """Documents split into 4 files so maxFilesPerTrigger=1 yields four
+    genuine micro-batches (file split is arbitrary — the reservoir
+    twin must converge regardless)."""
+    out = tmp_path / "documents_stream"
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(4).write.parquet(
+        str(out)
+    )
+    return out
+
+
+def test_streaming_reservoir_matches_batch(spark, sf_dir, documents_stream_dir):
+    """The per-lang bottom-k (hash, doc_id) state must converge
+    exactly to the batch deterministic reservoir under any micro-batch
+    split: same doc_ids, same ranks, same buckets."""
+    from parquet_stream_writer_spark.operators.pipeline import (
+        sample_reservoir_per_group,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_reservoir_per_group,
+    )
+
+    schema = spark.read.parquet(str(documents_stream_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(documents_stream_dir))
+    )
+    out = streaming_reservoir_per_group(stream)
+    tbl = _run_to_memory(spark, out, "reservoir_stream", "update")
+    pdf = tbl.toPandas()
+    # n_seen is strictly monotone per key, so each lang's final
+    # reservoir is the emission with its maximum n_seen.
+    last = pdf.groupby("lang")["n_seen"].transform("max")
+    final = (
+        pdf[pdf["n_seen"] == last]
+        .drop(columns=["n_seen"])
+        .sort_values(["lang", "rk"], ignore_index=True)
+    )
+    batch = (
+        sample_reservoir_per_group(spark, sf_dir)
+        .toPandas()
+        .sort_values(["lang", "rk"], ignore_index=True)
+    )
+    final = final.astype({"rk": "int32", "bucket": "int64"})
+    batch = batch.astype({"rk": "int32", "bucket": "int64"})
+    assert final.equals(batch[["lang", "rk", "doc_id", "bucket"]])
