@@ -462,3 +462,56 @@ def streaming_reservoir_per_group(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+
+
+_GROWTH_OUTPUT_SCHEMA = "user_id long, n_days long, days array<long>"
+#: Per-user state: the distinct active-day set (sorted epoch days).
+#: Set union is commutative and associative, so the state is
+#: merge-safe under any micro-batch split or arrival order; size is
+#: bounded by the calendar, not the event count.
+_GROWTH_STATE_SCHEMA = "days array<long>"
+
+
+def _update_active_days(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    (days,) = state.get if state.exists else ([],)
+    s = set(days)
+    for pdf in pdf_iter:
+        day = pd.to_datetime(pdf["ts"]).astype("int64") // 86_400_000_000_000
+        s.update(int(d) for d in day)
+    days = sorted(s)
+    state.update((days,))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_days": [len(days)], "days": [days]}
+    )
+
+
+def streaming_active_days(stream: DataFrame) -> DataFrame:
+    """Per-user streaming active-day set, the substrate of
+    ``operators.staged2.events_growth_accounting``: the distinct
+    epoch days each user was active, refreshed per micro-batch
+    (update semantics; ``n_days`` is the monotone counter a consumer
+    uses to pick each key's final state).  Distinct-set union is
+    merge-safe and arrival-order-insensitive, so the final relation
+    converges EXACTLY to the batch (user, day) distinct no matter how
+    events are split across micro-batches; the batch operator's
+    new/returning/resurrected day-grain census is a lag-classify
+    rollup over this relation (pinned by
+    test_streaming_active_days_growth_rollup).  State is the user's
+    active-day list — bounded by the calendar, never by event
+    volume."""
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_active_days,
+            outputStructType=_GROWTH_OUTPUT_SCHEMA,
+            stateStructType=_GROWTH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -884,3 +884,74 @@ def test_streaming_reservoir_matches_batch(spark, sf_dir, documents_stream_dir):
     final = final.astype({"rk": "int32", "bucket": "int64"})
     batch = batch.astype({"rk": "int32", "bucket": "int64"})
     assert final.equals(batch[["lang", "rk", "doc_id", "bucket"]])
+
+
+def test_streaming_active_days_growth_rollup(spark, sf_dir, events_stream_dir):
+    """The per-user active-day set state must converge exactly to the
+    batch (user, day) distinct under any micro-batch split, and the
+    lag-classify rollup of the final relation must equal
+    events_growth_accounting's day-grain census on the same events."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.operators.staged2 import (
+        _GROWTH_GAP_DAYS,
+        events_growth_accounting,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_active_days,
+    )
+
+    out = streaming_active_days(_events_stream(spark, events_stream_dir))
+    tbl = _run_to_memory(spark, out, "active_days_stream", "update")
+    pdf = tbl.toPandas()
+    # n_days is monotone non-decreasing per key, so each user's final
+    # day set is any emission with the maximum n_days (a batch that
+    # touches a user without adding days re-emits an identical set —
+    # dedup by user).
+    last = pdf.groupby("user_id")["n_days"].transform("max")
+    final = pdf[pdf["n_days"] == last].drop_duplicates("user_id")
+    ud = (
+        final[["user_id", "days"]]
+        .explode("days")
+        .rename(columns={"days": "day"})
+        .astype({"day": "int64"})
+        .sort_values(["user_id", "day"], ignore_index=True)
+    )
+    # Convergence: the exploded relation == the batch distinct.
+    batch_ud = (
+        spark.read.parquet(str(events_stream_dir))
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+        )
+        .distinct()
+        .toPandas()
+        .sort_values(["user_id", "day"], ignore_index=True)
+    )
+    assert ud.equals(batch_ud)
+
+    # Lag-classify rollup == the registered day-grain census.
+    ud["prev"] = ud.groupby("user_id")["day"].shift()
+    status = pd.Series("returning", index=ud.index)
+    status[ud["prev"].isna()] = "new"
+    status[(ud["day"] - ud["prev"]) > _GROWTH_GAP_DAYS] = "resurrected"
+    ud["status"] = status
+    got = (
+        ud.groupby("day")
+        .agg(
+            n_active=("status", "size"),
+            n_new=("status", lambda s: int((s == "new").sum())),
+            n_returning=("status", lambda s: int((s == "returning").sum())),
+            n_resurrected=("status", lambda s: int((s == "resurrected").sum())),
+        )
+        .reset_index()
+        .astype("int64")
+        .sort_values("day", ignore_index=True)
+    )
+    want = (
+        events_growth_accounting(spark, sf_dir)
+        .toPandas()
+        .astype("int64")
+        .sort_values("day", ignore_index=True)
+    )
+    assert got.equals(want)
