@@ -12,6 +12,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+
+def _epoch_days(ts_series):
+    """Epoch-day numbers matching Spark's
+    ``unix_micros(...) div 86400000000`` EXACTLY: integer division
+    truncating toward zero.  Python's ``//`` floors instead, so a
+    pre-1970 timestamp (negative micros with a nonzero remainder)
+    would land one day earlier than the batch operators' ``div`` and
+    silently break the streaming twins' exact-equivalence contract."""
+    import pandas as pd
+
+    ns = pd.to_datetime(ts_series).astype("int64")
+    d = 86_400_000_000_000
+    q = ns // d
+    q[(ns < 0) & (ns % d != 0)] += 1
+    return q
+
 _OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp_ntz"
 _STATE_SCHEMA = "n long, s double, last timestamp_ntz"
 
@@ -290,10 +306,7 @@ def _update_bot_flags(key, pdf_iter, state: GroupState):
     for pdf in pdf_iter:
         for t, c in pdf["event_type"].value_counts().items():
             counts[t] = counts.get(t, 0) + int(c)
-        day = (
-            pd.to_datetime(pdf["ts"]).astype("int64") // 86_400_000_000_000
-        )
-        days.update(int(d) for d in day)
+        days.update(int(d) for d in _epoch_days(pdf["ts"]))
     ts = sorted(counts)
     state.update((ts, [counts[t] for t in ts], sorted(days)))
     n = sum(counts.values())
@@ -481,8 +494,7 @@ def _update_active_days(key, pdf_iter, state: GroupState):
     (days,) = state.get if state.exists else ([],)
     s = set(days)
     for pdf in pdf_iter:
-        day = pd.to_datetime(pdf["ts"]).astype("int64") // 86_400_000_000_000
-        s.update(int(d) for d in day)
+        s.update(int(d) for d in _epoch_days(pdf["ts"]))
     days = sorted(s)
     state.update((days,))
     yield pd.DataFrame(

@@ -386,3 +386,18 @@ def test_fold_overdue_warning_fires_and_clears(tmp_path, capsys, monkeypatch):
     ops._warn_if_fold_overdue(str(root))
     assert "--fold" not in capsys.readouterr().err
     ops._warn_if_fold_overdue._done = False
+
+
+def test_fold_without_correctness_artifact_is_a_noop(tmp_path, capsys):
+    """Running --fold on a fresh clone (no CORRECTNESS_r*.json) must
+    not write anything: an empty {as_of_round: 0} snapshot would
+    suppress snapshot_pending's bootstrap and mark the whole registry
+    stale against an empty hash set."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    import record_query_hashes as tool
+
+    tool.fold_attested(str(tmp_path))
+    assert "no fold" in capsys.readouterr().out
+    assert not (tmp_path / "QUERY_SOURCE_HASHES.json").exists()

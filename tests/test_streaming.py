@@ -955,3 +955,32 @@ def test_streaming_active_days_growth_rollup(spark, sf_dir, events_stream_dir):
         .sort_values("day", ignore_index=True)
     )
     assert got.equals(want)
+
+
+def test_epoch_days_matches_spark_div_semantics(spark):
+    """The streaming twins' day conversion must match the batch
+    operators' `unix_micros(ts) div 86400000000` EXACTLY — Spark div
+    truncates toward zero while Python // floors, which diverges by
+    one day for pre-1970 timestamps with a nonzero remainder."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.streaming.stateful import _epoch_days
+
+    ts = [
+        "1969-12-31 12:00:00",  # negative micros, nonzero remainder
+        "1969-12-31 23:59:59.999999",
+        "1970-01-01 00:00:00",  # exact boundary
+        "1970-01-02 12:00:00",
+        "1968-02-29 06:00:00",
+        "2024-06-15 23:59:59",
+    ]
+    got = _epoch_days(pd.Series(pd.to_datetime(ts, format="ISO8601"))).tolist()
+    want = [
+        r.d
+        for r in spark.createDataFrame([(t,) for t in ts], "ts string")
+        .selectExpr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS d"
+        )
+        .collect()
+    ]
+    assert got == want

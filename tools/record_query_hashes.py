@@ -154,6 +154,12 @@ def fold_attested(root: str | None = None) -> None:
     keys the latest CORRECTNESS artifact verified green."""
     root = root or _root()
     rnd = _latest_round(root)
+    if rnd == 0:
+        # Fresh clone: writing {as_of_round: 0, hashes: {}} here would
+        # permanently suppress snapshot_pending's bootstrap and mark
+        # the whole registry stale against an empty snapshot.
+        print("no fold: no CORRECTNESS artifact exists yet")
+        return
     correctness = _load(os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")) or _load(
         os.path.join(root, f"CORRECTNESS_r{rnd}.json")
     )
