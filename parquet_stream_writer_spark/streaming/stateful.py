@@ -1,10 +1,27 @@
 """Custom keyed streaming state via ``applyInPandasWithState``.
 
 For operators the built-in window/dedup state machines can't express:
-arbitrary per-key accumulators updated each micro-batch, with timeout-
-based finalization. The example operator here is a running per-user
-profile (event count, value sum, last seen) — the shape of a feature-
-store updater in an LLM-data pipeline.
+arbitrary per-key accumulators updated each micro-batch.  Every twin
+here maintains MERGE-SAFE state (commutative/associative folds —
+counts, sums, min/max, set unions, bottom-k under a total order), so
+the final state converges EXACTLY to its batch operator under any
+micro-batch split, and each is pinned by an equivalence test against
+the batch grain:
+
+- ``running_user_profile`` — per-user count/sum/last-seen (the
+  feature-store updater shape).
+- ``streaming_anomaly_zscore`` — Welford baseline, O(1) state/key.
+- ``streaming_ewma_smooth`` — bounded K-value ring, fold-order exact.
+- ``streaming_funnel`` — first-occurrence funnel stage timestamps.
+- ``streaming_bot_flags`` — per-type counts + active-day set census.
+- ``streaming_user_lifetime`` — first/last/count, percentile rollup.
+- ``streaming_reservoir_per_group`` — deterministic bottom-k-by-hash
+  sample, exact twin of ``sample_reservoir_per_group``.
+- ``streaming_active_days`` — distinct active-day set, the substrate
+  of ``events_growth_accounting``'s lifecycle census.
+
+State sizes scale with the key domain (users, languages) or the
+calendar — never with stream length.
 """
 
 from __future__ import annotations
