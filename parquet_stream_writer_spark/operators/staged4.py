@@ -264,7 +264,10 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: RAW components quantize to exact 1e-6-unit integers
     FIRST (ADVICE r9 fix: quantize-before-norm, the pack convention),
-    so ‖v₆‖² is an exact integer sum — order-independent in any
+    so ‖v₆‖² is an exact integer sum — the fold accumulates in LONG
+    and casts to double only inside the sqrt (ADVICE r10 fix: a
+    double-seeded fold becomes rounding/order-dependent past 2^53,
+    and the oracle sums exact BIGINTs), order-independent in any
     engine — and the norm is one IEEE sqrt of that exact integer that
     both engines round identically; the unit component v₆/‖v₆‖ then
     re-quantizes to 1e-6-unit integers, per-dimension sums and their
@@ -296,9 +299,9 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(
                 F.aggregate(
                     "v6s",
-                    F.lit(0.0),
-                    lambda acc, x: acc + (x * x).cast("double"),
-                )
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x,
+                ).cast("double")
             ).alias("nrm"),
         )
         .where(F.col("nrm") > 0)

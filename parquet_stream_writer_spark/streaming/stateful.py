@@ -448,22 +448,28 @@ def _update_reservoir(key, pdf_iter, state: GroupState):
     )
 
     hs, ids, seen = state.get if state.exists else ([], [], 0)
-    pool = list(zip(hs, ids))
+    # Set-fold, not list-append (ADVICE r10 fix): a doc_id re-delivered
+    # by at-least-once replay or overlapping input re-derives the SAME
+    # (bucket, doc_id) pair, and the set union makes that a no-op —
+    # otherwise one document could occupy two reservoir slots and evict
+    # a legitimate one.  Bottom-k of a set union stays merge-safe AND
+    # idempotent, matching the batch sample's distinct-doc grain.
+    pool = set(zip(hs, ids))
     for pdf in pdf_iter:
         seen += len(pdf)
         for did in pdf["doc_id"]:
             d = int(did)
             h = int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
-            pool.append((h % _N_BUCKETS, d))
-        pool.sort()
-        del pool[_RESERVOIR_K:]
-    state.update(([h for h, _ in pool], [d for _, d in pool], seen))
+            pool.add((h % _N_BUCKETS, d))
+        pool = set(sorted(pool)[:_RESERVOIR_K])
+    final = sorted(pool)
+    state.update(([h for h, _ in final], [d for _, d in final], seen))
     yield pd.DataFrame(
         {
             "lang": key[0],
-            "rk": pd.array(range(1, len(pool) + 1), dtype="int32"),
-            "doc_id": [d for _, d in pool],
-            "bucket": [h for h, _ in pool],
+            "rk": pd.array(range(1, len(final) + 1), dtype="int32"),
+            "doc_id": [d for _, d in final],
+            "bucket": [h for h, _ in final],
             "n_seen": seen,
         }
     )
@@ -479,8 +485,12 @@ def streaming_reservoir_per_group(stream: DataFrame) -> DataFrame:
     and arrival-order-insensitive, so the final reservoir converges
     EXACTLY to the batch sample no matter how documents are split
     across micro-batches (pinned by
-    test_streaming_reservoir_matches_batch).  State is k (long, long)
-    pairs per language — bounded regardless of stream length."""
+    test_streaming_reservoir_matches_batch), and the set-fold makes a
+    re-delivered doc_id a no-op, so at-least-once replay cannot seat
+    one document in two slots (pinned by
+    test_streaming_reservoir_redelivery_is_idempotent).  State is k
+    (long, long) pairs per language — bounded regardless of stream
+    length."""
     return (
         stream.select("lang", "doc_id")
         .groupBy("lang")

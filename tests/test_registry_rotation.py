@@ -313,6 +313,74 @@ def test_refold_of_banked_round_is_a_noop(tmp_path, capsys):
     assert (root / "QUERY_SOURCE_HASHES.json").read_text() == first
 
 
+def test_fold_attestation_set_equal_across_pending_formats(tmp_path):
+    """VERDICT r10 item 6 (format-migration net): folding the SAME
+    green verdicts from a legacy pending (no ``oracle_hashes``
+    section) and from a current-format pending must land the SAME
+    attestation set — identical source hashes, identical attested
+    round, and byte-identical snapshots when the pending oracle info
+    agrees with the seeds.  Divergence is allowed ONLY where the
+    current format explicitly records a key as oracle-less (rows-only
+    retirement), which the legacy format cannot express.  The round-10
+    fold bug was exactly a format-migration fallout; any future
+    snapshot-format change must keep this test green."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    import record_query_hashes as tool
+
+    queries = ops.all_queries()
+    k1, k2 = [k for k in queries if ops.oracle_text_hash(k) is not None][:2]
+    cur = {k: ops.query_source_hash(queries[k]) for k in (k1, k2)}
+    cur_oracle = {k: ops.oracle_text_hash(k) for k in (k1, k2)}
+
+    attested = {
+        "as_of_round": 8,
+        "hashes": {k1: "old-1", k2: "old-2"},
+        "oracle_hashes": dict(cur_oracle),
+    }
+    correctness = {k1: {"hash_match": True}, k2: {"hash_match": True}}
+
+    def fold(pending: dict) -> str:
+        root = tmp_path / f"fmt{len(list(tmp_path.iterdir()))}"
+        root.mkdir()
+        (root / "PENDING_QUERY_HASHES.json").write_text(json.dumps(pending))
+        (root / "QUERY_SOURCE_HASHES.json").write_text(json.dumps(attested))
+        (root / "CORRECTNESS_r09.json").write_text(json.dumps(correctness))
+        tool.fold_attested(str(root))
+        return (root / "QUERY_SOURCE_HASHES.json").read_text()
+
+    legacy = fold({"for_round_after": 8, "hashes": dict(cur)})
+    current = fold(
+        {
+            "for_round_after": 8,
+            "hashes": dict(cur),
+            "oracle_hashes": dict(cur_oracle),
+        }
+    )
+    # Agreeing oracle info → the two formats fold byte-identically.
+    assert legacy == current
+    out = json.loads(legacy)
+    assert out["as_of_round"] == 9
+    assert out["hashes"] == cur
+    assert out["oracle_hashes"] == cur_oracle
+
+    # Current format CAN retire an oracle attestation (key recorded as
+    # rows-only); the divergence must be exactly that retirement.
+    retired = json.loads(
+        fold(
+            {
+                "for_round_after": 8,
+                "hashes": dict(cur),
+                "oracle_hashes": {k1: cur_oracle[k1]},
+            }
+        )
+    )
+    assert retired["hashes"] == cur, "source attestations never diverge"
+    assert retired["oracle_hashes"] == {k1: cur_oracle[k1]}
+
+
 def test_snapshot_pending_autofolds_unbanked_round(tmp_path, capsys):
     """ADVICE r9 (record_query_hashes self-heal): running the plain
     session-end snapshot while a landed CORRECTNESS round is still

@@ -886,6 +886,56 @@ def test_streaming_reservoir_matches_batch(spark, sf_dir, documents_stream_dir):
     assert final.equals(batch[["lang", "rk", "doc_id", "bucket"]])
 
 
+def test_streaming_reservoir_redelivery_is_idempotent():
+    """A doc_id re-delivered in a later micro-batch (at-least-once
+    replay or overlapping input) must be a no-op: the set-fold keeps
+    one reservoir slot per document, so the state after replay equals
+    the state after single delivery (ADVICE r10 — the old list-append
+    let one document occupy two slots and evict a legitimate one).
+    Drives the updater directly: it is a pure fold over
+    (key, micro-batches, state)."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.operators.pipeline import _RESERVOIR_K
+    from parquet_stream_writer_spark.streaming.stateful import (
+        _update_reservoir,
+    )
+
+    class _State:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    ids = list(range(1, 401))
+    once, replay = _State(), _State()
+    list(_update_reservoir(("en",), iter([pd.DataFrame({"doc_id": ids})]), once))
+    list(_update_reservoir(("en",), iter([pd.DataFrame({"doc_id": ids})]), replay))
+    # Re-deliver half the corpus (pooled AND evicted docs) in a later
+    # micro-batch; the reservoir must not move.
+    out = list(
+        _update_reservoir(
+            ("en",), iter([pd.DataFrame({"doc_id": ids[:200]})]), replay
+        )
+    )
+    assert replay.get[0] == once.get[0]  # buckets
+    assert replay.get[1] == once.get[1]  # doc_ids
+    assert len(once.get[1]) == min(_RESERVOIR_K, len(ids))
+    assert len(set(replay.get[1])) == len(replay.get[1])  # one slot per doc
+    # The emission mirrors the unchanged pool, ranks 1..k; n_seen stays
+    # the monotone ARRIVAL counter (counts re-deliveries by design).
+    final = out[0]
+    assert final["doc_id"].tolist() == once.get[1]
+    assert final["rk"].tolist() == list(range(1, len(once.get[1]) + 1))
+    assert final["n_seen"].iloc[0] == len(ids) + 200
+
+
 def test_streaming_active_days_growth_rollup(spark, sf_dir, events_stream_dir):
     """The per-user active-day set state must converge exactly to the
     batch (user, day) distinct under any micro-batch split, and the
