@@ -14,6 +14,7 @@ Usage::
     python tools/adversarial_sweep.py --staged2   # pre-registration gate
     python tools/adversarial_sweep.py --staged3   # third staged pack
     python tools/adversarial_sweep.py --staged4   # fourth staged pack
+    python tools/adversarial_sweep.py --staged5   # fifth staged pack
 
 The round-6 known-findings list (json_extraction /
 multimodal_audio_features / multimodal_shard_manifest oracle
@@ -86,6 +87,10 @@ def main() -> int:
         from parquet_stream_writer_spark.operators import staged4
 
         queries, oracles = staged4.QUERIES, staged4.ORACLE
+    elif "--staged5" in sys.argv[1:]:
+        from parquet_stream_writer_spark.operators import staged5
+
+        queries, oracles = staged5.QUERIES, staged5.ORACLE
     else:
         from parquet_stream_writer_spark.operators import staged
 

@@ -20,6 +20,7 @@ Usage::
     python tools/invariance_check.py 5 64         # custom pair
     python tools/invariance_check.py --staged     # staged pack instead
     python tools/invariance_check.py --staged2    # second staged pack
+    python tools/invariance_check.py --staged5    # fifth staged pack
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/invariance_check.py
 
 Exit code 0 iff every query is invariant.  (Round-6 session 3: all
@@ -60,6 +61,9 @@ elif {staged!r} == "staged3":
 elif {staged!r} == "staged4":
     from parquet_stream_writer_spark.operators import staged4 as _staged4
     qs = dict(_staged4.QUERIES)
+elif {staged!r} == "staged5":
+    from parquet_stream_writer_spark.operators import staged5 as _staged5
+    qs = dict(_staged5.QUERIES)
 res = {{}}
 for name, fn in sorted(qs.items()):
     df = fn(spark, sf).toPandas()
@@ -89,13 +93,15 @@ def run_config(nparts: str, out: str, staged: str = "") -> None:
 def main() -> int:
     args = sys.argv[1:]
     staged = (
-        "staged4"
+        "staged5"
+        if "--staged5" in args
+        else "staged4"
         if "--staged4" in args
         else "staged3"
         if "--staged3" in args
         else "staged2" if "--staged2" in args else "staged" if "--staged" in args else ""
     )
-    args = [a for a in args if a not in ("--staged", "--staged2", "--staged3", "--staged4")]
+    args = [a for a in args if a not in ("--staged", "--staged2", "--staged3", "--staged4", "--staged5")]
     pair = args[:2] or ["7", "32"]
     with tempfile.TemporaryDirectory() as d:
         outs = []
