@@ -1781,7 +1781,19 @@ def similarity_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.coalesce(F.sum("m"), F.lit(0)) / F.count(F.lit(1)), 6).alias(
                 "reciprocity"
             ),
-            pround(F.avg("sim"), 6).alias("avg_sim"),
+            # avg over exact 4-dp integers, not F.avg over doubles: a
+            # double sum is partition-order dependent, and at sf0.1 the
+            # rank-3 mean sits exactly on a 1e-6 rounding boundary
+            # (observed round 11: 0.366904 vs 0.366905).  floor(sim*1e4
+            # + 0.5) recovers the kernel's exact 4-dp integer, the long
+            # sum is order-free, and ONE division matches the oracle.
+            pround(
+                F.sum(
+                    F.floor(F.col("sim") * 10000 + F.lit(0.5)).cast("long")
+                )
+                / (F.count(F.lit(1)) * 10000),
+                6,
+            ).alias("avg_sim"),
         )
         .select(F.col("rk").cast("long").alias("rank"), "n_edges", "n_mutual",
                 "reciprocity", "avg_sim")
@@ -1807,7 +1819,8 @@ SELECT CAST(e1.rk AS BIGINT) AS rank,
        CAST(sum(CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
        floor((sum(CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*))
              * 1000000 + 0.5) / 1000000.0 AS reciprocity,
-       floor(avg(e1.sim) * 1000000 + 0.5) / 1000000.0 AS avg_sim
+       floor((CAST(sum(CAST(floor(e1.sim * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+              / (count(*) * 10000)) * 1000000 + 0.5) / 1000000.0 AS avg_sim
 FROM knn e1 LEFT JOIN knn e2 ON e1.src = e2.dst AND e1.dst = e2.src
 GROUP BY e1.rk ORDER BY rank
 """
