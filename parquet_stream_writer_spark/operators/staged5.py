@@ -58,6 +58,12 @@ ORACLE: dict = {}
 _KNN_BLOCKS = 8
 #: Neighbours per query for the label/hubness audits.
 _KNN_K = 5
+#: The corpus' trained dimensionality — the pair kernels matmul a
+#: dense (rows × dim) matrix, so a ragged row would crash np.asarray;
+#: rows of any other length are out of the audits' domain (the same
+#: contract embedding_centroid_margin states, and the oracles' len()
+#: predicate mirrors it).
+_KNN_DIM = 64
 
 
 def _emb5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,16 +74,42 @@ def _emb5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eligible_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors the pair miners can actually score: non-null, exactly
+    ``_KNN_DIM`` wide (ragged rows would crash the dense matmul), and
+    nonzero-norm (cosine undefined).  The oracle twin of this filter
+    is ``len(embedding) = 64 AND list_sum(x*x) > 0``."""
+    return _emb5(spark, sf_dir).where(
+        F.col("emb").isNotNull()
+        & (F.size("emb") == _KNN_DIM)
+        & (
+            F.aggregate(
+                "emb", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+            > 0
+        )
+    )
+
+
 def _knn_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replicate each (vector, label) to its ``_KNN_BLOCKS`` block-pair
     groups — the 2D-grid decomposition of distributed all-pairs.  The
-    label rides along so no downstream join is needed to vote."""
-    emb = _emb5(spark, sf_dir).where(
-        F.col("emb").isNotNull() & (F.size("emb") > 0)
-    )
+    label rides along so no downstream join is needed to vote.
+
+    Deliberately a sibling of similarity.py's ``_pair_blocks`` rather
+    than an import: a cross-module helper edit would float every
+    similarity key's attested source hash at once (the module-helper
+    hash design), so each pack owns its copy of the convention; the
+    blocking here uses ``pmod`` so a negative vector id still lands in
+    0..B-1 (a signed id under Spark's sign-preserving ``%`` would get
+    a block no diagonal group ever forms for, silently dropping its
+    same-block pairs)."""
+    emb = _eligible_emb(spark, sf_dir)
     peers = F.array(*[F.lit(i) for i in range(_KNN_BLOCKS)])
     return (
-        emb.withColumn("blk", (F.col("vec_id") % _KNN_BLOCKS).cast("int"))
+        emb.withColumn(
+            "blk", F.expr(f"pmod(vec_id, {_KNN_BLOCKS})").cast("int")
+        )
         .withColumn("peer", F.explode(peers))
         .select(
             F.least("blk", "peer").alias("bi"),
@@ -162,7 +194,8 @@ def _sql_directed_knn(k: int) -> str:
     return f"""
 emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
-  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+  WHERE len(embedding) = {_KNN_DIM}
+    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 knn AS (
   SELECT qid, q_label, nid, n_label, sim, rk FROM (
@@ -280,9 +313,10 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: k-NN build (see ``embedding_knn_label_audit``) → in-degree
     hash aggregate (≤ n rows) → left join from the id relation to
-    re-admit zero-degree vectors → degree histogram (≤ n·? distinct
-    degrees, in practice O(k·B)) → 1-row corpus-count broadcast for
-    the share.  No n² anywhere.
+    re-admit zero-degree vectors → degree histogram (O(k·B) distinct
+    degrees) → the share's denominator comes from an unpartitioned
+    window over the histogram itself, NOT a second corpus scan.  No
+    n² anywhere.
     """
     knn = _directed_knn(spark, sf_dir, _KNN_K).select("nid")
     indeg = knn.groupBy("nid").agg(F.count(F.lit(1)).alias("deg"))
@@ -290,11 +324,13 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ids.join(indeg, ids.vec_id == indeg.nid, "left").select(
         F.coalesce(F.col("deg"), F.lit(0)).alias("in_degree")
     )
-    totals = ids.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total is derivable from the histogram itself (Σ n_vecs over a
+    # ≤ k·B+1-row relation) — an unpartitioned window there beats a
+    # second full corpus scan for the count (review r11 finding).
+    hist = deg.groupBy("in_degree").agg(F.count(F.lit(1)).alias("n_vecs"))
+    w_all = Window.partitionBy()
     return (
-        deg.groupBy("in_degree")
-        .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .join(F.broadcast(totals))
+        hist.withColumn("n_total", F.sum("n_vecs").over(w_all))
         .select(
             F.col("in_degree").cast("long").alias("in_degree"),
             "n_vecs",
@@ -311,13 +347,13 @@ deg AS (
   SELECT coalesce(i.deg, 0) AS in_degree
   FROM (SELECT vec_id FROM embeddings) e LEFT JOIN indeg i
     ON e.vec_id = i.nid
-),
-totals AS (SELECT count(*) AS n_total FROM embeddings)
-SELECT CAST(d.in_degree AS BIGINT) AS in_degree,
+)
+SELECT CAST(in_degree AS BIGINT) AS in_degree,
        count(*) AS n_vecs,
-       {sql_round('CAST(count(*) AS DOUBLE) / t.n_total', 6)} AS vec_share
-FROM deg d CROSS JOIN totals t
-GROUP BY d.in_degree, t.n_total
+       {sql_round('CAST(count(*) AS DOUBLE) / sum(count(*)) OVER ()', 6)}
+         AS vec_share
+FROM deg
+GROUP BY in_degree
 ORDER BY in_degree
 """
 
@@ -632,12 +668,16 @@ def _cal_kernel():
             mask &= blks[None, :] != blks[:, None]
         mask &= sims > tmin
         p, q = np.nonzero(mask)
+        # SQL equality semantics for the label match: NULL = NULL is
+        # NOT a match (numpy object arrays would say None == None).
+        eq = labs[p] == labs[q]
+        nn = pd.notna(labs[p]) & pd.notna(labs[q])
         return pd.DataFrame(
             {
                 "v1": ids[p].astype(np.int64),
                 "v2": ids[q].astype(np.int64),
                 "sim": sims[p, q],
-                "same": (labs[p] == labs[q]).astype(np.int32),
+                "same": (eq & nn).astype(np.int32),
             }
         )
 
@@ -658,14 +698,22 @@ def similarity_threshold_calibration(
     Exactness: cosines 4-dp pre-rounded; thresholds are exact 2-dp
     literals compared strictly (``sim > t``), so no rounding boundary
     is ambiguous; pair/same counts are exact integers; the same-label
-    pair total is the closed form Σ C(n_label, 2) — no second pair
-    pass; precision/recall are single divisions, 6-dp, NULL when the
-    denominator is zero.
+    pair total is the closed form Σ C(n_label, 2) over the MINEABLE
+    vectors (non-null label, valid dim, nonzero norm — counting pairs
+    the miner can never emit would systematically understate every
+    recall); precision/recall are single divisions, 6-dp, NULL when
+    the denominator is zero.
 
     Shape: block-grid pair mining pruned AT THE KERNEL to the grid
     minimum (output is the surviving-pair relation, linear-ish in
-    practice, never materialized n²), one broadcast grid join, one
-    |grid|-row aggregate, a 1-row label-pair-total broadcast.
+    practice, never materialized n²); each surviving pair is then
+    folded to its BAND — the highest cut it clears, one map-side CASE
+    chain using the same strict comparisons as the per-cut test — so
+    the per-threshold counts are cumulative sums over a ≤ |grid|-row
+    band aggregate with ZERO row replication (review r11: the earlier
+    broadcast-grid expansion streamed every surviving pair through
+    the join up to |grid| times); finally a 1-row label-pair-total
+    broadcast.
     """
     pairs = (
         _knn_blocks(spark, sf_dir)
@@ -675,36 +723,39 @@ def similarity_threshold_calibration(
             schema="v1 long, v2 long, sim double, same int",
         )
     )
-    ks = spark.range(len(_CAL_THRESHOLDS)).select(
-        F.element_at(
-            F.array(*[F.lit(float(t)) for t in _CAL_THRESHOLDS]),
-            (F.col("id") + 1).cast("int"),
-        ).alias("threshold")
-    )
-    # Expand the (large) pair relation against the broadcast 5-row
-    # grid — never broadcast the pairs: at scale the surviving-pair
-    # relation can be arbitrarily big, the grid never is.  Thresholds
-    # no pair survives are re-admitted by a tiny left join from the
-    # grid so the output schema is grid-stable.
-    counted = (
-        pairs.join(F.broadcast(ks), F.col("sim") > F.col("threshold"))
-        .groupBy("threshold")
+    ts = sorted(_CAL_THRESHOLDS)
+    band = F.when(F.col("sim") > ts[-1], F.lit(len(ts)))
+    for i in range(len(ts) - 1, 0, -1):
+        band = band.when(F.col("sim") > ts[i - 1], F.lit(i))
+    bc = (
+        pairs.select(band.otherwise(F.lit(0)).alias("band"), "same")
+        .groupBy("band")
         .agg(
-            F.count(F.lit(1)).alias("hit_pairs"),
-            F.sum("same").cast("long").alias("hit_same"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("same").cast("long").alias("s"),
         )
     )
-    counted = ks.join(counted, "threshold", "left").select(
-        "threshold",
-        F.coalesce(F.col("hit_pairs"), F.lit(0)).cast("long").alias(
-            "n_pairs"
-        ),
-        F.coalesce(F.col("hit_same"), F.lit(0)).cast("long").alias(
-            "n_same_label"
-        ),
+    ks = spark.range(len(ts)).select(
+        (F.col("id") + 1).cast("int").alias("idx"),
+        F.element_at(
+            F.array(*[F.lit(float(t)) for t in ts]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("threshold"),
+    )
+    counted = (
+        ks.join(F.broadcast(bc), F.col("band") >= F.col("idx"), "left")
+        .groupBy("idx", "threshold")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.sum("s"), F.lit(0))
+            .cast("long")
+            .alias("n_same_label"),
+        )
+        .drop("idx")
     )
     same_total = (
-        _emb5(spark, sf_dir)
+        _eligible_emb(spark, sf_dir)
+        .where(F.col("label").isNotNull())
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("nl"))
         .agg(
@@ -734,29 +785,53 @@ def similarity_threshold_calibration(
     )
 
 
+def _sql_cal_band() -> str:
+    """CASE chain assigning each surviving pair the highest cut it
+    clears — the oracle twin of the Spark band expression."""
+    ts = sorted(_CAL_THRESHOLDS)
+    whens = " ".join(
+        f"WHEN sim > {ts[i - 1]} THEN {i}"
+        for i in range(len(ts), 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
 ORACLE_SIMILARITY_THRESHOLD_CALIBRATION = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
-  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+  WHERE len(embedding) = {_KNN_DIM}
+    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 pairs AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2,
-         floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5)
+  SELECT floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5)
            / 10000.0 AS sim,
-         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same
+         CASE WHEN a.label IS NOT NULL AND b.label IS NOT NULL
+                   AND a.label = b.label THEN 1 ELSE 0 END AS same
   FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 ),
-ks AS (SELECT unnest([{", ".join(str(t) for t in _CAL_THRESHOLDS)}]) AS threshold),
+bands AS (
+  SELECT {_sql_cal_band()} AS band, same
+  FROM pairs WHERE sim > {min(_CAL_THRESHOLDS)}
+),
+bc AS (
+  SELECT band, count(*) AS n, CAST(sum(same) AS BIGINT) AS s
+  FROM bands GROUP BY 1
+),
+ks AS (
+  SELECT unnest([{", ".join(str(i + 1) for i in range(len(_CAL_THRESHOLDS)))}]) AS idx,
+         unnest([{", ".join(str(t) for t in sorted(_CAL_THRESHOLDS))}]) AS threshold
+),
 counted AS (
   SELECT ks.threshold,
-         count(p.v1) AS n_pairs,
-         CAST(coalesce(sum(p.same), 0) AS BIGINT) AS n_same_label
-  FROM ks LEFT JOIN pairs p ON p.sim > ks.threshold
+         CAST(coalesce(sum(bc.n), 0) AS BIGINT) AS n_pairs,
+         CAST(coalesce(sum(bc.s), 0) AS BIGINT) AS n_same_label
+  FROM ks LEFT JOIN bc ON bc.band >= ks.idx
   GROUP BY ks.threshold
 ),
 tot AS (
   SELECT CAST(coalesce(sum(nl * (nl - 1) / 2), 0) AS BIGINT) AS total_same
-  FROM (SELECT label, count(*) AS nl FROM embeddings GROUP BY 1)
+  FROM (SELECT label, count(*) AS nl FROM emb
+        WHERE label IS NOT NULL GROUP BY 1)
 )
 SELECT c.threshold, c.n_pairs, c.n_same_label,
        CASE WHEN c.n_pairs > 0 THEN
@@ -801,8 +876,9 @@ def similarity_bucket_occupancy_audit(
     single divisions of exact integers, 6-dp rounded.
 
     Shape: one map-side bucket expression, one 256-cell hash
-    aggregate, one histogram aggregate over ≤ 256 rows, a 1-row
-    totals broadcast.  Linear, shuffle is bucket-sized.
+    aggregate, one histogram aggregate over ≤ 256 rows; the corpus
+    count comes from an unpartitioned window over the histogram, not
+    a second scan.  Linear, shuffle is bucket-sized.
     """
     emb = _emb5(spark, sf_dir).select(
         "vec_id",
@@ -824,13 +900,17 @@ def similarity_bucket_occupancy_audit(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("occupancy"))
     )
-    totals = _emb5(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("n_total")
-    )
+    # The corpus count is Σ occupancy·n_buckets over the ≤ 2^bits-row
+    # histogram itself — an unpartitioned window there, not a second
+    # full corpus scan (review r11 finding).
+    w_all = Window.partitionBy()
     return (
         occ.groupBy("occupancy")
         .agg(F.count(F.lit(1)).alias("n_buckets"))
-        .join(F.broadcast(totals))
+        .withColumn(
+            "n_total",
+            F.sum(F.col("occupancy") * F.col("n_buckets")).over(w_all),
+        )
         .where(F.col("n_total") > 1)
         .select(
             "occupancy",
@@ -869,18 +949,21 @@ WITH occ AS (
          count(*) AS occupancy
   FROM embeddings GROUP BY 1
 ),
-totals AS (SELECT count(*) AS n_total FROM embeddings)
-SELECT o.occupancy,
-       count(*) AS n_buckets,
-       CAST(o.occupancy * count(*) AS BIGINT) AS n_vectors,
-       {sql_round('CAST(o.occupancy * count(*) AS DOUBLE) / t.n_total', 6)}
+hist AS (
+  SELECT occupancy, count(*) AS n_buckets,
+         sum(occupancy * count(*)) OVER () AS n_total
+  FROM occ GROUP BY occupancy
+)
+SELECT occupancy,
+       n_buckets,
+       CAST(occupancy * n_buckets AS BIGINT) AS n_vectors,
+       {sql_round('CAST(occupancy * n_buckets AS DOUBLE) / n_total', 6)}
          AS vec_share,
-       {sql_round('(CAST(count(*) * o.occupancy * (o.occupancy - 1) AS DOUBLE) / 2) / (CAST(t.n_total * (t.n_total - 1) AS DOUBLE) / 2)', 6)}
+       {sql_round('(CAST(n_buckets * occupancy * (occupancy - 1) AS DOUBLE) / 2) / (CAST(n_total * (n_total - 1) AS DOUBLE) / 2)', 6)}
          AS collision_pair_share
-FROM occ o CROSS JOIN totals t
-WHERE t.n_total > 1
-GROUP BY o.occupancy, t.n_total
-ORDER BY o.occupancy
+FROM hist
+WHERE n_total > 1
+ORDER BY occupancy
 """
 
 QUERIES["similarity_bucket_occupancy_audit"] = (

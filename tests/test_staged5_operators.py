@@ -83,9 +83,7 @@ def test_staged5_empty_corpus_oracle_differential(
 #: (the registered pack's _NLJ_OK convention).  Fold into _NLJ_OK at
 #: registration.
 _STAGED5_NLJ_OK = {
-    "embedding_hubness_audit",  # 1-row corpus-count broadcast
-    "similarity_threshold_calibration",  # 5-row grid broadcast (sim > t)
-    "similarity_bucket_occupancy_audit",  # 1-row totals broadcast
+    "similarity_threshold_calibration",  # ≤6-row band × 5-row grid join
     "sample_pps_systematic",  # |langs| × k bounded grid build
     "sample_temporal_embargo_split",  # 1-row min-day broadcast
 }
@@ -120,26 +118,35 @@ def _n_embeddings(spark, sf_dir):
     )
 
 
+def _n_eligible(spark, sf_dir):
+    """Vectors the pair miners can score (the operators' own domain:
+    non-null, _KNN_DIM wide, nonzero norm) — asserting against the
+    RAW count would fail on a correct exclusion (review r11)."""
+    return staged5._eligible_emb(spark, sf_dir).count()
+
+
 def test_knn_label_audit_partitions_the_corpus(spark, sf_dir):
-    """Every nonzero-norm vector is classified exactly once, and
-    accuracy is a valid share."""
+    """Every ELIGIBLE vector is classified exactly once, and accuracy
+    is a valid share."""
     rows = staged5.embedding_knn_label_audit(spark, sf_dir).collect()
-    assert sum(r.n_vecs for r in rows) == _n_embeddings(spark, sf_dir)
+    assert sum(r.n_vecs for r in rows) == _n_eligible(spark, sf_dir)
     for r in rows:
         assert 0 <= r.n_correct <= r.n_vecs
         assert 0.0 <= r.accuracy <= 1.0
 
 
 def test_hubness_degrees_account_for_every_edge_and_vector(spark, sf_dir):
-    """The in-degree histogram must cover every vector once and count
-    exactly n·k directed edges (each query contributes k neighbours
-    when the corpus is larger than k)."""
+    """The in-degree histogram must cover every vector once (ineligible
+    vectors re-admitted at degree 0) and count exactly n_eligible·k
+    directed edges whenever each eligible query has ≥ k eligible
+    candidates."""
     from parquet_stream_writer_spark.operators.staged5 import _KNN_K
 
     rows = staged5.embedding_hubness_audit(spark, sf_dir).collect()
-    n = _n_embeddings(spark, sf_dir)
-    assert sum(r.n_vecs for r in rows) == n
-    assert sum(r.in_degree * r.n_vecs for r in rows) == n * _KNN_K
+    assert sum(r.n_vecs for r in rows) == _n_embeddings(spark, sf_dir)
+    n_el = _n_eligible(spark, sf_dir)
+    if n_el > _KNN_K:
+        assert sum(r.in_degree * r.n_vecs for r in rows) == n_el * _KNN_K
 
 
 def test_binarization_cosine_bounds(spark, sf_dir):
@@ -155,8 +162,15 @@ def test_binarization_cosine_bounds(spark, sf_dir):
 def test_centroid_margin_nonnegative_and_total(spark, sf_dir):
     """Margins are second-minus-first distances (≥ 0 by construction)
     and every 64-dim vector is assigned to exactly one centroid."""
+    from pyspark.sql import functions as F
+
     rows = staged5.embedding_centroid_margin(spark, sf_dir).collect()
-    assert sum(r.n_vecs for r in rows) == _n_embeddings(spark, sf_dir)
+    n64 = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.size("embedding") == 64)
+        .count()
+    )
+    assert sum(r.n_vecs for r in rows) == n64
     for r in rows:
         assert r.mean_d2_near >= 0.0
         assert r.mean_margin >= 0.0
