@@ -76,12 +76,17 @@ def _emb5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _eligible_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectors the pair miners can actually score: non-null, exactly
-    ``_KNN_DIM`` wide (ragged rows would crash the dense matmul), and
-    nonzero-norm (cosine undefined).  The oracle twin of this filter
-    is ``len(embedding) = 64 AND list_sum(x*x) > 0``."""
+    ``_KNN_DIM`` wide (ragged rows would crash the dense matmul),
+    no NULL elements (Spark's fold would propagate NULL while DuckDB's
+    ``list_sum`` skips NULLs and returns a partial sum — ADVICE r11 —
+    so the domain pins them out in BOTH engines), and nonzero-norm
+    (cosine undefined).  The oracle twin of this filter is
+    ``len(embedding) = 64 AND len(list_filter(x -> x IS NULL)) = 0
+    AND list_sum(x*x) > 0``."""
     return _emb5(spark, sf_dir).where(
         F.col("emb").isNotNull()
         & (F.size("emb") == _KNN_DIM)
+        & ~F.exists("emb", lambda x: x.isNull())
         & (
             F.aggregate(
                 "emb", F.lit(0.0), lambda acc, x: acc + x * x
@@ -173,9 +178,18 @@ def _directed_knn(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     4-dp-rounded cosine, ties by nid asc), built as per-group local
     top-k + one global per-query window over ≤ B·k candidates per
     query — the union of local top-ks provably contains the global
-    top-k, so the result is exact with n·B shuffle rows, never n²."""
+    top-k, so the result is exact with n·B shuffle rows, never n².
+
+    The relation is defined over LABELED vectors only (``label IS NOT
+    NULL``, pinned identically in the oracle CTE): the label rides
+    through the kernel's ``int`` Arrow schema (a NaN from a nullable
+    label would fail the conversion) and into the audits' vote/degree
+    semantics, so excluding unlabeled vectors from the graph domain in
+    both engines closes ADVICE r11 items 1–2 (NaN labels, NULL
+    tie-break order) at the domain boundary instead of per-consumer."""
     local = (
         _knn_blocks(spark, sf_dir)
+        .where(F.col("label").isNotNull())
         .groupBy("bi", "bj")
         .applyInPandas(
             _knn_local_kernel(k),
@@ -195,7 +209,9 @@ def _sql_directed_knn(k: int) -> str:
 emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
   WHERE len(embedding) = {_KNN_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
     AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+    AND label IS NOT NULL
 ),
 knn AS (
   SELECT qid, q_label, nid, n_label, sim, rk FROM (
@@ -387,12 +403,21 @@ def embedding_binarization_distortion(
     Shape: one linear pass (two array folds per row), one label hash
     aggregate — no shuffle beyond the rollup, no joins.
     """
-    emb = _emb5(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.transform(
-            "emb", lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
-        ).alias("v6s"),
+    emb = (
+        _emb5(spark, sf_dir)
+        # NULL-element rows are pinned out of the domain in BOTH
+        # engines (same ADVICE r11 class as _eligible_emb: Spark's
+        # fold would NULL the row out via the ssq>0 filter while
+        # DuckDB's sum skips NULLs and keeps a partial-sum row).
+        .where(~F.exists("emb", lambda x: x.isNull()))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                "emb",
+                lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+            ).alias("v6s"),
+        )
     )
     per = (
         emb.select(
@@ -445,6 +470,7 @@ WITH comps AS (
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS v6
   FROM embeddings
+  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 per AS (
   SELECT vec_id, label,
@@ -513,9 +539,15 @@ def embedding_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         _emb5(spark, sf_dir)
         # The probe centroids are trained at the corpus dimensionality;
-        # malformed rows of another length are out of the audit's
-        # domain (the oracle's len() predicate mirrors this).
-        .where(F.size("emb") == _MARGIN_DIM)
+        # malformed rows of another length — or rows with NULL
+        # elements, where Spark's fold yields a NULL distance that
+        # would sort NEAREST under ASC while DuckDB sums the non-null
+        # remainder (ADVICE r11) — are out of the audit's domain (the
+        # oracle's len()/list_filter predicates mirror this).
+        .where(
+            (F.size("emb") == _MARGIN_DIM)
+            & ~F.exists("emb", lambda x: x.isNull())
+        )
         .select(
             "vec_id",
             F.transform(
@@ -594,6 +626,7 @@ WITH comps AS (
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS v6
   FROM embeddings WHERE len(embedding) = {_MARGIN_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 cents AS (
   SELECT cid, generate_subscripts(c6s, 1) AS dim, unnest(c6s) AS c6
@@ -800,6 +833,7 @@ ORACLE_SIMILARITY_THRESHOLD_CALIBRATION = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
   WHERE len(embedding) = {_KNN_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
     AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 pairs AS (
@@ -1298,6 +1332,13 @@ ORACLE["events_error_rate_slo"] = ORACLE_EVENTS_ERROR_RATE_SLO
 #: the model's context-length candidates).
 _TRUNC_CAPS = (32, 64)
 
+#: Explicit whitespace class, engine-identical by construction: Java's
+#: ``\s`` matches vertical tab (\x0B) while DuckDB/RE2's does not
+#: (ADVICE r11), so the splitter spells the class out.  The raw-string
+#: escapes are interpreted the same way by Java regex (Spark
+#: ``F.split``) and RE2 (``string_split_regex``).
+_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
 
 def text_token_budget_truncation(
     spark: SparkSession, sf_dir: str
@@ -1324,7 +1365,7 @@ def text_token_budget_truncation(
         F.when(
             F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
         )
-        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), _WS_CLASS)))
         .cast("long")
         .alias("n_toks"),
     )
@@ -1366,7 +1407,8 @@ ORACLE_TEXT_TOKEN_BUDGET_TRUNCATION = f"""
 WITH docs AS (
   SELECT source,
          CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_toks
+              ELSE len(string_split_regex(trim(text), '{_WS_CLASS}'))
+         END AS n_toks
   FROM documents
 ),
 grid AS (
