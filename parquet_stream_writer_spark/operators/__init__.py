@@ -106,6 +106,7 @@ def _modules():
         staged2,
         staged3,
         staged4,
+        staged5,
         streaming_batch,
         text,
     )
@@ -122,6 +123,7 @@ def _modules():
         staged2,
         staged3,
         staged4,
+        staged5,
     )
 
 

@@ -2036,17 +2036,24 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         files.groupBy("layout")
         .agg(
             F.count(F.lit(1)).alias("n_files"),
+            # Integer-sum mean (round-12 fractional-avg migration): the
+            # per-file span fractions share ONE constant denominator, so
+            # the mean is an exact long sum divided once — no
+            # partition-order double accumulation, and bit-exactly the
+            # same value the per-row F.avg intended.
             pround(
-                F.avg(
-                    (F.col("fc_max") - F.col("fc_min") + 1)
-                    / (F.col("cmax") - F.col("cmin") + 1)
+                F.sum(F.col("fc_max") - F.col("fc_min") + 1)
+                / (
+                    F.count(F.lit(1))
+                    * (F.min("cmax") - F.min("cmin") + 1)
                 ),
                 6,
             ).alias("avg_cust_span_frac"),
             pround(
-                F.avg(
-                    (F.col("fd_max") - F.col("fd_min") + 1)
-                    / (F.col("dmax") - F.col("dmin") + 1)
+                F.sum(F.col("fd_max") - F.col("fd_min") + 1)
+                / (
+                    F.count(F.lit(1))
+                    * (F.min("dmax") - F.min("dmin") + 1)
                 ),
                 6,
             ).alias("avg_day_span_frac"),
@@ -2104,9 +2111,11 @@ files AS (
 )
 SELECT layout,
        count(*) AS n_files,
-       floor(avg((fc_max - fc_min + 1) * 1.0 / (cmax - cmin + 1)) * 1000000 + 0.5)
+       floor(CAST(sum(fc_max - fc_min + 1) AS DOUBLE)
+             / (count(*) * (min(cmax) - min(cmin) + 1)) * 1000000 + 0.5)
          / 1000000.0 AS avg_cust_span_frac,
-       floor(avg((fd_max - fd_min + 1) * 1.0 / (dmax - dmin + 1)) * 1000000 + 0.5)
+       floor(CAST(sum(fd_max - fd_min + 1) AS DOUBLE)
+             / (count(*) * (min(dmax) - min(dmin) + 1)) * 1000000 + 0.5)
          / 1000000.0 AS avg_day_span_frac,
        CAST(sum(CASE WHEN fc_max >= {_Z_PROBE_LO} AND fc_min <= {_Z_PROBE_HI}
                      THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_cust_probe

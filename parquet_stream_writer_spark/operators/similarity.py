@@ -1637,7 +1637,15 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``aggregate``/``exists`` — JVM-side, no Python) followed by one
     hash aggregate on the label key.  One scan, one small shuffle.
     The per-element fold order is the list order on both engines, so
-    norms are bit-identical and the 6-dp rounding is decorative.
+    norms are bit-identical.
+
+    avg_norm is the integer-sum mean (round-12 migration of the
+    fractional-avg latent class the mutual-kNN flip proved): each
+    finite norm quantizes to a 1e-6-unit long FIRST, the long sum is
+    partition-order free, and ONE division matches the oracle.  A
+    label with any non-finite vector reports avg_norm NULL in both
+    engines (previously NaN/inf poisoning — now a defined, engine-
+    identical contract); min/max are order statistics and stay raw.
     """
     emb = _emb(spark, sf_dir)
     norm = F.sqrt(
@@ -1651,6 +1659,12 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("emb").alias("dims"),
         norm.alias("norm"),
         nonfinite.cast("int").alias("bad"),
+    ).withColumn(
+        "norm6",
+        F.when(
+            F.col("bad") == 0,
+            F.floor(F.col("norm") * 1000000 + F.lit(0.5)).cast("long"),
+        ),
     )
     return (
         audited.groupBy("label")
@@ -1660,7 +1674,12 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dims").alias("max_dims"),
             F.sum(F.when(F.col("norm") < _NORM_EPS, 1).otherwise(0)).alias("n_zero"),
             F.sum("bad").alias("n_nonfinite"),
-            pround(F.avg("norm"), 6).alias("avg_norm"),
+            F.when(
+                F.sum("bad") == 0,
+                pround(
+                    F.sum("norm6") / (F.count(F.lit(1)) * 1000000), 6
+                ),
+            ).alias("avg_norm"),
             pround(F.min("norm"), 6).alias("min_norm"),
             pround(F.max("norm"), 6).alias("max_norm"),
         )
@@ -1677,6 +1696,12 @@ WITH audited AS (
                                    x -> isnan(x) OR isinf(x))) > 0
               THEN 1 ELSE 0 END AS bad
   FROM embeddings
+),
+quant AS (
+  SELECT *,
+         CASE WHEN bad = 0
+              THEN CAST(floor(norm * 1000000 + 0.5) AS BIGINT) END AS norm6
+  FROM audited
 )
 SELECT label,
        count(*) AS n_vecs,
@@ -1684,10 +1709,13 @@ SELECT label,
        CAST(max(dims) AS INTEGER) AS max_dims,
        CAST(sum(CASE WHEN norm < {_NORM_EPS} THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        CAST(sum(bad) AS BIGINT) AS n_nonfinite,
-       floor(avg(norm) * 1000000 + 0.5) / 1000000.0 AS avg_norm,
+       CASE WHEN sum(bad) = 0 THEN
+         floor(CAST(sum(norm6) AS DOUBLE) / (count(*) * 1000000)
+               * 1000000 + 0.5) / 1000000.0
+       END AS avg_norm,
        floor(min(norm) * 1000000 + 0.5) / 1000000.0 AS min_norm,
        floor(max(norm) * 1000000 + 0.5) / 1000000.0 AS max_norm
-FROM audited
+FROM quant
 GROUP BY label ORDER BY label
 """
 

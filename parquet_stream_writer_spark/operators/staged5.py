@@ -1,7 +1,7 @@
-"""Fifth staged operator pack — built in round 11, NOT yet registered
-with the driver (registration is gated on the round-11 rotation tail
-clearing: SURVEY §7 round-10 item 7's pack-growth rule, re-affirmed by
-VERDICT r10 item 3 which sizes the next pack at ~10 keys).
+"""Fifth staged operator pack — built in round 11, REGISTERED with
+the driver in round 12 (registry 286 → 296) after the pack-growth gate
+cleared (CORRECTNESS_r11 50/50 green, bench projection ~204 s) and the
+four ADVICE r11 latents were closed pre-registration.
 
 Same contract as the first four staged packs (operators/staged.py
 round 6 → 7, staged2.py 7 → 8, staged3.py 8 → 9, staged4.py 9 → 10):

@@ -1731,6 +1731,13 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram key (one shuffle each side).  At 100 TB the model relations
     are the only state and they are vocab-bounded; nothing driver-side.
     Docs with < 2 tokens are unscorable and excluded (both engines).
+
+    Arithmetic (round-12 migration of the fractional-avg latent class
+    the mutual-kNN flip proved): each bigram's bits quantizes to a
+    1e-6-unit LONG first, the per-doc mean re-quantizes to 1e-6 units
+    (one division of exact integers, then floor(·+0.5) — deterministic
+    regardless of partition order), and the per-source mean is a long
+    sum divided ONCE — no double ever accumulates in partition order.
     """
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
@@ -1766,16 +1773,36 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            (-F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v")))).alias("bits"),
+            F.floor(
+                -F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("bits6"),
         )
     )
-    per_doc = scored.groupBy("doc_id", "source").agg(F.avg("bits").alias("doc_bits"))
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.floor(
+            F.sum("bits6") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("doc_bits6")
+    )
     return (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs_scored"),
-            pround(F.avg("doc_bits"), 4).alias("mean_bits"),
-            pround(F.pow(F.lit(2.0), F.avg("doc_bits")), 2).alias("perplexity"),
+            pround(
+                F.sum("doc_bits6") / (F.count(F.lit(1)) * 1000000.0), 4
+            ).alias("mean_bits"),
+            pround(
+                F.pow(
+                    F.lit(2.0),
+                    F.sum("doc_bits6") / (F.count(F.lit(1)) * 1000000.0),
+                ),
+                2,
+            ).alias("perplexity"),
         )
         .orderBy("source")
     )
@@ -1804,19 +1831,25 @@ unigram AS (
 vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM unigram),
 scored AS (
   SELECT p.doc_id, p.source,
-         -log2((b.c12 + 1) / (u.c1 + vocab.v)) AS bits
+         CAST(floor(-log2((b.c12 + 1) / (u.c1 + vocab.v)) * 1000000 + 0.5)
+              AS BIGINT) AS bits6
   FROM pairs p
   JOIN bigram b ON p.w1 = b.w1 AND p.w2 = b.w2
   JOIN unigram u ON p.w1 = u.tok
   CROSS JOIN vocab
 ),
 per_doc AS (
-  SELECT doc_id, source, avg(bits) AS doc_bits FROM scored GROUP BY 1, 2
+  SELECT doc_id, source,
+         CAST(floor(CAST(sum(bits6) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS doc_bits6
+  FROM scored GROUP BY 1, 2
 )
 SELECT source,
        count(*) AS n_docs_scored,
-       floor(avg(doc_bits) * 10000 + 0.5) / 10000.0 AS mean_bits,
-       floor(pow(2.0, avg(doc_bits)) * 100 + 0.5) / 100.0 AS perplexity
+       floor(CAST(sum(doc_bits6) AS DOUBLE) / (count(*) * 1000000.0)
+             * 10000 + 0.5) / 10000.0 AS mean_bits,
+       floor(pow(2.0, CAST(sum(doc_bits6) AS DOUBLE) / (count(*) * 1000000.0))
+             * 100 + 0.5) / 100.0 AS perplexity
 FROM per_doc
 GROUP BY source
 ORDER BY source
@@ -1957,6 +1990,12 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     ROUNDED scores to 6-dp rounded thresholds, so no float boundary
     can land differently across engines.  Everything scales with
     vocabulary and document count, never corpus text size.
+
+    Arithmetic (round-12 migration of the fractional-avg latent
+    class): each token's surprisal quantizes to a 1e-6-unit LONG
+    first, the per-doc mean re-quantizes via one exact-integer
+    division + floor(·+0.5) (partition-order free), and the per-bucket
+    mean is a long sum divided ONCE — no partition-order double sums.
     """
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
@@ -1967,7 +2006,22 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     per_doc = (
         toks.join(F.broadcast(vocab.crossJoin(tot)), "tok")
         .groupBy("doc_id", "lang")
-        .agg(pround(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("bits"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(
+                        -F.log(F.col("c") / F.col("n")) * 1000000 + F.lit(0.5)
+                    ).cast("long")
+                )
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("bits6")
+        )
+        .select(
+            "doc_id", "lang", "bits6", (F.col("bits6") / 1000000.0).alias("bits")
+        )
     )
     th = per_doc.groupBy("lang").agg(
         pround(F.expr(f"percentile(bits, {_CCNET_P1!r})"), 6).alias("p33"),
@@ -1976,6 +2030,7 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     bucketed = per_doc.join(F.broadcast(th), "lang").select(
         "lang",
         "bits",
+        "bits6",
         F.when(F.col("bits") <= F.col("p33"), "head")
         .when(F.col("bits") <= F.col("p66"), "middle")
         .otherwise("tail")
@@ -1985,7 +2040,9 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         bucketed.groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            pround(F.avg("bits"), 4).alias("avg_bits"),
+            pround(
+                F.sum("bits6") / (F.count(F.lit(1)) * 1000000.0), 4
+            ).alias("avg_bits"),
             pround(F.min("bits"), 4).alias("min_bits"),
             pround(F.max("bits"), 4).alias("max_bits"),
         )
@@ -2001,10 +2058,16 @@ WITH toks AS (
 vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
 tot AS (SELECT sum(c) AS n FROM vocab),
 per_doc AS (
-  SELECT t.doc_id, t.lang,
-         floor(avg(-ln(v.c * 1.0 / tot.n)) * 1000000 + 0.5) / 1000000.0 AS bits
-  FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
-  GROUP BY t.doc_id, t.lang
+  SELECT doc_id, lang, bits6, bits6 / 1000000.0 AS bits
+  FROM (
+    SELECT t.doc_id, t.lang,
+           CAST(floor(
+             CAST(sum(CAST(floor(-ln(v.c * 1.0 / tot.n) * 1000000 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / count(*) + 0.5)
+           AS BIGINT) AS bits6
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id, t.lang
+  )
 ),
 th AS (
   SELECT lang,
@@ -2013,7 +2076,7 @@ th AS (
   FROM per_doc GROUP BY lang
 ),
 bucketed AS (
-  SELECT d.lang, d.bits,
+  SELECT d.lang, d.bits, d.bits6,
          CASE WHEN d.bits <= t.p33 THEN 'head'
               WHEN d.bits <= t.p66 THEN 'middle'
               ELSE 'tail' END AS bucket
@@ -2021,7 +2084,8 @@ bucketed AS (
 )
 SELECT lang, bucket,
        count(*) AS n_docs,
-       floor(avg(bits) * 10000 + 0.5) / 10000.0 AS avg_bits,
+       floor(CAST(sum(bits6) AS DOUBLE) / (count(*) * 1000000.0)
+             * 10000 + 0.5) / 10000.0 AS avg_bits,
        floor(min(bits) * 10000 + 0.5) / 10000.0 AS min_bits,
        floor(max(bits) * 10000 + 0.5) / 10000.0 AS max_bits
 FROM bucketed

@@ -150,6 +150,11 @@ _NLJ_OK = {
     "orders_customer_migration",  # 1-row total broadcast
     "events_user_lifetime",  # 1-row totals broadcast
     "text_vocab_jaccard_by_lang",  # bounded lang-pair grid (lang < lang)
+    # round-12 staged5 registration (folded from
+    # tests/test_staged5_operators.py::_STAGED5_NLJ_OK):
+    "similarity_threshold_calibration",  # ≤6-row band × 5-row grid join
+    "sample_pps_systematic",  # |langs| × k bounded grid build
+    "sample_temporal_embargo_split",  # 1-row min-day broadcast
 }
 
 

@@ -1,9 +1,8 @@
 """Oracle differential + property tests for the FIFTH staged operator
 pack (operators/staged5.py) — the same local gate the first four
-staged packs passed before registration.  The pack is built in round
-11 and stays OUT of the driver registry until the pack-growth gate
-clears (SURVEY §7 round-10 item 7): the staging guard below inverts to
-``test_staged5_keys_registered`` at registration, per the drill.
+staged packs passed before registration.  Built in round 11, held by
+the pack-growth gate, REGISTERED in round 12: the staging guard below
+is inverted to ``test_staged5_keys_registered`` per the drill.
 """
 
 from __future__ import annotations
@@ -22,18 +21,33 @@ def test_staged5_query_matches_oracle(name, spark, sf_dir, oracle_con):
     assert_results_match(df, oracle_con, staged5.ORACLE[name])
 
 
-def test_staged5_keys_not_yet_registered():
-    """Staging assertion: staged5 keys stay OUT of the driver registry
-    until the rotation tail clears and the bench projection keeps
-    ≥20% headroom (the pack-growth gate).  INVERT this test to
-    ``test_staged5_keys_registered`` (+ add the
-    unverified-keys-lead-the-window invariant) when the pack flips
-    into ``operators._modules()``."""
-    from parquet_stream_writer_spark.operators import all_queries
+def test_staged5_keys_registered():
+    """Round-12 inversion of the staging assertion: all 10 staged5
+    keys (and their oracles) are now IN the driver registry — the
+    pack-growth gate cleared with CORRECTNESS_r11 (rotation tail gone,
+    bench projection ~204 s vs the 237 s driver-observed window)."""
+    from parquet_stream_writer_spark.operators import all_oracles, all_queries
 
     live = all_queries()
-    overlap = set(staged5.QUERIES) & set(live)
-    assert not overlap, f"staged5 keys already registered: {overlap}"
+    assert set(staged5.QUERIES) <= set(live)
+    assert set(staged5.ORACLE) <= set(all_oracles())
+
+
+def test_staged5_unverified_keys_lead_the_window():
+    """Post-registration window invariant (the staged.py convention):
+    any staged5 key without a driver verdict is tier-0 and MUST sit
+    inside the 50-key prefix window.  Once CORRECTNESS_r12 lands,
+    these keys carry verdicts and correctly rotate out — the
+    assertion only binds while unverified keys exist."""
+    from parquet_stream_writer_spark import operators as ops
+
+    verdicts = ops._verdicts()
+    unverified = [k for k in staged5.QUERIES if not verdicts.get(k, (False, 0))[0]]
+    if not unverified:
+        pytest.skip("all staged5 keys already hold driver verdicts")
+    window = list(ops.all_queries())[:50]
+    missing = [k for k in unverified if k not in window]
+    assert not missing, f"unverified staged5 keys outside the window: {missing}"
 
 
 def test_staged5_every_key_has_an_oracle():
