@@ -1641,24 +1641,41 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     avg_norm is the integer-sum mean (round-12 migration of the
     fractional-avg latent class the mutual-kNN flip proved): each
-    finite norm quantizes to a 1e-6-unit long FIRST, the long sum is
-    partition-order free, and ONE division matches the oracle.  A
-    label with any non-finite vector reports avg_norm NULL in both
-    engines (previously NaN/inf poisoning — now a defined, engine-
-    identical contract); min/max are order statistics and stay raw.
+    GOOD row's norm quantizes to a 1e-6-unit long FIRST, the long sum
+    is partition-order free, and ONE division matches the oracle.
+
+    Malformed-row contract (round-12 self-review: the engines'
+    NULL-fold semantics diverge — Spark's ``aggregate`` propagates a
+    NULL element into a NULL norm while DuckDB's ``sum`` skips it and
+    returns a partial norm — so no norm statistic may ever SEE a
+    malformed row): ``bad`` counts rows that are NULL, contain a NULL
+    element, or contain a non-finite element, identically in both
+    engines; every norm statistic (n_zero, avg/min/max) is computed
+    over the GOOD rows only, and a label whose rows are all bad
+    reports NULL for all four.  n_vecs / dims still cover every row —
+    that is the hygiene report's job.
     """
     emb = _emb(spark, sf_dir)
     norm = F.sqrt(
         F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    nonfinite = F.exists(
-        F.col("emb"), lambda v: F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+    bad = (
+        F.when(F.col("emb").isNull(), F.lit(1))
+        .when(F.exists(F.col("emb"), lambda v: v.isNull()), F.lit(1))
+        .when(
+            F.exists(
+                F.col("emb"),
+                lambda v: F.isnan(v) | (F.abs(v) == F.lit(float("inf"))),
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
     )
     audited = emb.select(
         "label",
         F.size("emb").alias("dims"),
         norm.alias("norm"),
-        nonfinite.cast("int").alias("bad"),
+        bad.alias("bad"),
     ).withColumn(
         "norm6",
         F.when(
@@ -1666,22 +1683,29 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("norm") * 1000000 + F.lit(0.5)).cast("long"),
         ),
     )
+    n_good = F.sum(F.when(F.col("bad") == 0, 1).otherwise(0))
     return (
         audited.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.min("dims").alias("min_dims"),
             F.max("dims").alias("max_dims"),
-            F.sum(F.when(F.col("norm") < _NORM_EPS, 1).otherwise(0)).alias("n_zero"),
+            F.sum(
+                F.when(
+                    (F.col("bad") == 0) & (F.col("norm") < _NORM_EPS), 1
+                ).otherwise(0)
+            ).alias("n_zero"),
             F.sum("bad").alias("n_nonfinite"),
             F.when(
-                F.sum("bad") == 0,
-                pround(
-                    F.sum("norm6") / (F.count(F.lit(1)) * 1000000), 6
-                ),
+                n_good > 0,
+                pround(F.sum("norm6") / (n_good * 1000000), 6),
             ).alias("avg_norm"),
-            pround(F.min("norm"), 6).alias("min_norm"),
-            pround(F.max("norm"), 6).alias("max_norm"),
+            pround(
+                F.min(F.when(F.col("bad") == 0, F.col("norm"))), 6
+            ).alias("min_norm"),
+            pround(
+                F.max(F.when(F.col("bad") == 0, F.col("norm"))), 6
+            ).alias("max_norm"),
         )
         .orderBy("label")
     )
@@ -1692,9 +1716,11 @@ WITH audited AS (
   SELECT label,
          len(embedding) AS dims,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm,
-         CASE WHEN len(list_filter(embedding::DOUBLE[],
-                                   x -> isnan(x) OR isinf(x))) > 0
-              THEN 1 ELSE 0 END AS bad
+         CASE WHEN embedding IS NULL THEN 1
+              WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 1
+              WHEN len(list_filter(embedding::DOUBLE[],
+                                   x -> isnan(x) OR isinf(x))) > 0 THEN 1
+              ELSE 0 END AS bad
   FROM embeddings
 ),
 quant AS (
@@ -1707,14 +1733,18 @@ SELECT label,
        count(*) AS n_vecs,
        CAST(min(dims) AS INTEGER) AS min_dims,
        CAST(max(dims) AS INTEGER) AS max_dims,
-       CAST(sum(CASE WHEN norm < {_NORM_EPS} THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(CASE WHEN bad = 0 AND norm < {_NORM_EPS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero,
        CAST(sum(bad) AS BIGINT) AS n_nonfinite,
-       CASE WHEN sum(bad) = 0 THEN
-         floor(CAST(sum(norm6) AS DOUBLE) / (count(*) * 1000000)
+       CASE WHEN sum(CASE WHEN bad = 0 THEN 1 ELSE 0 END) > 0 THEN
+         floor(CAST(sum(norm6) AS DOUBLE)
+               / (sum(CASE WHEN bad = 0 THEN 1 ELSE 0 END) * 1000000)
                * 1000000 + 0.5) / 1000000.0
        END AS avg_norm,
-       floor(min(norm) * 1000000 + 0.5) / 1000000.0 AS min_norm,
-       floor(max(norm) * 1000000 + 0.5) / 1000000.0 AS max_norm
+       floor(min(CASE WHEN bad = 0 THEN norm END) * 1000000 + 0.5)
+         / 1000000.0 AS min_norm,
+       floor(max(CASE WHEN bad = 0 THEN norm END) * 1000000 + 0.5)
+         / 1000000.0 AS max_norm
 FROM quant
 GROUP BY label ORDER BY label
 """

@@ -134,33 +134,47 @@ def _n_embeddings(spark, sf_dir):
 
 def _n_eligible(spark, sf_dir):
     """Vectors the pair miners can score (the operators' own domain:
-    non-null, _KNN_DIM wide, nonzero norm) — asserting against the
-    RAW count would fail on a correct exclusion (review r11)."""
+    non-null, _KNN_DIM wide, no NULL elements, nonzero norm) —
+    asserting against the RAW count would fail on a correct exclusion
+    (review r11)."""
     return staged5._eligible_emb(spark, sf_dir).count()
 
 
+def _n_knn_domain(spark, sf_dir):
+    """The directed-kNN relation's own domain: eligible AND labeled
+    (the round-12 ADVICE closure pinned unlabeled vectors out of the
+    graph in both engines)."""
+    from pyspark.sql import functions as F
+
+    return (
+        staged5._eligible_emb(spark, sf_dir)
+        .where(F.col("label").isNotNull())
+        .count()
+    )
+
+
 def test_knn_label_audit_partitions_the_corpus(spark, sf_dir):
-    """Every ELIGIBLE vector is classified exactly once, and accuracy
-    is a valid share."""
+    """Every vector in the kNN domain (eligible + labeled) is
+    classified exactly once, and accuracy is a valid share."""
     rows = staged5.embedding_knn_label_audit(spark, sf_dir).collect()
-    assert sum(r.n_vecs for r in rows) == _n_eligible(spark, sf_dir)
+    assert sum(r.n_vecs for r in rows) == _n_knn_domain(spark, sf_dir)
     for r in rows:
         assert 0 <= r.n_correct <= r.n_vecs
         assert 0.0 <= r.accuracy <= 1.0
 
 
 def test_hubness_degrees_account_for_every_edge_and_vector(spark, sf_dir):
-    """The in-degree histogram must cover every vector once (ineligible
-    vectors re-admitted at degree 0) and count exactly n_eligible·k
-    directed edges whenever each eligible query has ≥ k eligible
-    candidates."""
+    """The in-degree histogram must cover every vector once (out-of-
+    domain vectors re-admitted at degree 0) and count exactly
+    n_domain·k directed edges whenever each in-domain query has ≥ k
+    in-domain candidates."""
     from parquet_stream_writer_spark.operators.staged5 import _KNN_K
 
     rows = staged5.embedding_hubness_audit(spark, sf_dir).collect()
     assert sum(r.n_vecs for r in rows) == _n_embeddings(spark, sf_dir)
-    n_el = _n_eligible(spark, sf_dir)
-    if n_el > _KNN_K:
-        assert sum(r.in_degree * r.n_vecs for r in rows) == n_el * _KNN_K
+    n_dom = _n_knn_domain(spark, sf_dir)
+    if n_dom > _KNN_K:
+        assert sum(r.in_degree * r.n_vecs for r in rows) == n_dom * _KNN_K
 
 
 def test_binarization_cosine_bounds(spark, sf_dir):
@@ -175,13 +189,17 @@ def test_binarization_cosine_bounds(spark, sf_dir):
 
 def test_centroid_margin_nonnegative_and_total(spark, sf_dir):
     """Margins are second-minus-first distances (≥ 0 by construction)
-    and every 64-dim vector is assigned to exactly one centroid."""
+    and every in-domain vector (64-dim, no NULL elements — the
+    round-12 ADVICE closure) is assigned to exactly one centroid."""
     from pyspark.sql import functions as F
 
     rows = staged5.embedding_centroid_margin(spark, sf_dir).collect()
     n64 = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .where(F.size("embedding") == 64)
+        .where(
+            (F.size("embedding") == 64)
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
         .count()
     )
     assert sum(r.n_vecs for r in rows) == n64
