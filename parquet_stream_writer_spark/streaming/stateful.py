@@ -19,6 +19,9 @@ the batch grain:
   sample, exact twin of ``sample_reservoir_per_group``.
 - ``streaming_active_days`` — distinct active-day set, the substrate
   of ``events_growth_accounting``'s lifecycle census.
+- ``streaming_hour_error_counts`` — per-hour (events, errors) counts
+  with the cross-multiplied breach flag, the substrate of
+  ``events_error_rate_slo``'s daily SLO report.
 
 State sizes scale with the key domain (users, languages) or the
 calendar — never with stream length.
@@ -550,6 +553,80 @@ def streaming_active_days(stream: DataFrame) -> DataFrame:
             _update_active_days,
             outputStructType=_GROWTH_OUTPUT_SCHEMA,
             stateStructType=_GROWTH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hourly error-share SLO substrate
+# ---------------------------------------------------------------------------
+
+
+_SLO_OUTPUT_SCHEMA = "hr timestamp_ntz, n long, e long, breach boolean"
+#: Per-hour state: total events and error events — two commutative
+#: sums, so the state is merge-safe under any micro-batch split or
+#: arrival order; the key domain is the calendar hour, so state is
+#: calendar-bounded, never stream-length-bounded.
+_SLO_STATE_SCHEMA = "n long, e long"
+
+
+def _update_hour_errors(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    from parquet_stream_writer_spark.operators.staged5 import (
+        _SLO_DEN,
+        _SLO_NUM,
+    )
+
+    n, e = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        e += int((pdf["event_type"] == "error").sum())
+    state.update((n, e))
+    yield pd.DataFrame(
+        {
+            "hr": [key[0]],
+            "n": [n],
+            "e": [e],
+            # Cross-multiplied integer test — the exact predicate of
+            # operators.staged5.events_error_rate_slo (whose _SLO_NUM/
+            # _SLO_DEN are imported, so the twin can't drift).
+            "breach": [e * _SLO_DEN > n * _SLO_NUM],
+        }
+    )
+
+
+def streaming_hour_error_counts(stream: DataFrame) -> DataFrame:
+    """Per-hour streaming (events, errors) counts with the 30%%
+    error-share breach flag — the substrate of
+    ``operators.staged5.events_error_rate_slo``: that operator's daily
+    SLO report (n_hours, n_breached, worst hour by share) is a pure
+    day-grain rollup over this relation's FINAL per-hour states
+    (pinned by test_streaming_hour_errors_slo_rollup).
+
+    Counts are commutative sums, so the final state converges EXACTLY
+    to the batch per-hour aggregate under any micro-batch split;
+    ``n`` is monotone per key, so a consumer picks each hour's final
+    state as its max-``n`` emission (update semantics re-emit an hour
+    every time a micro-batch touches it).  Like the other counting
+    twins (profile, z-score, lifetime), exactly-once source delivery
+    is assumed — a replayed micro-batch would double-count, unlike
+    the set-fold twins (reservoir, active-days) which are idempotent.
+    State is two longs per calendar hour.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+        )
+        .groupBy("hr")
+        .applyInPandasWithState(
+            _update_hour_errors,
+            outputStructType=_SLO_OUTPUT_SCHEMA,
+            stateStructType=_SLO_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

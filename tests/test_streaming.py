@@ -1034,3 +1034,83 @@ def test_epoch_days_matches_spark_div_semantics(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_streaming_hour_errors_slo_rollup(spark, sf_dir, events_stream_dir):
+    """The per-hour (n, e) count state must converge exactly to the
+    batch per-hour aggregate under any micro-batch split, and the
+    day-grain rollup of the final relation must equal
+    events_error_rate_slo's daily SLO report on the same events."""
+    import math
+
+    from parquet_stream_writer_spark.operators.staged5 import (
+        _SLO_DEN,
+        _SLO_NUM,
+        events_error_rate_slo,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_hour_error_counts,
+    )
+
+    out = streaming_hour_error_counts(_events_stream(spark, events_stream_dir))
+    tbl = _run_to_memory(spark, out, "hour_errors_stream", "update")
+    pdf = tbl.toPandas()
+    # n is monotone non-decreasing per key, so each hour's final state
+    # is its max-n emission (a later batch never shrinks the counts).
+    last = pdf.groupby("hr")["n"].transform("max")
+    final = (
+        pdf[pdf["n"] == last]
+        .drop_duplicates("hr")
+        .sort_values("hr", ignore_index=True)
+    )
+
+    # Convergence: the final per-hour relation == the batch aggregate.
+    from pyspark.sql import functions as F
+
+    batch_hours = (
+        spark.read.parquet(str(events_stream_dir))
+        .selectExpr(
+            "date_trunc('hour', ts) AS hr",
+            "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err",
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_err").alias("e"),
+        )
+        .toPandas()
+        .sort_values("hr", ignore_index=True)
+    )
+    assert final["hr"].tolist() == batch_hours["hr"].tolist()
+    assert final["n"].tolist() == batch_hours["n"].tolist()
+    assert final["e"].tolist() == batch_hours["e"].tolist()
+    assert final["breach"].tolist() == [
+        e * _SLO_DEN > n * _SLO_NUM
+        for n, e in zip(batch_hours["n"], batch_hours["e"])
+    ]
+
+    # Day-grain rollup of the final states == the registered operator.
+    final["day"] = final["hr"].dt.floor("D")
+    final["share"] = final["e"] / final["n"]
+    got = []
+    for day, grp in final.groupby("day"):
+        worst = grp.sort_values(["share", "hr"], ascending=[False, True]).iloc[0]
+        got.append(
+            {
+                "day": day,
+                "n_hours": len(grp),
+                "n_breached": int(grp["breach"].sum()),
+                "worst_hour": worst["hr"],
+                "worst_share": math.floor(worst["share"] * 1e6 + 0.5) / 1e6,
+            }
+        )
+    want = (
+        events_error_rate_slo(spark, sf_dir)
+        .toPandas()
+        .sort_values("day", ignore_index=True)
+    )
+    assert [g["day"] for g in got] == want["day"].tolist()
+    assert [g["n_hours"] for g in got] == want["n_hours"].tolist()
+    assert [g["n_breached"] for g in got] == want["n_breached"].tolist()
+    assert [g["worst_hour"] for g in got] == want["worst_hour"].tolist()
+    assert [g["worst_share"] for g in got] == want["worst_share"].tolist()
