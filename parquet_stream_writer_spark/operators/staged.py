@@ -792,7 +792,11 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     column totals are windows over that bounded cell relation, never
     the corpus.  All chi² inputs are exact integers (observed counts
     and their products; expected = row·col/total is the only
-    division), so both engines compute bit-identical statistics.  The
+    division); each cell's (o−e)²/e term quantizes to a 1e-6-unit
+    LONG before the sum (round-13 migration of the fractional-sum
+    latent class — the old float Σ term accumulated in partition
+    order), so the statistic and the critical-value comparison are
+    computed from exact integers in both engines.  The
     weekday uses the engine-portable integer epoch-day arithmetic
     (``events_seasonality_profile`` convention, Monday = 0).
     """
@@ -810,14 +814,16 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", F.sum("o").over(wt))
     )
     e = F.col("rt").cast("double") * F.col("ct") / F.col("t")
-    term = (F.col("o") - e) * (F.col("o") - e) / e
+    term6 = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1000000 + F.lit(0.5)
+    ).cast("long")
     agged = staged_.agg(
         F.sum("o").cast("long").alias("n_events"),
         ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
         .cast("long")
         .alias("dof"),
-        pround(F.sum(term), 6).alias("chi2"),
-        F.sum(term).alias("_chi2_raw"),
+        pround(F.sum(term6) / 1000000.0, 6).alias("chi2"),
+        (F.sum(term6) / 1000000.0).alias("_chi2_raw"),
     )
     # try_element_at nulls an out-of-range index but still rejects
     # index 0 (INVALID_INDEX_OF_ZERO) — guard the degenerate
@@ -850,18 +856,22 @@ staged_ AS (
          event_type, dow
   FROM cells
 )
+, terms AS (
+  SELECT o, event_type, dow,
+         CAST(floor((o - CAST(rt AS DOUBLE) * ct / t)
+                    * (o - CAST(rt AS DOUBLE) * ct / t)
+                    / (CAST(rt AS DOUBLE) * ct / t) * 1000000 + 0.5)
+              AS BIGINT) AS term6
+  FROM staged_
+)
 , agged AS (
   SELECT CAST(sum(o) AS BIGINT) AS n_events,
          CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT)
            AS dof,
-         floor(sum((o - CAST(rt AS DOUBLE) * ct / t)
-                   * (o - CAST(rt AS DOUBLE) * ct / t)
-                   / (CAST(rt AS DOUBLE) * ct / t)) * 1000000 + 0.5) / 1000000.0
-           AS chi2,
-         sum((o - CAST(rt AS DOUBLE) * ct / t)
-             * (o - CAST(rt AS DOUBLE) * ct / t)
-             / (CAST(rt AS DOUBLE) * ct / t)) AS chi2_raw
-  FROM staged_
+         floor(CAST(sum(term6) AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
+           / 1000000.0 AS chi2,
+         CAST(sum(term6) AS DOUBLE) / 1000000.0 AS chi2_raw
+  FROM terms
 )
 SELECT n_events, dof, chi2,
        chi2_raw > ([{", ".join(str(v) for v in _CHI2_CRIT_05)}][dof])
@@ -1141,6 +1151,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one (probe, doc) hash agg; ranking is a per-probe top-k
     window.  idf uses the BM25+ floor ln(1 + (N−df+0.5)/(df+0.5)) so
     common terms can't go negative.
+
+    Exactness (round-13 migration of the fractional-sum latent
+    class): each term's idf·tfn contribution quantizes to a 1e-6-unit
+    LONG, so the per-(probe, doc) score is an exact integer sum —
+    the old float Σ contrib accumulated in partition order, and a
+    ulp flip between two candidates' near-equal scores would REORDER
+    the top-k, not just round differently.  Ranking and the 4-dp
+    output both derive from the integer score in both engines.
     """
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     postings = (
@@ -1179,11 +1197,15 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dfr, "tok")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("qid", "doc_id", (idf * tfn).alias("contrib"))
+        .select(
+            "qid",
+            "doc_id",
+            F.floor(idf * tfn * 1000000 + F.lit(0.5)).cast("long").alias("contrib6"),
+        )
         .groupBy("qid", "doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        .agg(F.sum("contrib6").alias("score6"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score6"), F.asc("doc_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _BM25_TOP)
@@ -1191,7 +1213,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("rk").cast("int").alias("rk"),
             "doc_id",
-            pround("score", 4).alias("bm25"),
+            pround(F.col("score6") / 1000000.0, 4).alias("bm25"),
         )
         .orderBy("qid", "rk")
     )
@@ -1211,10 +1233,12 @@ probe AS (
 ),
 scored AS (
   SELECT p.qid, po.doc_id,
-         sum(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         CAST(sum(CAST(floor(
+             ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
              * po.tf * ({_BM25_K1} + 1.0)
              / (po.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                  + {_BM25_B} * dl.dl / st.avgdl))) AS score
+                  + {_BM25_B} * dl.dl / st.avgdl))
+             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score6
   FROM postings po
   JOIN probe p ON po.tok = p.tok AND po.doc_id <> p.qid
   JOIN dfr ON po.tok = dfr.tok
@@ -1223,12 +1247,12 @@ scored AS (
   GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT qid, doc_id, score,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+  SELECT qid, doc_id, score6,
+         row_number() OVER (PARTITION BY qid ORDER BY score6 DESC, doc_id ASC) AS rk
   FROM scored
 )
 SELECT qid, CAST(rk AS INTEGER) AS rk, doc_id,
-       floor(score * 10000 + 0.5) / 10000.0 AS bm25
+       floor(CAST(score6 AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000.0 AS bm25
 FROM ranked WHERE rk <= {_BM25_TOP}
 ORDER BY qid, rk
 """
@@ -1344,9 +1368,12 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline every real forecaster must beat, and the cheapest
     continuous sanity check on pipeline volume.
 
-    All-integer error arithmetic until the final ratios (count
-    differences are exact; MAE/MAPE divide exact integer sums), so
-    both engines agree bit-for-bit.  Shape: one day-level aggregate,
+    All-integer error arithmetic until the final ratios: count
+    differences are exact, MAE/bias divide exact integer sums, and
+    MAPE's per-day |err|/y ratios quantize to 1e-6-unit LONGs before
+    summing (round-13 — the old float Σ of fractional ratios
+    accumulated in partition order), so both engines agree
+    bit-for-bit.  Shape: one day-level aggregate,
     one day-key self-join of the tiny daily relation, a 1-row max-day
     broadcast to anchor the horizon.
     """
@@ -1374,8 +1401,18 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("actual_total"),
         F.sum("yhat").cast("long").alias("predicted_total"),
         pround(F.sum(F.abs(err)).cast("double") / F.count(F.lit(1)), 4).alias("mae"),
+        # MAPE's per-day |err|/y ratios are fractional — quantize each
+        # to a 1e-6-unit long so the sum is order-free exact (round-13
+        # migration of the fractional-sum latent class; MAE and bias
+        # sum exact integers and need no quantization).
         pround(
-            F.sum(F.abs(err).cast("double") / F.col("y")) / F.count(F.lit(1)), 6
+            F.sum(
+                F.floor(
+                    F.abs(err).cast("double") / F.col("y") * 1000000 + F.lit(0.5)
+                ).cast("long")
+            )
+            / (F.count(F.lit(1)) * 1000000.0),
+            6,
         ).alias("mape"),
         pround(F.sum(err).cast("double") / F.count(F.lit(1)), 4).alias("bias"),
     )
@@ -1398,7 +1435,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_days,
        CAST(sum(yhat) AS BIGINT) AS predicted_total,
        floor((CAST(sum(abs(y - yhat)) AS DOUBLE) / count(*)) * 10000 + 0.5)
          / 10000.0 AS mae,
-       floor((sum(CAST(abs(y - yhat) AS DOUBLE) / y) / count(*)) * 1000000 + 0.5)
+       floor((CAST(sum(CAST(floor(CAST(abs(y - yhat) AS DOUBLE) / y
+                                   * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+              / (count(*) * 1000000.0)) * 1000000 + 0.5)
          / 1000000.0 AS mape,
        floor((CAST(sum(y - yhat) AS DOUBLE) / count(*)) * 10000 + 0.5)
          / 10000.0 AS bias
@@ -1420,9 +1459,12 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     over: a broken client, a bot, a dead code path).
 
     Exact-integer inputs: per-(day, type) counts and day totals are
-    integers, entropy = log2(T) − Σ c·log2(c) / T is computed from
-    them identically in both engines (one division at the end), and
-    the dominant type resolves ties by type name.  One fixed-width
+    integers; each cell's c·log2(c) quantizes to a 1e-6-unit LONG
+    (round-13 migration of the fractional-sum latent class — the old
+    float Σ clogc accumulated in partition order and could flip the
+    6-dp rounding at a boundary), so entropy = log2(T) − Σ clogc6 /
+    (T·1e6) is one division over exact integers, identical in both
+    engines; the dominant type resolves ties by type name.  One fixed-width
     aggregate over (day, type); day-level windows run over the ≤5-row
     per-day cell relation.  The dominant type joins in from the
     rank-1 window rows instead of riding a string ``max(when(...))``
@@ -1439,15 +1481,18 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("day").orderBy(F.desc("c"), F.asc("event_type"))
     staged_ = (
         cells.withColumn("t", F.sum("c").over(wd))
-        .withColumn("clogc", F.col("c") * F.log2("c"))
+        .withColumn(
+            "clogc6",
+            F.floor(F.col("c") * F.log2("c") * 1000000 + F.lit(0.5)).cast("long"),
+        )
         .withColumn("rn", F.row_number().over(wr))
     )
     num = staged_.groupBy("day").agg(
         F.max("t").cast("long").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
-        pround(F.log2(F.max("t")) - F.sum("clogc") / F.max("t"), 6).alias(
-            "entropy_bits"
-        ),
+        pround(
+            F.log2(F.max("t")) - F.sum("clogc6") / (F.max("t") * 1000000.0), 6
+        ).alias("entropy_bits"),
     )
     dom = staged_.where(F.col("rn") == 1).select(
         "day",
@@ -1465,14 +1510,16 @@ WITH cells AS (
 staged_ AS (
   SELECT day, event_type, c,
          sum(c) OVER (PARTITION BY day) AS t,
-         c * log2(c) AS clogc,
+         CAST(floor(c * log2(c) * 1000000 + 0.5) AS BIGINT) AS clogc6,
          row_number() OVER (PARTITION BY day ORDER BY c DESC, event_type ASC) AS rn
   FROM cells
 )
 SELECT day,
        CAST(max(t) AS BIGINT) AS n_events,
        count(*) AS n_types,
-       floor((log2(max(t)) - sum(clogc) / max(t)) * 1000000 + 0.5) / 1000000.0
+       floor((log2(max(t))
+              - CAST(sum(clogc6) AS DOUBLE) / (max(t) * 1000000.0))
+             * 1000000 + 0.5) / 1000000.0
          AS entropy_bits,
        max(CASE WHEN rn = 1 THEN event_type END) AS dominant_type,
        floor((CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / max(t))
@@ -1576,8 +1623,11 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-integer inputs: per-(cur, next) transition counts from one
     user-keyed lag window, row totals as windows over the ≤types²
-    cell relation, H = log2(T_row) − Σ c·log2(c)/T_row computed
-    identically in both engines.
+    cell relation; each cell's c·log2(c) quantizes to a 1e-6-unit
+    LONG (round-13 migration of the fractional-sum latent class —
+    the old float Σ clogc accumulated in partition order), so
+    H = log2(T_row) − Σ clogc6/(T_row·1e6) is one division over
+    exact integers, identical in both engines.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1590,16 +1640,18 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("cur")
     staged_ = trans.withColumn("t", F.sum("c").over(wr)).withColumn(
-        "clogc", F.col("c") * F.log2("c")
+        "clogc6",
+        F.floor(F.col("c") * F.log2("c") * 1000000 + F.lit(0.5)).cast("long"),
     )
     return (
         staged_.groupBy("cur")
         .agg(
             F.max("t").cast("long").alias("n_transitions"),
             F.count(F.lit(1)).alias("n_successors"),
-            pround(F.log2(F.max("t")) - F.sum("clogc") / F.max("t"), 6).alias(
-                "cond_entropy_bits"
-            ),
+            pround(
+                F.log2(F.max("t")) - F.sum("clogc6") / (F.max("t") * 1000000.0),
+                6,
+            ).alias("cond_entropy_bits"),
         )
         .orderBy("cur")
     )
@@ -1615,13 +1667,16 @@ WITH trans AS (
   GROUP BY 1, 2
 ),
 staged_ AS (
-  SELECT cur, c, sum(c) OVER (PARTITION BY cur) AS t, c * log2(c) AS clogc
+  SELECT cur, c, sum(c) OVER (PARTITION BY cur) AS t,
+         CAST(floor(c * log2(c) * 1000000 + 0.5) AS BIGINT) AS clogc6
   FROM trans
 )
 SELECT cur,
        CAST(max(t) AS BIGINT) AS n_transitions,
        count(*) AS n_successors,
-       floor((log2(max(t)) - sum(clogc) / max(t)) * 1000000 + 0.5) / 1000000.0
+       floor((log2(max(t))
+              - CAST(sum(clogc6) AS DOUBLE) / (max(t) * 1000000.0))
+             * 1000000 + 0.5) / 1000000.0
          AS cond_entropy_bits
 FROM staged_
 GROUP BY cur

@@ -737,16 +737,30 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vocabulary agg is tiny (distinct tokens) and broadcasts back
     over the exploded token stream — the same two-pass train/apply
     shape as ``text_tokenize_ids``, with the totals row carried on the
-    broadcast side so no second scan of the corpus is needed."""
+    broadcast side so no second scan of the corpus is needed.
+
+    Arithmetic (round-13 migration of the fractional-avg latent class,
+    scheduled in the round-12 record): each token's surprisal
+    quantizes to a 1e-6-unit LONG before any aggregation, the per-doc
+    mean is one division of exact integers — no double ever
+    accumulates in partition order, so the 6-dp output is
+    deterministic under any shuffle layout.  The value is
+    mathematically the mean of the quantized surprisals (±5e-7 per
+    token vs the old float mean); impl and oracle changed together."""
     toks = _tokens(spark, sf_dir).select("doc_id", "tok")
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab.agg(F.sum("c").alias("n"))
     scored = toks.join(F.broadcast(vocab.crossJoin(tot)), "tok").select(
-        "doc_id", (-F.log(F.col("c") / F.col("n"))).alias("nll")
+        "doc_id",
+        F.floor(-F.log(F.col("c") / F.col("n")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("nll6"),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        pround(F.avg("nll"), 6).alias("avg_neg_logp"),
+        pround(
+            F.sum("nll6") / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("avg_neg_logp"),
     )
 
 
@@ -757,10 +771,12 @@ vocab AS (
   SELECT tok, count(*) AS c FROM toks GROUP BY tok),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
 scored AS (
-  SELECT t.doc_id, -ln(v.c / tot.n) AS nll
+  SELECT t.doc_id,
+         CAST(floor(-ln(v.c / tot.n) * 1000000 + 0.5) AS BIGINT) AS nll6
   FROM toks t JOIN vocab v USING (tok), tot)
 SELECT doc_id, count(*) AS n_tokens,
-       floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS avg_neg_logp
+       floor(CAST(sum(nll6) AS DOUBLE) / (count(*) * 1000000.0)
+             * 1000000 + 0.5) / 1000000.0 AS avg_neg_logp
 FROM scored GROUP BY doc_id
 """
 
@@ -1487,9 +1503,19 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one token explode + one (source, tok) hash aggregate (both
     partial-aggregated), a per-source top-N window over the *aggregate*
     (vocab-sized, not corpus-sized), then a 50-point closed-form
-    regression via ``covar_pop/var_pop`` — mergeable one-pass moments,
+    regression over exact integer moments — mergeable one-pass sums,
     no iterative fitter.  Nothing driver-side, nothing quadratic;
     at 100 TB the only full-data pass is the token count itself.
+
+    Arithmetic (round-13 migration of the fractional-avg latent class,
+    scheduled in the round-12 record): ln(rank) and ln(freq) quantize
+    to 1e-6-unit LONGs, and the closed-form fit runs entirely on the
+    four integer moments (Σx, Σy, Σxy, Σx²) — slope is
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), with the 1e-6 units cancelling.
+    The sums are exact longs (≤ ~2e17 at a 1e13-token corpus, well
+    inside int64), so the 4-dp outputs are partition-order
+    deterministic; the old ``covar_pop/var_pop/avg`` accumulation was
+    float and order-sensitive.  Impl and oracle changed together.
     """
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
@@ -1502,28 +1528,41 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _ZIPF_TOP)
         .select(
             "source",
-            F.log(F.col("rank").cast("double")).alias("lx"),
-            F.log(F.col("freq").cast("double")).alias("ly"),
+            F.floor(F.log(F.col("rank").cast("double")) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("lx6"),
+            F.floor(F.log(F.col("freq").cast("double")) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("ly6"),
         )
     )
-    # n_terms > 1 guard: a single-token vocabulary gives var_pop = 0,
-    # and 0/0 semantics (NaN vs NULL) differ between engines — the fit
-    # is undefined there, so both sides pin NULL (ADVICE r5).
+    # n_terms > 1 guard: a single-token vocabulary gives a zero
+    # denominator, and 0/0 semantics (NaN vs NULL) differ between
+    # engines — the fit is undefined there, so both sides pin NULL
+    # (ADVICE r5).
     fitted = top.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.when(
-            F.count(F.lit(1)) > 1, F.covar_pop("ly", "lx") / F.var_pop("lx")
-        ).alias("slope_raw"),
-        F.avg("lx").alias("mx"),
-        F.avg("ly").alias("my"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx6").alias("sx"),
+        F.sum("ly6").alias("sy"),
+        F.sum(F.col("lx6") * F.col("ly6")).alias("sxy"),
+        F.sum(F.col("lx6") * F.col("lx6")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     )
     return fitted.select(
         "source",
-        "n_terms",
-        pround(F.col("slope_raw"), 4).alias("zipf_slope"),
-        pround(F.col("my") - F.col("slope_raw") * F.col("mx"), 4).alias(
-            "zipf_intercept"
-        ),
+        F.col("n").alias("n_terms"),
+        pround(F.when(F.col("n") > 1, slope), 4).alias("zipf_slope"),
+        pround(
+            F.when(
+                F.col("n") > 1,
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / (F.col("n") * 1000000.0),
+            ),
+            4,
+        ).alias("zipf_intercept"),
     ).orderBy("source")
 
 
@@ -1535,26 +1574,42 @@ WITH toks AS (
 freq AS (
   SELECT source, tok, count(*) AS freq FROM toks GROUP BY source, tok
 ),
+ranked AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok ASC)
+           AS rank
+  FROM freq
+),
 top AS (
   SELECT source,
-         ln(CAST(row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok ASC) AS DOUBLE)) AS lx,
-         ln(CAST(freq AS DOUBLE)) AS ly,
-         row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok ASC) AS rank
-  FROM freq
-  QUALIFY rank <= {_ZIPF_TOP}
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS lx6,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS ly6
+  FROM ranked
+  WHERE rank <= {_ZIPF_TOP}
 ),
 fitted AS (
   SELECT source,
-         count(*) AS n_terms,
-         CASE WHEN count(*) > 1
-              THEN covar_pop(ly, lx) / var_pop(lx) END AS slope_raw,
-         avg(lx) AS mx,
-         avg(ly) AS my
+         count(*) AS n,
+         CAST(sum(lx6) AS BIGINT) AS sx,
+         CAST(sum(ly6) AS BIGINT) AS sy,
+         CAST(sum(lx6 * ly6) AS BIGINT) AS sxy,
+         CAST(sum(lx6 * lx6) AS BIGINT) AS sxx
   FROM top GROUP BY source
 )
-SELECT source, n_terms,
-       floor(slope_raw * 10000 + 0.5) / 10000.0 AS zipf_slope,
-       floor((my - slope_raw * mx) * 10000 + 0.5) / 10000.0 AS zipf_intercept
+SELECT source, n AS n_terms,
+       floor(CASE WHEN n > 1
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+             END * 10000 + 0.5) / 10000.0 AS zipf_slope,
+       floor(CASE WHEN n > 1
+                  THEN (CAST(sy AS DOUBLE)
+                        - (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE))
+                       / (n * 1000000.0)
+             END * 10000 + 0.5) / 10000.0 AS zipf_intercept
 FROM fitted
 ORDER BY source
 """
