@@ -22,6 +22,8 @@ the batch grain:
 - ``streaming_hour_error_counts`` — per-hour (events, errors) counts
   with the cross-multiplied breach flag, the substrate of
   ``events_error_rate_slo``'s daily SLO report.
+- ``streaming_day_type_mix`` — per-(day, event-type) counts, the
+  substrate of ``agg_entropy_categorical``'s daily mix/entropy report.
 
 State sizes scale with the key domain (users, languages) or the
 calendar — never with stream length.
@@ -599,7 +601,7 @@ def _update_hour_errors(key, pdf_iter, state: GroupState):
 
 
 def streaming_hour_error_counts(stream: DataFrame) -> DataFrame:
-    """Per-hour streaming (events, errors) counts with the 30%%
+    """Per-hour streaming (events, errors) counts with the 30%
     error-share breach flag — the substrate of
     ``operators.staged5.events_error_rate_slo``: that operator's daily
     SLO report (n_hours, n_breached, worst hour by share) is a pure
@@ -627,6 +629,66 @@ def streaming_hour_error_counts(stream: DataFrame) -> DataFrame:
             _update_hour_errors,
             outputStructType=_SLO_OUTPUT_SCHEMA,
             stateStructType=_SLO_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-(day, type) mix substrate (entropy twin)
+# ---------------------------------------------------------------------------
+
+
+_MIX_OUTPUT_SCHEMA = "day timestamp_ntz, event_type string, c long"
+#: Per-(day, type) state: ONE commutative count — merge-safe under any
+#: micro-batch split or arrival order; the key domain is calendar-day ×
+#: event-type, so state is calendar-bounded, never stream-length-bounded.
+_MIX_STATE_SCHEMA = "c long"
+
+
+def _update_day_type_mix(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    (c,) = state.get if state.exists else (0,)
+    for pdf in pdf_iter:
+        c += len(pdf)
+    state.update((c,))
+    yield pd.DataFrame({"day": [key[0]], "event_type": [key[1]], "c": [c]})
+
+
+def streaming_day_type_mix(stream: DataFrame) -> DataFrame:
+    """Per-(day, event_type) streaming counts — the substrate of
+    ``operators.staged.agg_entropy_categorical``: that operator's daily
+    mix report (n_events, n_types, entropy_bits, dominant type/share)
+    is a pure day-grain rollup over this relation's FINAL cell states
+    (pinned by ``test_streaming_day_mix_entropy_rollup``, which
+    reproduces the batch operator's 1e-6-quantized c·log2(c) exactly —
+    the round-13 integer-sum entropy convention, so the twin can't
+    drift from the registered arithmetic).
+
+    The count is a commutative sum, so the final state converges
+    EXACTLY to the batch per-cell aggregate under any micro-batch
+    split; ``c`` is monotone per key, so a consumer picks each cell's
+    final state as its max-``c`` emission (update semantics re-emit a
+    cell every time a micro-batch touches it).  Like the other
+    counting twins (profile, z-score, lifetime, hour-errors),
+    exactly-once source delivery is assumed — a replayed micro-batch
+    would double-count, unlike the set-fold twins (reservoir,
+    active-days) which are idempotent.  State is one long per
+    (calendar day × observed event type) cell.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .groupBy("day", "event_type")
+        .applyInPandasWithState(
+            _update_day_type_mix,
+            outputStructType=_MIX_OUTPUT_SCHEMA,
+            stateStructType=_MIX_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

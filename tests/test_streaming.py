@@ -1114,3 +1114,89 @@ def test_streaming_hour_errors_slo_rollup(spark, sf_dir, events_stream_dir):
     assert [g["n_breached"] for g in got] == want["n_breached"].tolist()
     assert [g["worst_hour"] for g in got] == want["worst_hour"].tolist()
     assert [g["worst_share"] for g in got] == want["worst_share"].tolist()
+
+
+def test_streaming_day_mix_entropy_rollup(spark, sf_dir, events_stream_dir):
+    """The per-(day, type) count state must converge exactly to the
+    batch per-cell aggregate under any micro-batch split, and the
+    day-grain rollup of the final relation must equal
+    agg_entropy_categorical's daily mix report on the same events —
+    including the 1e-6-quantized c·log2(c) entropy arithmetic (the
+    round-13 integer-sum convention), so the twin cannot drift from
+    the registered operator."""
+    import math
+
+    from parquet_stream_writer_spark.operators.staged import (
+        agg_entropy_categorical,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_day_type_mix,
+    )
+
+    out = streaming_day_type_mix(_events_stream(spark, events_stream_dir))
+    tbl = _run_to_memory(spark, out, "day_mix_stream", "update")
+    pdf = tbl.toPandas()
+    # c is monotone non-decreasing per key, so each cell's final state
+    # is its max-c emission (a later batch never shrinks the count).
+    last = pdf.groupby(["day", "event_type"])["c"].transform("max")
+    final = (
+        pdf[pdf["c"] == last]
+        .drop_duplicates(["day", "event_type"])
+        .sort_values(["day", "event_type"], ignore_index=True)
+    )
+
+    # Convergence: the final per-cell relation == the batch aggregate.
+    from pyspark.sql import functions as F
+
+    batch_cells = (
+        spark.read.parquet(str(events_stream_dir))
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()
+        .sort_values(["day", "event_type"], ignore_index=True)
+    )
+    assert final["day"].tolist() == batch_cells["day"].tolist()
+    assert final["event_type"].tolist() == batch_cells["event_type"].tolist()
+    assert final["c"].tolist() == batch_cells["c"].tolist()
+
+    # Day-grain rollup of the final states == the registered operator,
+    # reproducing its exact quantized-entropy arithmetic.
+    got = []
+    for day, grp in final.groupby("day"):
+        t = int(grp["c"].sum())
+        clogc6 = sum(
+            int(math.floor(c * math.log2(c) * 1e6 + 0.5)) for c in grp["c"]
+        )
+        entropy = math.log2(t) - clogc6 / (t * 1e6)
+        dom = grp.sort_values(
+            ["c", "event_type"], ascending=[False, True]
+        ).iloc[0]
+        got.append(
+            {
+                "day": day,
+                "n_events": t,
+                "n_types": len(grp),
+                "entropy_bits": math.floor(entropy * 1e6 + 0.5) / 1e6,
+                "dominant_type": dom["event_type"],
+                "dominant_share": math.floor(
+                    int(dom["c"]) / t * 1e6 + 0.5
+                )
+                / 1e6,
+            }
+        )
+    want = (
+        agg_entropy_categorical(spark, sf_dir)
+        .toPandas()
+        .sort_values("day", ignore_index=True)
+    )
+    for col in (
+        "day",
+        "n_events",
+        "n_types",
+        "entropy_bits",
+        "dominant_type",
+        "dominant_share",
+    ):
+        assert [g[col] for g in got] == want[col].tolist(), col
