@@ -21,6 +21,7 @@ Usage::
     python tools/invariance_check.py --staged     # staged pack instead
     python tools/invariance_check.py --staged2    # second staged pack
     python tools/invariance_check.py --staged5    # fifth staged pack
+    python tools/invariance_check.py 14 32 --keys=a,b  # key subset
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/invariance_check.py
 
 Exit code 0 iff every query is invariant.  (Round-6 session 3: all
@@ -64,6 +65,9 @@ elif {staged!r} == "staged4":
 elif {staged!r} == "staged5":
     from parquet_stream_writer_spark.operators import staged5 as _staged5
     qs = dict(_staged5.QUERIES)
+only = {keys!r}
+if only:
+    qs = {{k: qs[k] for k in only}}
 res = {{}}
 for name, fn in sorted(qs.items()):
     df = fn(spark, sf).toPandas()
@@ -80,8 +84,10 @@ spark.stop()
 """
 
 
-def run_config(nparts: str, out: str, staged: str = "") -> None:
-    code = _WORKER.format(repo=str(_REPO), nparts=nparts, out=out, staged=staged)
+def run_config(nparts: str, out: str, staged: str = "", keys: tuple = ()) -> None:
+    code = _WORKER.format(
+        repo=str(_REPO), nparts=nparts, out=out, staged=staged, keys=tuple(keys)
+    )
     subprocess.run(
         [sys.executable, "-c", code],
         check=True,
@@ -102,13 +108,23 @@ def main() -> int:
         else "staged2" if "--staged2" in args else "staged" if "--staged" in args else ""
     )
     args = [a for a in args if a not in ("--staged", "--staged2", "--staged3", "--staged4", "--staged5")]
+    # --keys k1,k2,... restricts the sweep to a subset of the pack —
+    # the per-repair probe lane (round-13 convention: repaired keys
+    # re-check at 14/23/32 without paying the full-registry sweep).
+    keys: tuple = ()
+    for a in list(args):
+        if a.startswith("--keys"):
+            keys = tuple(
+                k for k in (a.split("=", 1)[1] if "=" in a else "").split(",") if k
+            )
+            args.remove(a)
     pair = args[:2] or ["7", "32"]
     with tempfile.TemporaryDirectory() as d:
         outs = []
         for np_ in pair:
             out = os.path.join(d, f"inv{np_}.json")
             print(f"[invariance] running pack at shuffle.partitions={np_} ...")
-            run_config(np_, out, staged=staged)
+            run_config(np_, out, staged=staged, keys=keys)
             outs.append(json.load(open(out)))
     a, b = outs
     diff = sorted(k for k in a if a[k] != b.get(k))
