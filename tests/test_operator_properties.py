@@ -9,6 +9,7 @@ survival hitting zero, all-censored groups).
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 import numpy as np
 import pandas as pd
@@ -447,7 +448,12 @@ def test_transition_entropy_matches_bruteforce(spark, tmp_path, seed):
     for cur in sorted(cells.index.get_level_values(0).unique()):
         c = cells[cur].to_numpy(dtype="float64")
         t = c.sum()
-        h = np.log2(t) - (c * np.log2(c)).sum() / t
+        # Round-13 integer-sum contract: each cell's c*log2(c)
+        # quantizes to a 1e-6-unit long before the (order-free) sum.
+        clogc6 = sum(
+            math.floor(v * np.log2(v) * 1e6 + 0.5) for v in c
+        )
+        h = np.log2(t) - clogc6 / (t * 1e6)
         want = (int(t), len(c), float(_pr(h, 6)))
         assert got[cur] == want, (cur, got[cur], want)
 
@@ -784,24 +790,29 @@ def test_bm25_matches_python_model(spark, tmp_path):
         for d, tfs in postings.items():
             if d == qid:
                 continue
-            s = 0.0
+            # Round-13 integer-sum contract: each term's contribution
+            # quantizes to a 1e-6-unit long; the score is the exact
+            # integer sum and the ranking derives from it.
+            s6 = 0
             for tok in postings[qid]:
                 if tok in tfs:
                     idf = math.log(
                         1.0 + (n_docs - df_[tok] + 0.5) / (df_[tok] + 0.5)
                     )
                     tf = tfs[tok]
-                    s += idf * tf * (_BM25_K1 + 1.0) / (
+                    contrib = idf * tf * (_BM25_K1 + 1.0) / (
                         tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl[d] / avgdl)
                     )
-            if s > 0:
-                scores[d] = s
+                    s6 += math.floor(contrib * 1e6 + 0.5)
+            if s6 > 0:
+                scores[d] = s6
         want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOP]
         got = [(r.doc_id, r.bm25) for r in out if r.qid == qid]
         assert [d for d, _ in got] == [d for d, _ in want], (qid, got, want)
-        for (gd, gs), (wd, ws) in zip(got, want):
-            # Spark emits pround(score, 4); round the model the same way
-            assert abs(gs - float(_pr(ws, 4))) < 1e-9, (qid, gd, gs, ws)
+        for (gd, gs), (wd, ws6) in zip(got, want):
+            # Spark emits pround(score6 / 1e6, 4); round the model the
+            # same way
+            assert abs(gs - float(_pr(ws6 / 1e6, 4))) < 1e-9, (qid, gd, gs, ws6)
 
 
 @pytest.mark.parametrize("seed", [13, 202])
@@ -898,9 +909,12 @@ def test_forecast_baseline_matches_bruteforce(spark, tmp_path):
     assert row.predicted_total == sum(yh for _, yh in pairs)
     assert row.mae == float(_pr(sum(abs(e) for e in errs) / n, 4))
     assert row.bias == float(_pr(sum(errs) / n, 4))
-    assert row.mape == float(
-        _pr(sum(abs(e) / y for e, (y, _) in zip(errs, pairs)) / n, 6)
+    # Round-13 integer-sum contract: per-day |err|/y ratios quantize
+    # to 1e-6-unit longs before the (order-free) sum.
+    ratio6 = sum(
+        math.floor(abs(e) / y * 1e6 + 0.5) for e, (y, _) in zip(errs, pairs)
     )
+    assert row.mape == float(_pr(ratio6 / (n * 1e6), 6))
 
 
 @pytest.mark.parametrize("seed", [17, 404])
@@ -934,7 +948,13 @@ def test_chi_square_matches_scipy_free_model(spark, tmp_path, seed):
     ct = obs.sum(axis=0, keepdims=True)
     t = obs.sum()
     exp = rt * ct / t
-    chi2 = ((obs - exp) ** 2 / exp).sum()
+    # Round-13 integer-sum contract: each cell's (o-e)^2/e term
+    # quantizes to a 1e-6-unit long before the (order-free) sum —
+    # reproduce it exactly, like the DuckDB oracle does.
+    terms = (obs - exp) ** 2 / exp
+    chi2 = sum(
+        math.floor(v * 1e6 + 0.5) for v in terms.ravel()
+    ) / 1e6
     dof = (tab.shape[0] - 1) * (tab.shape[1] - 1)
     assert row.n_events == n
     assert row.dof == dof
