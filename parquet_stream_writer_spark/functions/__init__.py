@@ -28,6 +28,25 @@ def sql_round(expr: str, digits: int = 2) -> str:
     return f"floor(({expr}) * {scale} + 0.5) / {scale}.0"
 
 
+def quant6(col: Column) -> Column:
+    """The integer-sum migration's shared quantizer: a fractional
+    per-row term → a 1e-6-unit LONG via floor-half-up, so downstream
+    sums are exact integers and partition-order free.  One definition
+    instead of a hand-expanded ``F.floor(x * 1000000 + 0.5)`` per call
+    site — the scale and the +0.5 are the two constants a typo would
+    silently break the cross-engine contract with.  The DuckDB twin is
+    :func:`sql_quant6`.  Caveat shared by every user: the quantized
+    value is exact only while ``|x| * 1e6`` stays inside int64 (and
+    ulp-exact only below 2^53); operators whose terms can exceed that
+    at extreme scale must bound their domain in the docstring."""
+    return F.floor(col * F.lit(1000000) + F.lit(0.5)).cast("long")
+
+
+def sql_quant6(expr: str) -> str:
+    """DuckDB-side twin of :func:`quant6` for oracle SQL strings."""
+    return f"CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)"
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<double>`` columns using only
     JVM higher-order functions (no Python in the hot path)."""

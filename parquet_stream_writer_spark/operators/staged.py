@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import cosine_similarity, pround
+from parquet_stream_writer_spark.functions import cosine_similarity, pround, quant6
 from parquet_stream_writer_spark.operators.dedup import _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
@@ -796,7 +796,12 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     LONG before the sum (round-13 migration of the fractional-sum
     latent class — the old float Σ term accumulated in partition
     order), so the statistic and the critical-value comparison are
-    computed from exact integers in both engines.  The
+    computed from exact integers in both engines — exact while each
+    cell's term stays under ~9e12 (int64/1e6; a contingency skewed
+    enough to exceed that needs per-cell ingest bounds first), and
+    assuming ln/log2 agree to the ulp at a floor boundary (the
+    residual cross-engine sensitivity is ±1 unit in 1e-6, absorbed
+    unless the final 6-dp rounding also straddles a boundary).  The
     weekday uses the engine-portable integer epoch-day arithmetic
     (``events_seasonality_profile`` convention, Monday = 0).
     """
@@ -814,9 +819,7 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", F.sum("o").over(wt))
     )
     e = F.col("rt").cast("double") * F.col("ct") / F.col("t")
-    term6 = F.floor(
-        (F.col("o") - e) * (F.col("o") - e) / e * 1000000 + F.lit(0.5)
-    ).cast("long")
+    term6 = quant6((F.col("o") - e) * (F.col("o") - e) / e)
     agged = staged_.agg(
         F.sum("o").cast("long").alias("n_events"),
         ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
@@ -1183,8 +1186,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    tfn = (
-        F.col("tf")
+    # One association for the contribution in BOTH engines AND the
+    # free-model test: ((idf * tf) * (k1+1)) / den, the SQL parser's
+    # left-to-right order.  Quantization floors amplify a 1-ulp
+    # association difference into a full 1e-6 unit, so the expression
+    # TREES must match, not just the algebra (round-13 self-review).
+    contrib = (
+        idf
+        * F.col("tf")
         * (_BM25_K1 + 1.0)
         / (
             F.col("tf")
@@ -1197,11 +1206,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dfr, "tok")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "qid",
-            "doc_id",
-            F.floor(idf * tfn * 1000000 + F.lit(0.5)).cast("long").alias("contrib6"),
-        )
+        .select("qid", "doc_id", quant6(contrib).alias("contrib6"))
         .groupBy("qid", "doc_id")
         .agg(F.sum("contrib6").alias("score6"))
     )
@@ -1406,11 +1411,7 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # migration of the fractional-sum latent class; MAE and bias
         # sum exact integers and need no quantization).
         pround(
-            F.sum(
-                F.floor(
-                    F.abs(err).cast("double") / F.col("y") * 1000000 + F.lit(0.5)
-                ).cast("long")
-            )
+            F.sum(quant6(F.abs(err).cast("double") / F.col("y")))
             / (F.count(F.lit(1)) * 1000000.0),
             6,
         ).alias("mape"),
@@ -1464,7 +1465,11 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     float Σ clogc accumulated in partition order and could flip the
     6-dp rounding at a boundary), so entropy = log2(T) − Σ clogc6 /
     (T·1e6) is one division over exact integers, identical in both
-    engines; the dominant type resolves ties by type name.  One fixed-width
+    engines (ulp-exact while c·log2(c)·1e6 < 2^53, i.e. c ≲ 3e8 per
+    (day, type) cell — bound ingest per cell beyond that; the floor
+    of a transcendental also assumes log2 agrees to the ulp at the
+    boundary, a ±1-unit-in-1e-6 residual); the dominant type
+    resolves ties by type name.  One fixed-width
     aggregate over (day, type); day-level windows run over the ≤5-row
     per-day cell relation.  The dominant type joins in from the
     rank-1 window rows instead of riding a string ``max(when(...))``
@@ -1481,10 +1486,7 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("day").orderBy(F.desc("c"), F.asc("event_type"))
     staged_ = (
         cells.withColumn("t", F.sum("c").over(wd))
-        .withColumn(
-            "clogc6",
-            F.floor(F.col("c") * F.log2("c") * 1000000 + F.lit(0.5)).cast("long"),
-        )
+        .withColumn("clogc6", quant6(F.col("c") * F.log2("c")))
         .withColumn("rn", F.row_number().over(wr))
     )
     num = staged_.groupBy("day").agg(
@@ -1627,7 +1629,9 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     LONG (round-13 migration of the fractional-sum latent class —
     the old float Σ clogc accumulated in partition order), so
     H = log2(T_row) − Σ clogc6/(T_row·1e6) is one division over
-    exact integers, identical in both engines.
+    exact integers, identical in both engines (same c ≲ 3e8 per-cell
+    exactness bound and ±1-unit libm residual as
+    agg_entropy_categorical).
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1640,8 +1644,7 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("cur")
     staged_ = trans.withColumn("t", F.sum("c").over(wr)).withColumn(
-        "clogc6",
-        F.floor(F.col("c") * F.log2("c") * 1000000 + F.lit(0.5)).cast("long"),
+        "clogc6", quant6(F.col("c") * F.log2("c"))
     )
     return (
         staged_.groupBy("cur")

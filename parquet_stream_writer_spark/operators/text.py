@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.functions import pround, quant6
 from parquet_stream_writer_spark.operators.dedup import _hex_prefix_int, _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
@@ -752,9 +752,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(F.sum("c").alias("n"))
     scored = toks.join(F.broadcast(vocab.crossJoin(tot)), "tok").select(
         "doc_id",
-        F.floor(-F.log(F.col("c") / F.col("n")) * 1000000 + F.lit(0.5))
-        .cast("long")
-        .alias("nll6"),
+        quant6(-F.log(F.col("c") / F.col("n"))).alias("nll6"),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -1528,12 +1526,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _ZIPF_TOP)
         .select(
             "source",
-            F.floor(F.log(F.col("rank").cast("double")) * 1000000 + F.lit(0.5))
-            .cast("long")
-            .alias("lx6"),
-            F.floor(F.log(F.col("freq").cast("double")) * 1000000 + F.lit(0.5))
-            .cast("long")
-            .alias("ly6"),
+            quant6(F.log(F.col("rank").cast("double"))).alias("lx6"),
+            quant6(F.log(F.col("freq").cast("double"))).alias("ly6"),
         )
     )
     # n_terms > 1 guard: a single-token vocabulary gives a zero

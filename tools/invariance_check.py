@@ -22,6 +22,7 @@ Usage::
     python tools/invariance_check.py --staged2    # second staged pack
     python tools/invariance_check.py --staged5    # fifth staged pack
     python tools/invariance_check.py 14 32 --keys=a,b  # key subset
+    python tools/invariance_check.py --keys a,b       # same, space form
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/invariance_check.py
 
 Exit code 0 iff every query is invariant.  (Round-6 session 3: all
@@ -88,12 +89,20 @@ def run_config(nparts: str, out: str, staged: str = "", keys: tuple = ()) -> Non
     code = _WORKER.format(
         repo=str(_REPO), nparts=nparts, out=out, staged=staged, keys=tuple(keys)
     )
-    subprocess.run(
+    # stderr is captured, not discarded: a worker crash (bad key, bad
+    # partition count) must surface its traceback, not a bare
+    # CalledProcessError (round-13 self-review).
+    proc = subprocess.run(
         [sys.executable, "-c", code],
-        check=True,
         stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
     )
+    if proc.returncode != 0:
+        tail = proc.stderr.decode(errors="replace").splitlines()[-15:]
+        print("[invariance] worker failed; stderr tail:", file=sys.stderr)
+        for line in tail:
+            print("   ", line, file=sys.stderr)
+        raise SystemExit(proc.returncode)
 
 
 def main() -> int:
@@ -108,16 +117,45 @@ def main() -> int:
         else "staged2" if "--staged2" in args else "staged" if "--staged" in args else ""
     )
     args = [a for a in args if a not in ("--staged", "--staged2", "--staged3", "--staged4", "--staged5")]
-    # --keys k1,k2,... restricts the sweep to a subset of the pack —
-    # the per-repair probe lane (round-13 convention: repaired keys
-    # re-check at 14/23/32 without paying the full-registry sweep).
+    # --keys=k1,k2 (or --keys k1,k2) restricts the sweep to a subset
+    # of the pack — the per-repair probe lane (round-13 convention:
+    # repaired keys re-check at 14/23/32 without paying the
+    # full-registry sweep).
     keys: tuple = ()
-    for a in list(args):
+    for i, a in enumerate(list(args)):
         if a.startswith("--keys"):
-            keys = tuple(
-                k for k in (a.split("=", 1)[1] if "=" in a else "").split(",") if k
+            if "=" in a:
+                raw, consumed = a.split("=", 1)[1], [a]
+            elif i + 1 < len(args):
+                raw, consumed = args[i + 1], [a, args[i + 1]]
+            else:
+                raw, consumed = "", [a]
+            keys = tuple(k for k in raw.split(",") if k)
+            if not keys:
+                print("[invariance] --keys given but no key names parsed")
+                return 2
+            for c in consumed:
+                args.remove(c)
+            break
+    if keys:
+        # validate in the parent so a typo'd key fails with its name,
+        # not a KeyError buried in the worker subprocess
+        sys.path.insert(0, str(_REPO))
+        if staged:
+            import importlib
+
+            mod = importlib.import_module(
+                f"parquet_stream_writer_spark.operators.{staged}"
             )
-            args.remove(a)
+            known = set(mod.QUERIES)
+        else:
+            import __spark_entry__ as entry
+
+            known = set(entry.queries())
+        unknown = sorted(set(keys) - known)
+        if unknown:
+            print(f"[invariance] unknown keys for this pack: {unknown}")
+            return 2
     pair = args[:2] or ["7", "32"]
     with tempfile.TemporaryDirectory() as d:
         outs = []
