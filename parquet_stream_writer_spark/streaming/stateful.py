@@ -24,6 +24,9 @@ the batch grain:
   ``events_error_rate_slo``'s daily SLO report.
 - ``streaming_day_type_mix`` — per-(day, event-type) counts, the
   substrate of ``agg_entropy_categorical``'s daily mix/entropy report.
+- ``streaming_seasonality_grid`` — per-(dow, hour) count/cents/user
+  cells over the fixed 168-cell grid, the substrate of
+  ``events_seasonality_profile``'s load-shape profile.
 
 State sizes scale with the key domain (users, languages) or the
 calendar — never with stream length.
@@ -689,6 +692,87 @@ def streaming_day_type_mix(stream: DataFrame) -> DataFrame:
             _update_day_type_mix,
             outputStructType=_MIX_OUTPUT_SCHEMA,
             stateStructType=_MIX_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming seasonality-grid substrate
+# ---------------------------------------------------------------------------
+
+
+_SEASON_OUTPUT_SCHEMA = (
+    "dow long, hod long, n long, cents long, n_users long"
+)
+#: Per-(dow, hod) state: event count, 2-dp value sum in integer CENTS,
+#: and the distinct-user id set.  Counts/sums are commutative and the
+#: set union is commutative AND idempotent, so the state is merge-safe
+#: under any micro-batch split; the key domain is the fixed 7×24 grid
+#: and the set is bounded by users-per-cell, never stream length.
+_SEASON_STATE_SCHEMA = "n long, cents long, users array<long>"
+
+
+def _update_season_cell(key, pdf_iter, state: GroupState):
+    import numpy as np
+    import pandas as pd
+
+    n, cents, users = state.get if state.exists else (0, 0, [])
+    users = set(users)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        # floor(v*100 + 0.5) per value — the exact cents the batch
+        # operator's pround(sum, 2) recovers from the 2-dp doubles
+        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+        users.update(int(u) for u in pdf["user_id"])
+    state.update((n, cents, sorted(users)))
+    yield pd.DataFrame(
+        {
+            "dow": [key[0]],
+            "hod": [key[1]],
+            "n": [n],
+            "cents": [cents],
+            "n_users": [len(users)],
+        }
+    )
+
+
+def streaming_seasonality_grid(stream: DataFrame) -> DataFrame:
+    """Per-(day-of-week, hour-of-day) streaming (count, cents,
+    distinct-user) cells — the substrate of
+    ``operators.streaming_batch.events_seasonality_profile``: that
+    operator's full load-shape grid (n_events, n_users, 4-dp mean
+    value) is a pure rollup over this relation's FINAL cell states
+    (pinned by ``test_streaming_seasonality_rollup``).
+
+    The bucket keys use the batch operator's exact integer-µs epoch
+    arithmetic (``unix_micros div`` — day 0 = Monday), so the twin
+    can never disagree with it on a bucket.  Counts and the cents
+    sum converge EXACTLY to the batch aggregate under any
+    micro-batch split; ``n`` is monotone per key, so a consumer
+    picks each cell's final state as its max-``n`` emission (update
+    semantics re-emit a cell every time a micro-batch touches it).
+    Counting-twin caveat: exactly-once source delivery is assumed
+    for n/cents (a replayed micro-batch double-counts), while the
+    user-set fold is idempotent.  State is two longs + a
+    users-per-cell id array across a fixed 168-cell key domain.
+    """
+    from pyspark.sql import functions as F
+
+    us = "unix_micros(cast(ts as timestamp))"
+    return (
+        stream.select(
+            F.expr(f"({us} div 86400000000 + 3) % 7").alias("dow"),
+            F.expr(f"({us} div 3600000000) % 24").alias("hod"),
+            "user_id",
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .applyInPandasWithState(
+            _update_season_cell,
+            outputStructType=_SEASON_OUTPUT_SCHEMA,
+            stateStructType=_SEASON_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -1200,3 +1200,79 @@ def test_streaming_day_mix_entropy_rollup(spark, sf_dir, events_stream_dir):
         "dominant_share",
     ):
         assert [g[col] for g in got] == want[col].tolist(), col
+
+
+def test_streaming_seasonality_rollup(spark, sf_dir, events_stream_dir):
+    """The per-(dow, hod) cell state must converge exactly to the
+    batch cell aggregate under any micro-batch split, and the rollup
+    of the final relation must equal events_seasonality_profile's full
+    load-shape grid on the same events — including the
+    rounded-sum-divide mean convention (pround(sum,2)/n re-rounded to
+    4 dp), which the integer-cents state reproduces exactly."""
+    import math
+
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_seasonality_profile,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_seasonality_grid,
+    )
+
+    out = streaming_seasonality_grid(_events_stream(spark, events_stream_dir))
+    tbl = _run_to_memory(spark, out, "season_stream", "update")
+    pdf = tbl.toPandas()
+    # n is monotone non-decreasing per key, so each cell's final state
+    # is its max-n emission.
+    last = pdf.groupby(["dow", "hod"])["n"].transform("max")
+    final = (
+        pdf[pdf["n"] == last]
+        .drop_duplicates(["dow", "hod"])
+        .sort_values(["dow", "hod"], ignore_index=True)
+    )
+
+    # Convergence: the final cells == the batch aggregate (count,
+    # exact cents, distinct users).
+    from pyspark.sql import functions as F
+
+    us = "unix_micros(cast(ts as timestamp))"
+    batch_cells = (
+        spark.read.parquet(str(events_stream_dir))
+        .select(
+            F.expr(f"({us} div 86400000000 + 3) % 7").alias("dow"),
+            F.expr(f"({us} div 3600000000) % 24").alias("hod"),
+            "user_id",
+            F.expr("cast(floor(value * 100 + 0.5) as long)").alias("cents"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .toPandas()
+        .sort_values(["dow", "hod"], ignore_index=True)
+    )
+    for col in ("dow", "hod", "n", "cents", "n_users"):
+        assert final[col].tolist() == batch_cells[col].tolist(), col
+
+    # Rollup of the final states == the registered operator's grid.
+    got = []
+    for _, r in final.iterrows():
+        sum_2dp = int(r["cents"]) / 100.0  # == pround(sum(value), 2)
+        got.append(
+            {
+                "dow": int(r["dow"]),
+                "hod": int(r["hod"]),
+                "n_events": int(r["n"]),
+                "n_users": int(r["n_users"]),
+                "avg_value": math.floor(sum_2dp / int(r["n"]) * 1e4 + 0.5)
+                / 1e4,
+            }
+        )
+    want = (
+        events_seasonality_profile(spark, sf_dir)
+        .toPandas()
+        .sort_values(["dow", "hod"], ignore_index=True)
+    )
+    for col in ("dow", "hod", "n_events", "n_users", "avg_value"):
+        assert [g[col] for g in got] == want[col].tolist(), col
