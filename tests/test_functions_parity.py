@@ -54,3 +54,49 @@ def test_pround_known_boundaries(spark, value, digits):
         f"SELECT {sql_round(f'CAST({value!r} AS DOUBLE)', digits)}"
     ).fetchone()[0]
     assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(batch_values=st.lists(
+    st.floats(min_value=-9e12, max_value=9e12,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=50,
+))
+def test_quant6_matches_duckdb(request, batch_values):
+    """The round-13 integer-sum quantizer pair: identical doubles
+    through Spark's quant6 and DuckDB's sql_quant6 must yield the
+    same BIGINT (the per-term exactness every migrated operator's
+    cross-engine contract rests on).  Bounded to |x| ≤ 9e12 so
+    x·1e6 stays inside int64 — the documented validity domain."""
+    from parquet_stream_writer_spark.functions import quant6, sql_quant6
+    from pyspark.sql import functions as F
+
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame([(v,) for v in batch_values], "x double")
+    got = [r[0] for r in df.select(quant6(F.col("x")).alias("r")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in batch_values])
+    want = [r[0] for r in con.execute(f"SELECT {sql_quant6('x')} FROM t").fetchall()]
+    assert got == want  # bit-identical longs, no tolerance
+
+
+@pytest.mark.parametrize("value", [
+    0.0000005,    # exactly on a +0.5 floor boundary in decimal
+    -0.0000005,
+    1.9999995,
+    0.1,          # classic non-representable decimal
+    -123.4567895,
+    9e12,         # domain edge: 9e18 < int64 max
+    -9e12,
+])
+def test_quant6_known_boundaries(spark, value):
+    from parquet_stream_writer_spark.functions import quant6, sql_quant6
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(value,)], "x double")
+    got = df.select(quant6(F.col("x")).alias("r")).first()[0]
+    want = duckdb.sql(
+        f"SELECT {sql_quant6(f'CAST({value!r} AS DOUBLE)')}"
+    ).fetchone()[0]
+    assert got == want
