@@ -1723,13 +1723,20 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("t_view").cast("timestamp"))
         ).alias("us")
     )
-    secs = F.col("us") / 1000000.0
+    # Mean over the exact integer-µs sum, divided once (round-13
+    # migration of the fractional-sum latent class — the old
+    # Σ(us/1e6) accumulated fractional doubles in partition order;
+    # Σus is an exact long up to ~9e18 total µs of latency).  The
+    # percentiles already reduce order-free (sort-based, per-value
+    # us/1e6 doubles are deterministic).
     return lat.agg(
         F.count(F.lit(1)).cast("long").alias("n_converting_users"),
         pround(F.expr("percentile(us / 1000000.0, 0.25)"), 4).alias("p25_sec"),
         pround(F.expr("percentile(us / 1000000.0, 0.5)"), 4).alias("p50_sec"),
         pround(F.expr("percentile(us / 1000000.0, 0.9)"), 4).alias("p90_sec"),
-        pround(F.sum(secs) / F.count(F.lit(1)), 4).alias("mean_sec"),
+        pround(
+            F.sum("us") / (F.count(F.lit(1)) * 1000000.0), 4
+        ).alias("mean_sec"),
     )
 
 
@@ -1749,7 +1756,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_converting_users,
        floor(quantile_cont(us / 1000000.0, 0.25) * 10000 + 0.5) / 10000.0 AS p25_sec,
        floor(quantile_cont(us / 1000000.0, 0.5) * 10000 + 0.5) / 10000.0 AS p50_sec,
        floor(quantile_cont(us / 1000000.0, 0.9) * 10000 + 0.5) / 10000.0 AS p90_sec,
-       floor((sum(us / 1000000.0) / count(*)) * 10000 + 0.5) / 10000.0 AS mean_sec
+       floor((CAST(sum(us) AS DOUBLE) / (count(*) * 1000000.0)) * 10000 + 0.5)
+         / 10000.0 AS mean_sec
 FROM lat
 """
 

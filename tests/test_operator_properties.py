@@ -1097,7 +1097,10 @@ def test_time_to_convert_matches_numpy(spark, tmp_path, seed):
     assert row.p25_sec == float(_pr(np.percentile(secs, 25), 4))
     assert row.p50_sec == float(_pr(np.percentile(secs, 50), 4))
     assert row.p90_sec == float(_pr(np.percentile(secs, 90), 4))
-    assert abs(row.mean_sec - float(_pr(secs.mean(), 4))) < 1e-4
+    # Round-13 integer-sum contract: mean = (exact Σus)/(n·1e6).
+    assert row.mean_sec == float(
+        _pr(sum(lat.values()) / (len(lat) * 1e6), 4)
+    )
 
 
 @pytest.mark.parametrize("seed", [53])
