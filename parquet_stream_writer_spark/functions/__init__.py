@@ -47,6 +47,25 @@ def sql_quant6(expr: str) -> str:
     return f"CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)"
 
 
+def quantn(col: Column, digits: int) -> Column:
+    """Generalized :func:`quant6`: a fractional per-row term → a
+    ``1e-digits``-unit LONG via floor-half-up, for migrations whose
+    sum headroom needs a coarser grid than 1e-6 (e.g. winsorized
+    char counts at 1e-4: per-row magnitude ~1e6·1e4 = 1e10 leaves
+    ~9e8 rows of int64 headroom per group where 1e-6 would leave
+    ~9e6).  Same caveat as :func:`quant6`: exact only while
+    ``|x| * 10^digits`` stays inside int64.  DuckDB twin:
+    :func:`sql_quantn`."""
+    scale = 10**digits
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def sql_quantn(expr: str, digits: int) -> str:
+    """DuckDB-side twin of :func:`quantn` for oracle SQL strings."""
+    scale = 10**digits
+    return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<double>`` columns using only
     JVM higher-order functions (no Python in the hot path)."""

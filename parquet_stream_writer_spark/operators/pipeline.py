@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.functions import pround, quant6
 from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql, _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_events, load_table, scan_parallel
 
@@ -418,18 +418,26 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back over the corpus — the full table is scanned once
     for stats and once for the filtered count; no RNG anywhere, so the
     sample is stable under repartitioning and re-runs (``rand(seed)``
-    is not)."""
+    is not).
+
+    Exactness discipline (round 14): the normalizer Σ√sz was a float
+    sum over per-source square roots — partition-order dependent, and
+    a ulp there can flip the 6-dp weight (which the keep-rate floor
+    then amplifies by a whole percent bucket).  Each √sz now
+    quantizes to a 1e-6-unit LONG before the sum; weight divides the
+    two exact integers once.  √sz·1e6 ≈ 3e13 even for a petabyte-char
+    source, far inside int64."""
     docs = load_table(spark, sf_dir, "documents")
     ssize = docs.groupBy("source").agg(
         F.sum("n_chars").alias("sz"), F.count(F.lit(1)).alias("n_docs")
-    )
-    tot = ssize.agg(F.sum(F.sqrt("sz")).alias("z"))
+    ).withColumn("sq6", quant6(F.sqrt("sz")))
+    tot = ssize.agg(F.sum("sq6").alias("z6"))
     weighted = (
         ssize.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
-            pround(F.sqrt("sz") / F.col("z"), 6).alias("weight"),
+            pround(F.col("sq6") / F.col("z6"), 6).alias("weight"),
         )
         .withColumn(
             "rate_pct",
@@ -456,11 +464,15 @@ ORACLE_SAMPLE_TEMPERATURE_MIX = f"""
 WITH ssize AS (
   SELECT source, sum(n_chars) AS sz, count(*) AS n_docs
   FROM documents GROUP BY source),
-tot AS (SELECT sum(sqrt(sz)) AS z FROM ssize),
+sq AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(sz) * 1000000 + 0.5) AS BIGINT) AS sq6
+  FROM ssize),
+tot AS (SELECT sum(sq6) AS z6 FROM sq),
 w AS (
   SELECT source, n_docs,
-         floor(sqrt(sz) / z * 1000000 + 0.5) / 1000000.0 AS weight
-  FROM ssize, tot),
+         floor(sq6 / z6 * 1000000 + 0.5) / 1000000.0 AS weight
+  FROM sq, tot),
 r AS (
   SELECT *, CAST(floor(least(1.0, weight * 5) * 100) AS INTEGER) AS rate_pct
   FROM w),

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.functions import pround, quantn
 from parquet_stream_writer_spark.sources import load_table
 
 #: Session gap for sessionization.
@@ -464,10 +464,19 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the mean/stddev of its previous ≤20 events (ROWS frame
     ending at 1 PRECEDING, so the current value never contaminates its
     own baseline). One shuffle on user_id; the frame is a sliding
-    scan within each sorted partition. Baseline mean/stddev are
-    rounded to 6dp before the z division so both engines (whose
-    sliding-frame accumulation orders differ) score from identical
-    baselines."""
+    scan within each sorted partition.
+
+    Exactness discipline (round 14, the ``events_rolling_trend``
+    pattern): the 2-dp values enter the frame as INTEGER CENTS, so
+    the three frame moments (n, Σy_c, Σy_c²) are exact integers
+    regardless of how each engine evaluates the sliding frame (Spark
+    re-scans; DuckDB's segment tree would order a float accumulation
+    differently).  mean = Σy_c/(100n) and the sample stddev
+    √((nΣy_c²−(Σy_c)²)/(n(n−1)))/100 are then single double
+    operations over identical integers, 6-dp floored on both sides
+    before the z division.  Exact while a frame's Σy_c² stays inside
+    int64 — at most 21·(100·max|value|)², far below 2^63 for any
+    realistic event value."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (
@@ -476,18 +485,32 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-20, -1)
     )
     st = (
-        ev.select(
+        ev.withColumn("yc", quantn(F.col("value"), 2))
+        .select(
             "event_id",
             "user_id",
             "value",
-            pround(F.avg("value").over(w), 6).alias("mu"),
-            pround(F.stddev_samp("value").over(w), 6).alias("sd"),
             F.count(F.lit(1)).over(w).alias("n_prev"),
+            F.sum("yc").over(w).alias("s1"),
+            F.sum(F.col("yc") * F.col("yc")).over(w).alias("s2"),
         )
-        .where((F.col("n_prev") >= 5) & (F.col("sd") > 0))
+        .where(F.col("n_prev") >= 5)
     )
+    mu = pround(F.col("s1") / (F.col("n_prev") * F.lit(100)), 6)
+    var_num = (
+        F.col("n_prev") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double")
+    var_den = (F.col("n_prev") * (F.col("n_prev") - F.lit(1))).cast("double")
+    sd = pround(F.sqrt(var_num / var_den) / F.lit(100.0), 6)
+    scored = st.select(
+        "event_id",
+        "user_id",
+        "value",
+        mu.alias("mu"),
+        sd.alias("sd"),
+    ).where(F.col("sd") > 0)
     z = pround((F.col("value") - F.col("mu")) / F.col("sd"), 4)
-    return st.select(
+    return scored.select(
         "event_id",
         "user_id",
         z.alias("z"),
@@ -496,18 +519,25 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENTS_ANOMALY_ZSCORE = """
-WITH stats AS (
+WITH framed AS (
   SELECT event_id, user_id, value,
-         floor(avg(value)         OVER w * 1000000 + 0.5) / 1000000.0 AS mu,
-         floor(stddev_samp(value) OVER w * 1000000 + 0.5) / 1000000.0 AS sd,
-         count(*) OVER w AS n_prev
-  FROM events
+         count(*) OVER w AS n_prev,
+         sum(yc) OVER w AS s1,
+         sum(yc * yc) OVER w AS s2
+  FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc FROM events)
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+stats AS (
+  SELECT event_id, user_id, value,
+         floor(s1 / (n_prev * 100) * 1000000 + 0.5) / 1000000.0 AS mu,
+         floor(sqrt(CAST(n_prev * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(n_prev * (n_prev - 1) AS DOUBLE)) / 100.0
+               * 1000000 + 0.5) / 1000000.0 AS sd
+  FROM framed WHERE n_prev >= 5)
 SELECT event_id, user_id,
        floor((value - mu) / sd * 10000 + 0.5) / 10000.0 AS z,
        abs(floor((value - mu) / sd * 10000 + 0.5) / 10000.0) > 3.0 AS is_anomaly
-FROM stats WHERE n_prev >= 5 AND sd > 0
+FROM stats WHERE sd > 0
 """
 
 

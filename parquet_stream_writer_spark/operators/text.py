@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround, quant6
+from parquet_stream_writer_spark.functions import pround, quant6, quantn
 from parquet_stream_writer_spark.operators.dedup import _hex_prefix_int, _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
@@ -897,20 +897,38 @@ def text_winsorize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholding, so one 10 MB pathological document can't drag a
     language's mean.  Quantiles are one aggregation over the stats
     column; the clip is a broadcast join back (the quantile table has
-    one row per language — never corpus-sized)."""
+    one row per language — never corpus-sized).
+
+    Exactness discipline (round 14): the raw mean averages INTEGER
+    char counts (every partial sum an exact integer below 2^53 —
+    order-free by construction), but the clipped values inherit the
+    FRACTIONAL p05/p95 interpolated quantiles, so their float sum was
+    partition-order dependent.  The clipped values now quantize to
+    1e-4-unit LONGs before the mean; mean_winsorized divides the
+    exact integer sum once (Σc₄/(10⁴·n), 4-dp floored).  Exact while
+    a language's Σ|clipped|·1e4 stays inside int64 (~9e8 docs of
+    1e6-char clipped length per language)."""
     docs = load_table(spark, sf_dir, "documents")
     q = docs.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.05)").alias("lo"),
         F.expr("percentile(n_chars, 0.95)").alias("hi"),
     )
     clipped = docs.join(F.broadcast(q), "lang").withColumn(
-        "clipped",
-        F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")),
+        "c4",
+        quantn(
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("lo")),
+                F.col("hi"),
+            ),
+            4,
+        ),
     )
     return clipped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         pround(F.avg("n_chars"), 4).alias("mean_raw"),
-        pround(F.avg("clipped"), 4).alias("mean_winsorized"),
+        pround(
+            F.sum("c4") / (F.count(F.lit(1)) * F.lit(10000)), 4
+        ).alias("mean_winsorized"),
         pround(F.min("lo"), 4).alias("p05"),
         pround(F.max("hi"), 4).alias("p95"),
     )
@@ -926,7 +944,9 @@ WITH q AS (
 SELECT d.lang,
        count(*) AS n_docs,
        floor(avg(d.n_chars) * 10000 + 0.5) / 10000.0 AS mean_raw,
-       floor(avg(least(greatest(CAST(d.n_chars AS DOUBLE), q.lo), q.hi)) * 10000 + 0.5) / 10000.0
+       floor(sum(CAST(floor(least(greatest(CAST(d.n_chars AS DOUBLE), q.lo), q.hi)
+                            * 10000 + 0.5) AS BIGINT))
+             / (count(*) * 10000) * 10000 + 0.5) / 10000.0
          AS mean_winsorized,
        floor(min(q.lo) * 10000 + 0.5) / 10000.0 AS p05,
        floor(max(q.hi) * 10000 + 0.5) / 10000.0 AS p95

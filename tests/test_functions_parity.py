@@ -81,6 +81,41 @@ def test_quant6_matches_duckdb(request, batch_values):
     assert got == want  # bit-identical longs, no tolerance
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    batch_values=st.lists(
+        st.floats(min_value=-9e14, max_value=9e14,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=50,
+    ),
+    digits=st.sampled_from([2, 4]),
+)
+def test_quantn_matches_duckdb(request, batch_values, digits):
+    """The generalized quantizer pair (round 14): quantn/sql_quantn at
+    the two new call-site scales — cents (events_anomaly_zscore's
+    frame moments) and 1e-4 units (text_winsorize_quality's clipped
+    means) — must produce the same BIGINT from identical doubles.
+    Bounded to |x| ≤ 9e14 so x·1e4 stays well inside int64."""
+    from parquet_stream_writer_spark.functions import quantn, sql_quantn
+    from pyspark.sql import functions as F
+
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame([(v,) for v in batch_values], "x double")
+    got = [
+        r[0] for r in df.select(quantn(F.col("x"), digits).alias("r")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in batch_values])
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_quantn('x', digits)} FROM t"
+        ).fetchall()
+    ]
+    assert got == want  # bit-identical longs, no tolerance
+
+
 @pytest.mark.parametrize("value", [
     0.0000005,    # exactly on a +0.5 floor boundary in decimal
     -0.0000005,
