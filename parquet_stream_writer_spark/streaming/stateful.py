@@ -723,8 +723,12 @@ def _update_season_cell(key, pdf_iter, state: GroupState):
     for pdf in pdf_iter:
         n += len(pdf)
         # floor(v*100 + 0.5) per value — the exact cents the batch
-        # operator's pround(sum, 2) recovers from the 2-dp doubles
-        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+        # operator's pround(sum, 2) recovers from the 2-dp doubles.
+        # int64 BEFORE the sum: a float64 accumulation of the floored
+        # cents silently loses exactness past 2^53 (ADVICE r13).
+        cents += int(
+            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64).sum()
+        )
         users.update(int(u) for u in pdf["user_id"])
     state.update((n, cents, sorted(users)))
     yield pd.DataFrame(
@@ -748,15 +752,27 @@ def streaming_seasonality_grid(stream: DataFrame) -> DataFrame:
 
     The bucket keys use the batch operator's exact integer-µs epoch
     arithmetic (``unix_micros div`` — day 0 = Monday), so the twin
-    can never disagree with it on a bucket.  Counts and the cents
-    sum converge EXACTLY to the batch aggregate under any
-    micro-batch split; ``n`` is monotone per key, so a consumer
+    can never disagree with it on a bucket.  Counts are exact under
+    any micro-batch split.  The cents sum matches the batch
+    aggregate's ``floor(sum(value)·100 + 0.5)`` only while the batch
+    FLOAT sum's accumulated error over a cell's 2-dp values stays
+    under half a cent — the stream sums per-value exact cents, the
+    batch floors one float sum, and the two readings agree because a
+    decimal 2-dp total sits mid-grid with ~0.5-cent margin; a cell
+    whose float-sum error approaches that margin (≳10^13 values at
+    ~1-ulp error each) breaks the equality before either side
+    overflows int64.  ``n`` is monotone per key, so a consumer
     picks each cell's final state as its max-``n`` emission (update
     semantics re-emit a cell every time a micro-batch touches it).
     Counting-twin caveat: exactly-once source delivery is assumed
     for n/cents (a replayed micro-batch double-counts), while the
     user-set fold is idempotent.  State is two longs + a
-    users-per-cell id array across a fixed 168-cell key domain.
+    users-per-cell id array across a fixed 168-cell key domain —
+    bounded by the ACTIVE USER BASE, not stream length, but at
+    extreme scale each of the 168 cells approaches the full user
+    domain; the exact set exists for the test pin's bit-exact
+    rollup, and the scale path would swap it for an HLL sketch
+    (losing only the exactness of ``n_users``).
     """
     from pyspark.sql import functions as F
 
