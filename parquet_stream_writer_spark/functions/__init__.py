@@ -39,12 +39,12 @@ def quant6(col: Column) -> Column:
     value is exact only while ``|x| * 1e6`` stays inside int64 (and
     ulp-exact only below 2^53); operators whose terms can exceed that
     at extreme scale must bound their domain in the docstring."""
-    return F.floor(col * F.lit(1000000) + F.lit(0.5)).cast("long")
+    return quantn(col, 6)
 
 
 def sql_quant6(expr: str) -> str:
     """DuckDB-side twin of :func:`quant6` for oracle SQL strings."""
-    return f"CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)"
+    return sql_quantn(expr, 6)
 
 
 def quantn(col: Column, digits: int) -> Column:

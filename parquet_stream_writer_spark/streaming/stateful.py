@@ -726,9 +726,13 @@ def _update_season_cell(key, pdf_iter, state: GroupState):
         # operator's pround(sum, 2) recovers from the 2-dp doubles.
         # int64 BEFORE the sum: a float64 accumulation of the floored
         # cents silently loses exactness past 2^53 (ADVICE r13).
-        cents += int(
-            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64).sum()
-        )
+        # Fail loudly on NaN/inf first — astype(int64) would otherwise
+        # turn a null value into INT64_MIN and silently poison the
+        # cell state (the pre-int64 code raised via int(nan)).
+        floored = np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+        if not np.isfinite(floored).all():
+            raise ValueError("streaming_seasonality_grid: null/NaN value")
+        cents += int(floored.astype(np.int64).sum())
         users.update(int(u) for u in pdf["user_id"])
     state.update((n, cents, sorted(users)))
     yield pd.DataFrame(
