@@ -15,6 +15,7 @@ Usage::
     python tools/adversarial_sweep.py --staged3   # third staged pack
     python tools/adversarial_sweep.py --staged4   # fourth staged pack
     python tools/adversarial_sweep.py --staged5   # fifth staged pack
+    python tools/adversarial_sweep.py --staged6   # sixth staged pack
 
 The round-6 known-findings list (json_extraction /
 multimodal_audio_features / multimodal_shard_manifest oracle
@@ -87,6 +88,10 @@ def main() -> int:
         from parquet_stream_writer_spark.operators import staged4
 
         queries, oracles = staged4.QUERIES, staged4.ORACLE
+    elif "--staged6" in sys.argv[1:]:
+        from parquet_stream_writer_spark.operators import staged6
+
+        queries, oracles = staged6.QUERIES, staged6.ORACLE
     elif "--staged5" in sys.argv[1:]:
         from parquet_stream_writer_spark.operators import staged5
 

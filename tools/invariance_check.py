@@ -21,6 +21,7 @@ Usage::
     python tools/invariance_check.py --staged     # staged pack instead
     python tools/invariance_check.py --staged2    # second staged pack
     python tools/invariance_check.py --staged5    # fifth staged pack
+    python tools/invariance_check.py --staged6    # sixth staged pack
     python tools/invariance_check.py 14 32 --keys=a,b  # key subset
     python tools/invariance_check.py --keys a,b       # same, space form
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/invariance_check.py
@@ -63,6 +64,9 @@ elif {staged!r} == "staged3":
 elif {staged!r} == "staged4":
     from parquet_stream_writer_spark.operators import staged4 as _staged4
     qs = dict(_staged4.QUERIES)
+elif {staged!r} == "staged6":
+    from parquet_stream_writer_spark.operators import staged6 as _staged6
+    qs = dict(_staged6.QUERIES)
 elif {staged!r} == "staged5":
     from parquet_stream_writer_spark.operators import staged5 as _staged5
     qs = dict(_staged5.QUERIES)
@@ -108,7 +112,9 @@ def run_config(nparts: str, out: str, staged: str = "", keys: tuple = ()) -> Non
 def main() -> int:
     args = sys.argv[1:]
     staged = (
-        "staged5"
+        "staged6"
+        if "--staged6" in args
+        else "staged5"
         if "--staged5" in args
         else "staged4"
         if "--staged4" in args
@@ -116,7 +122,7 @@ def main() -> int:
         if "--staged3" in args
         else "staged2" if "--staged2" in args else "staged" if "--staged" in args else ""
     )
-    args = [a for a in args if a not in ("--staged", "--staged2", "--staged3", "--staged4", "--staged5")]
+    args = [a for a in args if a not in ("--staged", "--staged2", "--staged3", "--staged4", "--staged5", "--staged6")]
     # --keys=k1,k2 (or --keys k1,k2) restricts the sweep to a subset
     # of the pack — the per-repair probe lane (round-13 convention:
     # repaired keys re-check at 14/23/32 without paying the

@@ -9,6 +9,7 @@ Usage::
     python tools/staged2_check.py --staged3       # the third staged pack
     python tools/staged2_check.py --staged4       # the fourth staged pack
     python tools/staged2_check.py --staged5       # the fifth staged pack
+    python tools/staged2_check.py --staged6       # the sixth staged pack
     python tools/staged2_check.py key1 key2       # a subset
     SPARK_GRAFT_SF_DIR=... python tools/staged2_check.py
 """
@@ -42,8 +43,10 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     from parquet_stream_writer_spark.session import get_session
 
-    args = [a for a in sys.argv[1:] if a not in ("--staged3", "--staged4", "--staged5")]
-    if "--staged5" in sys.argv[1:]:
+    args = [a for a in sys.argv[1:] if a not in ("--staged3", "--staged4", "--staged5", "--staged6")]
+    if "--staged6" in sys.argv[1:]:
+        from parquet_stream_writer_spark.operators import staged6 as staged2
+    elif "--staged5" in sys.argv[1:]:
         from parquet_stream_writer_spark.operators import staged5 as staged2
     elif "--staged4" in sys.argv[1:]:
         from parquet_stream_writer_spark.operators import staged4 as staged2
