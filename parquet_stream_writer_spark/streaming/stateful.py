@@ -27,6 +27,9 @@ the batch grain:
 - ``streaming_seasonality_grid`` — per-(dow, hour) count/cents/user
   cells over the fixed 168-cell grid, the substrate of
   ``events_seasonality_profile``'s load-shape profile.
+- ``streaming_seasonality_grid_hll`` — the same grid with distinct
+  users as a fixed 4-KiB HyperLogLog sketch per cell (SplitMix64
+  hashing, no RNG) — the exact-set twin's documented scale path.
 
 State sizes scale with the key domain (users, languages) or the
 calendar — never with stream length.
@@ -793,6 +796,142 @@ def streaming_seasonality_grid(stream: DataFrame) -> DataFrame:
             _update_season_cell,
             outputStructType=_SEASON_OUTPUT_SCHEMA,
             stateStructType=_SEASON_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming seasonality grid, HLL scale path (twelfth twin)
+# ---------------------------------------------------------------------------
+
+#: HLL precision: 2^12 = 4096 single-byte registers per cell — the
+#: fixed ~4 KiB/cell state the exact-set twin's docstring names as its
+#: scale path (ADVICE r13: the exact per-cell user set approaches the
+#: full user domain at 100 TB; the sketch caps it at 168 × 4 KiB).
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+_SEASON_HLL_OUTPUT_SCHEMA = (
+    "dow long, hod long, n long, cents long, est_users double"
+)
+#: Merge-safe by construction: n/cents are commutative sums and the
+#: register vector folds by element-wise MAX (commutative, associative
+#: AND idempotent — unlike the counting state, a replayed user id
+#: cannot inflate the sketch).
+_SEASON_HLL_STATE_SCHEMA = "n long, cents long, regs binary"
+
+
+def _splitmix64(x):
+    """Vectorized SplitMix64 over uint64 — the deterministic integer
+    mixer (same family as stats_bootstrap_ci's replicate weights), so
+    stream and batch hash identically with no RNG anywhere."""
+    import numpy as np
+
+    x = x.astype(np.uint64).copy()
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hll_fold(regs, user_ids):
+    """Fold user ids into the register vector (element-wise max)."""
+    import numpy as np
+
+    h = _splitmix64(user_ids.astype(np.uint64))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) >> np.uint64(_HLL_P)
+    # rank = leading-zero count within the low 64-p bits, + 1.  The
+    # 52-bit rest fits float64 exactly, so the log2 rank is exact.
+    rank = np.where(
+        rest == 0,
+        64 - _HLL_P + 1,
+        64 - _HLL_P - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64),
+    ).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction — deterministic given the registers, so stream and
+    batch estimates agree bit-for-bit when the registers do."""
+    import math
+
+    import numpy as np
+
+    m = _HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = np.frombuffer(bytes(regs), dtype=np.uint8)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return float(est)
+
+
+def _update_season_hll(key, pdf_iter, state: GroupState):
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        n, cents, regs_raw = state.get
+        regs = np.frombuffer(bytes(regs_raw), dtype=np.uint8).copy()
+    else:
+        n, cents = 0, 0
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        floored = np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+        if not np.isfinite(floored).all():
+            raise ValueError("streaming_seasonality_grid_hll: null/NaN value")
+        cents += int(floored.astype(np.int64).sum())
+        regs = _hll_fold(regs, pdf["user_id"].to_numpy())
+    state.update((n, cents, regs.tobytes()))
+    yield pd.DataFrame(
+        {
+            "dow": [key[0]],
+            "hod": [key[1]],
+            "n": [n],
+            "cents": [cents],
+            "est_users": [hll_estimate(regs)],
+        }
+    )
+
+
+def streaming_seasonality_grid_hll(stream: DataFrame) -> DataFrame:
+    """The ``streaming_seasonality_grid`` scale path: identical
+    (dow, hod) bucketing and exact n/cents state, but distinct users
+    via a 2^12-register HyperLogLog sketch instead of the exact id
+    set — state is a FIXED ~4 KiB per cell (168 cells total)
+    regardless of the user domain, the property the exact twin
+    documents as its 100 TB limitation.
+
+    Determinism without RNG: user ids hash through SplitMix64, so the
+    register vector — and therefore the estimate — is a pure function
+    of the user SET.  The fold is idempotent (element-wise max), so
+    unlike n/cents the user sketch survives replayed micro-batches.
+    Pinned by ``test_streaming_seasonality_hll``: final stream
+    registers equal a batch fold of the same ids bit-for-bit, and the
+    estimate lands within the standard ~1.04/√m relative-error band
+    of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    us = "unix_micros(cast(ts as timestamp))"
+    return (
+        stream.select(
+            F.expr(f"({us} div 86400000000 + 3) % 7").alias("dow"),
+            F.expr(f"({us} div 3600000000) % 24").alias("hod"),
+            "user_id",
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .applyInPandasWithState(
+            _update_season_hll,
+            outputStructType=_SEASON_HLL_OUTPUT_SCHEMA,
+            stateStructType=_SEASON_HLL_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

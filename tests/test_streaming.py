@@ -1276,3 +1276,58 @@ def test_streaming_seasonality_rollup(spark, sf_dir, events_stream_dir):
     )
     for col in ("dow", "hod", "n_events", "n_users", "avg_value"):
         assert [g[col] for g in got] == want[col].tolist(), col
+
+
+def test_streaming_seasonality_hll(spark, events_stream_dir):
+    """The HLL scale-path twin: final per-cell registers must equal a
+    batch SplitMix64 fold of the same user ids BIT-FOR-BIT (the
+    sketch is a pure function of the user set), n/cents must match
+    the exact twin's counting state, and every cell's estimate must
+    sit inside the standard ~1.04/sqrt(m) HLL error band (6 sigma
+    margin) of the exact distinct count."""
+    import numpy as np
+
+    from parquet_stream_writer_spark.streaming.stateful import (
+        _HLL_M,
+        _hll_fold,
+        hll_estimate,
+        streaming_seasonality_grid_hll,
+    )
+
+    out = streaming_seasonality_grid_hll(
+        _events_stream(spark, events_stream_dir, files_per_trigger=2)
+    )
+    tbl = _run_to_memory(spark, out, f"hll_{uuid.uuid4().hex[:8]}", "update")
+    pdf = tbl.toPandas()
+    last = pdf.groupby(["dow", "hod"])["n"].transform("max")
+    final = (
+        pdf[pdf["n"] == last]
+        .drop_duplicates(["dow", "hod"])
+        .sort_values(["dow", "hod"], ignore_index=True)
+    )
+
+    batch = (
+        spark.read.parquet(str(events_stream_dir))
+        .selectExpr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000 + 3) % 7 AS dow",
+            "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24 AS hod",
+            "user_id",
+            "cast(floor(value * 100 + 0.5) as long) AS cents",
+        )
+        .toPandas()
+    )
+    groups = batch.groupby(["dow", "hod"])
+    assert len(final) == len(groups)
+    rel_err_band = 6 * 1.04 / (_HLL_M ** 0.5)
+    for (dow, hod), grp in groups:
+        row = final[(final["dow"] == dow) & (final["hod"] == hod)].iloc[0]
+        assert int(row["n"]) == len(grp)
+        assert int(row["cents"]) == int(grp["cents"].sum())
+        # bit-exact register agreement with an order-independent
+        # batch fold of the same ids
+        regs = _hll_fold(
+            np.zeros(_HLL_M, dtype=np.uint8), grp["user_id"].to_numpy()
+        )
+        assert abs(row["est_users"] - hll_estimate(regs.tobytes())) < 1e-9
+        exact = grp["user_id"].nunique()
+        assert abs(row["est_users"] - exact) <= rel_err_band * exact + 2.0
