@@ -40,7 +40,6 @@ from parquet_stream_writer_spark.functions import (
     sql_quant6,
     sql_round,
 )
-from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql
 from parquet_stream_writer_spark.sources import load_table
 
 QUERIES: dict = {}
@@ -238,14 +237,23 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_a / F.col("na")) * (var_a / F.col("na")) / (F.col("na") - F.lit(1))
         + (var_b / F.col("nb")) * (var_b / F.col("nb")) / (F.col("nb") - F.lit(1))
     )
+    # Degenerate-group guards (self-review r14): under ANSI Spark a
+    # double division by zero RAISES while DuckDB yields NULL, so a
+    # group with < 2 rows (or zero pooled variance) must be guarded
+    # on BOTH sides, not left to engine defaults.  The inner when()
+    # nests so se2 is never evaluated when a variance denominator
+    # would be zero (AND does not short-circuit).
+    ok_n = (F.col("na") >= 2) & (F.col("nb") >= 2)
     return m.select(
         F.col("na").alias("n_purchase"),
         F.col("nb").alias("n_click"),
-        pround(mean_a, 4).alias("mean_purchase"),
-        pround(mean_b, 4).alias("mean_click"),
-        pround(t, 4).alias("t_stat"),
-        pround(df, 2).alias("welch_df"),
-        (F.abs(pround(t, 4)) > F.lit(1.96)).alias("significant_95"),
+        F.when(F.col("na") > 0, pround(mean_a, 4)).alias("mean_purchase"),
+        F.when(F.col("nb") > 0, pround(mean_b, 4)).alias("mean_click"),
+        F.when(ok_n, F.when(se2 > 0, pround(t, 4))).alias("t_stat"),
+        F.when(ok_n, F.when(se2 > 0, pround(df, 2))).alias("welch_df"),
+        F.when(
+            ok_n, F.when(se2 > 0, F.abs(pround(t, 4)) > F.lit(1.96))
+        ).alias("significant_95"),
     )
 
 
@@ -282,11 +290,14 @@ s AS (
 )
 SELECT CAST(na AS BIGINT) AS n_purchase,
        CAST(nb AS BIGINT) AS n_click,
-       {sql_round('mean_a', 4)} AS mean_purchase,
-       {sql_round('mean_b', 4)} AS mean_click,
-       {sql_round('(mean_a - mean_b) / sqrt(se2)', 4)} AS t_stat,
-       {sql_round('(se2 * se2) / ((var_a / na) * (var_a / na) / (na - 1) + (var_b / nb) * (var_b / nb) / (nb - 1))', 2)} AS welch_df,
-       abs({sql_round('(mean_a - mean_b) / sqrt(se2)', 4)}) > 1.96 AS significant_95
+       CASE WHEN na > 0 THEN {sql_round('mean_a', 4)} END AS mean_purchase,
+       CASE WHEN nb > 0 THEN {sql_round('mean_b', 4)} END AS mean_click,
+       CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+            THEN {sql_round('(mean_a - mean_b) / sqrt(se2)', 4)} END AS t_stat,
+       CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+            THEN {sql_round('(se2 * se2) / ((var_a / na) * (var_a / na) / (na - 1) + (var_b / nb) * (var_b / nb) / (nb - 1))', 2)} END AS welch_df,
+       CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+            THEN abs({sql_round('(mean_a - mean_b) / sqrt(se2)', 4)}) > 1.96 END AS significant_95
 FROM s
 """
 
@@ -310,8 +321,12 @@ def sample_ess_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the sums, so Σw and Σw² are exact integers (order-free);
     ESS is then S·S/Q over the same doubles in both engines (S and Q
     cast once — deterministic even past 2^53, since both engines
-    round the identical integer the same way).  One broadcast 1-row
-    max, one map-side per-language aggregate."""
+    round the identical integer the same way).  Domain bound (the
+    quant6 contract): w6² = (L_max/n_chars)·10¹² must fit int64, so
+    the corpus length RATIO must stay under ~9.2e6 (a 1-char doc next
+    to a ≥9.3M-char doc overflows the square) — corpora beyond that
+    skew need a coarser quantizer or a length floor.  One broadcast
+    1-row max, one map-side per-language aggregate."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("lang", "n_chars")
@@ -405,10 +420,18 @@ def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xm_cents",
         )
     )
+    # A degenerate flat tail (all top m+1 values equal) zeroes every
+    # log term: ANSI Spark would raise on the division where DuckDB
+    # yields NULL — guard both sides (self-review r14).
     return terms.groupBy("xm_cents").agg(
         F.count(F.lit(1)).alias("m_used"),
-        pround(
-            (F.count(F.lit(1)) * F.lit(1000000)).cast("double") / F.sum("t6"), 4
+        F.when(
+            F.sum("t6") > 0,
+            pround(
+                (F.count(F.lit(1)) * F.lit(1000000)).cast("double")
+                / F.sum("t6"),
+                4,
+            ),
         ).alias("hill_alpha"),
     ).select(
         "m_used",
@@ -433,7 +456,9 @@ terms AS (
 )
 SELECT count(*) AS m_used,
        {sql_round('xm_cents / 100.0', 2)} AS x_m,
-       {sql_round('CAST(count(*) * 1000000 AS DOUBLE) / sum(t6)', 4)} AS hill_alpha
+       CASE WHEN sum(t6) > 0
+            THEN {sql_round('CAST(count(*) * 1000000 AS DOUBLE) / sum(t6)', 4)}
+       END AS hill_alpha
 FROM terms
 GROUP BY xm_cents
 """
@@ -446,8 +471,7 @@ ORACLE["orders_hill_tail_index"] = ORACLE_ORDERS_HILL
 # Held-out add-k trigram LM perplexity (leakage-aware split)
 # ---------------------------------------------------------------------------
 
-#: md5-bucket modulus and the train share (buckets < this train).
-_TRI_BUCKETS = 100
+#: Train share of the 100 md5 buckets (buckets < this train).
 _TRI_TRAIN = 80
 #: Additive smoothing constant — 0.5 is exactly representable, so the
 #: smoothed numerator/denominator stay exact doubles.
@@ -455,15 +479,13 @@ _TRI_ADD_K = 0.5
 
 
 def _tri_bucket_sql(spark_side: bool) -> str:
-    """First 4 hex chars of md5(doc_id-as-text) mod 100 — the same
-    deterministic bucket convention as pipeline._bucket_col, local to
-    this pack so the split is self-contained."""
-    if spark_side:
-        return (
-            f"(cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)"
-            f" as bigint) % {_TRI_BUCKETS})"
-        )
-    return f"({_hex4_to_int_sql('md5(CAST(doc_id AS VARCHAR))')} % {_TRI_BUCKETS})"
+    """The pack-wide deterministic split bucket — REUSES
+    pipeline._bucket_col (self-review r14: a local re-implementation
+    would silently de-synchronize from the ``sample_hash_split``
+    convention the docstring promises)."""
+    from parquet_stream_writer_spark.operators.pipeline import _bucket_col
+
+    return _bucket_col(spark_side=spark_side)
 
 
 def text_trigram_lm_heldout_perplexity(
@@ -522,11 +544,17 @@ def text_trigram_lm_heldout_perplexity(
     p = (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(_TRI_ADD_K)) / (
         F.coalesce(F.col("c2"), F.lit(0)) + F.lit(_TRI_ADD_K) * F.col("v")
     )
+    # v = 0 (an entirely held-out corpus) zeroes p's denominator: a
+    # DIVIDE_BY_ZERO under ANSI Spark vs NULL in DuckDB — guard both
+    # sides so the row survives with NULL metrics (self-review r14).
     scored = (
         heldout.join(c3, ["w1", "w2", "w3"], "left")
         .join(c2, ["w1", "w2"], "left")
         .crossJoin(F.broadcast(vocab))
-        .select("lang", quant6(-F.log2(p)).alias("nll6"))
+        .select(
+            "lang",
+            F.when(F.col("v") > 0, quant6(-F.log2(p))).alias("nll6"),
+        )
     )
     mean_bits = F.sum("nll6") / (F.count(F.lit(1)) * F.lit(1000000.0))
     return (
@@ -561,10 +589,10 @@ c2 AS (SELECT w1, w2, sum(c3) AS c2 FROM c3 GROUP BY 1, 2),
 vocab AS (SELECT count(DISTINCT w3) AS v FROM c3),
 scored AS (
   SELECT h.lang,
-         {sql_quant6(
+         CASE WHEN v > 0 THEN {sql_quant6(
              f'-log2((coalesce(c3.c3, 0) + {_TRI_ADD_K}) '
              f'/ (coalesce(c2.c2, 0) + {_TRI_ADD_K} * v))'
-         )} AS nll6
+         )} END AS nll6
   FROM tri h
   LEFT JOIN c3 ON h.w1 = c3.w1 AND h.w2 = c3.w2 AND h.w3 = c3.w3
   LEFT JOIN c2 ON h.w1 = c2.w1 AND h.w2 = c2.w2

@@ -843,13 +843,19 @@ def _hll_fold(regs, user_ids):
     h = _splitmix64(user_ids.astype(np.uint64))
     idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
     rest = (h << np.uint64(_HLL_P)) >> np.uint64(_HLL_P)
-    # rank = leading-zero count within the low 64-p bits, + 1.  The
-    # 52-bit rest fits float64 exactly, so the log2 rank is exact.
-    rank = np.where(
-        rest == 0,
-        64 - _HLL_P + 1,
-        64 - _HLL_P - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64),
-    ).astype(np.uint8)
+    # rank = leading-zero count within the low 64-p bits, + 1,
+    # computed via an exact integer bit-length (binary-search shifts)
+    # — float log2 rounds UP across the integer for values just
+    # below 2^49..2^52, off-by-one-ing the rank (self-review r14),
+    # and would warn on the rest == 0 lane.
+    v = rest.copy()
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        hi = v >= np.uint64(1 << s)
+        bl[hi] += s
+        v[hi] >>= np.uint64(s)
+    bl += (v > 0).astype(np.int64)  # v is now 0 or 1
+    rank = (64 - _HLL_P - bl + 1).astype(np.uint8)  # rest==0 -> max rank
     np.maximum.at(regs, idx, rank)
     return regs
 

@@ -564,3 +564,72 @@ def test_hits_matches_python_model(spark, tmp_path):
         assert got[t]["top_hub_user"] == top
         assert got[t]["top_hub_score"] == h[top] / 1e6
     assert any(abs(v["authority"] - 1.0) < 1e-12 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-corpus guards (self-review r14: ANSI Spark raises on
+# double/0 where DuckDB yields NULL — each guard must emit a NULL row
+# instead of crashing)
+# ---------------------------------------------------------------------------
+
+def test_welch_single_purchase_emits_null_row(spark, tmp_path):
+    from parquet_stream_writer_spark.operators.staged6 import agg_welch_ttest
+
+    ev = _events([1, 2, 3, 4], ["purchase", "click", "click", "click"])
+    sf = _write(tmp_path, "events", ev)
+    row = agg_welch_ttest(spark, sf).first()
+    assert row["n_purchase"] == 1 and row["n_click"] == 3
+    assert row["mean_purchase"] is not None  # n >= 1: mean defined
+    assert row["t_stat"] is None
+    assert row["welch_df"] is None
+    assert row["significant_95"] is None
+
+
+def test_hill_flat_tail_emits_null_alpha(spark, tmp_path):
+    from parquet_stream_writer_spark.operators.staged6 import (
+        _HILL_M,
+        orders_hill_tail_index,
+    )
+
+    n = _HILL_M + 50
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": np.ones(n, dtype="int64"),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": np.full(n, 99.99),
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    row = orders_hill_tail_index(spark, sf).first()
+    assert row["m_used"] == _HILL_M
+    assert row["hill_alpha"] is None
+
+
+def test_trigram_lm_all_heldout_emits_null_metrics(spark, tmp_path):
+    """Doc ids chosen so every >=3-token doc hashes into the held-out
+    buckets: the model has zero vocabulary, and the metrics must be
+    NULL-rowed, not a DIVIDE_BY_ZERO crash."""
+    from parquet_stream_writer_spark.operators.staged6 import (
+        _TRI_TRAIN,
+        text_trigram_lm_heldout_perplexity,
+    )
+
+    held_ids = [i for i in range(3000) if _bucket(i) >= _TRI_TRAIN][:6]
+    assert len(held_ids) == 6
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array(held_ids, dtype="int64"),
+            "text": ["the cat sat on the mat"] * 6,
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [22] * 6,
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    row = text_trigram_lm_heldout_perplexity(spark, sf).first()
+    assert row["n_heldout_trigrams"] == 6 * 4
+    assert row["mean_nll_bits"] is None
+    assert row["perplexity"] is None
