@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround, quant6, quantn
+from parquet_stream_writer_spark.functions import pround, quant6, quantn, sql_quant6
 from parquet_stream_writer_spark.operators.dedup import _hex_prefix_int, _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
@@ -1359,7 +1359,18 @@ def text_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     is arithmetic on that bounded cell frame: per-source totals, the
     zero-filled bin grid via a ``sequence`` explode (no cross join),
     and global bin shares from a 10-row window. One corpus scan, one
-    shuffle."""
+    shuffle.
+
+    Integer-sum contract (round-15 migration of the fractional-sum
+    latent class): each bin's (p−q)·ln((p+ε)/(q+ε)) term quantizes to
+    a 1e-6-unit LONG before the per-source sum, so the reduce is an
+    exact integer fold and partition-order free in both engines.
+    Domain bound: |p−q| ≤ 1 and |ln ratio| ≤ ln(1/ε) ≈ 13.9, so each
+    term is ≤ ~1.4e7 units and a source's 10-bin sum ≤ ~1.4e8 — eight
+    orders inside int64.  Residual cross-engine sensitivity: ±1 unit
+    in 1e-6 per term if the two libms' ln() disagree at a floor
+    boundary (absorbed unless the final 6-dp rounding also straddles
+    one)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     ratio = F.size(F.array_distinct(toks)) / F.size(toks)
@@ -1385,13 +1396,15 @@ def text_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", (F.col("n_b") / F.sum("n_b").over(wall)).alias("q"))
     )
     p = F.col("n_sb") / F.col("n_s")
-    term = (p - F.col("q")) * F.log((p + _PSI_EPS) / (F.col("q") + _PSI_EPS))
+    term6 = quant6(
+        (p - F.col("q")) * F.log((p + _PSI_EPS) / (F.col("q") + _PSI_EPS))
+    )
     return (
         filled.join(F.broadcast(btot), "bin")
         .groupBy("source")
         .agg(
             F.max("n_s").cast("long").alias("n_docs"),
-            pround(F.sum(term), 6).alias("psi"),
+            pround(F.sum(term6) / 1000000.0, 6).alias("psi"),
         )
     )
 
@@ -1415,10 +1428,11 @@ btot AS (
   SELECT bin, n_b * 1.0 / sum(n_b) OVER () AS q
   FROM (SELECT bin, sum(n_sb) AS n_b FROM cells GROUP BY bin))
 SELECT fl.source, CAST(max(fl.n_s) AS BIGINT) AS n_docs,
-       floor(sum(
-         (fl.n_sb * 1.0 / fl.n_s - b.q)
-         * ln((fl.n_sb * 1.0 / fl.n_s + {_PSI_EPS}) / (b.q + {_PSI_EPS}))
-       ) * 1000000 + 0.5) / 1000000.0 AS psi
+       floor(CAST(sum({sql_quant6(
+         "(fl.n_sb * 1.0 / fl.n_s - b.q)"
+         " * ln((fl.n_sb * 1.0 / fl.n_s + " + str(_PSI_EPS) + ")"
+         " / (b.q + " + str(_PSI_EPS) + "))"
+       )}) AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS psi
 FROM filled fl JOIN btot b USING (bin)
 GROUP BY fl.source
 """

@@ -1131,3 +1131,67 @@ def test_dau_mau_matches_bruteforce(spark, tmp_path, seed):
         gd, gm, gs = got[pd.Timestamp(d).to_pydatetime()]
         assert (gd, gm) == (dau, mau)
         assert gs == float(_pr(dau / mau, 4))
+
+
+@pytest.mark.parametrize("seed", [19, 808])
+def test_quality_psi_matches_python_free_model(spark, tmp_path, seed):
+    """Pins the round-15 integer-sum contract for ``text_quality_psi``
+    independently of the DuckDB oracle: each bin's
+    (p−q)·ln((p+ε)/(q+ε)) term quantizes to a 1e-6-unit long BEFORE
+    the per-source sum, reproduced here from the spec in pure Python
+    (the oracle differential alone cannot catch a contract BOTH
+    engines drift on together)."""
+    from parquet_stream_writer_spark.operators.text import (
+        _PSI_EPS,
+        text_quality_psi,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    n = 240
+    sources = rng.choice(["crawl", "wiki", "forum"], n)
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 30)))
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": sources,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    got = {
+        r.source: (r.n_docs, r.psi)
+        for r in text_quality_psi(spark, sf).collect()
+    }
+
+    # Free model from the spec: distinct-token ratio → decile bin,
+    # per-source zero-filled grid over the bins PRESENT in the corpus,
+    # global shares q_b, then the quantized-term integer sum.
+    def bin_of(t):
+        toks = t.lower().split(" ")
+        return min(9, math.floor(len(set(toks)) / len(toks) * 10))
+
+    cells = {}
+    for s, t in zip(sources, texts):
+        b = bin_of(t)
+        cells[(s, b)] = cells.get((s, b), 0) + 1
+    n_s = {}
+    for (s, _), c in cells.items():
+        n_s[s] = n_s.get(s, 0) + c
+    n_b = {}
+    for (_, b), c in cells.items():
+        n_b[b] = n_b.get(b, 0) + c
+    total = sum(n_b.values())
+    for s in n_s:
+        term6 = 0
+        for b in sorted(n_b):  # only bins with corpus presence join
+            p = cells.get((s, b), 0) / n_s[s]
+            q = n_b[b] / total
+            term = (p - q) * math.log((p + _PSI_EPS) / (q + _PSI_EPS))
+            term6 += math.floor(term * 1e6 + 0.5)
+        assert got[s] == (n_s[s], float(_pr(term6 / 1e6, 6))), s
