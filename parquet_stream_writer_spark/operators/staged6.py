@@ -202,8 +202,12 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     each group's three moments (n, Σc, Σc²) are exact integer sums
     (order-free).  Mean, variance, t, and the Welch–Satterthwaite df
     are then single double expressions over those integers, identical
-    in both engines; the 95% verdict compares |t| against a fixed
-    1.96 constant.  One map-side aggregate over a two-type filter —
+    in both engines; the 95% verdict compares |t| against the fixed
+    NORMAL critical value 1.96 (a normal approximation — the column
+    name says so: the Student-t critical value at the computed Welch
+    df is larger for small groups, so this flag is anti-conservative
+    below ~n=30 per group; the df is returned for callers who need
+    the exact gate).  One map-side aggregate over a two-type filter —
     no join, no window."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "click")
@@ -253,7 +257,7 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok_n, F.when(se2 > 0, pround(df, 2))).alias("welch_df"),
         F.when(
             ok_n, F.when(se2 > 0, F.abs(pround(t, 4)) > F.lit(1.96))
-        ).alias("significant_95"),
+        ).alias("significant_95_normal_approx"),
     )
 
 
@@ -297,7 +301,7 @@ SELECT CAST(na AS BIGINT) AS n_purchase,
        CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
             THEN {sql_round('(se2 * se2) / ((var_a / na) * (var_a / na) / (na - 1) + (var_b / nb) * (var_b / nb) / (nb - 1))', 2)} END AS welch_df,
        CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
-            THEN abs({sql_round('(mean_a - mean_b) / sqrt(se2)', 4)}) > 1.96 END AS significant_95
+            THEN abs({sql_round('(mean_a - mean_b) / sqrt(se2)', 4)}) > 1.96 END AS significant_95_normal_approx
 FROM s
 """
 
@@ -397,7 +401,14 @@ def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m+1-row relation.  Exactness: values enter as integer cents with
     a total (cents DESC, orderkey ASC) tie-break, each log-ratio term
     quantizes to a 1e-6-unit LONG (ln is the documented ±1-unit
-    per-row libm residual), and α divides two exact integers once."""
+    per-row libm residual), and α divides two exact integers once.
+
+    The estimator needs at least m+1 = ``_HILL_M + 1`` rows; an
+    under-sized corpus has no x_(m+1) threshold, so the result is the
+    pack's degenerate NULL-metric row (m_used = 0, x_m and hill_alpha
+    NULL — the Welch/flat-tail convention) rather than an empty
+    relation: x_(m+1) comes from an always-1-row aggregate whose NULL
+    propagates through the log terms in both engines (ADVICE r14)."""
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     top = (
         load_table(spark, sf_dir, "orders")
@@ -407,8 +418,10 @@ def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
     ranked = top.withColumn("rk", F.row_number().over(w))
-    xm = ranked.where(F.col("rk") == _HILL_M + 1).select(
-        F.col("cents").alias("xm_cents")
+    xm = ranked.agg(
+        F.max(
+            F.when(F.col("rk") == _HILL_M + 1, F.col("cents"))
+        ).alias("xm_cents")
     )
     terms = (
         ranked.where(F.col("rk") <= _HILL_M)
@@ -422,22 +435,20 @@ def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # A degenerate flat tail (all top m+1 values equal) zeroes every
     # log term: ANSI Spark would raise on the division where DuckDB
-    # yields NULL — guard both sides (self-review r14).
-    return terms.groupBy("xm_cents").agg(
-        F.count(F.lit(1)).alias("m_used"),
+    # yields NULL — guard both sides (self-review r14).  m_used counts
+    # non-NULL xm_cents carriers, so the under-sized corpus reads 0.
+    return terms.agg(
+        F.count("xm_cents").alias("m_used"),
+        pround(F.max("xm_cents") / F.lit(100.0), 2).alias("x_m"),
         F.when(
             F.sum("t6") > 0,
             pround(
-                (F.count(F.lit(1)) * F.lit(1000000)).cast("double")
+                (F.count("xm_cents") * F.lit(1000000)).cast("double")
                 / F.sum("t6"),
                 4,
             ),
         ).alias("hill_alpha"),
-    ).select(
-        "m_used",
-        pround(F.col("xm_cents") / F.lit(100.0), 2).alias("x_m"),
-        "hill_alpha",
-    )
+    ).select("m_used", "x_m", "hill_alpha")
 
 
 ORACLE_ORDERS_HILL = f"""
@@ -449,18 +460,18 @@ WITH ranked AS (
   FROM orders
   QUALIFY rk <= {_HILL_M + 1}
 ),
-xm AS (SELECT cents AS xm_cents FROM ranked WHERE rk = {_HILL_M + 1}),
+xm AS (SELECT max(CASE WHEN rk = {_HILL_M + 1} THEN cents END) AS xm_cents
+       FROM ranked),
 terms AS (
   SELECT {sql_quant6('ln(CAST(cents AS DOUBLE) / xm_cents)')} AS t6, xm_cents
   FROM ranked, xm WHERE rk <= {_HILL_M}
 )
-SELECT count(*) AS m_used,
-       {sql_round('xm_cents / 100.0', 2)} AS x_m,
+SELECT count(xm_cents) AS m_used,
+       {sql_round('max(xm_cents) / 100.0', 2)} AS x_m,
        CASE WHEN sum(t6) > 0
-            THEN {sql_round('CAST(count(*) * 1000000 AS DOUBLE) / sum(t6)', 4)}
+            THEN {sql_round('CAST(count(xm_cents) * 1000000 AS DOUBLE) / sum(t6)', 4)}
        END AS hill_alpha
 FROM terms
-GROUP BY xm_cents
 """
 
 QUERIES["orders_hill_tail_index"] = orders_hill_tail_index
@@ -627,7 +638,7 @@ _MK_CKPT_EVERY = 5
 
 
 def events_attribution_markov_removal(
-    spark: SparkSession, sf_dir: str, iters: int = _MK_ITERS
+    spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """First-order Markov removal-effect attribution: model user
     journeys (trimmed at first purchase) as START → channel* →
@@ -640,7 +651,7 @@ def events_attribution_markov_removal(
     Exactness discipline (integer-sum from day one): transition
     counts are exact integers, and the absorption-probability state
     is a 1e-6-unit LONG per (removed-variant, state) cell.  Each of
-    the ``iters`` fixed iterations computes Σ_j c_ij·p6_k(j) — an
+    the ``_MK_ITERS`` fixed iterations computes Σ_j c_ij·p6_k(j) — an
     integer dot product — plus the static c_i,CONV·1e6 base term,
     then ONE double division by the integer row total, floor-half-up
     back to the 1e-6 grid.  A 1-ulp libm divergence cannot survive
@@ -717,7 +728,7 @@ def events_attribution_markov_removal(
     p = grid.select(
         "removed", "state", F.lit(0).cast("long").alias("p6")
     )
-    for i in range(iters):
+    for i in range(_MK_ITERS):
         pj = p.select(
             F.col("removed"), F.col("state").alias("jstate"), "p6"
         )
@@ -881,9 +892,7 @@ ORACLE["events_attribution_markov_removal"] = _mk_oracle()
 _HITS_ITERS = 8
 
 
-def graph_hits_user_type(
-    spark: SparkSession, sf_dir: str, iters: int = _HITS_ITERS
-) -> DataFrame:
+def graph_hits_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS over the weighted user→event-type bipartite graph: users
     are hubs, event types are authorities, edge weight = interaction
     count.  The mutual-reinforcement score complements
@@ -901,7 +910,7 @@ def graph_hits_user_type(
     that).
 
     Shape: one (user, type) count aggregate ends the corpus-sized
-    work; each of the ``iters`` rounds is a type-sized aggregate
+    work; each of the ``_HITS_ITERS`` rounds is a type-sized aggregate
     (authority), a broadcast of the ≤|types| authority table back
     over the edge relation, and a user-keyed aggregate (hubs) — the
     user-sized state carries via lazy localCheckpoint exactly like
@@ -916,7 +925,7 @@ def graph_hits_user_type(
         "user_id", F.lit(1000000).cast("long").alias("h6")
     )
     auth = None
-    for _ in range(iters):
+    for _ in range(_HITS_ITERS):
         araw = (
             edges.join(hubs, "user_id")
             .groupBy("event_type")

@@ -717,25 +717,35 @@ _SEASON_OUTPUT_SCHEMA = (
 _SEASON_STATE_SCHEMA = "n long, cents long, users array<long>"
 
 
-def _update_season_cell(key, pdf_iter, state: GroupState):
+def _batch_cents_sum(values, op_name: str) -> int:
+    """Exact integer-cents sum of one micro-batch's 2-dp values:
+    floor(v*100 + 0.5) per value — the exact cents the batch
+    operator's pround(sum, 2) recovers from the 2-dp doubles —
+    accumulated as int64, NOT float64 (a float64 sum of the floored
+    cents silently loses exactness past 2^53, ADVICE r13).  Fails
+    loudly on NaN/inf FIRST: astype(int64) would otherwise map a
+    null value to INT64_MIN and silently poison the cell state (the
+    self-review r14 near-miss).  One definition shared by the exact
+    and HLL seasonality twins so a counting-state fix cannot land in
+    only one of them (ADVICE r14)."""
     import numpy as np
+
+    floored = np.floor(values * 100 + 0.5)
+    if not np.isfinite(floored).all():
+        raise ValueError(f"{op_name}: null/NaN value")
+    return int(floored.astype(np.int64).sum())
+
+
+def _update_season_cell(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     n, cents, users = state.get if state.exists else (0, 0, [])
     users = set(users)
     for pdf in pdf_iter:
         n += len(pdf)
-        # floor(v*100 + 0.5) per value — the exact cents the batch
-        # operator's pround(sum, 2) recovers from the 2-dp doubles.
-        # int64 BEFORE the sum: a float64 accumulation of the floored
-        # cents silently loses exactness past 2^53 (ADVICE r13).
-        # Fail loudly on NaN/inf first — astype(int64) would otherwise
-        # turn a null value into INT64_MIN and silently poison the
-        # cell state (the pre-int64 code raised via int(nan)).
-        floored = np.floor(pdf["value"].to_numpy() * 100 + 0.5)
-        if not np.isfinite(floored).all():
-            raise ValueError("streaming_seasonality_grid: null/NaN value")
-        cents += int(floored.astype(np.int64).sum())
+        cents += _batch_cents_sum(
+            pdf["value"].to_numpy(), "streaming_seasonality_grid"
+        )
         users.update(int(u) for u in pdf["user_id"])
     state.update((n, cents, sorted(users)))
     yield pd.DataFrame(
@@ -890,10 +900,9 @@ def _update_season_hll(key, pdf_iter, state: GroupState):
         regs = np.zeros(_HLL_M, dtype=np.uint8)
     for pdf in pdf_iter:
         n += len(pdf)
-        floored = np.floor(pdf["value"].to_numpy() * 100 + 0.5)
-        if not np.isfinite(floored).all():
-            raise ValueError("streaming_seasonality_grid_hll: null/NaN value")
-        cents += int(floored.astype(np.int64).sum())
+        cents += _batch_cents_sum(
+            pdf["value"].to_numpy(), "streaming_seasonality_grid_hll"
+        )
         regs = _hll_fold(regs, pdf["user_id"].to_numpy())
     state.update((n, cents, regs.tobytes()))
     yield pd.DataFrame(

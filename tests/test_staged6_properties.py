@@ -218,7 +218,7 @@ def test_welch_ttest_matches_numpy_model(spark, tmp_path, seed):
     assert row["n_purchase"] == na and row["n_click"] == nb
     assert row["t_stat"] == math.floor(t * 10000 + 0.5) / 10000
     assert row["welch_df"] == math.floor(df * 100 + 0.5) / 100
-    assert row["significant_95"] == (abs(row["t_stat"]) > 1.96)
+    assert row["significant_95_normal_approx"] == (abs(row["t_stat"]) > 1.96)
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +582,7 @@ def test_welch_single_purchase_emits_null_row(spark, tmp_path):
     assert row["mean_purchase"] is not None  # n >= 1: mean defined
     assert row["t_stat"] is None
     assert row["welch_df"] is None
-    assert row["significant_95"] is None
+    assert row["significant_95_normal_approx"] is None
 
 
 def test_hill_flat_tail_emits_null_alpha(spark, tmp_path):
@@ -605,6 +605,35 @@ def test_hill_flat_tail_emits_null_alpha(spark, tmp_path):
     sf = _write(tmp_path, "orders", orders)
     row = orders_hill_tail_index(spark, sf).first()
     assert row["m_used"] == _HILL_M
+    assert row["hill_alpha"] is None
+
+
+def test_hill_undersized_corpus_emits_null_row(spark, tmp_path):
+    """Fewer than m+1 orders -> no x_(m+1) threshold: the result is
+    the pack's single NULL-metric row (m_used = 0), not an empty
+    relation (ADVICE r14)."""
+    from parquet_stream_writer_spark.operators.staged6 import (
+        _HILL_M,
+        orders_hill_tail_index,
+    )
+
+    n = _HILL_M // 2
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": np.ones(n, dtype="int64"),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": np.linspace(100.0, 900.0, n).round(2),
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    sf = _write(tmp_path, "orders", orders)
+    out = orders_hill_tail_index(spark, sf).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["m_used"] == 0
+    assert row["x_m"] is None
     assert row["hill_alpha"] is None
 
 
