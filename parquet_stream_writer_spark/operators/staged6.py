@@ -529,15 +529,21 @@ def text_trigram_lm_heldout_perplexity(
     )
     bucket = F.expr(_tri_bucket_sql(spark_side=True))
     toks = F.split(F.lower(F.col("text")), " ")
-    # get() instead of toks[i]: Catalyst may fuse explode's implicit
+    # arrays_zip of three shifted slices, not transform(sequence(...),
+    # i -> struct(get(toks,i)...)): higher-order lambdas evaluate
+    # interpreted per ELEMENT and the round-15 cost pass measured the
+    # transform form 9x slower (4.4 s vs 0.5 s per corpus explode at
+    # sf0.1) for identical output.  greatest(...,0) keeps the slice
+    # length non-negative because Catalyst may fuse explode's implicit
     # size(tri) > 0 conjunct ahead of the size(toks) >= 3 filter in
-    # one generated predicate, evaluating the transform on short rows
-    # — get() returns NULL out of bounds instead of raising, and the
-    # size filter still drops those rows from the output.
-    tri = F.expr(
-        "transform(sequence(0, size(toks) - 3),"
-        " i -> struct(get(toks, i) AS w1, get(toks, i+1) AS w2,"
-        " get(toks, i+2) AS w3))"
+    # one generated predicate and evaluate tri on short rows (the r14
+    # gotcha that motivated get()): a negative-length slice raises
+    # there, an empty zip just yields no trigrams.
+    n3 = F.greatest(F.size("toks") - 2, F.lit(0))
+    tri = F.arrays_zip(
+        F.slice("toks", 1, n3).alias("w1"),
+        F.slice("toks", 2, n3).alias("w2"),
+        F.slice("toks", 3, n3).alias("w3"),
     )
     base = (
         docs.withColumn("bucket", bucket)
@@ -549,7 +555,18 @@ def text_trigram_lm_heldout_perplexity(
     )
     train = base.where(F.col("bucket") < _TRI_TRAIN)
     heldout = base.where(F.col("bucket") >= _TRI_TRAIN)
-    c3 = train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    # Pin the trigram MODEL table: the scoring join, the c2 marginal
+    # and the vocabulary size all branch off c3, and without the pin
+    # each branch re-runs the corpus explode + count (the round-15
+    # cost pass measured 3 redundant corpus passes).  c3 is
+    # model-sized (distinct training trigrams), the relation a real
+    # pipeline would persist — the corpus-sized explodes stay
+    # streaming, one pass each for train and held-out.
+    c3 = (
+        train.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .localCheckpoint(eager=False)
+    )
     c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
     vocab = c3.agg(F.countDistinct("w3").alias("v"))
     p = (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(_TRI_ADD_K)) / (
@@ -633,8 +650,6 @@ ORACLE["text_trigram_lm_heldout_perplexity"] = ORACLE_TEXT_TRIGRAM_LM
 #: speed; 25 rounds converge a 7-state absorbing chain far past the
 #: 1e-6 grid in practice.
 _MK_ITERS = 25
-#: Checkpoint cadence for the tiny state relation (bounds plan depth).
-_MK_CKPT_EVERY = 5
 
 
 def events_attribution_markov_removal(
@@ -661,11 +676,18 @@ def events_attribution_markov_removal(
 
     Shape: two user-keyed window passes (row_number + first-purchase
     min, then lead over the trimmed sequence), one (src,dst) count
-    aggregate — corpus-sized work ends there; the iteration runs on
-    the (variants × states) grid, a ≤(C+1)×(C+2)-row relation joined
-    against the ≤(C+2)² transition table per round (C = observed
-    channel count), checkpointed every ``_MK_CKPT_EVERY`` rounds to
-    bound plan depth.  No driver-side matrix, no collect."""
+    aggregate — corpus-sized work ends there; the ``_MK_ITERS``
+    absorption rounds run inside ONE Arrow-batched ``applyInPandas``
+    kernel per removal variant over the (variants × states) grid with
+    the ≤(C+2)² transition table attached (C = observed channel
+    count), so the whole iteration is a single shuffle of a
+    channel-grid-sized relation at any corpus scale.  (The round-14
+    build ran the rounds as 25 chained DataFrame joins; the round-15
+    cost pass measured that at ~97% Spark stage-scheduling overhead —
+    ~10 s at sf0.1 against a 0.1 s corpus prefix — with the identical
+    integer trajectory, so the kernel is strictly cheaper and equally
+    exact: O(C²·iters) integer work per group, bounded by the channel
+    domain, never the corpus.)  No driver-side matrix, no collect."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -720,44 +742,67 @@ def events_attribution_markov_removal(
             "r",
             F.coalesce(F.col("base"), F.lit(0).cast("long")).alias("base"),
         )
-        .localCheckpoint(eager=False)
     )
     tch = trans.where(~F.col("dst").isin("CONV", "NULL")).select(
         F.col("src").alias("state"), "dst", "c"
     )
-    p = grid.select(
-        "removed", "state", F.lit(0).cast("long").alias("p6")
+    # Every variant group needs the full (tiny) transition table: nest
+    # it once as a 1-row struct array and broadcast it onto the grid.
+    edges1 = tch.agg(
+        F.collect_list(F.struct("state", "dst", "c")).alias("edges")
     )
-    for i in range(_MK_ITERS):
-        pj = p.select(
-            F.col("removed"), F.col("state").alias("jstate"), "p6"
+    payload = grid.crossJoin(F.broadcast(edges1))
+
+    def _absorb(pdf):
+        import math
+
+        import pandas as pd
+
+        removed = pdf["removed"].iloc[0]
+        states_l = list(pdf["state"])
+        r_by = {s: int(v) for s, v in zip(pdf["state"], pdf["r"])}
+        base_by = {s: int(v) for s, v in zip(pdf["state"], pdf["base"])}
+        edges = pdf["edges"].iloc[0]
+        adj: dict = {}
+        for e in edges if edges is not None else ():
+            if e["dst"] != removed:
+                adj.setdefault(e["state"], []).append(
+                    (e["dst"], int(e["c"]))
+                )
+        p6 = {s: 0 for s in states_l}
+        for _ in range(_MK_ITERS):
+            new = {}
+            for s in states_l:
+                if s == removed:
+                    new[s] = 0
+                    continue
+                csum = 0
+                for dst, c in adj.get(s, ()):
+                    csum += c * p6.get(dst, 0)
+                # int/int true division is correctly rounded, hence
+                # identical to the oracle's long->double division
+                # below 2^53 (base+csum <= n_events*1e6, the
+                # documented domain bound).
+                new[s] = math.floor(
+                    (base_by[s] + csum) / r_by[s] + 0.5
+                )
+            p6 = new
+        return pd.DataFrame(
+            {"removed": [removed], "p6": [p6.get("START", 0)]}
         )
-        cs = (
-            tch.join(pj, tch["dst"] == pj["jstate"])
-            .where(F.col("dst") != F.col("removed"))
-            .groupBy("removed", "state")
-            .agg(F.sum(F.col("c") * F.col("p6")).alias("csum"))
-        )
-        pnew = F.when(
-            F.col("state") == F.col("removed"), F.lit(0).cast("long")
-        ).otherwise(
-            F.floor(
-                (F.col("base") + F.coalesce(F.col("csum"), F.lit(0)))
-                / F.col("r")
-                + F.lit(0.5)
-            ).cast("long")
-        )
-        p = grid.join(cs, ["removed", "state"], "left").select(
-            "removed", "state", pnew.alias("p6")
-        )
-        if (i + 1) % _MK_CKPT_EVERY == 0:
-            p = p.localCheckpoint(eager=False)
-    pf = p.where(
-        (F.col("removed") == "<none>") & (F.col("state") == "START")
-    ).select(F.col("p6").alias("pf6"))
-    pc = p.where(
-        (F.col("removed") != "<none>") & (F.col("state") == "START")
-    ).select(F.col("removed").alias("channel"), F.col("p6").alias("pc6"))
+
+    # pf, pc and the dtot aggregate all branch off this relation: pin
+    # it (lazy localCheckpoint materializes once, then is reused) so
+    # the corpus prefix + kernel don't recompute per branch.
+    p_start = payload.groupBy("removed").applyInPandas(
+        _absorb, "removed string, p6 long"
+    ).localCheckpoint(eager=False)
+    pf = p_start.where(F.col("removed") == "<none>").select(
+        F.col("p6").alias("pf6")
+    )
+    pc = p_start.where(F.col("removed") != "<none>").select(
+        F.col("removed").alias("channel"), F.col("p6").alias("pc6")
+    )
     joined = pc.crossJoin(F.broadcast(pf))
     dtot = joined.agg(F.sum(F.col("pf6") - F.col("pc6")).alias("dtot"))
     return (
