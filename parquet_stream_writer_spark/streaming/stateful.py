@@ -30,6 +30,9 @@ the batch grain:
 - ``streaming_seasonality_grid_hll`` — the same grid with distinct
   users as a fixed 4-KiB HyperLogLog sketch per cell (SplitMix64
   hashing, no RNG) — the exact-set twin's documented scale path.
+- ``streaming_sessionize`` — per-user gap sessions as an ORDER-FREE
+  interval merge with event-time-timeout eviction, the exact twin of
+  ``events_sessionize`` and the only twin exercising state timeouts.
 
 State sizes scale with the key domain (users, languages) or the
 calendar — never with stream length.
@@ -717,23 +720,30 @@ _SEASON_OUTPUT_SCHEMA = (
 _SEASON_STATE_SCHEMA = "n long, cents long, users array<long>"
 
 
-def _batch_cents_sum(values, op_name: str) -> int:
-    """Exact integer-cents sum of one micro-batch's 2-dp values:
-    floor(v*100 + 0.5) per value — the exact cents the batch
-    operator's pround(sum, 2) recovers from the 2-dp doubles —
-    accumulated as int64, NOT float64 (a float64 sum of the floored
-    cents silently loses exactness past 2^53, ADVICE r13).  Fails
-    loudly on NaN/inf FIRST: astype(int64) would otherwise map a
-    null value to INT64_MIN and silently poison the cell state (the
-    self-review r14 near-miss).  One definition shared by the exact
-    and HLL seasonality twins so a counting-state fix cannot land in
-    only one of them (ADVICE r14)."""
+def _floored_cents(values, op_name: str):
+    """Per-value exact integer cents of one micro-batch's 2-dp
+    values: floor(v*100 + 0.5) per value — the exact cents the batch
+    operator's pround(sum, 2) recovers from the 2-dp doubles — as an
+    int64 array.  Fails loudly on NaN/inf FIRST: astype(int64) would
+    otherwise map a null value to INT64_MIN and silently poison the
+    cell state (the self-review r14 near-miss)."""
     import numpy as np
 
     floored = np.floor(values * 100 + 0.5)
     if not np.isfinite(floored).all():
         raise ValueError(f"{op_name}: null/NaN value")
-    return int(floored.astype(np.int64).sum())
+    return floored.astype(np.int64)
+
+
+def _batch_cents_sum(values, op_name: str) -> int:
+    """Exact integer-cents sum of one micro-batch's 2-dp values,
+    accumulated as int64, NOT float64 (a float64 sum of the floored
+    cents silently loses exactness past 2^53, ADVICE r13).  One
+    definition shared by the exact and HLL seasonality twins (and,
+    via :func:`_floored_cents`, the sessionize twin) so a
+    counting-state fix cannot land in only one of them (ADVICE
+    r14)."""
+    return int(_floored_cents(values, op_name).sum())
 
 
 def _update_season_cell(key, pdf_iter, state: GroupState):
@@ -949,5 +959,170 @@ def streaming_seasonality_grid_hll(stream: DataFrame) -> DataFrame:
             stateStructType=_SEASON_HLL_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gap-sessionization (order-free interval merge + eviction)
+# ---------------------------------------------------------------------------
+
+#: Session gap in SECONDS — the same 30 minutes as the batch
+#: ``streaming_batch.events_sessionize`` (its `_SESSION_GAP_MIN`).
+#: The batch operator compares ``unix_timestamp`` differences, i.e.
+#: TRUNCATED epoch seconds, so the twin's merge/eviction arithmetic
+#: works in truncated seconds too — a µs-grain gap test would split
+#: a pair the batch operator keeps together whenever the fractional
+#: parts straddle the 1800 s boundary.
+_SESSIONIZE_GAP_S = 30 * 60
+
+_SESSIONIZE_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, cents long, closed boolean, rev long"
+)
+#: Per-user state: the user's LIVE sessions as parallel interval
+#: arrays (start/end in epoch-µs, event count, exact integer cents),
+#: plus a monotone revision counter so a consumer (and the pin test)
+#: can pick each user's latest snapshot from an update-mode sink.
+_SESSIONIZE_STATE_SCHEMA = (
+    "starts array<long>, ends array<long>, ns array<long>, "
+    "cs array<long>, rev long"
+)
+
+
+def _merge_intervals(iv, gap_s):
+    """Gap-merge a list of (start_us, end_us, n, cents) interval
+    summaries: sort by (start, end) and fold neighbours whose
+    TRUNCATED-SECOND gap is <= gap_s (exactly the batch operator's
+    ``unix_timestamp(ts) - unix_timestamp(lag(ts)) > gap`` test).
+    Gap-sessionization is the connected components of the "within
+    gap" relation on the time axis, so this fold is associative AND
+    commutative over insertions — feeding events (width-0 intervals)
+    in ANY order, across ANY micro-batch split, converges to the
+    identical session set.  That order-freeness is what makes the
+    twin exact under out-of-order file replay, where an incremental
+    last-timestamp sessionizer would be wrong."""
+    out = []
+    for s in sorted(iv):
+        if out and s[0] // 1_000_000 - out[-1][1] // 1_000_000 <= gap_s:
+            p = out[-1]
+            out[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+        else:
+            out.append(s)
+    return out
+
+
+def _update_sessionize(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    gap_s = _SESSIONIZE_GAP_S
+    if state.exists:
+        starts, ends, ns, cs, rev = state.get
+        sessions = list(zip(starts, ends, ns, cs))
+    else:
+        sessions, rev = [], 0
+    rev += 1
+    for pdf in pdf_iter:
+        if not len(pdf):
+            # Timeout invocations deliver one empty (object-dtype)
+            # batch — nothing to fold, and the dtype would trip the
+            # finite check.
+            continue
+        ts_us = (
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        cents = _floored_cents(
+            pdf["value"].to_numpy(), "streaming_sessionize"
+        )
+        sessions.extend(
+            (int(t), int(t), 1, int(c)) for t, c in zip(ts_us, cents)
+        )
+    sessions = _merge_intervals(sessions, gap_s)
+    # Eviction: once sec(end) + gap < sec(watermark), every future
+    # event the watermark admits has ts >= wm, hence a truncated-
+    # second gap > gap_s — the session can never be extended or
+    # bridged again, so it is emitted CLOSED and leaves the state.
+    # Per-user state is bounded by the user's live sessions inside
+    # the watermark horizon, not the stream.
+    wm_s = state.getCurrentWatermarkMs() // 1000
+    closed = [s for s in sessions if s[1] // 1_000_000 + gap_s < wm_s]
+    live = [s for s in sessions if s[1] // 1_000_000 + gap_s >= wm_s]
+    if live:
+        state.update(
+            (
+                [s[0] for s in live],
+                [s[1] for s in live],
+                [s[2] for s in live],
+                [s[3] for s in live],
+                rev,
+            )
+        )
+        # Fire a timeout once the watermark passes the last live
+        # session's horizon, so an idle user's state still drains.
+        # (sec(end) + gap + 1 whole seconds is strictly above the
+        # current watermark whenever the session is live.)
+        state.setTimeoutTimestamp(
+            (max(s[1] for s in live) // 1_000_000 + gap_s + 1) * 1000
+        )
+    elif state.exists:
+        state.remove()
+    rows = [(s, True) for s in closed] + [(s, False) for s in live]
+    if not rows:
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(rows),
+            "session_start": pd.to_datetime(
+                [s[0] for s, _ in rows], unit="us"
+            ),
+            "session_end": pd.to_datetime(
+                [s[1] for s, _ in rows], unit="us"
+            ),
+            "n_events": [s[2] for s, _ in rows],
+            "cents": [s[3] for s, _ in rows],
+            "closed": [c for _, c in rows],
+            "rev": [rev] * len(rows),
+        }
+    )
+
+
+def streaming_sessionize(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of ``streaming_batch.events_sessionize`` (the
+    30-min gap sessionizer): per-user LIVE sessions maintained as an
+    order-free interval merge, with event-time-timeout EVICTION — the
+    one stateful pattern the other twelve twins don't exercise.
+
+    Exactness: a session is the connected component of events under
+    the "within 30 min" relation, so the interval-merge fold is
+    associative and commutative — the final session set (closed
+    emissions plus each user's latest live snapshot) equals the batch
+    operator's gaps-and-islands output EXACTLY under any micro-batch
+    split and any arrival order the watermark admits; per-session
+    value sums are exact integer cents (shared ``_floored_cents``
+    kernel).  Pinned by ``test_streaming_sessionize_matches_batch``.
+
+    Scale: state per user is his live-session list inside the
+    watermark horizon (evicted sessions leave state immediately;
+    idle users drain via ``EventTimeTimeout``), so total state is
+    bounded by the active-user working set, never stream length —
+    the eviction the exact seasonality twin documents as its own
+    100 TB limitation."""
+    from pyspark.sql import functions as F
+
+    return (
+        # Watermarks need TIMESTAMP; the events source reads ts as NTZ.
+        # The session timezone is pinned UTC, so the cast is
+        # value-preserving (the windows.py convention).
+        stream.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"))
+        .applyInPandasWithState(
+            _update_sessionize,
+            outputStructType=_SESSIONIZE_OUTPUT_SCHEMA,
+            stateStructType=_SESSIONIZE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

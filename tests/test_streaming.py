@@ -1331,3 +1331,83 @@ def test_streaming_seasonality_hll(spark, events_stream_dir):
         assert abs(row["est_users"] - hll_estimate(regs.tobytes())) < 1e-9
         exact = grp["user_id"].nunique()
         assert abs(row["est_users"] - exact) <= rel_err_band * exact + 2.0
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, events_stream_dir):
+    """The interval-merge sessionize twin must converge EXACTLY to the
+    batch gaps-and-islands operator on the 4-file OUT-OF-TIME-ORDER
+    replay — the order-freeness claim: sessions are the connected
+    components of the truncated-second "within 30 min" relation, so
+    feeding events in any order across any micro-batch split yields
+    the identical session set.  The huge watermark delay admits every
+    late row and suppresses eviction, so each user's max-rev snapshot
+    is his full session list."""
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_sessionize,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    out = streaming_sessionize(
+        _events_stream(spark, events_stream_dir), watermark="3650 days"
+    )
+    name = f"sessz_{uuid.uuid4().hex[:8]}"
+    pdf = _run_to_memory(spark, out, name, "update").toPandas()
+    assert not pdf["closed"].any()  # nothing evicts under the huge delay
+    last = pdf.groupby("user_id")["rev"].transform("max")
+    final = pdf[pdf["rev"] == last]
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.cents / 100.0)
+        for r in final.itertuples()
+    }
+
+    batch = events_sessionize(spark, sf_dir).toPandas()
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in batch.itertuples()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_timeout_evicts_closed_sessions(
+    spark, sf_dir, events_stream_dir
+):
+    """With a short watermark delay, the availableNow no-data final
+    batch fires the event-time timeouts: sessions whose horizon fell
+    below the watermark are emitted CLOSED and leave the state (the
+    100 TB state-hygiene path).  Content must still equal the batch
+    operator: closure changes WHERE a session is emitted, never what
+    it contains."""
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_sessionize,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    # One data batch (all 4 files) so nothing is late-dropped; the
+    # watermark then advances to max_ts - 1 min and expires every
+    # session ending >30 min before it.
+    out = streaming_sessionize(
+        _events_stream(spark, events_stream_dir, files_per_trigger=4),
+        watermark="1 minute",
+    )
+    name = f"sesst_{uuid.uuid4().hex[:8]}"
+    pdf = _run_to_memory(spark, out, name, "update").toPandas()
+    closed = pdf[pdf["closed"]]
+    assert len(closed) > 0  # the corpus spans days: timeouts must fire
+    # Final view: each user's max-rev snapshot plus any closure rows
+    # (a closed session leaves state and is never re-emitted).
+    last = pdf.groupby("user_id")["rev"].transform("max")
+    final = pdf[(pdf["rev"] == last) | pdf["closed"]]
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.cents / 100.0)
+        for r in final.itertuples()
+    }
+    batch = events_sessionize(spark, sf_dir).toPandas()
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in batch.itertuples()
+    }
+    assert got == want
