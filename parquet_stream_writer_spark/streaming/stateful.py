@@ -1028,6 +1028,11 @@ def _update_sessionize(key, pdf_iter, state: GroupState):
             # batch — nothing to fold, and the dtype would trip the
             # finite check.
             continue
+        # Fail loudly on a null event time BEFORE the int64 view: NaT
+        # would silently become INT64_MIN and poison the session list
+        # (the same r14 near-miss _floored_cents guards for value).
+        if pdf["ts"].isna().any():
+            raise ValueError("streaming_sessionize: null ts")
         ts_us = (
             pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         )
@@ -1064,8 +1069,16 @@ def _update_sessionize(key, pdf_iter, state: GroupState):
         state.setTimeoutTimestamp(
             (max(s[1] for s in live) // 1_000_000 + gap_s + 1) * 1000
         )
-    elif state.exists:
-        state.remove()
+    else:
+        # Drain to an O(1) TOMBSTONE (empty session lists + the rev
+        # counter) instead of state.remove(): removal would restart a
+        # revived user's rev at 1, and a max-rev consumer (the
+        # documented snapshot-selection contract, used by the pin
+        # tests) would then prefer the stale pre-drain emission over
+        # every post-revival session (self-review r15).  The heavy
+        # per-session state still drains; no new timeout is set, so a
+        # permanently idle user costs one tombstone row, not a timer.
+        state.update(([], [], [], [], rev))
     rows = [(s, True) for s in closed] + [(s, False) for s in live]
     if not rows:
         return
@@ -1101,12 +1114,13 @@ def streaming_sessionize(stream: DataFrame, watermark: str = "30 minutes") -> Da
     value sums are exact integer cents (shared ``_floored_cents``
     kernel).  Pinned by ``test_streaming_sessionize_matches_batch``.
 
-    Scale: state per user is his live-session list inside the
+    Scale: state per user is their live-session list inside the
     watermark horizon (evicted sessions leave state immediately;
-    idle users drain via ``EventTimeTimeout``), so total state is
-    bounded by the active-user working set, never stream length —
-    the eviction the exact seasonality twin documents as its own
-    100 TB limitation."""
+    idle users drain via ``EventTimeTimeout`` to an O(1) revision
+    tombstone that keeps the rev counter monotone across revivals),
+    so the heavy state is bounded by the active-user working set,
+    never stream length — the eviction the exact seasonality twin
+    documents as its own 100 TB limitation."""
     from pyspark.sql import functions as F
 
     return (

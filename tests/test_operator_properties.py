@@ -1172,6 +1172,11 @@ def test_quality_psi_matches_python_free_model(spark, tmp_path, seed):
     # Free model from the spec: distinct-token ratio → decile bin,
     # per-source zero-filled grid over the bins PRESENT in the corpus,
     # global shares q_b, then the quantized-term integer sum.
+    # Exact-equality pin couples JVM Math.log to CPython math.log at
+    # the floor boundary — the suite's standing convention (the
+    # entropy/BM25 free models pin log2/ln the same way, stable for
+    # 7+ rounds on this platform); a 1-ulp libm divergence at a
+    # boundary would shift one term by 1e-6.
     def bin_of(t):
         toks = t.lower().split(" ")
         return min(9, math.floor(len(set(toks)) / len(toks) * 10))

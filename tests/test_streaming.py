@@ -1370,6 +1370,21 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, events_stream_dir):
     assert got == want
 
 
+def test_streaming_sessionize_gap_matches_batch_constant():
+    """Drift guard: the twin's truncated-second gap must equal the
+    batch operator's _SESSION_GAP_MIN (the twin cannot import it at
+    module scope without pulling the whole operators registry, so the
+    suite pins the equality instead — self-review r15)."""
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        _SESSION_GAP_MIN,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        _SESSIONIZE_GAP_S,
+    )
+
+    assert _SESSIONIZE_GAP_S == _SESSION_GAP_MIN * 60
+
+
 def test_streaming_sessionize_timeout_evicts_closed_sessions(
     spark, sf_dir, events_stream_dir
 ):
@@ -1411,3 +1426,68 @@ def test_streaming_sessionize_timeout_evicts_closed_sessions(
         for r in batch.itertuples()
     }
     assert got == want
+
+
+def test_streaming_sessionize_rev_survives_drain_and_revival():
+    """Unit pin for the self-review r15 fix: when every session
+    drains (timeout eviction), the state keeps an O(1) tombstone with
+    the rev counter instead of being removed, so a revived user's
+    emissions keep rev monotone and a max-rev consumer never prefers
+    a stale pre-drain snapshot over post-revival sessions."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.streaming.stateful import (
+        _update_sessionize,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v, self._wm_ms, self.removed = None, 0, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def getCurrentWatermarkMs(self):
+            return self._wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    state = FakeState()
+    day = 86_400_000_000  # µs
+
+    def batch(ts_us_list):
+        return [
+            pd.DataFrame(
+                {
+                    "ts": pd.to_datetime(ts_us_list, unit="us"),
+                    "value": [1.0] * len(ts_us_list),
+                }
+            )
+        ]
+
+    # batch 1: one session on day 1 -> rev 1, live
+    out1 = list(_update_sessionize((7,), batch([day]), state))[0]
+    assert out1["rev"].tolist() == [1] and not out1["closed"].any()
+    # timeout invocation with the watermark far past the horizon:
+    # the session closes, the state drains to a tombstone (rev kept)
+    state._wm_ms = (day + 10 * day) // 1000
+    out2 = list(_update_sessionize((7,), [], state))[0]
+    assert out2["closed"].all() and out2["rev"].tolist() == [2]
+    assert state.exists and not state.removed  # tombstone, not removal
+    assert state.get[:4] == ([], [], [], [])
+    # revival: a later event must emit at rev 3 (monotone), so the
+    # max-rev selection cannot prefer the rev-2 pre-drain emission
+    out3 = list(_update_sessionize((7,), batch([20 * day]), state))[0]
+    assert out3["rev"].tolist() == [3] and not out3["closed"].any()
