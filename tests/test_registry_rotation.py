@@ -469,3 +469,33 @@ def test_fold_without_correctness_artifact_is_a_noop(tmp_path, capsys):
     tool.fold_attested(str(tmp_path))
     assert "no fold" in capsys.readouterr().out
     assert not (tmp_path / "QUERY_SOURCE_HASHES.json").exists()
+
+
+def test_reduce_site_audit_traces_aliases_and_variables(capsys):
+    """The sweep enumerator must keep finding the indirections the
+    manual audits relied on: a quantized local variable (term6 :=
+    quant6 in text_quality_psi), a count-defined alias (o := F.count
+    in the chi-square cells), and a withColumn-defined column (dwell
+    := F.lead diff in the dwell profile). A tracing regression would
+    blind the round-16+ window sweeps."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parents[1] / "tools")
+    )
+    import reduce_site_audit as rsa
+
+    n = rsa.audit(
+        [
+            "text_quality_psi",
+            "agg_chi_square_independence",
+            "events_dwell_time_profile",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "term6 = quant6" in out.replace("term6 = term6 = ", "term6 = ")
+    assert 'F.count(F.lit(1)).alias("o")' in out
+    assert 'withColumn("dwell", F.lead("us").over(w) - F.col("us"))' in out
+    # all three keys have sites needing the read (by design: only
+    # certain patterns auto-verdict)
+    assert n == 3
