@@ -111,3 +111,26 @@ def test_trigram_lm_heldout_is_leakage_split(spark, sf_dir):
         .first()[0]
     )
     assert 0 < total_heldout < all_trigrams
+
+
+def test_staged6_cost_pass_plan_pins(spark, sf_dir):
+    """Protects the round-15 cost pass from silent regression: the
+    trigram corpus explode must stay on the arrays_zip/slice lane
+    (a transform(sequence, i -> struct(get...)) lambda evaluates
+    interpreted per element — measured 9x slower), and the markov
+    plan must stay free of quadratic shapes (its 1-row/edges
+    broadcasts are the only nested-loop joins)."""
+    from parquet_stream_writer_spark.plans import explain_string, summarize
+
+    tri = staged6.QUERIES["text_trigram_lm_heldout_perplexity"](
+        spark, sf_dir
+    )
+    es = explain_string(tri, "formatted")
+    assert "arrays_zip" in es
+    assert "lambdafunction" not in es  # no interpreted per-element lane
+
+    mk = staged6.QUERIES["events_attribution_markov_removal"](spark, sf_dir)
+    nodes = summarize(mk).nodes
+    assert not nodes.get("CartesianProduct")
+    assert not nodes.get("SortAggregate")
+    assert nodes.get("BroadcastNestedLoopJoin", 0) <= 3  # 1-row broadcasts
