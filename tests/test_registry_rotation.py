@@ -499,3 +499,52 @@ def test_reduce_site_audit_traces_aliases_and_variables(capsys):
     # all three keys have sites needing the read (by design: only
     # certain patterns auto-verdict)
     assert n == 3
+
+
+def test_reduce_site_audit_expr_agg_tests_inner_argument(capsys, monkeypatch):
+    """ADVICE r15: for aggregates hidden inside an F.expr string the
+    _CERTAIN auto-exemption must be tested against the INNER
+    sum/avg/mean call's own argument — a quant6( appearing elsewhere
+    in the same string must not exempt a fractional sum next to it
+    (the exact silent-pass the tool's docstring warns about)."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parents[1] / "tools")
+    )
+    import reduce_site_audit as rsa
+
+    def fake_expr_key(spark, sf_dir):  # never executed; source-only
+        df = spark.read.parquet(sf_dir)
+        return df.select(
+            F.expr("sum(price * ratio) + sum(quant6(price)) as s")  # noqa: F821
+        )
+
+    monkeypatch.setattr(rsa, "all_queries", lambda: {"fake": fake_expr_key})
+    n = rsa.audit(["fake"])
+    out = capsys.readouterr().out
+    # two inner sites: the fractional sum prints as READ with ITS OWN
+    # argument; the quantized sum auto-exempts
+    assert n == 1
+    assert "1 READ site(s), 1 certain-exempt" in out
+    assert "price * ratio" in out
+    assert "quant6(price)" not in out.split("L")[-1].splitlines()[0]
+
+
+def test_reduce_site_audit_flag_without_value_exits_with_usage(monkeypatch, capsys):
+    """ADVICE r15: `--keys` / `--window` as the final argument must
+    exit with a usage message, not an IndexError."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parents[1] / "tools")
+    )
+    import reduce_site_audit as rsa
+    import pytest
+
+    for argv in (["prog", "--keys"], ["prog", "--window"]):
+        monkeypatch.setattr(_sys, "argv", argv)
+        with pytest.raises(SystemExit) as e:
+            rsa.main()
+        assert e.value.code == 2
+        assert "usage:" in capsys.readouterr().out

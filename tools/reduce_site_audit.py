@@ -50,7 +50,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from parquet_stream_writer_spark.operators import all_queries  # noqa: E402
 
 _REDUCE = re.compile(r"F\.(sum|avg|mean)\s*\(")
-_EXPR_AGG = re.compile(r'F\.expr\(\s*f?["\'].*\b(sum|avg|mean)\s*\(', re.I)
+_EXPR_CALL = re.compile(r"F\.expr\s*\(")
+# aggregates hidden inside an F.expr string literal; \b keeps
+# e.g. ``checksum(`` from matching
+_SQL_AGG = re.compile(r"\b(sum|avg|mean)\s*\(", re.I)
 _FOLD = re.compile(r"\bF\.aggregate\s*\(")
 _NAME = re.compile(r'["\'](\w+)["\']')
 _CERTAIN = re.compile(
@@ -113,8 +116,21 @@ def audit(keys: list[str], quiet: bool = False) -> int:
         flat = "\n".join(lines)
         reads, certains, folds = [], 0, []
         seen_spans = set()
-        for m in list(_REDUCE.finditer(flat)) + list(_EXPR_AGG.finditer(flat)):
-            open_idx = flat.index("(", m.start())
+        # (match start, open-paren index of the call whose ARGUMENT is
+        # the reduce expression).  For F.expr the tested argument must
+        # be the INNER sum/avg/mean call inside the string literal, not
+        # the whole expr string — a quant6(/cast('long') elsewhere in
+        # the same string would otherwise auto-exempt a fractional sum
+        # (ADVICE r15).  Every inner aggregate in the string gets its
+        # own site.
+        sites = [(m.start(), flat.index("(", m.start())) for m in _REDUCE.finditer(flat)]
+        for m in _EXPR_CALL.finditer(flat):
+            expr_open = flat.index("(", m.start())
+            body = _balanced_arg(flat, expr_open)
+            for sm in _SQL_AGG.finditer(body):
+                inner_open = expr_open + 1 + sm.end() - 1
+                sites.append((m.start(), inner_open))
+        for site_start, open_idx in sites:
             if open_idx in seen_spans:
                 continue
             seen_spans.add(open_idx)
@@ -135,7 +151,7 @@ def audit(keys: list[str], quiet: bool = False) -> int:
                 t = _trace_var(lines, nm)
                 if t:
                     traces.append(f"{nm} = {t}")
-            lineno = flat[: m.start()].count("\n")
+            lineno = flat[:site_start].count("\n")
             reads.append((lineno, arg[:160], traces))
         for i, ln in enumerate(lines):
             if _FOLD.search(ln):
@@ -170,7 +186,13 @@ def main() -> None:
         raw = ""
         for j, a in enumerate(args):
             if a.startswith("--keys"):
-                raw = a.split("=", 1)[1] if "=" in a else args[j + 1]
+                if "=" in a:
+                    raw = a.split("=", 1)[1]
+                elif j + 1 < len(args):
+                    raw = args[j + 1]
+                else:
+                    print("usage: --keys a,b,c (or --keys=a,b,c)")
+                    raise SystemExit(2)
         keys = [k for k in raw.split(",") if k]
         unknown = [k for k in keys if k not in qs]
         if unknown:
@@ -180,6 +202,9 @@ def main() -> None:
         n = 50
         for j, a in enumerate(args):
             if a == "--window":
+                if j + 1 >= len(args):
+                    print("usage: --window N (or --window=N)")
+                    raise SystemExit(2)
                 n = int(args[j + 1])
             elif a.startswith("--window="):
                 n = int(a.split("=", 1)[1])
