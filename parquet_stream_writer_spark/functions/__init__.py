@@ -13,6 +13,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+#: Explicit whitespace class for the pack's tokenizer convention,
+#: engine-identical by construction: Java's ``\s`` matches vertical
+#: tab (\x0B) while DuckDB/RE2's does not (ADVICE r11), so every
+#: splitter spells the class out.  The raw-string escapes are
+#: interpreted the same way by Java regex (Spark ``F.split``) and RE2
+#: (``string_split_regex``); interpolate the constant verbatim into
+#: oracle SQL string literals (single-quoted SQL strings pass the
+#: backslashes through untouched).  Lifted here from staged5 in round
+#: 16 when the staged4 tokenizers migrated off ``\s+``.
+WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
 
 def pround(col: Column | str, digits: int = 2) -> Column:
     """Portable half-up rounding (matches ``sql_round`` exactly)."""

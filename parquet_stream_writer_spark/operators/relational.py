@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround, sql_round
+from parquet_stream_writer_spark.functions import pround, quantn, sql_round
 from parquet_stream_writer_spark.operators.dedup import (
     _hex_prefix_int,
     _hex_to_int_sql,
@@ -527,31 +527,58 @@ FROM (
 
 
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum + lag per customer ordered by date (frame ops)."""
+    """Running sum + lag per customer ordered by date (frame ops).
+
+    Exactness discipline (round 16, the ``events_anomaly_zscore``
+    pattern): the 2-dp prices enter the frames as INTEGER CENTS, so
+    the cumulative sum and the 3-row moving sum/count are exact
+    integers regardless of how each engine evaluates the frame
+    (Spark re-scans; DuckDB's segment tree would order a float
+    accumulation differently — a half-cent boundary hazard under the
+    old windowed ``F.avg`` of doubles).  The dollar outputs are then
+    single double operations over identical integers: cum/100,
+    lag/100, and floor(Σc/n + 0.5)/100 for the half-up 2-dp moving
+    mean.  Exact while a customer's cumulative cents stay inside
+    2^53 (~9e13 dollars per customer — eight orders above sf100)."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w.rowsBetween(-2, Window.currentRow)
+    rows = orders.select(
         "o_custkey",
         "o_orderkey",
-        pround(
-            F.sum("o_totalprice").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            2,
-        ).alias("running_total"),
-        pround(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        pround(
-            F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 2
+        "o_orderdate",
+        quantn(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    return rows.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum("cents").over(w_cum).cast("double") / F.lit(100.0)).alias(
+            "running_total"
+        ),
+        (F.lag("cents", 1).over(w).cast("double") / F.lit(100.0)).alias(
+            "prev_price"
+        ),
+        (
+            F.floor(
+                F.sum("cents").over(w_mov).cast("double")
+                / F.count(F.lit(1)).over(w_mov)
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
         ).alias("moving_avg3"),
     )
 
 
 ORACLE_WINDOW_RUNNING = """
 SELECT o_custkey, o_orderkey,
-       floor((sum(o_totalprice) OVER w_cum) * 100 + 0.5) / 100.0  AS running_total,
-       floor((lag(o_totalprice, 1) OVER w_ord) * 100 + 0.5) / 100.0 AS prev_price,
-       floor((avg(o_totalprice) OVER w_mov) * 100 + 0.5) / 100.0  AS moving_avg3
-FROM orders
+       CAST(sum(cents) OVER w_cum AS DOUBLE) / 100.0 AS running_total,
+       CAST(lag(cents, 1) OVER w_ord AS DOUBLE) / 100.0 AS prev_price,
+       floor(CAST(sum(cents) OVER w_mov AS DOUBLE)
+             / (count(*) OVER w_mov) + 0.5) / 100.0 AS moving_avg3
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
 WINDOW
   w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
   w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

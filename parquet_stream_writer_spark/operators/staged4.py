@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround
+from parquet_stream_writer_spark.functions import WS_CLASS, pround
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 QUERIES: dict = {}
@@ -52,7 +52,10 @@ def text_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: token counts are exact integers; frequency rank is a
     deterministic (count desc, token asc) row_number; per-K covered
     counts are exact integer conditional sums; each coverage share is
-    ONE division of two exact integers, 6-dp rounded.
+    ONE division of two exact integers, 6-dp rounded.  The tokenizer
+    uses the explicit ``WS_CLASS`` whitespace class (round 16): Java's
+    ``\\s`` matches vertical tab while RE2's does not, so a ``\\s+``
+    split could diverge on a \\x0B-bearing corpus.
 
     Shape: one token hash aggregate (vocab-sized, NOT corpus-sized);
     the rank only matters up to max(Ks)=128, so a TakeOrdered
@@ -63,7 +66,7 @@ def text_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        F.explode(F.split(F.trim(F.col("text")), WS_CLASS)).alias("tok")
     ).where(F.col("tok") != "")
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     head = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(
@@ -103,7 +106,7 @@ def text_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_OOV_COVERAGE = f"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  SELECT unnest(string_split_regex(trim(text), '{WS_CLASS}')) AS tok
   FROM documents
 ),
 vocab AS (
@@ -1111,7 +1114,10 @@ def text_vocab_jaccard_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: profile membership is a deterministic per-language
     (count desc, token asc) row_number cutoff; intersection counts are
     exact integers; each Jaccard is ONE division of exact integers
-    (|A∩B| / (|A| + |B| − |A∩B|)), 6-dp rounded.
+    (|A∩B| / (|A| + |B| − |A∩B|)), 6-dp rounded.  The tokenizer uses
+    the explicit ``WS_CLASS`` whitespace class (round 16): Java's
+    ``\\s`` matches vertical tab while RE2's does not, so a ``\\s+``
+    split could diverge on a \\x0B-bearing corpus.
 
     Shape: one token hash aggregate per (lang, tok); profiles are
     langs×K rows (bounded); the pair matrix is a profile self-join on
@@ -1120,7 +1126,7 @@ def text_vocab_jaccard_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "lang",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col("text")), WS_CLASS)).alias("tok"),
     ).where(F.col("tok") != "")
     freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
@@ -1161,7 +1167,7 @@ def text_vocab_jaccard_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_VOCAB_JACCARD_BY_LANG = f"""
 WITH toks AS (
-  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  SELECT lang, unnest(string_split_regex(trim(text), '{WS_CLASS}')) AS tok
   FROM documents
 ),
 freq AS (

@@ -36,7 +36,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround, sql_round
+from parquet_stream_writer_spark.functions import WS_CLASS, pround, sql_round
 from parquet_stream_writer_spark.operators.dedup import (
     _hex_prefix_int,
     _hex_to_int_sql,
@@ -1332,12 +1332,10 @@ ORACLE["events_error_rate_slo"] = ORACLE_EVENTS_ERROR_RATE_SLO
 #: the model's context-length candidates).
 _TRUNC_CAPS = (32, 64)
 
-#: Explicit whitespace class, engine-identical by construction: Java's
-#: ``\s`` matches vertical tab (\x0B) while DuckDB/RE2's does not
-#: (ADVICE r11), so the splitter spells the class out.  The raw-string
-#: escapes are interpreted the same way by Java regex (Spark
-#: ``F.split``) and RE2 (``string_split_regex``).
-_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+#: Explicit whitespace class (Java ``\s`` matches \x0B, RE2's does
+#: not — ADVICE r11).  Canonical definition lives in ``functions``
+#: since round 16; the alias keeps this pack's call sites unchanged.
+_WS_CLASS = WS_CLASS
 
 
 def text_token_budget_truncation(

@@ -50,12 +50,15 @@ def adversarial_sf(tmp_path_factory):
         "ONE.WORD.MANY.SENTENCES.",
         " \t\n ",
         "a" * 5000,
+        # vertical tab: Java \s matches it, RE2's does not — the row
+        # that forced the explicit WS_CLASS tokenizers (round 16)
+        "vertical\x0btab words\x0bdisagree",
     ]
     extra["documents"] = pd.DataFrame(
         {
             "doc_id": np.arange(900001, 900001 + len(nasty_texts), dtype="int64"),
             "text": nasty_texts,
-            "lang": ["zh", "en", "en", "de", "en", "xx", "en"],
+            "lang": ["zh", "en", "en", "de", "en", "xx", "en", "en"],
             "source": ["adv"] * len(nasty_texts),
             "n_chars": [len(t) for t in nasty_texts],
         }
