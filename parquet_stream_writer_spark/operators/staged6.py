@@ -782,7 +782,16 @@ def events_attribution_markov_removal(
                 # int/int true division is correctly rounded, hence
                 # identical to the oracle's long->double division
                 # below 2^53 (base+csum <= n_events*1e6, the
-                # documented domain bound).
+                # documented domain bound).  Fail loudly if a corpus
+                # ever violates the bound (n_events >~ 9e9) instead
+                # of silently drifting from the oracle (ADVICE r15).
+                if base_by[s] + csum >= 2**53:
+                    raise ValueError(
+                        "markov removal-effect numerator "
+                        f"{base_by[s] + csum} >= 2^53: the integer "
+                        "trajectory can no longer match the oracle's "
+                        "long->double division exactly"
+                    )
                 new[s] = math.floor(
                     (base_by[s] + csum) / r_by[s] + 0.5
                 )

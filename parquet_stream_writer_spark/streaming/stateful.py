@@ -1113,6 +1113,13 @@ def streaming_sessionize(stream: DataFrame, watermark: str = "30 minutes") -> Da
     split and any arrival order the watermark admits; per-session
     value sums are exact integer cents (shared ``_floored_cents``
     kernel).  Pinned by ``test_streaming_sessionize_matches_batch``.
+    Half-cent bound (ADVICE r15, same class as the seasonality twin):
+    the batch operator's ``sum_value`` is ``pround(F.sum(value), 2)``
+    — ONE floored float64 sum — while the twin accumulates per-row
+    exact cents, so the pinned equality holds only while a session's
+    float-sum error stays under the ~0.5-cent mid-grid margin of a
+    decimal 2-dp total (broken only by ≳10^13 values at ~1-ulp error
+    each, far past any real session).
 
     Scale: state per user is their live-session list inside the
     watermark horizon (evicted sessions leave state immediately;
