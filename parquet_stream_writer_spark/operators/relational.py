@@ -2378,7 +2378,17 @@ def q20_excess_volume_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg of an agg) pattern Q20 exercises through its IN-subquery
     chain, decorrelated here into a (part, supplier) rollup joined
     against its own per-part average. Quantities round to 2dp before
-    the 1.5× threshold so the boundary is engine-identical."""
+    the 1.5× threshold so the boundary is engine-identical.
+
+    Exactness discipline (round 16 — pulled forward from the r17
+    ledger slot because this key sits in the r16 window): quantities
+    enter as 1e-2-unit LONGS, so the per-(part, supplier) sum and the
+    per-part mean numerator are exact integers in any accumulation
+    order; the 2-dp half-up mean is floor(Σq/n + 0.5) in centi-units
+    and the 1.5× threshold is the cross-multiplied integer compare
+    2·qty_c > 3·avg_c — no float survives into the comparison.
+    Exact while a part family's centi-quantity sum stays inside
+    2^53."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
@@ -2387,14 +2397,16 @@ def q20_excess_volume_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("l_partkey").alias("partkey"),
                  F.col("l_suppkey").alias("suppkey"))
-        .agg(pround(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(F.sum(quantn(F.col("l_quantity"), 2)).alias("qty_c"))
     )
     avg_part = shipped.groupBy(F.col("partkey").alias("ap_key")).agg(
-        pround(F.avg("qty"), 2).alias("avg_qty")
+        F.floor(
+            F.sum("qty_c").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        ).alias("avg_c")
     )
     return (
         shipped.join(avg_part, F.col("partkey") == F.col("ap_key"))
-        .where(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .where(F.col("qty_c") * 2 > F.col("avg_c") * 3)
         .join(F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_excess_parts"))
@@ -2404,18 +2416,19 @@ def q20_excess_volume_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q20 = """
 WITH shipped AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         floor(sum(l_quantity) * 100 + 0.5) / 100.0 AS qty
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_name LIKE '%red%'
   GROUP BY l_partkey, l_suppkey),
 avg_part AS (
-  SELECT partkey, floor(avg(qty) * 100 + 0.5) / 100.0 AS avg_qty
+  SELECT partkey,
+         floor(CAST(sum(qty_c) AS DOUBLE) / count(*) + 0.5) AS avg_c
   FROM shipped GROUP BY partkey)
 SELECT s_suppkey, s_name, count(*) AS n_excess_parts
 FROM supplier
 JOIN shipped  ON s_suppkey = suppkey
 JOIN avg_part USING (partkey)
-WHERE qty > 1.5 * avg_qty
+WHERE qty_c * 2 > avg_c * 3
 GROUP BY s_suppkey, s_name
 """
 
