@@ -33,9 +33,13 @@ the batch grain:
 - ``streaming_sessionize`` — per-user gap sessions as an ORDER-FREE
   interval merge with event-time-timeout eviction, the exact twin of
   ``events_sessionize`` and the only twin exercising state timeouts.
+- ``streaming_cms_sketch`` — the count-min sketch as VECTOR state
+  (one ``array<long>`` counter row per depth), the exact twin of
+  ``cms_cells`` and the only twin whose TOTAL state is constant in
+  both stream length and key cardinality.
 
-State sizes scale with the key domain (users, languages) or the
-calendar — never with stream length.
+State sizes scale with the key domain (users, languages), the
+calendar, or a fixed sketch geometry — never with stream length.
 """
 
 from __future__ import annotations
@@ -1145,5 +1149,118 @@ def streaming_sessionize(stream: DataFrame, watermark: str = "30 minutes") -> Da
             stateStructType=_SESSIONIZE_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (vector state)
+# ---------------------------------------------------------------------------
+
+#: Twin-local copies of the batch sketch geometry and per-depth cell
+#: hash (``operators.streaming_batch._CMS_DEPTH`` / ``_CMS_WIDTH`` /
+#: ``_cms_cell_expr``) — replicated, not imported, because a
+#: module-scope operators import would pull the whole registry (the
+#: sessionize-gap convention); ``test_streaming_cms_sketch_constants``
+#: pins them equal to the batch module's.
+_CMS_TWIN_DEPTH = 3
+_CMS_TWIN_WIDTH = 16
+
+
+def _cms_twin_cell_expr(key_col: str, depth: int) -> str:
+    """Spark-side cell index — the same md5-prefix hash the batch
+    sketch uses, so the twin's cells are bit-identical to
+    ``cms_cells``'s."""
+    return (
+        f"(cast(conv(substring(md5(concat({key_col}, '#{depth}')), 1, 4), 16, 10)"
+        f" as bigint) % {_CMS_TWIN_WIDTH})"
+    )
+
+
+_CMS_SKETCH_OUTPUT_SCHEMA = "depth int, cells array<long>, n long"
+#: Per-depth state: ONE sketch row — w cell counters plus the row's
+#: total event count.  The counters fold by element-wise addition
+#: (commutative + associative), so the final state is exact under any
+#: micro-batch split; ``n`` is monotone per depth, so a consumer picks
+#: each depth's final emission as its max-``n`` row.
+_CMS_SKETCH_STATE_SCHEMA = "cells array<long>, n long"
+
+
+def _update_cms_row(key, pdf_iter, state: GroupState):
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        cells_raw, n = state.get
+        cells = np.asarray(cells_raw, dtype="int64")
+    else:
+        cells, n = np.zeros(_CMS_TWIN_WIDTH, dtype="int64"), 0
+    for pdf in pdf_iter:
+        if len(pdf):
+            cells = cells + np.bincount(
+                pdf["cell"].to_numpy(dtype="int64"),
+                minlength=_CMS_TWIN_WIDTH,
+            )
+            n += len(pdf)
+    cells_l = [int(c) for c in cells]
+    state.update((cells_l, int(n)))
+    yield pd.DataFrame(
+        {"depth": [key[0]], "cells": [cells_l], "n": [int(n)]}
+    )
+
+
+def streaming_cms_sketch(
+    stream: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Streaming count-min sketch over ``key_col`` — the stateful twin
+    of ``streaming_batch.cms_cells`` (the mergeable half of
+    ``events_heavy_hitters_cms``), and the first twin with VECTOR
+    state: each of the d sketch depths keeps its whole w-counter row
+    as one ``array<long>`` state value, updated by element-wise
+    ``bincount`` addition per micro-batch.
+
+    Exactness: cell hashing happens JVM-side with the batch sketch's
+    exact md5-prefix expression BEFORE the shuffle, and counter
+    addition is commutative + associative, so each depth's final
+    state equals the single-pass batch sketch row EXACTLY under any
+    micro-batch split or arrival order (pinned by
+    ``test_streaming_cms_sketch_matches_batch``).  Frequency
+    estimates (min over the d cells a key hashes to) therefore also
+    match the batch operator's.  Like the other counting twins,
+    exactly-once source delivery is assumed — a replayed micro-batch
+    would double-count.
+
+    Scale: this is the sketch-state pattern a 100 TB stream wants —
+    TOTAL state is d rows × (w + 1) longs (3 × 17 here, ~400 bytes)
+    regardless of stream length OR key cardinality, the property that
+    distinguishes it from every count-per-key twin whose state grows
+    with the key domain.  The d-row key space does bound shuffle
+    parallelism at d tasks; at production widths (w ~ 2^14+) the
+    per-row bincount stays a few KiB of integer work per micro-batch,
+    and a wider-parallelism variant would key on (depth, cell-block)
+    at the cost of more state rows."""
+    from pyspark.sql import functions as F
+
+    case = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN depth = {d} THEN {_cms_twin_cell_expr(key_col, d)}"
+            for d in range(_CMS_TWIN_DEPTH)
+        )
+        + " END"
+    )
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in range(_CMS_TWIN_DEPTH)])
+    ).alias("depth")
+    return (
+        stream.select(F.col(key_col), depths)
+        .select("depth", case.cast("int").alias("cell"))
+        .groupBy("depth")
+        .applyInPandasWithState(
+            _update_cms_row,
+            outputStructType=_CMS_SKETCH_OUTPUT_SCHEMA,
+            stateStructType=_CMS_SKETCH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -1491,3 +1491,64 @@ def test_streaming_sessionize_rev_survives_drain_and_revival():
     # max-rev selection cannot prefer the rev-2 pre-drain emission
     out3 = list(_update_sessionize((7,), batch([20 * day]), state))[0]
     assert out3["rev"].tolist() == [3] and not out3["closed"].any()
+
+
+def test_streaming_cms_sketch_constants():
+    """The vector-state twin replicates the batch sketch geometry and
+    per-depth hash instead of importing the operators registry (the
+    sessionize-gap convention) — pin them identical so a batch-side
+    change cannot silently desynchronize the twin."""
+    from parquet_stream_writer_spark.operators import streaming_batch as sb
+    from parquet_stream_writer_spark.streaming import stateful as st
+
+    assert st._CMS_TWIN_DEPTH == sb._CMS_DEPTH
+    assert st._CMS_TWIN_WIDTH == sb._CMS_WIDTH
+    for d in range(sb._CMS_DEPTH):
+        assert st._cms_twin_cell_expr("event_type", d) == sb._cms_cell_expr(
+            "event_type", d
+        )
+
+
+def test_streaming_cms_sketch_matches_batch(spark, sf_dir, events_stream_dir):
+    """Each depth's final vector state (max-n emission) must equal the
+    single-pass batch sketch row EXACTLY — element-wise counter
+    addition is commutative, so the 4-file micro-batch split cannot
+    change the result."""
+    from parquet_stream_writer_spark.operators.streaming_batch import cms_cells
+    from parquet_stream_writer_spark.streaming.stateful import (
+        _CMS_TWIN_DEPTH,
+        streaming_cms_sketch,
+    )
+
+    from pyspark.sql import Window
+
+    stream = _events_stream(spark, events_stream_dir)
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, streaming_cms_sketch(stream), name, "update")
+
+    # final state per depth = its max-n emission (n is monotone)
+    w = Window.partitionBy("depth").orderBy(F.desc("n"))
+    final = (
+        result.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("depth", "cells", "n")
+    )
+    rows = final.collect()
+    assert len(rows) == _CMS_TWIN_DEPTH
+
+    streamed = {
+        (r["depth"], cell): c
+        for r in rows
+        for cell, c in enumerate(r["cells"])
+        if c > 0
+    }
+    batch = {
+        (r["depth"], r["cell"]): r["c"]
+        for r in cms_cells(load_events(spark, sf_dir).select("event_type")).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # every depth's row sums to the full event count (no event lost
+    # to hashing), and state is the fixed sketch geometry
+    n_events = load_events(spark, sf_dir).count()
+    for r in rows:
+        assert sum(r["cells"]) == n_events == r["n"]
