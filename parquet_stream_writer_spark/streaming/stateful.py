@@ -1230,6 +1230,15 @@ def streaming_cms_sketch(
     exactly-once source delivery is assumed — a replayed micro-batch
     would double-count.
 
+    NULL keys (self-review r16): the twin sketches the NON-NULL key
+    domain — NULL keys are filtered before hashing, because a NULL
+    key's md5 cell is NULL and a vector state has no NULL index.
+    This matches the batch OPERATOR's estimate semantics exactly
+    (``events_heavy_hitters_cms`` probes join on cell values, so a
+    NULL key's NULL cell never matches and drops out of the
+    estimates); the only divergence from raw ``cms_cells`` output is
+    its inert ``(depth, NULL, c)`` row, which no probe can reach.
+
     Scale: this is the sketch-state pattern a 100 TB stream wants —
     TOTAL state is d rows × (w + 1) longs (3 × 17 here, ~400 bytes)
     regardless of stream length OR key cardinality, the property that
@@ -1253,7 +1262,8 @@ def streaming_cms_sketch(
         F.array(*[F.lit(d) for d in range(_CMS_TWIN_DEPTH)])
     ).alias("depth")
     return (
-        stream.select(F.col(key_col), depths)
+        stream.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col), depths)
         .select("depth", case.cast("int").alias("cell"))
         .groupBy("depth")
         .applyInPandasWithState(

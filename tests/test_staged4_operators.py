@@ -124,3 +124,54 @@ def test_staged4_pack_plan_sweep(spark, sf_dir):
         if s.nodes.get("CartesianProduct"):
             offenders.setdefault(name, []).append("CartesianProduct")
     assert not offenders, offenders
+
+
+def test_staged4_ws_class_tokenizers_survive_vertical_tab(spark, tmp_path):
+    """Direct differential for the round-16 WS_CLASS migration: on a
+    \\x0B-bearing corpus, a ``\\s+`` split diverges between engines
+    (Java's class matches vertical tab, RE2's does not), so reverting
+    either side of text_oov_coverage / text_vocab_jaccard_by_lang to
+    ``\\s+`` re-breaks THIS test — the sf corpora are well-formed and
+    cannot catch it, and the pack-level adversarial differential in
+    test_adversarial_corpus.py only parametrizes the first staged
+    pack (self-review r16)."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "alpha\x0bbeta gamma",          # \x0B inside a would-be token
+        "alpha beta\x0bgamma delta",
+        "beta gamma alpha",
+        "uno\x0bdos tres uno",
+        "dos tres\x0buno",
+        "tres uno dos",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(1, len(texts) + 1), dtype="int64"),
+            "text": texts,
+            "lang": ["en", "en", "en", "es", "es", "es"],
+            "source": ["adv"] * len(texts),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    # sanity: the corpus genuinely exercises the divergence — the
+    # explicit class splits tokens \s+ would not (RE2 side)
+    n_class = con.sql(
+        "SELECT count(*) FROM (SELECT unnest(string_split_regex(trim(text), "
+        r"'[ \t\n\r\f\x0B]+')) AS tok FROM documents) WHERE tok <> ''"
+    ).fetchone()[0]
+    n_s = con.sql(
+        "SELECT count(*) FROM (SELECT unnest(string_split_regex(trim(text), "
+        r"'\s+')) AS tok FROM documents) WHERE tok <> ''"
+    ).fetchone()[0]
+    assert n_class > n_s
+    for name in ("text_oov_coverage", "text_vocab_jaccard_by_lang"):
+        df = staged4.QUERIES[name](spark, str(tmp_path))
+        assert_results_match(df, con, staged4.ORACLE[name])

@@ -1552,3 +1552,56 @@ def test_streaming_cms_sketch_matches_batch(spark, sf_dir, events_stream_dir):
     n_events = load_events(spark, sf_dir).count()
     for r in rows:
         assert sum(r["cells"]) == n_events == r["n"]
+
+
+def test_streaming_cms_sketch_null_keys(spark, tmp_path):
+    """NULL keys must not crash the vector-state kernel (a NULL key's
+    md5 cell is NULL — un-indexable into the counter array) and the
+    final sketch must equal the batch sketch over the NON-NULL key
+    domain, matching the batch operator's estimate semantics (a NULL
+    key's NULL cell never joins a probe) — self-review r16."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.operators.streaming_batch import cms_cells
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_cms_sketch,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "event_type": ["view", None, "purchase", "view", None, "click"],
+        }
+    )
+    src = tmp_path / "null_key_stream"
+    spark.createDataFrame(rows).repartition(2).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"cmsnull_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, streaming_cms_sketch(stream), name, "update")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("depth").orderBy(F.desc("n"))
+    final = (
+        result.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    )
+    streamed = {
+        (r["depth"], cell): c
+        for r in final
+        for cell, c in enumerate(r["cells"])
+        if c > 0
+    }
+    batch_df = spark.read.parquet(str(src)).where(F.col("event_type").isNotNull())
+    batch = {
+        (r["depth"], r["cell"]): r["c"]
+        for r in cms_cells(batch_df.select("event_type")).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    for r in final:
+        assert r["n"] == 4  # the two NULL-key rows are excluded

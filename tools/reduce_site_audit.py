@@ -47,7 +47,13 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from parquet_stream_writer_spark.operators import all_queries  # noqa: E402
+
+def all_queries():
+    """Lazy registry import so CLI flag validation (and ``--help``
+    style usage errors) never waits on the ~296-key module load."""
+    from parquet_stream_writer_spark.operators import all_queries as _aq
+
+    return _aq()
 
 _REDUCE = re.compile(r"F\.(sum|avg|mean)\s*\(")
 _EXPR_CALL = re.compile(r"F\.expr\s*\(")
@@ -123,14 +129,13 @@ def audit(keys: list[str], quiet: bool = False) -> int:
         # the same string would otherwise auto-exempt a fractional sum
         # (ADVICE r15).  Every inner aggregate in the string gets its
         # own site.
-        sites = [(m.start(), flat.index("(", m.start())) for m in _REDUCE.finditer(flat)]
+        sites = [flat.index("(", m.start()) for m in _REDUCE.finditer(flat)]
         for m in _EXPR_CALL.finditer(flat):
             expr_open = flat.index("(", m.start())
             body = _balanced_arg(flat, expr_open)
             for sm in _SQL_AGG.finditer(body):
-                inner_open = expr_open + 1 + sm.end() - 1
-                sites.append((m.start(), inner_open))
-        for site_start, open_idx in sites:
+                sites.append(expr_open + 1 + sm.end() - 1)
+        for open_idx in sites:
             if open_idx in seen_spans:
                 continue
             seen_spans.add(open_idx)
@@ -151,7 +156,7 @@ def audit(keys: list[str], quiet: bool = False) -> int:
                 t = _trace_var(lines, nm)
                 if t:
                     traces.append(f"{nm} = {t}")
-            lineno = flat[:site_start].count("\n")
+            lineno = flat[:open_idx].count("\n")
             reads.append((lineno, arg[:160], traces))
         for i, ln in enumerate(lines):
             if _FOLD.search(ln):
@@ -177,37 +182,39 @@ def audit(keys: list[str], quiet: bool = False) -> int:
 
 
 def main() -> None:
+    # Flag validation runs BEFORE the registry import below, so a
+    # malformed invocation errors instantly instead of after the
+    # ~296-key module load (self-review r16).
     args = sys.argv[1:]
     quiet = "--quiet" in args
+    raw: str | None = None
+    n = 50
+    for j, a in enumerate(args):
+        if a.startswith("--keys"):
+            if "=" in a:
+                raw = a.split("=", 1)[1]
+            elif j + 1 < len(args):
+                raw = args[j + 1]
+            else:
+                print("usage: --keys a,b,c (or --keys=a,b,c)")
+                raise SystemExit(2)
+        elif a == "--window":
+            if j + 1 >= len(args):
+                print("usage: --window N (or --window=N)")
+                raise SystemExit(2)
+            n = int(args[j + 1])
+        elif a.startswith("--window="):
+            n = int(a.split("=", 1)[1])
     qs = all_queries()
     if "--all" in args:
         keys = list(qs)
-    elif any(a.startswith("--keys") for a in args):
-        raw = ""
-        for j, a in enumerate(args):
-            if a.startswith("--keys"):
-                if "=" in a:
-                    raw = a.split("=", 1)[1]
-                elif j + 1 < len(args):
-                    raw = args[j + 1]
-                else:
-                    print("usage: --keys a,b,c (or --keys=a,b,c)")
-                    raise SystemExit(2)
+    elif raw is not None:
         keys = [k for k in raw.split(",") if k]
         unknown = [k for k in keys if k not in qs]
         if unknown:
             print(f"unknown keys: {unknown}")
             raise SystemExit(2)
     else:
-        n = 50
-        for j, a in enumerate(args):
-            if a == "--window":
-                if j + 1 >= len(args):
-                    print("usage: --window N (or --window=N)")
-                    raise SystemExit(2)
-                n = int(args[j + 1])
-            elif a.startswith("--window="):
-                n = int(a.split("=", 1)[1])
         keys = list(qs)[:n]
     raise SystemExit(audit(keys, quiet=quiet))
 
