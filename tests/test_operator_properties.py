@@ -1200,3 +1200,144 @@ def test_quality_psi_matches_python_free_model(spark, tmp_path, seed):
             term = (p - q) * math.log((p + _PSI_EPS) / (q + _PSI_EPS))
             term6 += math.floor(term * 1e6 + 0.5)
         assert got[s] == (n_s[s], float(_pr(term6 / 1e6, 6))), s
+
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_window_running_matches_python_free_model(spark, tmp_path, seed):
+    """Pins the round-16 integer-cents frame contract for
+    ``window_running`` independently of the DuckDB oracle: prices
+    enter the frames as floor(p·100 + 0.5) longs, the cumulative sum
+    and lag are cents/100, and the 3-row moving mean is
+    floor(Σc/n + 0.5)/100 — reproduced from the spec in pure Python
+    over duplicate order dates (tie-break regime) and .xx5 boundary
+    prices (the half-cent hazard the old windowed float avg carried)."""
+    from parquet_stream_writer_spark.operators.relational import window_running
+
+    rng = np.random.default_rng(seed)
+    n = 180
+    custs = rng.integers(1, 9, n)
+    dates = pd.to_datetime("1995-01-01") + pd.to_timedelta(
+        rng.integers(0, 20, n), unit="D"
+    )  # few distinct dates -> heavy (date) ties, orderkey breaks them
+    prices = np.round(rng.uniform(0.01, 9000, n), 2)
+    prices[::7] = np.round(prices[::7]) + 0.125  # off-grid adversaries
+    prices[::11] = np.round(prices[::11]) + 0.005  # .xx5 boundaries
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n + 1, dtype="int64"),
+            "o_custkey": custs.astype("int64"),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": prices,
+            "o_orderdate": dates,
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    sf = _write(tmp_path, "orders", pdf)
+    got = {
+        (r.o_custkey, r.o_orderkey): (
+            r.running_total,
+            r.prev_price,
+            r.moving_avg3,
+        )
+        for r in window_running(spark, sf).collect()
+    }
+    assert len(got) == n
+
+    cents = [math.floor(p * 100 + 0.5) for p in prices]
+    for c in np.unique(custs):
+        idx = [i for i in range(n) if custs[i] == c]
+        idx.sort(key=lambda i: (dates[i], i + 1))
+        run = 0
+        for pos, i in enumerate(idx):
+            run += cents[i]
+            prev = cents[idx[pos - 1]] / 100.0 if pos > 0 else None
+            frame = [cents[j] for j in idx[max(0, pos - 2) : pos + 1]]
+            mov = math.floor(sum(frame) / len(frame) + 0.5) / 100.0
+            g = got[(c, i + 1)]
+            assert g[0] == run / 100.0, (c, i)
+            assert (g[1] is None and prev is None) or g[1] == prev, (c, i)
+            assert g[2] == mov, (c, i)
+
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_q20_matches_python_free_model(spark, tmp_path, seed):
+    """Pins the round-16 centi-quantity contract for
+    ``q20_excess_volume_supplier``: per-(part, supplier) sums of
+    floor(q·100 + 0.5) longs, per-part mean floor(Σ/n + 0.5), and the
+    cross-multiplied 2·qty_c > 3·avg_c threshold — reproduced from
+    the spec in pure Python over FRACTIONAL quantities (the regime
+    the integer-valued driver corpus never reaches, where the old
+    float avg could sit on a rounding boundary)."""
+    from parquet_stream_writer_spark.operators.relational import (
+        q20_excess_volume_supplier,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_parts, n_supps, n_li = 12, 5, 400
+    parts = pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, n_parts + 1, dtype="int64"),
+            "p_name": [
+                ("red clay %d" % i) if i % 2 else ("blue sky %d" % i)
+                for i in range(1, n_parts + 1)
+            ],
+            "p_brand": ["B"] * n_parts,
+            "p_type": ["T"] * n_parts,
+            "p_size": np.ones(n_parts, dtype="int32"),
+            "p_retailprice": np.round(rng.uniform(1, 100, n_parts), 2),
+        }
+    )
+    supps = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, n_supps + 1, dtype="int64"),
+            "s_name": [f"s{i}" for i in range(1, n_supps + 1)],
+            "s_nationkey": np.zeros(n_supps, dtype="int32"),
+            "s_acctbal": np.zeros(n_supps),
+        }
+    )
+    qty = np.round(rng.uniform(0.25, 60, n_li), 2)
+    qty[::9] = np.round(qty[::9]) + 0.005  # .xx5 boundary quantities
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(1, n_li + 1, dtype="int64"),
+            "l_partkey": rng.integers(1, n_parts + 1, n_li).astype("int64"),
+            "l_suppkey": rng.integers(1, n_supps + 1, n_li).astype("int64"),
+            "l_linenumber": np.ones(n_li, dtype="int32"),
+            "l_quantity": qty,
+            "l_extendedprice": np.round(rng.uniform(1, 1000, n_li), 2),
+            "l_discount": np.zeros(n_li),
+            "l_tax": np.zeros(n_li),
+            "l_returnflag": ["N"] * n_li,
+            "l_linestatus": ["O"] * n_li,
+            "l_shipdate": pd.to_datetime(["1995-06-01"] * n_li),
+        }
+    )
+    sf = _write(tmp_path, "part", parts)
+    _write(tmp_path, "supplier", supps)
+    _write(tmp_path, "lineitem", li)
+    got = {
+        r.s_suppkey: r.n_excess_parts
+        for r in q20_excess_volume_supplier(spark, sf).collect()
+    }
+
+    red = {
+        int(k)
+        for k, name in zip(parts.p_partkey, parts.p_name)
+        if "red" in name
+    }
+    qty_c: dict = {}
+    for pk, sk, q in zip(li.l_partkey, li.l_suppkey, qty):
+        if int(pk) in red:
+            key = (int(pk), int(sk))
+            qty_c[key] = qty_c.get(key, 0) + math.floor(q * 100 + 0.5)
+    by_part: dict = {}
+    for (pk, _), qc in qty_c.items():
+        by_part.setdefault(pk, []).append(qc)
+    avg_c = {
+        pk: math.floor(sum(v) / len(v) + 0.5) for pk, v in by_part.items()
+    }
+    expect: dict = {}
+    for (pk, sk), qc in qty_c.items():
+        if qc * 2 > avg_c[pk] * 3:
+            expect[sk] = expect.get(sk, 0) + 1
+    assert got == expect and len(expect) > 0
