@@ -34,7 +34,12 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import cosine_similarity, pround
+from parquet_stream_writer_spark.functions import (
+    cosine_similarity,
+    pround,
+    quantn,
+    sql_quantn,
+)
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
 #: Number of query vectors (lowest vec_ids) for the top-k queries.
@@ -209,11 +214,19 @@ def _pair_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(min(i,j), max(i,j))`` once for every ``j``; shuffle volume is
     ``n × B`` rows, never ``n²``, and no driver-side collect exists
     anywhere in the lineage.
+
+    The block id is ``pmod(vec_id, B)`` rather than ``%`` (round 17):
+    Spark's ``%`` follows the dividend's sign, so a NEGATIVE vec_id
+    would land in a block outside the 0..B−1 peer range and every pair
+    involving it would be silently dropped from the grid.  The driver
+    corpus's ids are non-negative, so results are unchanged there —
+    this closes the latent contract hole for arbitrary id domains
+    (pinned by a negative-id coverage test).
     """
     emb = _emb(spark, sf_dir).select("vec_id", "emb")
     peers = F.array(*[F.lit(i) for i in range(_N_BLOCKS)])
     return (
-        emb.withColumn("blk", (F.col("vec_id") % _N_BLOCKS).cast("int"))
+        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(_N_BLOCKS)).cast("int"))
         .withColumn("peer", F.explode(peers))
         .select(
             F.least("blk", "peer").alias("bi"),
@@ -610,7 +623,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding column; nothing leaves the row until the tiny
     per-label error agg, so the op is a single narrow scan plus a
     5-row aggregate at any scale. Rounding is floor(q + 0.5) on both
-    engines (identical IEEE ops) rather than engine round()."""
+    engines (identical IEEE ops) rather than engine round().
+
+    Exactness discipline (round 17, scheduled ledger repair): the
+    per-label mean error was a float64 AVG of doubles — order-
+    dependent accumulation.  Each per-vector max_err (itself a MAX of
+    bit-identical doubles, order-free) now enters as a 1e-8-unit LONG
+    (``quantn(max_err, 8)``) and the 8-dp half-up mean is
+    ``floor(Σe8/n + 0.5)/1e8`` over exact integers.  ``worst_err``
+    stays a rounded MAX — maxima of identical doubles commute, so it
+    was never order-dependent.  Exact while a label's 1e-8-unit error
+    sum stays inside 2^53 (errors are O(quantization step) ≪ 1:
+    ~1e11 vectors of headroom per label)."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = (
         emb.select(
@@ -632,7 +656,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return err.groupBy(F.col("label").cast("int").alias("label")).agg(
-        pround(F.avg("max_err"), 8).alias("avg_max_err"),
+        (
+            F.floor(
+                F.sum(quantn(F.col("max_err"), 8)).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(100000000.0)
+        ).alias("avg_max_err"),
         pround(F.max("max_err"), 8).alias("worst_err"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
@@ -651,7 +682,8 @@ e AS (
                    for x in dd]) AS max_err
   FROM s)
 SELECT CAST(label AS INTEGER) AS label,
-       floor(avg(max_err) * 100000000 + 0.5) / 100000000.0 AS avg_max_err,
+       floor(CAST(sum(CAST(floor(max_err * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) + 0.5) / 100000000.0 AS avg_max_err,
        floor(max(max_err) * 100000000 + 0.5) / 100000000.0 AS worst_err,
        count(*) AS n_vectors
 FROM e GROUP BY label
@@ -697,10 +729,23 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point set — the fact side never shuffles for assignment; the
     only shuffles are the tiny (cid, pos) mean aggregations. That is
     exactly the 100 TB shape: centroids are KBs regardless of corpus
-    size, so iteration cost is a narrow scan per round. Centroid
-    means are rounded to 6dp each round so both engines iterate from
-    identical codebooks (group-order float drift stays below the
-    rounding grid)."""
+    size, so iteration cost is a narrow scan per round.
+
+    Exactness discipline (round 17, scheduled ledger repair): the two
+    post-distance reduces are integer-exact rather than rounded
+    floats.  Each coordinate enters the centroid mean as a 1e-6-unit
+    LONG (``quantn(x, 6)``), so the per-(cid, pos) sum is exact in any
+    accumulation order and the 6-dp half-up mean is
+    ``floor(Σx6/n + 0.5)/1e6`` — both engines iterate from identical
+    codebooks BY CONSTRUCTION, not because float drift happens to stay
+    below a rounding grid.  The inertia likewise sums per-row
+    ``quantn(dist, 4)`` longs (dist itself is the bit-identical strict
+    left-fold double on both engines) and reports ``Σd4/1e4``.  Exact
+    while a cluster's 1e-6-unit coordinate sum and the corpus's
+    1e-4-unit distance sum stay inside 2^53 (coordinates are O(1),
+    distances O(100): ~1e9 vectors of headroom).  The assignment
+    argmin keeps the UNROUNDED strict-fold distances — only the
+    reduces migrate."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("dd"),
@@ -729,7 +774,16 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts = b.join(emb, "vec_id").select(
             "cid", F.posexplode("dd").alias("pos", "x")
         )
-        m = pts.groupBy("cid", "pos").agg(pround(F.avg("x"), 6).alias("m"))
+        m = pts.groupBy("cid", "pos").agg(
+            (
+                F.floor(
+                    F.sum(quantn(F.col("x"), 6)).cast("double")
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("m")
+        )
         cents = m.groupBy("cid").agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
@@ -738,7 +792,9 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = assign(emb, cents)
     return final.groupBy(F.col("cid").cast("int").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
-        pround(F.sum("dist"), 4).alias("inertia"),
+        (F.sum(quantn(F.col("dist"), 4)).cast("double") / F.lit(10000.0)).alias(
+            "inertia"
+        ),
     )
 
 
@@ -759,7 +815,9 @@ b{it} AS (
   SELECT vec_id, cid FROM a{it}
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
 m{it} AS (
-  SELECT b.cid, s.pos, floor(avg(s.x) * 1000000 + 0.5) / 1000000.0 AS m
+  SELECT b.cid, s.pos,
+         floor(CAST(sum({sql_quantn('s.x', 6)}) AS DOUBLE) / count(*)
+               + 0.5) / 1000000.0 AS m
   FROM b{it} b JOIN (SELECT vec_id, unnest(dd) AS x,
                             generate_subscripts(dd, 1) AS pos FROM emb) s
        USING (vec_id)
@@ -773,7 +831,7 @@ bf AS (
   SELECT vec_id, cid, dist FROM af
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
 SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_members,
-       floor(sum(dist) * 10000 + 0.5) / 10000.0 AS inertia
+       CAST(sum({sql_quantn('dist', 4)}) AS DOUBLE) / 10000.0 AS inertia
 FROM bf GROUP BY cid"""
             if it == iters
             else ""
@@ -858,12 +916,21 @@ def _pq_dist_duck() -> str:
 def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebook training: split every embedding
     into ``_PQ_M`` subvectors, run Lloyd k-means independently per
-    subspace (k=``_PQ_K``, seeded from the lowest vec_ids, means
-    rounded 6dp per round so both engines iterate from identical
-    codebooks), and report per (subspace, code) the assignment count
-    and distortion. A vector's PQ code is its per-subspace argmin
-    sequence — 4 bytes replacing 256, the compression that makes a
-    100 TB embedding store rerankable in memory.
+    subspace (k=``_PQ_K``, seeded from the lowest vec_ids), and report
+    per (subspace, code) the assignment count and distortion. A
+    vector's PQ code is its per-subspace argmin sequence — 4 bytes
+    replacing 256, the compression that makes a 100 TB embedding store
+    rerankable in memory.
+
+    Exactness discipline (round 17, scheduled ledger repair — the
+    :func:`embedding_kmeans_lloyd` contract with the ``sub`` key
+    threaded through): codebook coordinates enter the per-(sub, cid,
+    pos) mean as ``quantn(x, 6)`` longs with the 6-dp half-up mean
+    ``floor(Σx6/n + 0.5)/1e6``, and the distortion sums per-row
+    ``quantn(dist, 4)`` longs reported as ``Σd4/1e4`` — both reduces
+    exact in any accumulation order; the assignment argmin keeps the
+    unrounded strict-fold distances.  Same 2^53 headroom bound as the
+    k-means op.
 
     Scale shape: identical to :func:`embedding_kmeans_lloyd` but keyed
     by (subspace, cluster) — every round broadcasts the m·k×subdim
@@ -904,7 +971,16 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts = b.join(subs, ["vec_id", "sub"]).select(
             "sub", "cid", F.posexplode("sv").alias("pos", "x")
         )
-        m = pts.groupBy("sub", "cid", "pos").agg(pround(F.avg("x"), 6).alias("m"))
+        m = pts.groupBy("sub", "cid", "pos").agg(
+            (
+                F.floor(
+                    F.sum(quantn(F.col("x"), 6)).cast("double")
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("m")
+        )
         cents = m.groupBy("sub", "cid").agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
@@ -916,7 +992,9 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("int").alias("code"),
     ).agg(
         F.count(F.lit(1)).alias("n_assigned"),
-        pround(F.sum("dist"), 4).alias("distortion"),
+        (F.sum(quantn(F.col("dist"), 4)).cast("double") / F.lit(10000.0)).alias(
+            "distortion"
+        ),
     )
 
 
@@ -943,7 +1021,9 @@ b{it} AS (
   SELECT vec_id, sub, cid FROM a{it}
   QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY dist, cid) = 1),
 m{it} AS (
-  SELECT b.sub, b.cid, s.pos, floor(avg(s.x) * 1000000 + 0.5) / 1000000.0 AS m
+  SELECT b.sub, b.cid, s.pos,
+         floor(CAST(sum({sql_quantn('s.x', 6)}) AS DOUBLE) / count(*)
+               + 0.5) / 1000000.0 AS m
   FROM b{it} b JOIN (SELECT vec_id, sub, unnest(sv) AS x,
                             generate_subscripts(sv, 1) AS pos FROM subs) s
        USING (vec_id, sub)
@@ -959,7 +1039,7 @@ bf AS (
   QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY dist, cid) = 1)
 SELECT CAST(sub AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code,
        count(*) AS n_assigned,
-       floor(sum(dist) * 10000 + 0.5) / 10000.0 AS distortion
+       CAST(sum({sql_quantn('dist', 4)}) AS DOUBLE) / 10000.0 AS distortion
 FROM bf GROUP BY sub, cid"""
     )
     return ",\n".join(parts)

@@ -1341,3 +1341,224 @@ def test_q20_matches_python_free_model(spark, tmp_path, seed):
         if qc * 2 > avg_c[pk] * 3:
             expect[sk] = expect.get(sk, 0) + 1
     assert got == expect and len(expect) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-17 ledger repairs: Python free models for the similarity-module
+# integer-sum migrations (kmeans / PQ / int8), the last two TPC-H double
+# avgs (q2 / q17), and the _pair_blocks pmod contract — each reproduces
+# the quantize-before-reduce spec from scratch over FRACTIONAL, off-grid
+# inputs (the regime the driver corpus never reaches).
+# ---------------------------------------------------------------------------
+
+def _emb_write(tmp_path, ids, mat, labels):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.asarray(ids, dtype="int64"),
+            "embedding": [np.asarray(row, dtype="float64") for row in mat],
+            "label": np.asarray(labels, dtype="int32"),
+        }
+    )
+    return _write(tmp_path, "embeddings", pdf)
+
+
+def _strict_fold_sqdist(x, c):
+    # Spark: aggregate(zip_with(dd, c, (x,y)->(x-y)*(x-y)), 0.0, acc+e)
+    # — a strict left fold; acc += term reproduces it bit-for-bit.
+    acc = 0.0
+    for a, b in zip(x, c):
+        acc += (float(a) - float(b)) * (float(a) - float(b))
+    return acc
+
+
+def _int_mean(total, n, digits):
+    # floor(Σq/n + 0.5) in 10^-digits units, then back to value space.
+    return math.floor(float(total) / n + 0.5) / float(10**digits)
+
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_pair_topk_covers_negative_vec_ids(spark, tmp_path, seed):
+    """Pins the round-17 ``_pair_blocks`` pmod contract: with NEGATIVE
+    vec_ids, Spark's sign-following ``%`` would assign negative block
+    ids, so two vectors sharing a negative block never meet in any
+    block-pair group and their pair silently vanishes.  ``pmod`` keeps
+    every block in 0..B−1; the global top-20 must equal the brute-force
+    all-pairs answer over the full id range."""
+    from parquet_stream_writer_spark.operators.similarity import (
+        similarity_pair_topk,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 30
+    ids = np.arange(-15, 15, dtype="int64")
+    mat = rng.standard_normal((n, 64))
+    sf = _emb_write(tmp_path, ids, mat, np.zeros(n))
+    got = [
+        (r.v1, r.v2, r.sim) for r in similarity_pair_topk(spark, sf).collect()
+    ]
+
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+    pairs = [
+        (int(ids[i]), int(ids[j]), float(sims[i, j]))
+        for i in range(n)
+        for j in range(n)
+        if ids[j] > ids[i]
+    ]
+    pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == pairs[:20]
+
+
+def _km_assign(dd, cents):
+    # argmin over (strict-fold dist, cid) — the row_number tie-break.
+    out = {}
+    for vid, x in dd.items():
+        out[vid] = min(
+            (_strict_fold_sqdist(x, c), cid) for cid, c in cents.items()
+        )
+    return out
+
+
+def _km_update(dd, assign):
+    groups: dict = {}
+    for vid, (_, cid) in assign.items():
+        groups.setdefault(cid, []).append(vid)
+    cents = {}
+    for cid, vids in groups.items():
+        dim = len(dd[vids[0]])
+        c = []
+        for pos in range(dim):
+            s6 = sum(math.floor(dd[v][pos] * 1e6 + 0.5) for v in vids)
+            c.append(_int_mean(s6, len(vids), 6))
+        cents[cid] = c
+    return cents
+
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_kmeans_lloyd_matches_python_free_model(spark, tmp_path, seed):
+    """Pins the round-17 integer-sum contract for
+    ``embedding_kmeans_lloyd``: coordinates enter each centroid mean as
+    floor(x·1e6 + 0.5) longs with mean floor(Σ/n + 0.5)/1e6, and the
+    inertia sums floor(dist·1e4 + 0.5) longs reported as Σ/1e4 —
+    reproduced from the spec in pure Python over off-grid fractional
+    coordinates (driver embeddings are smooth floats; the old float
+    AVG/SUM was order-dependent there)."""
+    from parquet_stream_writer_spark.operators.similarity import (
+        _KM_ITERS,
+        _KM_K,
+        embedding_kmeans_lloyd,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    mat = np.round(rng.uniform(-1, 1, (n, 64)), 7)  # off the 1e-6 grid
+    mat[::5] = np.floor(mat[::5] * 1e6) / 1e6 + 0.0000005  # .5e-6 edges
+    ids = np.arange(n, dtype="int64")
+    sf = _emb_write(tmp_path, ids, mat, np.zeros(n))
+    got = {
+        r.cluster_id: (r.n_members, r.inertia)
+        for r in embedding_kmeans_lloyd(spark, sf).collect()
+    }
+
+    dd = {int(i): [float(v) for v in mat[i]] for i in range(n)}
+    cents = {int(i): dd[int(i)] for i in ids if i < _KM_K}
+    for _ in range(_KM_ITERS):
+        cents = _km_update(dd, _km_assign(dd, cents))
+    final = _km_assign(dd, cents)
+    expect: dict = {}
+    for vid, (dist, cid) in final.items():
+        cnt, s4 = expect.get(cid, (0, 0))
+        expect[cid] = (cnt + 1, s4 + math.floor(dist * 1e4 + 0.5))
+    expect = {c: (cnt, float(s4) / 10000.0) for c, (cnt, s4) in expect.items()}
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_pq_train_matches_python_free_model(spark, tmp_path, seed):
+    """Pins the round-17 integer-sum contract for ``embedding_pq_train``
+    — the k-means free model with the subspace key threaded through:
+    per-(sub, cid, pos) means over floor(x·1e6 + 0.5) longs, distortion
+    Σ floor(dist·1e4 + 0.5)/1e4 — over off-grid fractional subvectors."""
+    from parquet_stream_writer_spark.operators.similarity import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        embedding_pq_train,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    mat = np.round(rng.uniform(-1, 1, (n, 64)), 7)
+    mat[::4] = np.floor(mat[::4] * 1e6) / 1e6 + 0.0000005
+    ids = np.arange(n, dtype="int64")
+    sf = _emb_write(tmp_path, ids, mat, np.zeros(n))
+    got = {
+        (r.subspace, r.code): (r.n_assigned, r.distortion)
+        for r in embedding_pq_train(spark, sf).collect()
+    }
+
+    expect: dict = {}
+    for sub in range(_PQ_M):
+        sl = slice(sub * _PQ_SUBDIM, (sub + 1) * _PQ_SUBDIM)
+        dd = {int(i): [float(v) for v in mat[i][sl]] for i in range(n)}
+        cents = {int(i): dd[int(i)] for i in ids if i < _PQ_K}
+        for _ in range(_PQ_ITERS):
+            cents = _km_update(dd, _km_assign(dd, cents))
+        final = _km_assign(dd, cents)
+        agg: dict = {}
+        for vid, (dist, cid) in final.items():
+            cnt, s4 = agg.get(cid, (0, 0))
+            agg[cid] = (cnt + 1, s4 + math.floor(dist * 1e4 + 0.5))
+        for cid, (cnt, s4) in agg.items():
+            expect[(sub, cid)] = (cnt, float(s4) / 10000.0)
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_quantize_int8_matches_python_free_model(spark, tmp_path, seed):
+    """Pins the round-17 integer-sum contract for
+    ``embedding_quantize_int8``: per-vector max reconstruction error
+    enters the per-label mean as a floor(e·1e8 + 0.5) long with mean
+    floor(Σe8/n + 0.5)/1e8; worst_err stays a rounded (order-free) MAX
+    — reproduced from the spec over fractional coordinates."""
+    from parquet_stream_writer_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    mat = rng.uniform(-2, 2, (n, 64))
+    labels = rng.integers(0, 4, n)
+    sf = _emb_write(tmp_path, np.arange(n, dtype="int64"), mat, labels)
+    got = {
+        r.label: (r.avg_max_err, r.worst_err, r.n_vectors)
+        for r in embedding_quantize_int8(spark, sf).collect()
+    }
+
+    per_label: dict = {}
+    for i in range(n):
+        x = [float(v) for v in mat[i]]
+        lo, hi = min(x), max(x)
+        scale = (hi - lo) / 255.0
+        max_err = max(
+            abs(v - (math.floor((v - lo) / scale + 0.5) * scale + lo))
+            for v in x
+        )
+        cnt, s8, worst = per_label.get(int(labels[i]), (0, 0, 0.0))
+        per_label[int(labels[i])] = (
+            cnt + 1,
+            s8 + math.floor(max_err * 1e8 + 0.5),
+            max(worst, max_err),
+        )
+    expect = {
+        lab: (
+            _int_mean(s8, cnt, 8),
+            math.floor(worst * 1e8 + 0.5) / 1e8,
+            cnt,
+        )
+        for lab, (cnt, s8, worst) in per_label.items()
+    }
+    assert got == expect
+
