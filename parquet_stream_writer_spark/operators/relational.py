@@ -2301,8 +2301,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed lineitem unit prices). The correlated MIN becomes a tiny
     (part, supplier)-grain aggregate plus a min-per-part join-back —
     both keyed on partkey so they share a shuffle — then every
-    dimension broadcasts. Unit prices round to 4dp *before* the min
-    and the equality join so both engines elect the same winner."""
+    dimension broadcasts.
+
+    Exactness discipline (round 17, scheduled ledger repair — the last
+    TPC-H double avg with q17, q20 landed r16): the catalog unit price
+    was a float64 AVG of per-row price/qty doubles — order-dependent
+    accumulation.  Each per-row unit price now enters as a 1e-4-unit
+    LONG (``quantn(price/qty, 4)``; the division is one identical IEEE
+    op on both engines), so the per-(part, supplier) sum is exact in
+    any accumulation order and the 4-dp half-up mean is
+    ``floor(Σu4/n + 0.5)/1e4``.  The min-per-part and the equality
+    join-back then operate on identical exact-derived values, so both
+    engines elect the same winner by construction.  Exact while a
+    (part, supplier) group's 1e-4-unit price sum stays inside 2^53
+    (unit prices are O(1e4): ~1e5-row groups × 1e9 headroom)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
@@ -2322,9 +2334,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(
-        pround(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_price"
-        )
+        (
+            F.floor(
+                F.sum(
+                    quantn(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+                ).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("unit_price")
     )
     best = catalog.groupBy("partkey").agg(F.min("unit_price").alias("min_price"))
     return (
@@ -2355,7 +2374,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q2 = """
 WITH catalog AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         floor(avg(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000.0 AS unit_price
+         floor(CAST(sum(CAST(floor((l_extendedprice / l_quantity) * 10000 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 10000.0 AS unit_price
   FROM lineitem GROUP BY l_partkey, l_suppkey),
 best AS (
   SELECT partkey, min(unit_price) AS min_price FROM catalog GROUP BY partkey)
@@ -2667,9 +2688,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Safe at 100 TB: part is dimension-sized (broadcast), everything
     else is partial-aggregated or windowed on the join key.
 
-    Determinism: l_quantity is integer-valued, so avg = exact-sum /
-    count is bit-identical across engines and the 0.2× threshold
-    comparison cannot straddle a rounding difference.
+    Exactness discipline (round 17, scheduled ledger repair): the old
+    window ``avg(l_quantity)`` was exact only because the driver
+    corpus's quantities happen to be integer-valued.  Quantities now
+    enter as 1e-2-unit LONGS (``quantn(q, 2)``), the per-part window
+    carries the exact (Σq_c, n) pair, and the ``q < 0.2·avg``
+    threshold is the cross-multiplied integer compare
+    ``5·q_c·n < Σq_c`` — no float survives into the comparison at any
+    quantity grid.  Revenue likewise sums exact cents and the /7.0
+    yearly average is ``floor(Σc/7 + 0.5)/100`` — one IEEE division of
+    an exact integer on both engines.  Exact while ``5·q_c·n`` stays
+    inside int64 (~1e13 at q≈50, n=1e9 rows/part: vast headroom) and a
+    brand's cent sum inside 2^53.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand").isin(*_Q17_BRANDS))
@@ -2678,11 +2708,24 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_partkey == F.col("p_partkey"),
     )
     w = Window.partitionBy("l_partkey")
-    flagged = pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    flagged = (
+        pruned.withColumn("q_c", quantn(F.col("l_quantity"), 2))
+        .withColumn("sum_qc", F.sum("q_c").over(w))
+        .withColumn("n_q", F.count(F.lit(1)).over(w))
+    )
     return (
-        flagged.where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        flagged.where(F.col("q_c") * 5 * F.col("n_q") < F.col("sum_qc"))
         .groupBy("p_brand")
-        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(quantn(F.col("l_extendedprice"), 2)).cast("double")
+                    / F.lit(7.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("avg_yearly")
+        )
         .orderBy("p_brand")
     )
 
@@ -2695,14 +2738,18 @@ WITH pruned AS (
   WHERE p.p_brand IN {_Q17_BRANDS!r}
 ),
 flagged AS (
-  SELECT p_brand, l_quantity, l_extendedprice,
-         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  SELECT p_brand, l_extendedprice,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_c,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+             OVER (PARTITION BY l_partkey) AS sum_qc,
+         count(*) OVER (PARTITION BY l_partkey) AS n_q
   FROM pruned
 )
 SELECT p_brand,
-       floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100.0 AS avg_yearly
+       floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 7.0 + 0.5) / 100.0 AS avg_yearly
 FROM flagged
-WHERE l_quantity < 0.2 * avg_qty
+WHERE q_c * 5 * n_q < sum_qc
 GROUP BY p_brand
 ORDER BY p_brand
 """

@@ -1562,3 +1562,199 @@ def test_quantize_int8_matches_python_free_model(spark, tmp_path, seed):
     }
     assert got == expect
 
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_q2_matches_python_free_model(spark, tmp_path, seed):
+    """Pins the round-17 unit-price contract for
+    ``q2_min_cost_supplier``: each price/qty enters the catalog mean as
+    a floor(u·1e4 + 0.5) long, the mean is floor(Σu4/n + 0.5)/1e4, and
+    the min-per-part election plus equality join-back run on those
+    exact-derived values — reproduced from the spec over fractional
+    prices/quantities, including two suppliers with bit-identical rows
+    so the min election must return BOTH (the tie the old float AVG
+    could split)."""
+    from parquet_stream_writer_spark.operators.relational import (
+        q2_min_cost_supplier,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_parts, n_supps, n_li = 10, 6, 300
+    parts = pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, n_parts + 1, dtype="int64"),
+            "p_name": [f"part {i}" for i in range(1, n_parts + 1)],
+            "p_brand": ["B"] * n_parts,
+            "p_type": ["T"] * n_parts,
+            # roughly half survive the p_size >= 40 gate
+            "p_size": rng.integers(10, 70, n_parts).astype("int32"),
+            "p_retailprice": np.round(rng.uniform(1, 100, n_parts), 2),
+        }
+    )
+    supps = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, n_supps + 1, dtype="int64"),
+            "s_name": [f"s{i}" for i in range(1, n_supps + 1)],
+            # nations 0/1 are ASIA, 2 is not
+            "s_nationkey": (np.arange(n_supps) % 3).astype("int32"),
+            "s_acctbal": np.zeros(n_supps),
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.array([0, 1, 2], dtype="int32"),
+            "n_name": ["CHINA", "JAPAN", "FRANCE"],
+            "n_regionkey": np.array([0, 0, 1], dtype="int32"),
+        }
+    )
+    region = pd.DataFrame(
+        {
+            "r_regionkey": np.array([0, 1], dtype="int32"),
+            "r_name": ["ASIA", "EUROPE"],
+        }
+    )
+    price = np.round(rng.uniform(1, 2000, n_li), 2)
+    qty = np.round(rng.uniform(0.5, 50, n_li), 2)  # fractional unit prices
+    pk = rng.integers(1, n_parts + 1, n_li).astype("int64")
+    sk = rng.integers(1, n_supps + 1, n_li).astype("int64")
+    # Force a min tie: suppliers 1 and 2 get bit-identical rows on part 1
+    # and nothing else on it, so both must be elected by the join-back.
+    pk[:8], sk[:4], sk[4:8] = 1, 1, 2
+    price[4:8], qty[4:8] = price[:4], qty[:4]
+    mask = (pk == 1) & (np.arange(n_li) >= 8)
+    pk[mask] = 2
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(1, n_li + 1, dtype="int64"),
+            "l_partkey": pk,
+            "l_suppkey": sk,
+            "l_linenumber": np.ones(n_li, dtype="int32"),
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": np.zeros(n_li),
+            "l_tax": np.zeros(n_li),
+            "l_returnflag": ["N"] * n_li,
+            "l_linestatus": ["O"] * n_li,
+            "l_shipdate": pd.to_datetime(["1995-06-01"] * n_li),
+        }
+    )
+    sf = _write(tmp_path, "part", parts)
+    _write(tmp_path, "supplier", supps)
+    _write(tmp_path, "nation", nation)
+    _write(tmp_path, "region", region)
+    _write(tmp_path, "lineitem", li)
+    got = [
+        (r.p_partkey, r.p_name, r.s_name, r.nation, r.unit_price)
+        for r in q2_min_cost_supplier(spark, sf).collect()
+    ]
+
+    keep = {
+        int(k) for k, s in zip(parts.p_partkey, parts.p_size) if s >= 40
+    }
+    cat: dict = {}
+    for i in range(n_li):
+        if int(pk[i]) not in keep:
+            continue
+        u4 = math.floor((float(price[i]) / float(qty[i])) * 1e4 + 0.5)
+        cnt, s = cat.get((int(pk[i]), int(sk[i])), (0, 0))
+        cat[(int(pk[i]), int(sk[i]))] = (cnt + 1, s + u4)
+    unit = {key: _int_mean(s, cnt, 4) for key, (cnt, s) in cat.items()}
+    best: dict = {}
+    for (p, _), u in unit.items():
+        best[p] = min(best.get(p, u), u)
+    names = dict(zip(parts.p_partkey, parts.p_name))
+    asia = {
+        int(r.s_suppkey): nation.n_name[int(r.s_nationkey)]
+        for r in supps.itertuples()
+        if int(nation.n_regionkey[int(r.s_nationkey)]) == 0
+    }
+    rows = [
+        (p, names[p], f"s{s}", asia[s], u)
+        for (p, s), u in unit.items()
+        if u == best[p] and s in asia
+    ]
+    rows.sort(key=lambda t: (t[4], t[0], t[2]))
+    assert got == rows[:10]
+    # the engineered tie must actually be in play when part 1 survives
+    if 1 in keep:
+        assert len({s for (p, s) in unit if p == 1}) == 2
+        assert len({u for (p, _), u in unit.items() if p == 1}) == 1
+
+
+@pytest.mark.parametrize("seed", [0, 7, 1234])
+def test_q17_matches_python_free_model(spark, tmp_path, seed):
+    """Pins the round-17 centi-quantity contract for
+    ``q17_small_quantity_revenue``: quantities enter the per-part
+    window as floor(q·100 + 0.5) longs carrying the exact (Σq_c, n)
+    pair, the 0.2·avg threshold is the cross-multiplied integer
+    compare 5·q_c·n < Σq_c, and revenue is floor(Σcents/7 + 0.5)/100 —
+    reproduced from the spec over FRACTIONAL quantities with .xx5
+    boundary values (the regime where the old float window avg was
+    only accidentally exact)."""
+    from parquet_stream_writer_spark.operators.relational import (
+        _Q17_BRANDS,
+        q17_small_quantity_revenue,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_parts, n_li = 8, 400
+    brands = [
+        _Q17_BRANDS[i % len(_Q17_BRANDS)] if i % 2 else "Brand#99"
+        for i in range(n_parts)
+    ]
+    parts = pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, n_parts + 1, dtype="int64"),
+            "p_name": [f"part {i}" for i in range(1, n_parts + 1)],
+            "p_brand": brands,
+            "p_type": ["T"] * n_parts,
+            "p_size": np.ones(n_parts, dtype="int32"),
+            "p_retailprice": np.round(rng.uniform(1, 100, n_parts), 2),
+        }
+    )
+    qty = np.round(rng.uniform(15, 60, n_li), 2)
+    qty[::10] = np.round(rng.uniform(0.25, 4, len(qty[::10])), 2)  # outliers
+    qty[::9] = np.round(qty[::9]) + 0.005  # .xx5 boundary quantities
+    price = np.round(rng.uniform(10, 1000, n_li), 2)
+    price[::7] = np.round(price[::7]) + 0.005
+    pk = rng.integers(1, n_parts + 1, n_li).astype("int64")
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(1, n_li + 1, dtype="int64"),
+            "l_partkey": pk,
+            "l_suppkey": np.ones(n_li, dtype="int64"),
+            "l_linenumber": np.ones(n_li, dtype="int32"),
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": np.zeros(n_li),
+            "l_tax": np.zeros(n_li),
+            "l_returnflag": ["N"] * n_li,
+            "l_linestatus": ["O"] * n_li,
+            "l_shipdate": pd.to_datetime(["1995-06-01"] * n_li),
+        }
+    )
+    sf = _write(tmp_path, "part", parts)
+    _write(tmp_path, "lineitem", li)
+    got = [
+        (r.p_brand, r.avg_yearly)
+        for r in q17_small_quantity_revenue(spark, sf).collect()
+    ]
+
+    brand_of = dict(zip(parts.p_partkey, parts.p_brand))
+    sums: dict = {}
+    for i in range(n_li):
+        qc = math.floor(float(qty[i]) * 100 + 0.5)
+        cnt, s = sums.get(int(pk[i]), (0, 0))
+        sums[int(pk[i])] = (cnt + 1, s + qc)
+    rev: dict = {}
+    for i in range(n_li):
+        b = brand_of[int(pk[i])]
+        if b not in _Q17_BRANDS:
+            continue
+        qc = math.floor(float(qty[i]) * 100 + 0.5)
+        n_q, s_qc = sums[int(pk[i])]
+        if 5 * qc * n_q < s_qc:
+            rev[b] = rev.get(b, 0) + math.floor(float(price[i]) * 100 + 0.5)
+    expect = sorted(
+        (b, math.floor(float(c) / 7.0 + 0.5) / 100.0) for b, c in rev.items()
+    )
+    assert got == expect and len(expect) > 0
