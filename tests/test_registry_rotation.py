@@ -548,3 +548,49 @@ def test_reduce_site_audit_flag_without_value_exits_with_usage(monkeypatch, caps
             rsa.main()
         assert e.value.code == 2
         assert "usage:" in capsys.readouterr().out
+
+
+def test_reduce_site_audit_bad_flag_values_exit_with_usage(monkeypatch, capsys):
+    """ADVICE r16: a non-integer `--window abc` / `--window=abc` must
+    land on the same usage/exit-2 path as a missing value (not an
+    uncaught ValueError traceback), and `--keys` followed by another
+    flag must be treated as a missing value, not consumed as keys."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parents[1] / "tools")
+    )
+    import reduce_site_audit as rsa
+    import pytest
+
+    for argv in (
+        ["prog", "--window", "abc"],
+        ["prog", "--window=abc"],
+        ["prog", "--keys", "--quiet"],
+    ):
+        monkeypatch.setattr(_sys, "argv", argv)
+        with pytest.raises(SystemExit) as e:
+            rsa.main()
+        assert e.value.code == 2, argv
+        assert "usage:" in capsys.readouterr().out, argv
+
+
+def test_reduce_site_audit_balances_parens_across_string_literals():
+    """ADVICE r16: an unbalanced paren inside a quoted literal (regexp
+    patterns in F.expr bodies are the real-world case) must not
+    truncate or overrun the extracted argument."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parents[1] / "tools")
+    )
+    import reduce_site_audit as rsa
+
+    src = 'F.sum(F.regexp_count("text", r"\\)([a-z]") + F.col("x"))'
+    arg = rsa._balanced_arg(src, src.index("("))
+    assert arg == 'F.regexp_count("text", r"\\)([a-z]") + F.col("x")'
+    # escaped quote inside the literal doesn't end the string early
+    src2 = "F.sum(F.lit('don\\'t (') + F.col(\"y\"))"
+    assert rsa._balanced_arg(src2, src2.index("(")) == (
+        "F.lit('don\\'t (') + F.col(\"y\")"
+    )

@@ -1542,14 +1542,20 @@ def test_streaming_cms_sketch_matches_batch(spark, sf_dir, events_stream_dir):
         for cell, c in enumerate(r["cells"])
         if c > 0
     }
+    # NON-NULL key domain on the batch side: the twin filters NULL keys
+    # (their md5 cell is NULL — see the null-key test below), so if
+    # NULLs ever enter the events corpus this pin must keep comparing
+    # like-for-like instead of failing confusingly (ADVICE r16).
+    keys = load_events(spark, sf_dir).select("event_type").where(
+        F.col("event_type").isNotNull()
+    )
     batch = {
-        (r["depth"], r["cell"]): r["c"]
-        for r in cms_cells(load_events(spark, sf_dir).select("event_type")).collect()
+        (r["depth"], r["cell"]): r["c"] for r in cms_cells(keys).collect()
     }
     assert streamed == batch and len(batch) > 0
-    # every depth's row sums to the full event count (no event lost
-    # to hashing), and state is the fixed sketch geometry
-    n_events = load_events(spark, sf_dir).count()
+    # every depth's row sums to the full (non-NULL-key) event count (no
+    # event lost to hashing), and state is the fixed sketch geometry
+    n_events = keys.count()
     for r in rows:
         assert sum(r["cells"]) == n_events == r["n"]
 

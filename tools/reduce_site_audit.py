@@ -74,12 +74,28 @@ _CERTAIN = re.compile(
 
 
 def _balanced_arg(text: str, open_idx: int) -> str:
-    """The argument list of the call whose '(' sits at ``open_idx``."""
-    depth, i = 0, open_idx
+    """The argument list of the call whose '(' sits at ``open_idx``.
+
+    Parens inside quoted string literals are skipped while balancing
+    (ADVICE r16: an F.expr body holding an unbalanced paren in a regexp
+    pattern used to misextract the argument and could misplace inner
+    aggregate sites).  Escapes are honoured; triple quotes degrade to
+    open/close pairs, which is fine for this deliberately heuristic
+    enumerator — the classification half stays a human read."""
+    depth, i, quote = 0, open_idx, None
     while i < len(text):
-        if text[i] == "(":
+        ch = text[i]
+        if quote is not None:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "(":
             depth += 1
-        elif text[i] == ")":
+        elif ch == ")":
             depth -= 1
             if depth == 0:
                 return text[open_idx + 1 : i]
@@ -193,18 +209,25 @@ def main() -> None:
         if a.startswith("--keys"):
             if "=" in a:
                 raw = a.split("=", 1)[1]
-            elif j + 1 < len(args):
+            elif j + 1 < len(args) and not args[j + 1].startswith("--"):
                 raw = args[j + 1]
             else:
+                # A following flag (e.g. `--keys --quiet`) is a missing
+                # value, not a key list (ADVICE r16).
                 print("usage: --keys a,b,c (or --keys=a,b,c)")
                 raise SystemExit(2)
-        elif a == "--window":
-            if j + 1 >= len(args):
+        elif a == "--window" or a.startswith("--window="):
+            val = a.split("=", 1)[1] if "=" in a else (
+                args[j + 1] if j + 1 < len(args) else None
+            )
+            try:
+                n = int(val)  # type: ignore[arg-type]
+            except (TypeError, ValueError):
+                # Missing AND non-integer values both land on the same
+                # usage/exit-2 path (ADVICE r16: `--window abc` used to
+                # escape as an uncaught ValueError traceback).
                 print("usage: --window N (or --window=N)")
                 raise SystemExit(2)
-            n = int(args[j + 1])
-        elif a.startswith("--window="):
-            n = int(a.split("=", 1)[1])
     qs = all_queries()
     if "--all" in args:
         keys = list(qs)
