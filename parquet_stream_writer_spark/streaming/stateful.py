@@ -1274,3 +1274,109 @@ def streaming_cms_sketch(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hourly OHLC (order-free open/close via (ts, event_id) carriers)
+# ---------------------------------------------------------------------------
+
+
+_OHLC_OUTPUT_SCHEMA = (
+    "hr timestamp_ntz, open_v double, high_v double, low_v double, "
+    "close_v double, n_events long"
+)
+#: Per-hour state: the OPEN carrier (its (µs, event_id) argmin key and
+#: value), the CLOSE carrier (argmax key and value), the running
+#: low/high, and the event count — nine scalars per calendar hour.
+#: "First/last value" is order-dependent as a stream fold, but under
+#: the batch operator's TOTAL order (ts, event_id) it is an argmin/
+#: argmax — and argmin/argmax over a total order ARE commutative +
+#: associative folds once the state carries the ordering key alongside
+#: the value, which is exactly what the two carriers do.
+_OHLC_STATE_SCHEMA = (
+    "o_us long, o_eid long, o_val double, c_us long, c_eid long, "
+    "c_val double, lo double, hi double, n long"
+)
+
+
+def _update_hour_ohlc(key, pdf_iter, state: GroupState):
+    import numpy as np
+    import pandas as pd
+
+    o_us, o_eid, o_val, c_us, c_eid, c_val, lo, hi, n = (
+        state.get if state.exists else (None,) * 6 + (None, None, 0)
+    )
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        us = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() // 1000
+        eid = pdf["event_id"].to_numpy(dtype="int64")
+        val = pdf["value"].to_numpy(dtype="float64")
+        order = np.lexsort((eid, us))  # ascending total order (us, eid)
+        i, j = order[0], order[-1]
+        if o_us is None or (int(us[i]), int(eid[i])) < (o_us, o_eid):
+            o_us, o_eid, o_val = int(us[i]), int(eid[i]), float(val[i])
+        if c_us is None or (int(us[j]), int(eid[j])) > (c_us, c_eid):
+            c_us, c_eid, c_val = int(us[j]), int(eid[j]), float(val[j])
+        bmin, bmax = float(val.min()), float(val.max())
+        lo = bmin if lo is None or bmin < lo else lo
+        hi = bmax if hi is None or bmax > hi else hi
+        n += len(pdf)
+    state.update((o_us, o_eid, o_val, c_us, c_eid, c_val, lo, hi, n))
+    yield pd.DataFrame(
+        {
+            "hr": [key[0]],
+            "open_v": [o_val],
+            "high_v": [hi],
+            "low_v": [lo],
+            "close_v": [c_val],
+            "n_events": [n],
+        }
+    )
+
+
+def streaming_hourly_ohlc(stream: DataFrame) -> DataFrame:
+    """Per-hour streaming open/high/low/close of ``value`` — the
+    stateful twin of ``streaming_batch.events_hourly_ohlc`` and the
+    first twin whose state carries ORDERING-KEY/VALUE pairs: open and
+    close look order-dependent ("first/last value of the hour"), but
+    the batch operator defines them under the total order
+    (ts, event_id), and an argmin/argmax over a total order is a
+    commutative + associative fold once the state keeps the ordering
+    key next to the value.  The hour's final state therefore equals
+    the batch OHLC row EXACTLY under any micro-batch split or
+    out-of-order replay (pinned by
+    ``test_streaming_hourly_ohlc_matches_batch`` on the 4-file
+    out-of-order fixture) — no buffering, no reordering, no window
+    re-sort.  Every emitted value is an exact input double; no float
+    arithmetic happens, so there is no rounding contract to mirror.
+
+    ``n_events`` is monotone per hour, so a consumer picks each hour's
+    final state as its max-``n_events`` emission (update semantics
+    re-emit an hour whenever a micro-batch touches it).  min/max and
+    the carriers are idempotent under replay; only ``n_events``
+    assumes exactly-once delivery, like the other counting twins.
+
+    Scale: state is nine scalars per CALENDAR HOUR (key domain is
+    time, not users or events), watermark-evictable once an hour
+    passes the lateness horizon; shuffle parallelism is bounded by
+    the live-hour count, which is exactly the tumbling-window
+    parallelism the batch operator's single hour-key shuffle has."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("hr")
+        .applyInPandasWithState(
+            _update_hour_ohlc,
+            outputStructType=_OHLC_OUTPUT_SCHEMA,
+            stateStructType=_OHLC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

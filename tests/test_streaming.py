@@ -1611,3 +1611,86 @@ def test_streaming_cms_sketch_null_keys(spark, tmp_path):
     assert streamed == batch and len(batch) > 0
     for r in final:
         assert r["n"] == 4  # the two NULL-key rows are excluded
+
+
+def test_streaming_hourly_ohlc_matches_batch(spark, sf_dir, events_stream_dir):
+    """The OHLC twin's final per-hour state must equal the batch
+    operator's row EXACTLY under the 4-file out-of-order replay: open/
+    close are argmin/argmax under the total order (ts, event_id) with
+    the ordering key carried in state, so arrival order cannot matter;
+    high/low/count are plain commutative folds."""
+    from pyspark.sql import Window
+
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_hourly_ohlc,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_hourly_ohlc,
+    )
+
+    stream = _events_stream(spark, events_stream_dir)
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, streaming_hourly_ohlc(stream), name, "update")
+
+    # final state per hour = its max-n emission (n is monotone per key)
+    w = Window.partitionBy("hr").orderBy(F.desc("n_events"))
+    final = (
+        result.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    streamed = {
+        r["hr"]: (r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["n_events"])
+        for r in final.collect()
+    }
+    batch = {
+        r["hr"]: (r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["n_events"])
+        for r in events_hourly_ohlc(spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_hourly_ohlc_carriers_ignore_arrival_order(spark, tmp_path):
+    """Deterministic carrier pin: the hour's true open arrives in the
+    LAST micro-batch (earlier event-time, later arrival) and a same-
+    timestamp tie is broken by event_id — the state's carried ordering
+    keys must demote the earlier-arriving rows without any buffering."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_hourly_ohlc,
+    )
+
+    src = tmp_path / "ohlc_ooo"
+    batches = [
+        pd.DataFrame(  # arrives FIRST: the hour's latest event (close)
+            {"event_id": [2], "ts": [pd.Timestamp("2024-03-01 10:30:00")],
+             "value": [5.0]}
+        ),
+        pd.DataFrame(  # arrives second: earlier event-time
+            {"event_id": [1], "ts": [pd.Timestamp("2024-03-01 10:05:00")],
+             "value": [7.0]}
+        ),
+        pd.DataFrame(  # arrives LAST: same ts as #1, lower event_id -> open
+            {"event_id": [0], "ts": [pd.Timestamp("2024-03-01 10:05:00")],
+             "value": [9.0]}
+        ),
+    ]
+    for i, b in enumerate(batches):
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"ohlcooo_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, streaming_hourly_ohlc(stream), name, "update")
+    final = result.orderBy(F.desc("n_events")).limit(1).collect()[0]
+    assert final["n_events"] == 3
+    assert final["open_v"] == 9.0   # (10:05, eid 0) wins the argmin
+    assert final["close_v"] == 5.0  # (10:30, eid 2) wins the argmax
+    assert final["high_v"] == 9.0 and final["low_v"] == 5.0
