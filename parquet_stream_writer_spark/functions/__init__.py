@@ -77,6 +77,54 @@ def sql_quantn(expr: str, digits: int) -> str:
     return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
 
 
+def int_mean(col: Column, digits: int) -> Column:
+    """The integer-sum migrations' shared MEAN reduce: per-row
+    :func:`quantn` longs summed exactly in any accumulation order,
+    the half-up mean taken as ``floor(Σq/n + 0.5)`` in integer units,
+    then descaled — one definition instead of a hand-expanded
+    floor/sum/count/scale per call site, for the same reason
+    :func:`quant6` exists: the digits arg and its scale literal are
+    the constants a copy-paste typo would silently break the
+    cross-engine contract with (self-review r17).  The Σq→double cast
+    is exact below 2^53 and the division is one IEEE op on both
+    engines.  DuckDB twin: :func:`sql_int_mean`."""
+    scale = float(10**digits)
+    return (
+        F.floor(
+            F.sum(quantn(col, digits)).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        / F.lit(scale)
+    )
+
+
+def sql_int_mean(expr: str, digits: int) -> str:
+    """DuckDB-side twin of :func:`int_mean` for oracle SQL strings."""
+    scale = 10**digits
+    return (
+        f"floor(CAST(sum({sql_quantn(expr, digits)}) AS DOUBLE)"
+        f" / count(*) + 0.5) / {scale}.0"
+    )
+
+
+def int_sum(col: Column, digits: int) -> Column:
+    """The integer-sum migrations' shared SUM reduce: per-row
+    :func:`quantn` longs summed exactly, descaled once — the exact
+    Σq/10^digits with no further rounding.  DuckDB twin:
+    :func:`sql_int_sum`."""
+    scale = float(10**digits)
+    return F.sum(quantn(col, digits)).cast("double") / F.lit(scale)
+
+
+def sql_int_sum(expr: str, digits: int) -> str:
+    """DuckDB-side twin of :func:`int_sum` for oracle SQL strings."""
+    scale = 10**digits
+    return (
+        f"CAST(sum({sql_quantn(expr, digits)}) AS DOUBLE) / {scale}.0"
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<double>`` columns using only
     JVM higher-order functions (no Python in the hot path)."""

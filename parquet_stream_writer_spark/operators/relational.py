@@ -23,7 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround, quantn, sql_round
+from parquet_stream_writer_spark.functions import (
+    int_mean,
+    pround,
+    quantn,
+    sql_int_mean,
+    sql_round,
+)
 from parquet_stream_writer_spark.operators.dedup import (
     _hex_prefix_int,
     _hex_to_int_sql,
@@ -2334,16 +2340,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(
-        (
-            F.floor(
-                F.sum(
-                    quantn(F.col("l_extendedprice") / F.col("l_quantity"), 4)
-                ).cast("double")
-                / F.count(F.lit(1))
-                + F.lit(0.5)
-            )
-            / F.lit(10000.0)
-        ).alias("unit_price")
+        int_mean(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias(
+            "unit_price"
+        )
     )
     best = catalog.groupBy("partkey").agg(F.min("unit_price").alias("min_price"))
     return (
@@ -2371,12 +2370,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q2 = """
+ORACLE_Q2 = f"""
 WITH catalog AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         floor(CAST(sum(CAST(floor((l_extendedprice / l_quantity) * 10000 + 0.5)
-                             AS BIGINT)) AS DOUBLE)
-               / count(*) + 0.5) / 10000.0 AS unit_price
+         {sql_int_mean('l_extendedprice / l_quantity', 4)} AS unit_price
   FROM lineitem GROUP BY l_partkey, l_suppkey),
 best AS (
   SELECT partkey, min(unit_price) AS min_price FROM catalog GROUP BY partkey)

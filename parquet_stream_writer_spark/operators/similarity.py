@@ -36,9 +36,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_stream_writer_spark.functions import (
     cosine_similarity,
+    int_mean,
+    int_sum,
     pround,
-    quantn,
-    sql_quantn,
+    sql_int_mean,
+    sql_int_sum,
 )
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
@@ -656,20 +658,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return err.groupBy(F.col("label").cast("int").alias("label")).agg(
-        (
-            F.floor(
-                F.sum(quantn(F.col("max_err"), 8)).cast("double")
-                / F.count(F.lit(1))
-                + F.lit(0.5)
-            )
-            / F.lit(100000000.0)
-        ).alias("avg_max_err"),
+        int_mean(F.col("max_err"), 8).alias("avg_max_err"),
         pround(F.max("max_err"), 8).alias("worst_err"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
 
 
-ORACLE_EMBEDDING_QUANTIZE = """
+ORACLE_EMBEDDING_QUANTIZE = f"""
 WITH q AS (
   SELECT label, [CAST(x AS DOUBLE) for x in embedding] AS dd FROM embeddings),
 s AS (
@@ -682,8 +677,7 @@ e AS (
                    for x in dd]) AS max_err
   FROM s)
 SELECT CAST(label AS INTEGER) AS label,
-       floor(CAST(sum(CAST(floor(max_err * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / count(*) + 0.5) / 100000000.0 AS avg_max_err,
+       {sql_int_mean('max_err', 8)} AS avg_max_err,
        floor(max(max_err) * 100000000 + 0.5) / 100000000.0 AS worst_err,
        count(*) AS n_vectors
 FROM e GROUP BY label
@@ -774,16 +768,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts = b.join(emb, "vec_id").select(
             "cid", F.posexplode("dd").alias("pos", "x")
         )
-        m = pts.groupBy("cid", "pos").agg(
-            (
-                F.floor(
-                    F.sum(quantn(F.col("x"), 6)).cast("double")
-                    / F.count(F.lit(1))
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
-            ).alias("m")
-        )
+        m = pts.groupBy("cid", "pos").agg(int_mean(F.col("x"), 6).alias("m"))
         cents = m.groupBy("cid").agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
@@ -792,9 +777,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = assign(emb, cents)
     return final.groupBy(F.col("cid").cast("int").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
-        (F.sum(quantn(F.col("dist"), 4)).cast("double") / F.lit(10000.0)).alias(
-            "inertia"
-        ),
+        int_sum(F.col("dist"), 4).alias("inertia"),
     )
 
 
@@ -815,9 +798,7 @@ b{it} AS (
   SELECT vec_id, cid FROM a{it}
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
 m{it} AS (
-  SELECT b.cid, s.pos,
-         floor(CAST(sum({sql_quantn('s.x', 6)}) AS DOUBLE) / count(*)
-               + 0.5) / 1000000.0 AS m
+  SELECT b.cid, s.pos, {sql_int_mean('s.x', 6)} AS m
   FROM b{it} b JOIN (SELECT vec_id, unnest(dd) AS x,
                             generate_subscripts(dd, 1) AS pos FROM emb) s
        USING (vec_id)
@@ -831,7 +812,7 @@ bf AS (
   SELECT vec_id, cid, dist FROM af
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
 SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_members,
-       CAST(sum({sql_quantn('dist', 4)}) AS DOUBLE) / 10000.0 AS inertia
+       {sql_int_sum('dist', 4)} AS inertia
 FROM bf GROUP BY cid"""
             if it == iters
             else ""
@@ -972,14 +953,7 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sub", "cid", F.posexplode("sv").alias("pos", "x")
         )
         m = pts.groupBy("sub", "cid", "pos").agg(
-            (
-                F.floor(
-                    F.sum(quantn(F.col("x"), 6)).cast("double")
-                    / F.count(F.lit(1))
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
-            ).alias("m")
+            int_mean(F.col("x"), 6).alias("m")
         )
         cents = m.groupBy("sub", "cid").agg(
             F.expr(
@@ -992,9 +966,7 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("int").alias("code"),
     ).agg(
         F.count(F.lit(1)).alias("n_assigned"),
-        (F.sum(quantn(F.col("dist"), 4)).cast("double") / F.lit(10000.0)).alias(
-            "distortion"
-        ),
+        int_sum(F.col("dist"), 4).alias("distortion"),
     )
 
 
@@ -1021,9 +993,7 @@ b{it} AS (
   SELECT vec_id, sub, cid FROM a{it}
   QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY dist, cid) = 1),
 m{it} AS (
-  SELECT b.sub, b.cid, s.pos,
-         floor(CAST(sum({sql_quantn('s.x', 6)}) AS DOUBLE) / count(*)
-               + 0.5) / 1000000.0 AS m
+  SELECT b.sub, b.cid, s.pos, {sql_int_mean('s.x', 6)} AS m
   FROM b{it} b JOIN (SELECT vec_id, sub, unnest(sv) AS x,
                             generate_subscripts(sv, 1) AS pos FROM subs) s
        USING (vec_id, sub)
@@ -1039,7 +1009,7 @@ bf AS (
   QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY dist, cid) = 1)
 SELECT CAST(sub AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code,
        count(*) AS n_assigned,
-       CAST(sum({sql_quantn('dist', 4)}) AS DOUBLE) / 10000.0 AS distortion
+       {sql_int_sum('dist', 4)} AS distortion
 FROM bf GROUP BY sub, cid"""
     )
     return ",\n".join(parts)

@@ -1510,6 +1510,15 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one posexplode → (label, half, dim) cells (k·2·d rows);
     everything downstream runs on bounded cell relations.
+
+    The half split is ``pmod(vec_id, 2)`` on BOTH engines (self-review
+    r17): Spark's ``F.pmod`` is mirrored by ``((vec_id % 2) + 2) % 2``
+    in the oracle — DuckDB's bare ``%`` follows the dividend's sign,
+    so a negative vec_id would land in half −1 there and silently drop
+    from the half-0/half-1 join while Spark kept it (the same sign
+    hole the r17 ``_pair_blocks`` repair closed, but cross-engine).
+    Driver ids are non-negative, so corpus results are unchanged;
+    pinned by a negative-id differential test.
     """
     emb = scan_parallel(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id",
@@ -1580,7 +1589,7 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMBEDDING_CENTROID_SHIFT = """
 WITH vd AS (
-  SELECT label, vec_id % 2 AS half,
+  SELECT label, ((vec_id % 2) + 2) % 2 AS half,
          generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS v6

@@ -1281,30 +1281,73 @@ def streaming_cms_sketch(
 # ---------------------------------------------------------------------------
 
 
-_OHLC_OUTPUT_SCHEMA = (
-    "hr timestamp_ntz, open_v double, high_v double, low_v double, "
-    "close_v double, n_events long"
+#: Kernel-internal output: each value aggregate travels as a
+#: (double, isnan boolean) PAIR because the pandas→Arrow hop in the
+#: applyInPandasWithState path collapses float64 NaN into NULL — a
+#: NaN stored bare in state or output would silently come back as
+#: NULL (self-review r17).  ``streaming_hourly_ohlc`` reconstitutes
+#: real NaNs JVM-side and presents the public 6-column schema.
+_OHLC_RAW_OUTPUT_SCHEMA = (
+    "hr timestamp_ntz, open_v double, open_nan boolean, "
+    "high_v double, high_nan boolean, low_v double, low_nan boolean, "
+    "close_v double, close_nan boolean, n_events long"
 )
 #: Per-hour state: the OPEN carrier (its (µs, event_id) argmin key and
-#: value), the CLOSE carrier (argmax key and value), the running
-#: low/high, and the event count — nine scalars per calendar hour.
-#: "First/last value" is order-dependent as a stream fold, but under
-#: the batch operator's TOTAL order (ts, event_id) it is an argmin/
-#: argmax — and argmin/argmax over a total order ARE commutative +
-#: associative folds once the state carries the ordering key alongside
-#: the value, which is exactly what the two carriers do.
+#: encoded value), the CLOSE carrier (argmax key and encoded value),
+#: the running low/high (encoded), and the event count.  "First/last
+#: value" is order-dependent as a stream fold, but under the batch
+#: operator's TOTAL order (ts, event_id) it is an argmin/argmax — and
+#: argmin/argmax over a total order ARE commutative + associative
+#: folds once the state carries the ordering key alongside the value,
+#: which is exactly what the two carriers do.  Encoding per aggregate:
+#: (None, false) = absent/NULL, (None, true) = NaN, (x, false) = x.
 _OHLC_STATE_SCHEMA = (
-    "o_us long, o_eid long, o_val double, c_us long, c_eid long, "
-    "c_val double, lo double, hi double, n long"
+    "o_us long, o_eid long, o_val double, o_nan boolean, "
+    "c_us long, c_eid long, c_val double, c_nan boolean, "
+    "lo double, lo_nan boolean, hi double, hi_nan boolean, n long"
 )
+
+
+def _ohlc_min2(a, an, b, bn):
+    """Spark ``F.min`` fold over the (value, isnan) encoding: absent
+    (None, False) is ignored, NaN orders GREATER than every double so
+    min prefers any real value."""
+    if a is None and not an:
+        return b, bn
+    if b is None and not bn:
+        return a, an
+    if an:
+        return (a, an) if bn else (b, bn)
+    if bn:
+        return a, an
+    return (a, False) if a < b else (b, False)
+
+
+def _ohlc_max2(a, an, b, bn):
+    """Spark ``F.max`` fold over the (value, isnan) encoding: absent
+    ignored, NaN greatest."""
+    if a is None and not an:
+        return b, bn
+    if b is None and not bn:
+        return a, an
+    if an or bn:
+        return None, True
+    return (a, False) if a > b else (b, False)
 
 
 def _update_hour_ohlc(key, pdf_iter, state: GroupState):
     import numpy as np
     import pandas as pd
 
-    o_us, o_eid, o_val, c_us, c_eid, c_val, lo, hi, n = (
-        state.get if state.exists else (None,) * 6 + (None, None, 0)
+    (
+        o_us, o_eid, o_val, o_nan,
+        c_us, c_eid, c_val, c_nan,
+        lo, lo_nan, hi, hi_nan, n,
+    ) = (
+        state.get
+        if state.exists
+        else (None, None, None, False, None, None, None, False,
+              None, False, None, False, 0)
     )
     for pdf in pdf_iter:
         if not len(pdf):
@@ -1312,24 +1355,49 @@ def _update_hour_ohlc(key, pdf_iter, state: GroupState):
         us = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() // 1000
         eid = pdf["event_id"].to_numpy(dtype="int64")
         val = pdf["value"].to_numpy(dtype="float64")
+        # NULL and NaN both surface as NaN in a float64 pandas column,
+        # so the JVM-side vnull/visnan flags are the only way to keep
+        # the batch operator's distinct NULL (ignored) vs NaN (sorts
+        # greatest) aggregate semantics (self-review r17).
+        vnull = pdf["vnull"].to_numpy(dtype=bool)
+        visnan = pdf["visnan"].to_numpy(dtype=bool)
         order = np.lexsort((eid, us))  # ascending total order (us, eid)
         i, j = order[0], order[-1]
         if o_us is None or (int(us[i]), int(eid[i])) < (o_us, o_eid):
-            o_us, o_eid, o_val = int(us[i]), int(eid[i]), float(val[i])
+            o_us, o_eid = int(us[i]), int(eid[i])
+            o_val = None if (vnull[i] or visnan[i]) else float(val[i])
+            o_nan = bool(visnan[i])
         if c_us is None or (int(us[j]), int(eid[j])) > (c_us, c_eid):
-            c_us, c_eid, c_val = int(us[j]), int(eid[j]), float(val[j])
-        bmin, bmax = float(val.min()), float(val.max())
-        lo = bmin if lo is None or bmin < lo else lo
-        hi = bmax if hi is None or bmax > hi else hi
+            c_us, c_eid = int(us[j]), int(eid[j])
+            c_val = None if (vnull[j] or visnan[j]) else float(val[j])
+            c_nan = bool(visnan[j])
+        real = val[~vnull & ~visnan]
+        any_nan = bool(visnan.any())
+        if len(real) or any_nan:
+            b_lo, b_lo_nan = (
+                (float(real.min()), False) if len(real) else (None, True)
+            )
+            b_hi, b_hi_nan = (
+                (None, True) if any_nan else (float(real.max()), False)
+            )
+            lo, lo_nan = _ohlc_min2(lo, lo_nan, b_lo, b_lo_nan)
+            hi, hi_nan = _ohlc_max2(hi, hi_nan, b_hi, b_hi_nan)
         n += len(pdf)
-    state.update((o_us, o_eid, o_val, c_us, c_eid, c_val, lo, hi, n))
+    state.update(
+        (o_us, o_eid, o_val, o_nan, c_us, c_eid, c_val, c_nan,
+         lo, lo_nan, hi, hi_nan, n)
+    )
     yield pd.DataFrame(
         {
             "hr": [key[0]],
             "open_v": [o_val],
+            "open_nan": [o_nan],
             "high_v": [hi],
+            "high_nan": [hi_nan],
             "low_v": [lo],
+            "low_nan": [lo_nan],
             "close_v": [c_val],
+            "close_nan": [c_nan],
             "n_events": [n],
         }
     )
@@ -1351,6 +1419,16 @@ def streaming_hourly_ohlc(stream: DataFrame) -> DataFrame:
     re-sort.  Every emitted value is an exact input double; no float
     arithmetic happens, so there is no rounding contract to mirror.
 
+    NULL / NaN values (self-review r17): the batch aggregates treat
+    them differently — F.min/F.max IGNORE NULLs while NaN orders
+    GREATER than every double (so high picks NaN when present, low
+    avoids it unless everything is NaN), and open/close carry the
+    argmin/argmax row's value VERBATIM, NULL included.  A float64
+    pandas column collapses NULL into NaN, so the twin ships a
+    JVM-side ``vnull`` flag with each row and replicates the exact
+    fold semantics in ``_ohlc_min2`` / ``_ohlc_max2`` — pinned by a
+    NULL+NaN-bearing replay against the batch operator.
+
     ``n_events`` is monotone per hour, so a consumer picks each hour's
     final state as its max-``n_events`` emission (update semantics
     re-emit an hour whenever a micro-batch touches it).  min/max and
@@ -1364,19 +1442,34 @@ def streaming_hourly_ohlc(stream: DataFrame) -> DataFrame:
     parallelism the batch operator's single hour-key shuffle has."""
     from pyspark.sql import functions as F
 
-    return (
+    raw = (
         stream.select(
             F.date_trunc("hour", F.col("ts")).alias("hr"),
             "ts",
             "event_id",
             "value",
+            F.col("value").isNull().alias("vnull"),
+            F.coalesce(F.isnan("value"), F.lit(False)).alias("visnan"),
         )
         .groupBy("hr")
         .applyInPandasWithState(
             _update_hour_ohlc,
-            outputStructType=_OHLC_OUTPUT_SCHEMA,
+            outputStructType=_OHLC_RAW_OUTPUT_SCHEMA,
             stateStructType=_OHLC_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+    # Reconstitute real NaNs JVM-side (the pandas→Arrow hop collapsed
+    # them to NULL in the raw output — see _OHLC_RAW_OUTPUT_SCHEMA).
+    nan = F.lit(float("nan"))
+    return raw.select(
+        "hr",
+        F.when(F.col("open_nan"), nan).otherwise(F.col("open_v")).alias("open_v"),
+        F.when(F.col("high_nan"), nan).otherwise(F.col("high_v")).alias("high_v"),
+        F.when(F.col("low_nan"), nan).otherwise(F.col("low_v")).alias("low_v"),
+        F.when(F.col("close_nan"), nan)
+        .otherwise(F.col("close_v"))
+        .alias("close_v"),
+        "n_events",
     )

@@ -135,3 +135,44 @@ def test_quant6_known_boundaries(spark, value):
         f"SELECT {sql_quant6(f'CAST({value!r} AS DOUBLE)')}"
     ).fetchone()[0]
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    batch_values=st.lists(
+        st.floats(
+            min_value=-9e8, max_value=9e8, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    digits=st.sampled_from([4, 6, 8]),
+)
+def test_int_mean_and_int_sum_match_duckdb(request, batch_values, digits):
+    """The shared integer-reduce pair (self-review r17, replacing five
+    hand-expanded floor/sum/count sites): int_mean/sql_int_mean and
+    int_sum/sql_int_sum over identical doubles must be bit-identical
+    across engines at every call-site scale (q2 1e-4, kmeans/PQ 1e-6,
+    int8 1e-8)."""
+    from pyspark.sql import functions as F
+
+    from parquet_stream_writer_spark.functions import (
+        int_mean,
+        int_sum,
+        sql_int_mean,
+        sql_int_sum,
+    )
+
+    spark = request.getfixturevalue("spark")
+    df = spark.createDataFrame([(v,) for v in batch_values], "x double")
+    got = df.agg(
+        int_mean(F.col("x"), digits).alias("m"),
+        int_sum(F.col("x"), digits).alias("s"),
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in batch_values])
+    want = con.execute(
+        f"SELECT {sql_int_mean('x', digits)}, {sql_int_sum('x', digits)} FROM t"
+    ).fetchone()
+    assert (got["m"], got["s"]) == want  # bit-identical, no tolerance

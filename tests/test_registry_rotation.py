@@ -594,3 +594,24 @@ def test_reduce_site_audit_balances_parens_across_string_literals():
     assert rsa._balanced_arg(src2, src2.index("(")) == (
         "F.lit('don\\'t (') + F.col(\"y\")"
     )
+
+
+def test_reduce_site_audit_skips_comment_spans():
+    """Self-review r17: an apostrophe in a trailing comment inside a
+    reduce-call argument span must not open a phantom string (the
+    ADVICE r16 quote-skipping introduced this hole)."""
+    import sys as _sys
+
+    _sys.path.insert(
+        0, str(__import__("pathlib").Path(__file__).parents[1] / "tools")
+    )
+    import reduce_site_audit as rsa
+
+    src = "F.sum(\n    q_c  # don't double-count\n    + F.col(\"x\")\n)"
+    arg = rsa._balanced_arg(src, src.index("("))
+    assert arg == "\n    q_c  # don't double-count\n    + F.col(\"x\")\n"
+    # a comment holding an unbalanced paren is equally inert
+    src2 = 'F.sum(a  # see foo(bar\n      + b)'
+    assert rsa._balanced_arg(src2, src2.index("(")) == (
+        "a  # see foo(bar\n      + b"
+    )

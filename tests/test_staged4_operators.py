@@ -175,3 +175,45 @@ def test_staged4_ws_class_tokenizers_survive_vertical_tab(spark, tmp_path):
     for name in ("text_oov_coverage", "text_vocab_jaccard_by_lang"):
         df = staged4.QUERIES[name](spark, str(tmp_path))
         assert_results_match(df, con, staged4.ORACLE[name])
+
+
+def test_centroid_shift_half_split_survives_negative_vec_ids(spark, tmp_path):
+    """Direct differential for the round-17 pmod mirror: Spark's
+    ``F.pmod(vec_id, 2)`` is always 0/1, but DuckDB's bare ``%``
+    follows the dividend's sign, so on a NEGATIVE-id corpus a
+    ``vec_id % 2`` oracle puts odd negative ids in half −1 and
+    silently drops them from the half-0/half-1 join.  The oracle now
+    uses ``((vec_id % 2) + 2) % 2``; reverting it re-breaks THIS test
+    — the driver corpus's ids are non-negative and cannot catch it."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 24
+    ids = np.arange(-12, 12, dtype="int64")  # half the ids negative
+    emb = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [
+                np.round(rng.uniform(-1, 1, 8), 7) for _ in range(n)
+            ],
+            "label": pd.array(rng.integers(0, 3, n), dtype="int32"),
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    # sanity: the corpus genuinely exercises the divergence — the
+    # sign-following split leaves rows in half -1 that the join drops
+    n_bare = con.sql(
+        "SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id % 2 = -1"
+    ).fetchone()[0]
+    assert n_bare > 0
+    df = staged4.QUERIES["embedding_centroid_shift"](spark, str(tmp_path))
+    assert_results_match(
+        df, con, staged4.ORACLE["embedding_centroid_shift"]
+    )

@@ -1694,3 +1694,92 @@ def test_streaming_hourly_ohlc_carriers_ignore_arrival_order(spark, tmp_path):
     assert final["open_v"] == 9.0   # (10:05, eid 0) wins the argmin
     assert final["close_v"] == 5.0  # (10:30, eid 2) wins the argmax
     assert final["high_v"] == 9.0 and final["low_v"] == 5.0
+
+
+def test_streaming_hourly_ohlc_null_and_nan_values(spark, tmp_path):
+    """NULL / NaN value pin (self-review r17): the batch aggregates
+    IGNORE NULLs in min/max but order NaN greater than every double,
+    and open/close carry the carrier row's value verbatim (NULL
+    included).  A float64 pandas column collapses NULL into NaN, so
+    the twin's JVM-side ``vnull`` flag is load-bearing — this replay
+    must equal the batch operator row-for-row on a corpus mixing
+    NULLs, NaNs, and real doubles across micro-batches."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_stream_writer_spark.operators.streaming_batch import (
+        events_hourly_ohlc,
+    )
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_hourly_ohlc,
+    )
+
+    def t(h, m):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    nan = float("nan")
+    # hour 10: open row NULL, NaN mid-hour -> open NULL, high NaN, low 3.0
+    # hour 11: all NULL -> every value column NULL, n=2
+    # hour 12: all NaN -> open/close/high/low all NaN
+    rows = [
+        (1, t(10, 5), None), (2, t(10, 10), 3.0), (3, t(10, 20), nan),
+        (4, t(11, 0), None), (5, t(11, 30), None),
+        (6, t(12, 0), nan), (7, t(12, 10), nan),
+    ]
+    ev_dir = tmp_path / "c" / "events.parquet"
+    ev_dir.mkdir(parents=True)
+
+    def tbl(chunk):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in chunk], pa.int64()),
+                "ts": pa.array([r[1] for r in chunk], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in chunk], pa.float64()),
+            }
+        )
+
+    # split so hour 10 spans both micro-batches (carrier merge runs)
+    pq.write_table(tbl(rows[:2] + rows[3:4]), ev_dir / "part-0.parquet")
+    pq.write_table(tbl(rows[2:3] + rows[4:]), ev_dir / "part-1.parquet")
+
+    schema = spark.read.parquet(str(ev_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir))
+    )
+    name = f"ohlcnull_{uuid.uuid4().hex[:8]}"
+    result = _run_to_memory(spark, streaming_hourly_ohlc(stream), name, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hr").orderBy(F.desc("n_events"))
+    final = {
+        r["hr"]: (r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["n_events"])
+        for r in result.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+    batch = {
+        r["hr"]: (r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["n_events"])
+        for r in events_hourly_ohlc(spark, str(tmp_path / "c")).collect()
+    }
+
+    def eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) or math.isnan(b):
+                return math.isnan(a) and math.isnan(b)
+        return a == b
+
+    assert set(final) == set(batch) and len(batch) == 3
+    for hr in batch:
+        assert all(eq(x, y) for x, y in zip(final[hr], batch[hr])), (
+            hr, final[hr], batch[hr],
+        )
+    # spot-pin the intended semantics so the fixture can't rot
+    h10 = batch[dt.datetime(2024, 3, 1, 10, 0)]
+    assert h10[0] is None and math.isnan(h10[1]) and h10[2] == 3.0

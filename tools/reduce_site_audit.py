@@ -55,7 +55,7 @@ def all_queries():
 
     return _aq()
 
-_REDUCE = re.compile(r"F\.(sum|avg|mean)\s*\(")
+_REDUCE = re.compile(r"F\.(sum|avg|mean)\s*\(|\bint_(mean|sum)\s*\(")
 _EXPR_CALL = re.compile(r"F\.expr\s*\(")
 # aggregates hidden inside an F.expr string literal; \b keeps
 # e.g. ``checksum(`` from matching
@@ -79,9 +79,13 @@ def _balanced_arg(text: str, open_idx: int) -> str:
     Parens inside quoted string literals are skipped while balancing
     (ADVICE r16: an F.expr body holding an unbalanced paren in a regexp
     pattern used to misextract the argument and could misplace inner
-    aggregate sites).  Escapes are honoured; triple quotes degrade to
-    open/close pairs, which is fine for this deliberately heuristic
-    enumerator — the classification half stays a human read."""
+    aggregate sites), and ``#``-to-newline comment spans are skipped
+    when not inside a quote (self-review r17: an apostrophe in a
+    trailing comment — ``# don't double-count`` — would otherwise open
+    a phantom string and swallow the closing parens).  Escapes are
+    honoured; triple quotes degrade to open/close pairs, which is fine
+    for this deliberately heuristic enumerator — the classification
+    half stays a human read."""
     depth, i, quote = 0, open_idx, None
     while i < len(text):
         ch = text[i]
@@ -91,6 +95,11 @@ def _balanced_arg(text: str, open_idx: int) -> str:
                 continue
             if ch == quote:
                 quote = None
+        elif ch == "#":
+            nl = text.find("\n", i)
+            if nl == -1:
+                break
+            i = nl
         elif ch in "\"'":
             quote = ch
         elif ch == "(":
@@ -157,6 +166,18 @@ def audit(keys: list[str], quiet: bool = False) -> int:
             seen_spans.add(open_idx)
             arg = " ".join(_balanced_arg(flat, open_idx).split())
             total_sites += 1
+            # functions.int_mean / int_sum quantize INSIDE the helper,
+            # so the call itself is the certainty (self-review r17 —
+            # the hand-expanded floor/sum/count sites they replaced
+            # used to auto-exempt via the quantn( in their argument).
+            j = open_idx
+            while j > 0 and (flat[j - 1].isalnum() or flat[j - 1] in "._"):
+                j -= 1
+            callee = flat[j:open_idx].strip()
+            if callee.endswith("int_mean") or callee.endswith("int_sum"):
+                certains += 1
+                total_certain += 1
+                continue
             if _CERTAIN.search(arg):
                 certains += 1
                 total_certain += 1
