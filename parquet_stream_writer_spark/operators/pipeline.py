@@ -2051,8 +2051,11 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Integer-sum mean (round-12 fractional-avg migration): the
             # per-file span fractions share ONE constant denominator, so
             # the mean is an exact long sum divided once — no
-            # partition-order double accumulation, and bit-exactly the
-            # same value the per-row F.avg intended.
+            # partition-order double accumulation.  The per-row F.avg it
+            # replaced was order-dependent (its double sum could differ
+            # across partitionings), which is why it was migrated; the
+            # two are therefore exact-vs-order-dependent, not
+            # bit-identical in general.
             pround(
                 F.sum(F.col("fc_max") - F.col("fc_min") + 1)
                 / (
