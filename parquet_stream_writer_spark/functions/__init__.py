@@ -87,12 +87,18 @@ def int_mean(col: Column, digits: int) -> Column:
     the constants a copy-paste typo would silently break the
     cross-engine contract with (self-review r17).  The Σq→double cast
     is exact below 2^53 and the division is one IEEE op on both
-    engines.  DuckDB twin: :func:`sql_int_mean`."""
+    engines.  The denominator is the NON-NULL count of ``col`` (Spark
+    ``count(col)`` / DuckDB ``count(expr)``), matching the
+    avg-of-present semantics of the ``F.avg`` these migrations
+    replace: ``sum`` skips NULLs on both engines, so a ``count(*)``
+    denominator would silently drag the mean of a NULL-bearing group
+    below the mean of its present values (ADVICE r17).  DuckDB twin:
+    :func:`sql_int_mean`."""
     scale = float(10**digits)
     return (
         F.floor(
             F.sum(quantn(col, digits)).cast("double")
-            / F.count(F.lit(1))
+            / F.count(col)
             + F.lit(0.5)
         )
         / F.lit(scale)
@@ -100,11 +106,15 @@ def int_mean(col: Column, digits: int) -> Column:
 
 
 def sql_int_mean(expr: str, digits: int) -> str:
-    """DuckDB-side twin of :func:`int_mean` for oracle SQL strings."""
+    """DuckDB-side twin of :func:`int_mean` for oracle SQL strings.
+
+    ``count({expr})`` (non-null count) mirrors the Spark side's
+    ``F.count(col)`` — see :func:`int_mean` on why the denominator is
+    the count of PRESENT values, not ``count(*)``."""
     scale = 10**digits
     return (
         f"floor(CAST(sum({sql_quantn(expr, digits)}) AS DOUBLE)"
-        f" / count(*) + 0.5) / {scale}.0"
+        f" / count({expr}) + 0.5) / {scale}.0"
     )
 
 
