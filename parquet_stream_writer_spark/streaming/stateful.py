@@ -57,10 +57,14 @@ def _epoch_days(ts_series):
     silently break the streaming twins' exact-equivalence contract."""
     import pandas as pd
 
-    ns = pd.to_datetime(ts_series).astype("int64")
-    d = 86_400_000_000_000
-    q = ns // d
-    q[(ns < 0) & (ns % d != 0)] += 1
+    # Explicit [us] normalization (ADVICE r17): .astype("int64") on a
+    # datetime Series yields whatever unit the Arrow->pandas hop chose
+    # (ns today; a future PySpark/pandas combination may deliver us),
+    # which would silently rescale the day math.  Pin the unit first.
+    us = pd.to_datetime(ts_series).astype("datetime64[us]").astype("int64")
+    d = 86_400_000_000
+    q = us // d
+    q[(us < 0) & (us % d != 0)] += 1
     return q
 
 _OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp_ntz"
@@ -400,7 +404,8 @@ def _update_lifetime(key, pdf_iter, state: GroupState):
 
     first, last, n = state.get if state.exists else (None, None, 0)
     for pdf in pdf_iter:
-        us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        # Unit-pinned us (ADVICE r17): don't assume the hop yields ns.
+        us = pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64")
         bmin, bmax = int(us.min()), int(us.max())
         first = bmin if first is None or bmin < first else first
         last = bmax if last is None or bmax > last else last
@@ -1352,7 +1357,10 @@ def _update_hour_ohlc(key, pdf_iter, state: GroupState):
     for pdf in pdf_iter:
         if not len(pdf):
             continue
-        us = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() // 1000
+        # Unit-pinned us (ADVICE r17): an assumed-ns //1000 would
+        # collapse keys to ms if the hop ever delivered datetime64[us],
+        # silently diverging the (ts, event_id) tie-break from batch.
+        us = pd.to_datetime(pdf["ts"]).to_numpy().astype("datetime64[us]").astype("int64")
         eid = pdf["event_id"].to_numpy(dtype="int64")
         val = pdf["value"].to_numpy(dtype="float64")
         # NULL and NaN both surface as NaN in a float64 pandas column,
@@ -1431,9 +1439,20 @@ def streaming_hourly_ohlc(stream: DataFrame) -> DataFrame:
 
     ``n_events`` is monotone per hour, so a consumer picks each hour's
     final state as its max-``n_events`` emission (update semantics
-    re-emit an hour whenever a micro-batch touches it).  min/max and
-    the carriers are idempotent under replay; only ``n_events``
-    assumes exactly-once delivery, like the other counting twins.
+    re-emit an hour whenever a micro-batch touches it).
+
+    **At-least-once caveat — do NOT rely on ``n_events`` under
+    replay.**  It is the ONLY non-idempotent scalar in this twin's
+    state: min/max and the ordering-key carriers re-absorb a replayed
+    row without change (folding the same (ts, event_id, value) twice
+    is a no-op), but ``n`` increments per delivered row, so a source
+    that re-delivers after a failure (at-least-once semantics)
+    double-counts it.  Under exactly-once micro-batch delivery
+    (checkpointed Structured Streaming, the foreachBatch bridge's
+    contract) it equals the batch count; under anything weaker, treat
+    ``n_events`` as a lower-bound-only diagnostic and the OHLC columns
+    as the trustworthy surface — same contract as the other counting
+    twins.
 
     Scale: state is nine scalars per CALENDAR HOUR (key domain is
     time, not users or events), watermark-evictable once an hour
