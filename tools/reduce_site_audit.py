@@ -227,7 +227,10 @@ def main() -> None:
     raw: str | None = None
     n = 50
     for j, a in enumerate(args):
-        if a.startswith("--keys"):
+        # Exact-or-`=` match, mirroring --window: a bare startswith
+        # would silently accept an unknown flag like --keysfoo=x as
+        # --keys (ADVICE r17).
+        if a == "--keys" or a.startswith("--keys="):
             if "=" in a:
                 raw = a.split("=", 1)[1]
             elif j + 1 < len(args) and not args[j + 1].startswith("--"):
@@ -249,6 +252,11 @@ def main() -> None:
                 # escape as an uncaught ValueError traceback).
                 print("usage: --window N (or --window=N)")
                 raise SystemExit(2)
+        elif a.startswith("--") and a not in ("--quiet", "--all"):
+            # Anything else dash-prefixed is a typo (e.g. --keysfoo=x),
+            # not a silently-ignored no-op (ADVICE r17).
+            print(f"unknown flag: {a}")
+            raise SystemExit(2)
     qs = all_queries()
     if "--all" in args:
         keys = list(qs)
