@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround, quant6
+from parquet_stream_writer_spark.functions import pround, quant6, quantn, sql_quantn
 from parquet_stream_writer_spark.operators.dedup import _hex4_to_int_sql, _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_events, load_table, scan_parallel
 
@@ -2165,13 +2165,23 @@ def sample_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure planning arithmetic over two tiny aggregates (per-source
     token mass + the 1-row normalizer broadcast): one corpus scan at
     any scale, output rows = number of sources.
+
+    Integer-sum migration (r18 reduce-site sweep): the temperature
+    normalizer Z = Σ√tokens is summed as 1e-6-unit longs —
+    ``sqrt`` is IEEE-correctly-rounded (identical doubles on both
+    engines), so the per-row quantization is bit-identical and the
+    sum is exact in any accumulation order; Z is then descaled once.
+    The source relation is tiny, but the old float Σ still depended
+    on partition order.
     """
     docs = load_table(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr("sum(n_chars div 4)").alias("tokens"),
     )
-    z = src.agg(F.sum(F.sqrt("tokens")).alias("z"))
+    z = src.agg(
+        (F.sum(quantn(F.sqrt("tokens"), 6)).cast("double") / F.lit(1e6)).alias("z")
+    )
     return (
         src.crossJoin(F.broadcast(z))
         .select(
@@ -2205,7 +2215,8 @@ WITH src AS (
          CAST(sum(n_chars // 4) AS BIGINT) AS tokens
   FROM documents GROUP BY source
 ),
-z AS (SELECT sum(sqrt(tokens)) AS z FROM src),
+z AS (SELECT CAST(sum({sql_quantn('sqrt(tokens)', 6)}) AS DOUBLE) / 1000000.0
+        AS z FROM src),
 plan0 AS (
   SELECT source, n_docs, tokens,
          floor(sqrt(tokens) / z.z * 1000000 + 0.5) / 1000000.0 AS weight,

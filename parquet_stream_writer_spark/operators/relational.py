@@ -28,6 +28,7 @@ from parquet_stream_writer_spark.functions import (
     pround,
     quantn,
     sql_int_mean,
+    sql_quantn,
     sql_round,
 )
 from parquet_stream_writer_spark.operators.dedup import (
@@ -3294,28 +3295,39 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable.  The global window IS the scale caveat: at 100 TB
     you'd range-partition the sort (Spark's window already does via
     the exchange's range partitioner) — no driver collect anywhere.
+
+    Integer-sum migration (r18 reduce-site sweep): per-customer spend
+    is summed as exact cents (``quantn(·, 2)`` longs — o_totalprice
+    is a 2-dp value stored as double, so the per-row quantization
+    recovers it exactly) rather than floats.  This matters MORE here
+    than at a rounding boundary: ``spend`` drives the window ORDERING,
+    so a partition-order float ulp could flip two near-tied customers
+    across a decile edge and fork row membership, not just a decimal.
+    All downstream outputs (min/max spend, revenue share) descale or
+    divide the exact long sums once.
     """
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("spend"), F.count(F.lit(1)).alias("n_orders")
+        F.sum(quantn(F.col("o_totalprice"), 2)).alias("spend_c"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    w = Window.orderBy(F.desc("spend_c"), F.asc("o_custkey"))
     deciled = spend.select(
         "o_custkey",
-        "spend",
+        "spend_c",
         "n_orders",
         F.ntile(10).over(w).cast("long").alias("decile"),
         F.cume_dist().over(w).alias("cd"),
     )
-    total = deciled.agg(F.sum("spend").alias("total_spend"))
+    total = deciled.agg(F.sum("spend_c").alias("total_c"))
     return (
         deciled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("n_orders").alias("n_orders"),
-            pround(F.min("spend"), 2).alias("min_spend"),
-            pround(F.max("spend"), 2).alias("max_spend"),
-            F.sum("spend").alias("_s"),
+            (F.min("spend_c") / F.lit(100.0)).alias("min_spend"),
+            (F.max("spend_c") / F.lit(100.0)).alias("max_spend"),
+            F.sum("spend_c").alias("_s"),
             pround(F.max("cd"), 6).alias("max_cume_dist"),
         )
         .crossJoin(F.broadcast(total))
@@ -3325,32 +3337,37 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "min_spend",
             "max_spend",
-            pround(F.col("_s") / F.col("total_spend"), 6).alias("revenue_share"),
+            pround(
+                F.col("_s").cast("double") / F.col("total_c").cast("double"), 6
+            ).alias("revenue_share"),
             "max_cume_dist",
         )
         .orderBy("decile")
     )
 
 
-ORACLE_WINDOW_NTILE_CUME = """
+ORACLE_WINDOW_NTILE_CUME = f"""
 WITH spend AS (
-  SELECT o_custkey, sum(o_totalprice) AS spend, count(*) AS n_orders
+  SELECT o_custkey,
+         CAST(sum({sql_quantn('o_totalprice', 2)}) AS BIGINT) AS spend_c,
+         count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 ),
 deciled AS (
-  SELECT o_custkey, spend, n_orders,
+  SELECT o_custkey, spend_c, n_orders,
          ntile(10) OVER w AS decile,
          cume_dist() OVER w AS cd
   FROM spend
-  WINDOW w AS (ORDER BY spend DESC, o_custkey ASC)
+  WINDOW w AS (ORDER BY spend_c DESC, o_custkey ASC)
 ),
-total AS (SELECT sum(spend) AS total_spend FROM deciled)
+total AS (SELECT sum(spend_c) AS total_c FROM deciled)
 SELECT decile,
        count(*) AS n_customers,
        CAST(sum(n_orders) AS BIGINT) AS n_orders,
-       floor(min(spend) * 100 + 0.5) / 100.0 AS min_spend,
-       floor(max(spend) * 100 + 0.5) / 100.0 AS max_spend,
-       floor((sum(spend) / any_value(total_spend)) * 1000000 + 0.5) / 1000000.0
+       min(spend_c) / 100.0 AS min_spend,
+       max(spend_c) / 100.0 AS max_spend,
+       floor((CAST(sum(spend_c) AS DOUBLE) / CAST(any_value(total_c) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0
          AS revenue_share,
        floor(max(cd) * 1000000 + 0.5) / 1000000.0 AS max_cume_dist
 FROM deciled, total
@@ -3549,26 +3566,44 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One-pass shape: per-supplier revenue is a map-side-combinable
     fact aggregate; HHI needs only Σrev and Σrev² per nation, so the
-    second aggregate carries two doubles per supplier — no share
+    second aggregate carries two scalars per supplier — no share
     materialization, no window, no second fact scan.  The supplier
     dimension broadcasts by size estimate.
+
+    Integer-sum migration (r18 reduce-site sweep): per-supplier
+    revenue is summed as exact 1e-4-unit longs
+    (``extendedprice·(1−discount)`` is an exact 4-dp decimal; the
+    double product's error is far below the 0.5e-4 half-up margin, so
+    ``quantn(·, 4)`` recovers it bit-identically on both engines).
+    The per-nation Σrev is then an exact long sum; Σrev² must stay a
+    double (a squared 1e-4-unit revenue overflows int64) but each
+    term now squares an EXACT integer input — identical bits per term
+    on both engines — so only the ~suppliers-per-nation-term outer
+    accumulation order remains float, on inputs that can no longer
+    fork.  HHI is scale-free, so the 1e-4 units cancel between sumsq
+    (1e-8 units) and total² (1e-8 units).
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        F.sum(
+            quantn(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        ).alias("rev_q")
     )
     per_nation = (
         rev.join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.sum("rev").alias("total_rev"),
-            F.sum(F.col("rev") * F.col("rev")).alias("sumsq"),
+            F.sum("rev_q").alias("total_q"),
+            F.sum(
+                F.col("rev_q").cast("double") * F.col("rev_q").cast("double")
+            ).alias("sumsq"),
         )
     )
-    hhi = F.col("sumsq") / (F.col("total_rev") * F.col("total_rev"))
+    td = F.col("total_q").cast("double")
+    hhi = F.col("sumsq") / (td * td)
     return (
         per_nation.join(
             F.broadcast(nation), per_nation["s_nationkey"] == nation["n_nationkey"]
@@ -3576,43 +3611,46 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             "n_suppliers",
-            pround("total_rev", 2).alias("total_rev"),
-            F.when(F.col("total_rev") > 0, pround(hhi, 6)).alias("hhi"),
+            pround(td / F.lit(10000.0), 2).alias("total_rev"),
+            F.when(F.col("total_q") > 0, pround(hhi, 6)).alias("hhi"),
             # Same expression shape as the oracle ((t*t)/sumsq, ONE
             # division) — 1/hhi would round twice and can differ in
             # the last ulp right at a floor boundary.
             F.when(
                 F.col("sumsq") > 0,
-                pround(
-                    (F.col("total_rev") * F.col("total_rev")) / F.col("sumsq"), 4
-                ),
+                pround((td * td) / F.col("sumsq"), 4),
             ).alias("effective_n"),
         )
         .orderBy("n_name")
     )
 
 
-ORACLE_AGG_HHI_CONCENTRATION = """
+ORACLE_AGG_HHI_CONCENTRATION = f"""
 WITH rev AS (
-  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT l_suppkey,
+         CAST(sum({sql_quantn('l_extendedprice * (1 - l_discount)', 4)})
+              AS BIGINT) AS rev_q
   FROM lineitem GROUP BY 1
 ),
 per_nation AS (
   SELECT s_nationkey,
          count(*) AS n_suppliers,
-         sum(rev) AS total_rev,
-         sum(rev * rev) AS sumsq
+         sum(rev_q) AS total_q,
+         sum(CAST(rev_q AS DOUBLE) * CAST(rev_q AS DOUBLE)) AS sumsq
   FROM rev JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY 1
 )
 SELECT n_name,
        n_suppliers,
-       floor(total_rev * 100 + 0.5) / 100.0 AS total_rev,
-       CASE WHEN total_rev > 0
-            THEN floor((sumsq / (total_rev * total_rev)) * 1000000 + 0.5) / 1000000.0
+       floor((CAST(total_q AS DOUBLE) / 10000.0) * 100 + 0.5) / 100.0
+         AS total_rev,
+       CASE WHEN total_q > 0
+            THEN floor((sumsq / (CAST(total_q AS DOUBLE) * CAST(total_q AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000.0
        END AS hhi,
        CASE WHEN sumsq > 0
-            THEN floor(((total_rev * total_rev) / sumsq) * 10000 + 0.5) / 10000.0
+            THEN floor(((CAST(total_q AS DOUBLE) * CAST(total_q AS DOUBLE)) / sumsq)
+                       * 10000 + 0.5) / 10000.0
        END AS effective_n
 FROM per_nation JOIN nation ON s_nationkey = n_nationkey
 ORDER BY n_name
@@ -3644,6 +3682,15 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_LTV_MONTHS`` rows per cohort, never order-sized — and cohort
     sizes are a months-bounded relation, safe to broadcast at any
     corpus size.
+
+    Integer-sum migration (r18 reduce-site sweep): per-cell revenue is
+    summed as exact cents longs (o_totalprice is a 2-dp value stored
+    as double; ``quantn(·, 2)`` recovers it exactly per row), so the
+    cell sums AND the cumulative window sum are order-free — the old
+    float tree needed a divide-the-rounded-cumulative workaround to
+    keep a 4-dp boundary from forking across engines; with exact
+    cents the cumulative itself is exact and the division happens
+    once on exact inputs.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -3662,7 +3709,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_month", "month_index")
         .agg(
             F.countDistinct("o_custkey").alias("n_active"),
-            F.sum("o_totalprice").alias("rev"),
+            F.sum(quantn(F.col("o_totalprice"), 2)).alias("rev_c"),
         )
     )
     sizes = coh.groupBy("cohort_month").agg(F.count(F.lit(1)).alias("cohort_n"))
@@ -3673,20 +3720,20 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cells.join(F.broadcast(sizes), "cohort_month")
-        .withColumn("cum_rev", F.sum("rev").over(w))
+        .withColumn("cum_c", F.sum("rev_c").over(w))
         .select(
             "cohort_month",
             "month_index",
             "cohort_n",
             "n_active",
-            pround("rev", 2).alias("revenue"),
-            pround("cum_rev", 2).alias("cum_revenue"),
-            # Divide the 2-dp-ROUNDED cumulative (not the raw sum):
-            # raw cumsum order differs across engines at ~1e-8, enough
-            # to cross a 4-dp floor boundary.
-            pround(pround("cum_rev", 2) / F.col("cohort_n"), 4).alias(
-                "ltv_per_customer"
-            ),
+            (F.col("rev_c") / F.lit(100.0)).alias("revenue"),
+            (F.col("cum_c") / F.lit(100.0)).alias("cum_revenue"),
+            # One division of exact inputs (exact cents cumulative /
+            # exact count), then one floor-half-up at 4 dp — identical
+            # bits on both engines.
+            pround(
+                (F.col("cum_c") / F.lit(100.0)) / F.col("cohort_n"), 4
+            ).alias("ltv_per_customer"),
         )
         .orderBy("cohort_month", "month_index")
     )
@@ -3705,7 +3752,7 @@ cells AS (
          (year(om) * 12 + month(om))
            - (year(cohort_month) * 12 + month(cohort_month)) AS month_index,
          count(DISTINCT o.o_custkey) AS n_active,
-         sum(o_totalprice) AS rev
+         CAST(sum({sql_quantn('o_totalprice', 2)}) AS BIGINT) AS rev_c
   FROM o JOIN coh ON o.o_custkey = coh.o_custkey
   WHERE (year(om) * 12 + month(om))
           - (year(cohort_month) * 12 + month(cohort_month)) < {_LTV_MONTHS}
@@ -3716,17 +3763,17 @@ sizes AS (
 ),
 cum AS (
   SELECT c.*, s.cohort_n,
-         sum(rev) OVER (PARTITION BY c.cohort_month ORDER BY month_index
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+         sum(rev_c) OVER (PARTITION BY c.cohort_month ORDER BY month_index
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
   FROM cells c JOIN sizes s ON c.cohort_month = s.cohort_month
 )
 SELECT cohort_month,
        CAST(month_index AS BIGINT) AS month_index,
        cohort_n,
        n_active,
-       floor(rev * 100 + 0.5) / 100.0 AS revenue,
-       floor(cum_rev * 100 + 0.5) / 100.0 AS cum_revenue,
-       floor(((floor(cum_rev * 100 + 0.5) / 100.0) / cohort_n) * 10000 + 0.5)
+       rev_c / 100.0 AS revenue,
+       cum_c / 100.0 AS cum_revenue,
+       floor(((cum_c / 100.0) / cohort_n) * 10000 + 0.5)
          / 10000.0 AS ltv_per_customer
 FROM cum
 ORDER BY cohort_month, month_index

@@ -15,7 +15,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from parquet_stream_writer_spark.functions import pround, quant6, quantn, sql_quant6
+from parquet_stream_writer_spark.functions import (
+    int_mean,
+    pround,
+    quant6,
+    quantn,
+    sql_int_mean,
+    sql_quant6,
+)
 from parquet_stream_writer_spark.operators.dedup import _hex_prefix_int, _hex_to_int_sql
 from parquet_stream_writer_spark.sources import load_table, scan_parallel
 
@@ -2200,6 +2207,16 @@ def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one token-keyed hash join back to the pairs, one doc-keyed mean.
     The only broadcast is the 1-row corpus size.  Ranking is a
     TakeOrdered top-``_RARITY_TOP``, never a global sort.
+
+    Integer-sum migration (r18 reduce-site sweep): the doc-keyed mean
+    runs through the shared :func:`int_mean` reduce (per-row idf
+    quantized to 1e-6-unit longs, exact sum, one rounded divide) —
+    ``rarity`` drives the top-N ORDERING, so a partition-order float
+    ulp in the old ``sum(idf)/count`` could flip two near-tied
+    documents across the cut line, not just a 6-dp decimal.  The
+    per-row ln(·) is the same double on both engines (identical
+    inputs, one libm call) exactly as before; only the accumulation
+    is migrated.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select(
@@ -2218,7 +2235,7 @@ def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_tokens"),
-            (F.sum("idf") / F.count(F.lit(1))).alias("rarity_raw"),
+            int_mean(F.col("idf"), 6).alias("rarity"),
         )
     )
     return (
@@ -2226,7 +2243,7 @@ def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_distinct_tokens",
-            pround("rarity_raw", 6).alias("rarity"),
+            "rarity",
         )
         .orderBy(F.desc("rarity"), F.asc("doc_id"))
         .limit(_RARITY_TOP)
@@ -2243,12 +2260,11 @@ nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, source,
          count(*) AS n_distinct_tokens,
-         sum(ln((n_docs + 1.0) / (df + 1.0))) / count(*) AS rarity_raw
+         {sql_int_mean('ln((n_docs + 1.0) / (df + 1.0))', 6)} AS rarity
   FROM pairs JOIN dfr USING (tok) CROSS JOIN nd
   GROUP BY 1, 2
 )
-SELECT doc_id, source, n_distinct_tokens,
-       floor(rarity_raw * 1000000 + 0.5) / 1000000.0 AS rarity
+SELECT doc_id, source, n_distinct_tokens, rarity
 FROM scored
 ORDER BY rarity DESC, doc_id ASC
 LIMIT {_RARITY_TOP}
