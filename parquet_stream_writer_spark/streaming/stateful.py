@@ -37,9 +37,17 @@ the batch grain:
   (one ``array<long>`` counter row per depth), the exact twin of
   ``cms_cells`` and the only twin whose TOTAL state is constant in
   both stream length and key cardinality.
+- ``streaming_hourly_ohlc`` — per-hour open/high/low/close with the
+  ordering keys carried in state, making the "first/last value"
+  fold commutative.
+- ``streaming_asof_enrich`` — the as-of JOIN as keyed state (fact
+  buffer + watermark-pruned dim version list per user), the exact
+  twin of ``pipeline.join_asof`` and the only twin correlating TWO
+  streams.
 
 State sizes scale with the key domain (users, languages), the
-calendar, or a fixed sketch geometry — never with stream length.
+calendar, a fixed sketch geometry, or the watermark horizon — never
+with stream length.
 """
 
 from __future__ import annotations
@@ -1491,4 +1499,192 @@ def streaming_hourly_ohlc(stream: DataFrame) -> DataFrame:
         .otherwise(F.col("close_v"))
         .alias("close_v"),
         "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment (join-shaped state)
+# ---------------------------------------------------------------------------
+
+_ASOF_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, "
+    "o_orderkey long, o_orderdate timestamp, closed boolean, rev long"
+)
+#: Per-user join state: the order VERSION list (deduped to max okey per
+#: timestamp, watermark-pruned) and the buffered not-yet-final events.
+_ASOF_STATE_SCHEMA = (
+    "o_ts array<long>, o_key array<long>, "
+    "e_id array<long>, e_ts array<long>, rev long"
+)
+
+
+def _asof_match(o_ts, o_key, ts_us):
+    """Latest order (t, okey) with t <= ts_us, else (None, None).
+    ``o_ts`` is sorted ascending; linear scan is fine — the pruned
+    version list is small by construction."""
+    lo_t = lo_k = None
+    for t, k in zip(o_ts, o_key):
+        if t <= ts_us:
+            lo_t, lo_k = t, k
+        else:
+            break
+    return lo_t, lo_k
+
+
+def _update_asof(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        o_ts, o_key, e_id, e_ts, rev = state.get
+        orders = dict(zip(o_ts, o_key))
+        events = list(zip(e_id, e_ts))
+    else:
+        orders, events, rev = {}, [], 0
+    rev += 1
+    for pdf in pdf_iter:
+        if not len(pdf):
+            # Timeout invocations deliver one empty (object-dtype)
+            # batch — nothing to fold.
+            continue
+        if pdf["t"].isna().any():
+            raise ValueError("streaming_asof_enrich: null event time")
+        # Unit-pinned us (the stateful-twin convention).
+        t_us = pdf["t"].to_numpy().astype("datetime64[us]").astype("int64")
+        kind = pdf["kind"].to_numpy(dtype="int64")
+        rid = pdf["rid"].to_numpy(dtype="int64")
+        for k, t, r in zip(kind, t_us, rid):
+            if k == 0:
+                # Dim version: dedup to max okey per timestamp, the
+                # batch operator's pre-dedup (engine-defined as-of
+                # tie-breaks otherwise).
+                t, r = int(t), int(r)
+                if orders.get(t, -1) < r:
+                    orders[t] = r
+            else:
+                events.append((int(r), int(t)))
+    o_sorted = sorted(orders.items())
+    o_ts = [t for t, _ in o_sorted]
+    o_key = [k for _, k in o_sorted]
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    # FINAL: an event below the watermark can never be re-matched — any
+    # future order the watermark admits has t >= wm > e.ts — so it is
+    # emitted closed and leaves the buffer.
+    final = [(e, t) for e, t in events if t < wm_us]
+    live = [(e, t) for e, t in events if t >= wm_us]
+    # Dim pruning (the Flink-temporal-join bound): drop every order
+    # version strictly older than the newest one at-or-below the
+    # watermark — all remaining matchers (live + future events) have
+    # ts >= wm, so that newest-below-wm version dominates older ones.
+    newest_le_wm = None
+    for t in o_ts:
+        if t <= wm_us:
+            newest_le_wm = t
+        else:
+            break
+    if newest_le_wm is not None:
+        keep = [i for i, t in enumerate(o_ts) if t >= newest_le_wm]
+        o_ts = [o_ts[i] for i in keep]
+        o_key = [o_key[i] for i in keep]
+    state.update(
+        (o_ts, o_key, [e for e, _ in live], [t for _, t in live], rev)
+    )
+    if live:
+        # Fire a timeout once the watermark passes the earliest
+        # buffered event, so an idle user's buffer still finalizes.
+        # (us//1000 + 1 ms is strictly above the current watermark
+        # whenever the event is live: t >= wm_us => t//1000 >= wm_ms.)
+        state.setTimeoutTimestamp(min(t for _, t in live) // 1000 + 1)
+    rows = [(e, t, True) for e, t in final] + [
+        (e, t, False) for e, t in live
+    ]
+    if not rows:
+        return
+    matches = [_asof_match(o_ts, o_key, t) for _, t, _ in rows]
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(rows),
+            "event_id": [e for e, _, _ in rows],
+            "ts": pd.to_datetime([t for _, t, _ in rows], unit="us"),
+            "o_orderkey": pd.array(
+                [k for _, k in matches], dtype="Int64"
+            ),
+            "o_orderdate": pd.to_datetime(
+                [t for t, _ in matches], unit="us"
+            ),
+            "closed": [c for _, _, c in rows],
+            "rev": [rev] * len(rows),
+        }
+    )
+
+
+def streaming_asof_enrich(
+    events: DataFrame, orders: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming as-of ENRICHMENT — the stateful twin of
+    ``operators.pipeline.join_asof`` (each event matched to the user's
+    most recent order at-or-before its timestamp, ``>=`` semantics,
+    max-okey tie-break among equal order timestamps) and the first
+    twin with JOIN-SHAPED state: the fifteen prior twins fold ONE
+    stream into per-key aggregates; this one correlates TWO streams
+    (a fact stream and a dim-version stream) under one keyed state.
+
+    Shape: orders (kind 0) and events (kind 1) are tagged and unioned
+    onto a common (user, time) axis — the same union-then-correlate
+    trick the batch operator uses, lifted to a stream — then one
+    ``applyInPandasWithState`` per user keeps (a) the order VERSION
+    list, deduped to max okey per timestamp like the batch pre-dedup,
+    and (b) the buffered events not yet finalizable.
+
+    Exactness under out-of-order replay: an event's match can only
+    improve while an order with ``t <= e.ts`` can still arrive; once
+    the watermark passes ``e.ts``, every admissible future row has
+    event time ``>= wm > e.ts``, so the event's match is FINAL — it is
+    emitted ``closed`` and leaves the buffer.  Events still above the
+    watermark re-emit their provisional match each revision (update
+    semantics); a consumer takes closed rows plus each user's max-rev
+    snapshot, and that view equals the batch ``join_asof`` output
+    EXACTLY under any micro-batch split or arrival interleaving the
+    watermark admits (pinned by
+    ``test_streaming_asof_enrich_matches_batch`` on interleaved
+    out-of-order event and order files, plus a deterministic
+    late-arriving-dim pin).
+
+    Scale — the Flink-temporal-join state bound: per user the buffer
+    holds only events inside the lateness horizon, and the version
+    list only orders newer than the newest version at-or-below the
+    watermark (that one dominates all older versions for every
+    remaining matcher).  State is bounded by the per-key in-horizon
+    traffic, never stream length; event-time timeouts finalize idle
+    users' buffers.  The one deliberate residual: a user's final
+    dominant order version is kept indefinitely (key-domain-sized,
+    like the profile twins) so a user who goes quiet for a year still
+    enriches correctly — the batch operator has no horizon either.
+    """
+    from pyspark.sql import functions as F
+
+    order_side = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        # Watermarks need TIMESTAMP; the session timezone is pinned
+        # UTC, so the cast is value-preserving (windows.py convention).
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("rid"),
+    )
+    event_side = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("rid"),
+    )
+    return (
+        order_side.unionByName(event_side)
+        .withWatermark("t", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_asof,
+            outputStructType=_ASOF_OUTPUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -1783,3 +1783,181 @@ def test_streaming_hourly_ohlc_null_and_nan_values(spark, tmp_path):
     # spot-pin the intended semantics so the fixture can't rot
     h10 = batch[dt.datetime(2024, 3, 1, 10, 0)]
     assert h10[0] is None and math.isnan(h10[1]) and h10[2] == 3.0
+
+
+@pytest.fixture()
+def orders_stream_dir(spark, sf_dir, tmp_path):
+    """Orders re-materialized as 2 files so maxFilesPerTrigger=1
+    interleaves dim-version arrivals with the 4 event files."""
+    from parquet_stream_writer_spark.sources import load_table
+
+    out = tmp_path / "orders_stream"
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        )
+        .repartition(2)
+        .write.parquet(str(out))
+    )
+    return out
+
+
+def _orders_stream(spark, orders_stream_dir, files_per_trigger=1):
+    schema = spark.read.parquet(str(orders_stream_dir)).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(str(orders_stream_dir))
+    )
+
+
+def _asof_final_view(pdf):
+    """Consumer contract: closed rows plus each user's max-rev
+    snapshot (a closing invocation bumps rev, so superseded
+    provisional rows are never selected)."""
+    last = pdf.groupby("user_id")["rev"].transform("max")
+    final = pdf[(pdf["rev"] == last) | pdf["closed"]]
+    return {
+        (
+            r.user_id,
+            r.event_id,
+            r.ts,
+            None if pd_isna(r.o_orderkey) else int(r.o_orderkey),
+            None if pd_isna(r.o_orderdate) else r.o_orderdate,
+        )
+        for r in final.itertuples()
+    }
+
+
+def test_streaming_asof_enrich_matches_batch(
+    spark, sf_dir, events_stream_dir, orders_stream_dir
+):
+    """The join-shaped twin must converge EXACTLY to the batch
+    ``join_asof`` on interleaved out-of-order event and order files:
+    the per-user state correlates a fact buffer with a deduped dim
+    version list, so arrival interleaving across the 4+2 micro-batch
+    files cannot change any event's final match.  The huge watermark
+    delay admits every row and suppresses closure, so each user's
+    max-rev snapshot is his fully-re-matched event set."""
+    from parquet_stream_writer_spark.operators.pipeline import join_asof
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_asof_enrich,
+    )
+
+    out = streaming_asof_enrich(
+        _events_stream(spark, events_stream_dir),
+        _orders_stream(spark, orders_stream_dir),
+        watermark="36500 days",
+    )
+    name = f"asof_{uuid.uuid4().hex[:8]}"
+    pdf = _run_to_memory(spark, out, name, "update").toPandas()
+    assert not pdf["closed"].any()  # nothing closes under the huge delay
+    got = _asof_final_view(pdf)
+
+    batch = join_asof(spark, sf_dir).toPandas()
+    want = {
+        (
+            r.user_id,
+            r.event_id,
+            r.ts,
+            None if pd_isna(r.o_orderkey) else int(r.o_orderkey),
+            None if pd_isna(r.o_orderdate) else r.o_orderdate,
+        )
+        for r in batch.itertuples()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_asof_enrich_late_dim_upgrades_match(spark, tmp_path):
+    """Deterministic late-arriving-dim pin: the matching order arrives
+    a micro-batch AFTER its event, so the event's rev-1 provisional
+    match is NULL and the rev-2 re-match upgrades it; the upgrade must
+    honor >= semantics (order exactly at the event time is visible)
+    and the max-okey tie-break among equal order timestamps."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_asof_enrich,
+    )
+
+    ts = pd.Timestamp("2024-03-01 10:00:00")
+    ev_dir, ord_dir = tmp_path / "ev", tmp_path / "ord"
+    ev = pd.DataFrame(
+        {"event_id": [100], "user_id": [7], "ts": [ts]}
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    spark.createDataFrame(ev).coalesce(1).write.parquet(str(ev_dir))
+    # File 1 (same trigger as the event): an unrelated user's order.
+    # File 2 (NEXT trigger): two orders for user 7 exactly AT the
+    # event time — the late dim versions that upgrade the match.
+    o1 = pd.DataFrame(
+        {"o_orderkey": [1], "o_custkey": [99], "o_orderdate": [ts]}
+    )
+    o2 = pd.DataFrame(
+        {"o_orderkey": [10, 11], "o_custkey": [7, 7], "o_orderdate": [ts, ts]}
+    )
+    for o in (o1, o2):
+        o["o_orderdate"] = o["o_orderdate"].astype("datetime64[us]")
+        spark.createDataFrame(o).coalesce(1).write.mode("append").parquet(
+            str(ord_dir)
+        )
+    out = streaming_asof_enrich(
+        spark.readStream.schema(spark.read.parquet(str(ev_dir)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir)),
+        spark.readStream.schema(spark.read.parquet(str(ord_dir)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ord_dir)),
+        watermark="36500 days",
+    )
+    name = f"asoflate_{uuid.uuid4().hex[:8]}"
+    pdf = _run_to_memory(spark, out, name, "update").toPandas()
+    u7 = pdf[pdf["user_id"] == 7].sort_values("rev")
+    # rev 1: provisional NULL (no dim version yet); final rev: the
+    # equal-timestamp order is visible (>=) and okey 11 wins the tie.
+    assert pd_isna(u7.iloc[0]["o_orderkey"])
+    assert int(u7.iloc[-1]["o_orderkey"]) == 11
+    assert u7.iloc[-1]["o_orderdate"] == ts
+
+
+def test_streaming_asof_enrich_timeout_closes_events(
+    spark, sf_dir, events_stream_dir, orders_stream_dir
+):
+    """With a short watermark delay, the availableNow no-data final
+    batch fires the event-time timeouts: every event whose timestamp
+    fell below the watermark is emitted CLOSED with its FINAL match
+    and leaves the buffer (the 100 TB state-hygiene path).  Closure
+    changes WHERE a row is emitted, never its match: closed rows plus
+    max-rev snapshots must still equal the batch operator."""
+    from parquet_stream_writer_spark.operators.pipeline import join_asof
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_asof_enrich,
+    )
+
+    # One data batch (all files) so nothing is late-dropped; the
+    # watermark then advances to max_t - 1 min and finalizes every
+    # earlier event via the timeout path.
+    out = streaming_asof_enrich(
+        _events_stream(spark, events_stream_dir, files_per_trigger=4),
+        _orders_stream(spark, orders_stream_dir, files_per_trigger=2),
+        watermark="1 minute",
+    )
+    name = f"asoft_{uuid.uuid4().hex[:8]}"
+    pdf = _run_to_memory(spark, out, name, "update").toPandas()
+    assert pdf["closed"].any()  # the corpus spans days: closures must fire
+    got = _asof_final_view(pdf)
+    batch = join_asof(spark, sf_dir).toPandas()
+    want = {
+        (
+            r.user_id,
+            r.event_id,
+            r.ts,
+            None if pd_isna(r.o_orderkey) else int(r.o_orderkey),
+            None if pd_isna(r.o_orderdate) else r.o_orderdate,
+        )
+        for r in batch.itertuples()
+    }
+    assert got == want
