@@ -166,7 +166,7 @@ def main() -> None:
         timings[name] = -1.0 if failed or not runs else round(statistics.median(runs), 3)
         if memo_calls["n"] > calls_before:
             memo_shared.append(name)
-        if len(timings) % probe_every == 0:
+        if probe_every > 0 and len(timings) % probe_every == 0:
             _record_probe(len(timings), name)
 
     if not host_probes or host_probes[-1]["after_idx"] != len(timings):

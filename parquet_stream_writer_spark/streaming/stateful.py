@@ -1571,9 +1571,18 @@ def _update_asof(key, pdf_iter, state: GroupState):
     # emitted closed and leaves the buffer.
     final = [(e, t) for e, t in events if t < wm_us]
     live = [(e, t) for e, t in events if t >= wm_us]
+    # Matches are computed BEFORE the dim prune (self-review r18): a
+    # CLOSED event has ts < wm, so its correct match may be an order
+    # version strictly older than the newest one at-or-below the
+    # watermark — exactly the versions the prune drops.  (The pruned
+    # list is sufficient only for matchers with ts >= wm.)
+    rows = [(e, t, True) for e, t in final] + [
+        (e, t, False) for e, t in live
+    ]
+    matches = [_asof_match(o_ts, o_key, t) for _, t, _ in rows]
     # Dim pruning (the Flink-temporal-join bound): drop every order
     # version strictly older than the newest one at-or-below the
-    # watermark — all remaining matchers (live + future events) have
+    # watermark — all REMAINING matchers (live + future events) have
     # ts >= wm, so that newest-below-wm version dominates older ones.
     newest_le_wm = None
     for t in o_ts:
@@ -1594,12 +1603,8 @@ def _update_asof(key, pdf_iter, state: GroupState):
         # (us//1000 + 1 ms is strictly above the current watermark
         # whenever the event is live: t >= wm_us => t//1000 >= wm_ms.)
         state.setTimeoutTimestamp(min(t for _, t in live) // 1000 + 1)
-    rows = [(e, t, True) for e, t in final] + [
-        (e, t, False) for e, t in live
-    ]
     if not rows:
         return
-    matches = [_asof_match(o_ts, o_key, t) for _, t, _ in rows]
     yield pd.DataFrame(
         {
             "user_id": [key[0]] * len(rows),

@@ -1814,12 +1814,10 @@ def _orders_stream(spark, orders_stream_dir, files_per_trigger=1):
     )
 
 
-def _asof_final_view(pdf):
-    """Consumer contract: closed rows plus each user's max-rev
-    snapshot (a closing invocation bumps rev, so superseded
-    provisional rows are never selected)."""
-    last = pdf.groupby("user_id")["rev"].transform("max")
-    final = pdf[(pdf["rev"] == last) | pdf["closed"]]
+def _asof_row_set(pdf):
+    """The one (user_id, event_id, ts, o_orderkey, o_orderdate) tuple
+    shape both sides of every equality compare through — a column or
+    NULL-normalization change edits ONE place."""
     return {
         (
             r.user_id,
@@ -1828,8 +1826,16 @@ def _asof_final_view(pdf):
             None if pd_isna(r.o_orderkey) else int(r.o_orderkey),
             None if pd_isna(r.o_orderdate) else r.o_orderdate,
         )
-        for r in final.itertuples()
+        for r in pdf.itertuples()
     }
+
+
+def _asof_final_view(pdf):
+    """Consumer contract: closed rows plus each user's max-rev
+    snapshot (a closing invocation bumps rev, so superseded
+    provisional rows are never selected)."""
+    last = pdf.groupby("user_id")["rev"].transform("max")
+    return _asof_row_set(pdf[(pdf["rev"] == last) | pdf["closed"]])
 
 
 def test_streaming_asof_enrich_matches_batch(
@@ -1857,17 +1863,7 @@ def test_streaming_asof_enrich_matches_batch(
     assert not pdf["closed"].any()  # nothing closes under the huge delay
     got = _asof_final_view(pdf)
 
-    batch = join_asof(spark, sf_dir).toPandas()
-    want = {
-        (
-            r.user_id,
-            r.event_id,
-            r.ts,
-            None if pd_isna(r.o_orderkey) else int(r.o_orderkey),
-            None if pd_isna(r.o_orderdate) else r.o_orderdate,
-        )
-        for r in batch.itertuples()
-    }
+    want = _asof_row_set(join_asof(spark, sf_dir).toPandas())
     assert got == want and len(want) > 0
 
 
@@ -1949,15 +1945,68 @@ def test_streaming_asof_enrich_timeout_closes_events(
     pdf = _run_to_memory(spark, out, name, "update").toPandas()
     assert pdf["closed"].any()  # the corpus spans days: closures must fire
     got = _asof_final_view(pdf)
-    batch = join_asof(spark, sf_dir).toPandas()
-    want = {
-        (
-            r.user_id,
-            r.event_id,
-            r.ts,
-            None if pd_isna(r.o_orderkey) else int(r.o_orderkey),
-            None if pd_isna(r.o_orderdate) else r.o_orderdate,
-        )
-        for r in batch.itertuples()
-    }
+    want = _asof_row_set(join_asof(spark, sf_dir).toPandas())
     assert got == want
+
+
+def test_streaming_asof_enrich_closed_match_survives_dim_prune(spark, tmp_path):
+    """Interleaved-timeline pin (self-review r18): a CLOSED event's
+    correct match can be an order version OLDER than the newest one
+    at-or-below the watermark — the exact versions the state prune
+    drops — so matches must be computed before the prune.  Timeline:
+    order A@09:00 (key 500), event E@10:00, order C@10:15 (key 600),
+    and a later event advancing the watermark past E.  E's
+    authoritative closed row must carry key 500 — not NULL (the
+    prune-before-match failure) and not 600 (as-of is at-or-BEFORE).
+    The sf corpus cannot catch this: every order there predates every
+    event, so the newest kept version is always the right match."""
+    import pandas as pd
+
+    from parquet_stream_writer_spark.streaming.stateful import (
+        streaming_asof_enrich,
+    )
+
+    ev_dir, ord_dir = tmp_path / "ev", tmp_path / "ord"
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [7, 8],
+            "ts": [
+                pd.Timestamp("2024-03-01 10:00:00"),
+                pd.Timestamp("2024-03-01 12:00:00"),  # advances the watermark
+            ],
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    spark.createDataFrame(ev).coalesce(1).write.parquet(str(ev_dir))
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [500, 600],
+            "o_custkey": [7, 7],
+            "o_orderdate": [
+                pd.Timestamp("2024-03-01 09:00:00"),
+                pd.Timestamp("2024-03-01 10:15:00"),
+            ],
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    spark.createDataFrame(orders).coalesce(1).write.parquet(str(ord_dir))
+    out = streaming_asof_enrich(
+        spark.readStream.schema(spark.read.parquet(str(ev_dir)).schema)
+        .parquet(str(ev_dir)),
+        spark.readStream.schema(spark.read.parquet(str(ord_dir)).schema)
+        .parquet(str(ord_dir)),
+        watermark="1 minute",
+    )
+    name = f"asofprune_{uuid.uuid4().hex[:8]}"
+    pdf = _run_to_memory(spark, out, name, "update").toPandas()
+    closed = pdf[(pdf["user_id"] == 7) & pdf["closed"]]
+    assert len(closed) == 1  # the no-data final batch closes E via timeout
+    assert int(closed.iloc[0]["o_orderkey"]) == 500
+    assert closed.iloc[0]["o_orderdate"] == pd.Timestamp("2024-03-01 09:00:00")
+    # The full final view agrees with the batch as-of semantics.
+    assert _asof_final_view(pdf) == {
+        (7, 1, pd.Timestamp("2024-03-01 10:00:00"), 500,
+         pd.Timestamp("2024-03-01 09:00:00")),
+        (8, 2, pd.Timestamp("2024-03-01 12:00:00"), None, None),
+    }
