@@ -170,7 +170,22 @@ def test_stream_stream_interval_join(spark, sf_dir, events_stream_dir):
         & (F.col("r.ts") >= F.col("l.ts"))
         & (F.col("r.ts") <= F.expr("l.ts + INTERVAL 1 HOUR")),
     )
-    assert result.count() == batch.count()
+    # Exact ROW-SET equality, not just cardinality (r18 strengthening):
+    # a wrong-pair + missing-pair cancellation would pass a count
+    # compare but cannot pass this.
+    got = {
+        (r["user_id"], r["left_event_id"], r["right_event_id"])
+        for r in result.collect()
+    }
+    want = {
+        (r["user_id"], r["left_event_id"], r["right_event_id"])
+        for r in batch.select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("left_event_id"),
+            F.col("r.event_id").alias("right_event_id"),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
     assert result.where(F.col("right_ts") < F.col("left_ts")).count() == 0
 
 
