@@ -110,10 +110,19 @@ def sql_int_mean(expr: str, digits: int) -> str:
 
     ``count({expr})`` (non-null count) mirrors the Spark side's
     ``F.count(col)`` — see :func:`int_mean` on why the denominator is
-    the count of PRESENT values, not ``count(*)``."""
+    the count of PRESENT values, not ``count(*)``.
+
+    The Σq is routed through ``CAST(... AS BIGINT)`` before the DOUBLE
+    cast (fuzz catch, r18): DuckDB's ``sum(BIGINT)`` yields HUGEINT,
+    whose software int128→double conversion TRUNCATES, while the
+    JVM's int64→double rounds half-to-even — at a Σq above 2^53
+    sitting exactly on a rounding tie the two engines fork by one
+    ulp.  BIGINT→DOUBLE uses the hardware conversion (half-even,
+    matching the JVM); the interposed cast is safe because the
+    helpers' headroom contract already requires |Σq| inside int64."""
     scale = 10**digits
     return (
-        f"floor(CAST(sum({sql_quantn(expr, digits)}) AS DOUBLE)"
+        f"floor(CAST(CAST(sum({sql_quantn(expr, digits)}) AS BIGINT) AS DOUBLE)"
         f" / count({expr}) + 0.5) / {scale}.0"
     )
 
@@ -128,10 +137,13 @@ def int_sum(col: Column, digits: int) -> Column:
 
 
 def sql_int_sum(expr: str, digits: int) -> str:
-    """DuckDB-side twin of :func:`int_sum` for oracle SQL strings."""
+    """DuckDB-side twin of :func:`int_sum` for oracle SQL strings.
+    The BIGINT cast before DOUBLE matches the JVM's half-even
+    int64→double rounding — see :func:`sql_int_mean`."""
     scale = 10**digits
     return (
-        f"CAST(sum({sql_quantn(expr, digits)}) AS DOUBLE) / {scale}.0"
+        f"CAST(CAST(sum({sql_quantn(expr, digits)}) AS BIGINT) AS DOUBLE)"
+        f" / {scale}.0"
     )
 
 

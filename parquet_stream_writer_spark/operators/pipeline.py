@@ -2215,7 +2215,8 @@ WITH src AS (
          CAST(sum(n_chars // 4) AS BIGINT) AS tokens
   FROM documents GROUP BY source
 ),
-z AS (SELECT CAST(sum({sql_quantn('sqrt(tokens)', 6)}) AS DOUBLE) / 1000000.0
+z AS (SELECT CAST(CAST(sum({sql_quantn('sqrt(tokens)', 6)}) AS BIGINT)
+             AS DOUBLE) / 1000000.0
         AS z FROM src),
 plan0 AS (
   SELECT source, n_docs, tokens,
