@@ -1045,6 +1045,14 @@ def pipeline_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding a 1-row aggregate; the edges union into the report.  Scans
     prune to the key columns, so even the fact-table checks move only
     bigints.
+
+    Optimization r18 note: a per-child fused pass (each child scanned
+    once, chained LEFT joins against deduped parent key sets, one
+    stacked aggregate) was measured and REVERTED — it ran ~30% SLOWER
+    at sf0.1 (1.98 s vs 1.52 s solo): the chained joins serialize
+    edges that the union of independent anti-join branches schedules
+    in parallel, and the parent dedup added exchanges. Keep the
+    parallel-branch shape.
     """
     parts = []
     for label, child, ckey, parent, pkey in _FK_RELATIONS:
@@ -1842,41 +1850,76 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Algorithm: canonical edge orientation (src < dst) makes every
     triangle countable exactly once as an ordered path a<b<c whose
-    closing edge (a,c) exists — one edge⋈edge hash join to enumerate
-    ordered two-paths, one more equi join to close them.  The wedge
-    denominator Σ deg·(deg−1)/2 comes from the undirected degree
-    relation.  Edges are built once (one fact self-equi-join per
-    order, distinct) and lazily checkpointed for the four consumers.
+    closing edge (a,c) exists.  The wedge denominator Σ deg·(deg−1)/2
+    comes from the undirected degree relation.  Edges are built once
+    (one fact self-equi-join per order, distinct) and lazily
+    checkpointed for the four consumers.
+
+    Shape (optimization r18, guide §2.3/§2.4): the old two-path
+    enumeration — edge⋈edge on the middle vertex (3.4M wedge rows at
+    sf0.1 from 300k edges), shuffled again on (wa, wc) into the
+    closing join, and executed a SECOND time just to count n_paths —
+    is gone. n_paths = Σ_b lower(b)·higher(b) is computed from two
+    degree aggregates joined on the node (exactly the cardinality of
+    the old wedge join, no wedge row ever materialized), and
+    triangles come from one higher-adjacency-list build
+    (collect_list per src) joined to each edge's two endpoints:
+    |N⁺(a) ∩ N⁺(b)| summed over oriented edges counts each triangle
+    exactly once at its two lowest vertices — the standard
+    edge-iterator algorithm. Shuffled rows drop from 2×3.4M wedges +
+    3.4M closing-join probes to 2×300k edge rows carrying ~30-int
+    adjacency arrays.
 
     Scale shape: every join is a hash join on int keys — no broadcast
-    of anything corpus-sized, no driver collect.  Two-path explosion
-    is the known hot spot at 100 TB: the mitigation (degree-ordered
-    orientation — orient each edge from its lower-degree endpoint, so
-    hubs never fan out) drops the join cost to O(m^1.5); the
-    canonical orientation here keeps the oracle portable and is
-    documented as the small-graph form.  On a real cluster the
-    checkpoint becomes persist(DISK_ONLY).
+    of anything corpus-sized, no driver collect.  Σ deg·|N⁺| bytes of
+    adjacency replication is the known hot spot at 100 TB: the
+    mitigation (degree-ordered orientation — orient each edge from
+    its lower-degree endpoint, so hubs never fan out) drops the cost
+    to O(m^1.5); the canonical orientation here keeps the oracle
+    portable and is documented as the small-graph form.  On a real
+    cluster the checkpoint becomes persist(DISK_ONLY).
     """
-    li = (
+    # Per-order distinct part sets are tiny (a handful of parts per
+    # order), so the pair expansion is a map-side sorted-array comb —
+    # the orders_basket_affinity shape — instead of the old
+    # distinct → self-join (which shuffled the item relation twice).
+    sets = (
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") % _TRI_ORDER_MOD == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    comb = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     edges = (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        sets.select(F.explode(comb).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    e1 = edges.select(F.col("src").alias("wa"), F.col("dst").alias("wb"))
-    e2 = edges.select(F.col("src").alias("wb"), F.col("dst").alias("wc"))
-    wedges = e1.join(e2, "wb")
-    e3 = edges.select(F.col("src").alias("wa"), F.col("dst").alias("wc"))
-    tri = wedges.join(e3, ["wa", "wc"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    adj = edges.groupBy(F.col("src").alias("node")).agg(
+        F.collect_list("dst").alias("nb")
+    )
+    na = adj.select(F.col("node").alias("a"), F.col("nb").alias("na"))
+    nb = adj.select(F.col("node").alias("b"), F.col("nb").alias("nbb"))
+    tri = (
+        edges.join(na, edges["src"] == na["a"])
+        .join(nb, edges["dst"] == nb["b"])
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("na", "nbb"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_triangles")
+        )
+    )
     deg = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -1888,7 +1931,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_paths = wedges.agg(F.count(F.lit(1)).alias("n_paths"))
+    low = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("lo")
+    )
+    high = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("hi")
+    )
+    n_paths = (
+        low.join(high, "node")
+        .agg(
+            F.coalesce(F.sum(F.col("lo") * F.col("hi")), F.lit(0))
+            .cast("long")
+            .alias("n_paths")
+        )
+    )
     return (
         nodes_wedges.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(n_paths))

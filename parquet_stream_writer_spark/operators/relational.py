@@ -2564,59 +2564,71 @@ def orders_basket_affinity(
     ``P(a,b) / (P(a)·P(b))`` — the classic affinity score behind
     "frequently bought together".
 
-    Scale shape: the pair generation is a self-join hash-equi on
-    ``l_orderkey`` — fan-out is quadratic only in the per-order item
-    count (bounded small by the schema), never in the catalog. The
-    order total joins back as a broadcast single-row cross join (no
-    driver action anywhere in the lineage). The per-part support
-    relation carries **no broadcast hint**: it is one row per part —
-    dimension-sized at test scale but O(catalog) = billions of rows at
-    the 100 TB end, where a forced broadcast OOMs the executors. The
-    planner's size estimate (and AQE) still elects broadcast whenever
-    the support side actually fits, same rationale as
-    :func:`q2_min_cost_supplier`. All counts are integers so lift is
-    the only float (rounded 4-dp on both engines).
+    Scale shape (optimization r18, guide §2.3/§2.4/§3.3): one
+    ``collect_set`` rollup per order replaces the old distinct →
+    self-join pair generation. The per-order distinct part set IS the
+    deduped item relation, so pair expansion becomes a map-side
+    sorted-array comb — fan-out still quadratic only in the per-order
+    item count (bounded small by the schema), never in the catalog —
+    and the self-join (a broadcast build of the full fact-sized item
+    relation at test scale; a second full fact shuffle at 100 TB)
+    disappears entirely. The order total joins back as a broadcast
+    single-row cross join (no driver action anywhere in the lineage).
+    The per-part support relation carries **no broadcast hint**: it is
+    one row per part — dimension-sized at test scale but O(catalog) =
+    billions of rows at the 100 TB end, where a forced broadcast OOMs
+    the executors. The planner's size estimate (and AQE) still elects
+    broadcast whenever the support side actually fits, same rationale
+    as :func:`q2_min_cost_supplier`. All counts are integers so lift
+    is the only float (rounded 4-dp on both engines).
 
-    The deduped item set fans out to three consumers (pair self-join,
-    support agg, order-count agg), so it is materialized once: one
-    lineitem scan + one distinct shuffle total, with the fan-out
-    re-reading stored blocks instead of re-scanning the fact table
-    three times.  ``reliable`` (default ``_BASKET_RELIABLE``) picks
-    the storage: ``False`` = lazy ``localCheckpoint`` (executor-local
-    blocks, fastest, fine where executor loss just reruns the query);
-    ``True`` = ``persist(DISK_ONLY)``, which keeps lineage so a lost
-    executor recomputes only its blocks — the setting for a real
-    100 TB cluster run.  Both paths produce identical results
-    (pinned by test).
+    The per-order set relation fans out to three consumers (pair
+    comb, support agg, order-count agg), so it is materialized once:
+    one lineitem scan + one order-keyed set shuffle total, with the
+    fan-out re-reading stored blocks instead of re-scanning the fact
+    table three times.  ``reliable`` (default ``_BASKET_RELIABLE``)
+    picks the storage: ``False`` = lazy ``localCheckpoint``
+    (executor-local blocks, fastest, fine where executor loss just
+    reruns the query); ``True`` = ``persist(DISK_ONLY)``, which keeps
+    lineage so a lost executor recomputes only its blocks — the
+    setting for a real 100 TB cluster run.  Both paths produce
+    identical results (pinned by test).
     """
     from pyspark import StorageLevel
 
     if reliable is None:
         reliable = _BASKET_RELIABLE
-    items = (
+    sets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    items = (
-        items.persist(StorageLevel.DISK_ONLY)
+    sets = (
+        sets.persist(StorageLevel.DISK_ONLY)
         if reliable
-        else items.localCheckpoint(eager=False)
+        else sets.localCheckpoint(eager=False)
     )
-    a, b = items.alias("a"), items.alias("b")
+    comb = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        sets.select(F.explode(comb).alias("p"))
+        .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
         .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
         .where(F.col("cooc") >= _BASKET_MIN_COOC)
     )
-    support = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("sup")
+    support = (
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
     )
-    n_orders = items.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
-    )
+    n_orders = sets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
     sa = support.select(F.col("l_partkey").alias("p1"), F.col("sup").alias("sup1"))
     sb = support.select(F.col("l_partkey").alias("p2"), F.col("sup").alias("sup2"))
     return (

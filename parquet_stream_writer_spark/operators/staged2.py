@@ -526,10 +526,18 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap").isNotNull())
         .select("event_type", "gap")
     )
-    wr = Window.partitionBy("event_type").orderBy("gap")
-    ranked = gaps.withColumn("rk", F.row_number().over(wr))
-    stats = gaps.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("gap").alias("s")
+    # Optimization r18 (guide §2.4), same rewrite as
+    # events_dwell_time_profile: carry the per-type count/sum on the
+    # rank window's exchange+sort, pick the four order statistics by
+    # an in-row target-rank filter + conditional aggregates — the old
+    # 4-join shape re-executed the lag-window lineage per probe.
+    # Interpolation arithmetic is expression-tree-identical.
+    wt = Window.partitionBy("event_type")
+    wr = wt.orderBy("gap")
+    ranked = (
+        gaps.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("s", F.sum("gap").over(wt))
     )
 
     def interp(q: float):
@@ -540,43 +548,37 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac = h - F.floor(h)
         return lo, hi, frac
 
-    out = stats
-    for q, name in ((0.5, "p50"), (0.9, "p90")):
-        lo, hi, frac = interp(q)
-        lo_v = (
-            ranked.withColumnRenamed("gap", f"{name}_lo_gap")
-            .withColumnRenamed("rk", f"{name}_lo_rk")
-            .withColumnRenamed("event_type", f"{name}_lo_t")
-        )
-        hi_v = (
-            ranked.withColumnRenamed("gap", f"{name}_hi_gap")
-            .withColumnRenamed("rk", f"{name}_hi_rk")
-            .withColumnRenamed("event_type", f"{name}_hi_t")
-        )
-        out = (
-            out.withColumn(f"{name}_lo", lo)
-            .withColumn(f"{name}_hi", hi)
-            .withColumn(f"{name}_frac", frac)
-            .join(
-                lo_v,
-                (F.col("event_type") == F.col(f"{name}_lo_t"))
-                & (F.col(f"{name}_lo") == F.col(f"{name}_lo_rk")),
-            )
-            .join(
-                hi_v,
-                (F.col("event_type") == F.col(f"{name}_hi_t"))
-                & (F.col(f"{name}_hi") == F.col(f"{name}_hi_rk")),
-            )
-            .withColumn(
-                name,
-                pround(
-                    F.col(f"{name}_lo_gap")
-                    + (F.col(f"{name}_hi_gap") - F.col(f"{name}_lo_gap"))
-                    * F.col(f"{name}_frac"),
-                    2,
-                ),
-            )
-        )
+    lo50, hi50, frac50 = interp(0.5)
+    lo90, hi90, frac90 = interp(0.9)
+    picked = ranked.where(
+        (F.col("rk") == lo50)
+        | (F.col("rk") == hi50)
+        | (F.col("rk") == lo90)
+        | (F.col("rk") == hi90)
+    )
+    pct = picked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max(F.when(F.col("rk") == lo50, F.col("gap"))).alias("p50_lo_gap"),
+        F.max(F.when(F.col("rk") == hi50, F.col("gap"))).alias("p50_hi_gap"),
+        F.max(F.when(F.col("rk") == lo90, F.col("gap"))).alias("p90_lo_gap"),
+        F.max(F.when(F.col("rk") == hi90, F.col("gap"))).alias("p90_hi_gap"),
+    )
+    out = pct.withColumn(
+        "p50",
+        pround(
+            F.col("p50_lo_gap")
+            + (F.col("p50_hi_gap") - F.col("p50_lo_gap")) * frac50,
+            2,
+        ),
+    ).withColumn(
+        "p90",
+        pround(
+            F.col("p90_lo_gap")
+            + (F.col("p90_hi_gap") - F.col("p90_lo_gap")) * frac90,
+            2,
+        ),
+    )
     return out.select(
         "event_type",
         F.col("n").alias("n_gaps"),
@@ -1515,25 +1517,37 @@ def text_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the per-doc ratio is exact integer division scaled to
     parts-per-million (distinct·1e6 div total — both engines floor
     exact integers); the decile bucket and the bucket mean divide
-    those integers.  Shape: map-side position explode (len−3 rows per
-    doc), one (doc × gram) distinct aggregate, a doc-grain aggregate,
-    a 10-row histogram.
+    those integers.
+
+    Shape (optimization r18, guide §2.3/§2.4/§4.1): both per-doc
+    numbers are doc-grain and every gram is born on the document's
+    own row, so the position explode → (doc × gram) distinct
+    aggregate → doc-grain aggregate pipeline — which shuffled one row
+    per character of the corpus TWICE (expand + two exchanges) — is
+    replaced by one per-row higher-order expression:
+    ``size(array_distinct(transform(sequence(1, len−3), i →
+    substring(t, i, 4))))``. The gram de-duplication happens in a
+    per-row hash set instead of a corpus-wide shuffle; only the
+    10-row histogram aggregates. Tradeoff, documented: the per-doc
+    distinct set is now built in one task's memory — O(doc length),
+    the same bound DuckDB's oracle pays per row — whereas the old
+    shape spread a single pathological document's grams across the
+    cluster. At LLM-corpus doc sizes (KBs–MBs) the set is tiny;
+    sub-linear behavior on one mega-document is not worth 2 full
+    corpus shuffles per run.  scan_parallel spreads the single-split
+    local scan so the per-row work uses every core.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.col("text").alias("t"), F.length("text").alias("len")
     ).where(F.col("len") >= _COMPRESS_NGRAM)
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.col("len") - (_COMPRESS_NGRAM - 1))
-        ).alias("i"),
-        "t",
-    ).select(
-        "doc_id", F.substring("t", F.col("i"), F.lit(_COMPRESS_NGRAM)).alias("g")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("len") - (_COMPRESS_NGRAM - 1)),
+        lambda i: F.substring(F.col("t"), i, _COMPRESS_NGRAM),
     )
-    per_doc = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("total"),
-        F.countDistinct("g").alias("dist"),
+    per_doc = docs.select(
+        "doc_id",
+        (F.col("len") - (_COMPRESS_NGRAM - 1)).cast("long").alias("total"),
+        F.size(F.array_distinct(grams)).cast("long").alias("dist"),
     )
     ratio_ppm = F.expr("dist * 1000000 div total")
     bucketed = per_doc.select(
@@ -2063,6 +2077,15 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup → customer-keyed degree filter → per-customer pair
     expansion (bounded by the cap) → one pair-keyed count →
     TakeOrdered 20.
+
+    Optimization r18 note: a collect_set + map-side sorted-array pair
+    comb (the shape that won for :func:`orders_basket_affinity`) was
+    measured here and REVERTED — with ~39 distinct suppliers per
+    customer the 11.1M pair structs built by interpreted higher-order
+    expressions ran 2.3× SLOWER (5.4 s vs 2.35 s solo at sf0.1) than
+    the codegen'd self-join that produces the identical pair stream.
+    The HOF comb only wins when per-key sets are small (basket: ~4
+    parts/order); keep the join here.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")

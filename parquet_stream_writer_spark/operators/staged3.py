@@ -413,10 +413,17 @@ def events_dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum; p50/p90 use the pack's interpolated-percentile parity
     convention over ranked integer order statistics.
 
-    Shape: one user-keyed shuffle for the lead window, then per-type
-    rank windows over the per-type dwell relations and a fixed-width
-    aggregate — the interarrival-stats shape with a lead instead of a
-    same-type lag.
+    Shape (optimization r18, guide §2.4): ONE user-keyed shuffle for
+    the lead window, then ONE type-keyed window pass that carries the
+    rank AND the per-type count/sum (count/sum over the unbounded
+    frame share the rank window's exchange+sort). The four order
+    statistics (p50/p90 lo/hi) are picked by a filter on the in-row
+    target ranks and folded with conditional aggregates — the old
+    shape joined the ranked relation FOUR times against a separate
+    stats aggregate, re-executing the whole lead-window lineage for
+    every join probe (4 Exchanges + 4 re-reads of events). The
+    interpolation arithmetic is expression-tree-identical to the old
+    joins, so results are bit-equal.
     """
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("unix_micros(cast(ts as timestamp))")
@@ -427,10 +434,12 @@ def events_dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dwell").isNotNull())
         .select("event_type", "dwell")
     )
-    wr = Window.partitionBy("event_type").orderBy("dwell")
-    ranked = dwells.withColumn("rk", F.row_number().over(wr))
-    stats = dwells.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dwell").alias("s")
+    wt = Window.partitionBy("event_type")
+    wr = wt.orderBy("dwell")
+    ranked = (
+        dwells.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("s", F.sum("dwell").over(wt))
     )
 
     def interp(q: float):
@@ -441,43 +450,37 @@ def events_dwell_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             h - F.floor(h),
         )
 
-    out = stats
-    for q, name in ((0.5, "p50"), (0.9, "p90")):
-        lo, hi, frac = interp(q)
-        lo_v = (
-            ranked.withColumnRenamed("dwell", f"{name}_lo_d")
-            .withColumnRenamed("rk", f"{name}_lo_rk")
-            .withColumnRenamed("event_type", f"{name}_lo_t")
-        )
-        hi_v = (
-            ranked.withColumnRenamed("dwell", f"{name}_hi_d")
-            .withColumnRenamed("rk", f"{name}_hi_rk")
-            .withColumnRenamed("event_type", f"{name}_hi_t")
-        )
-        out = (
-            out.withColumn(f"{name}_lo", lo)
-            .withColumn(f"{name}_hi", hi)
-            .withColumn(f"{name}_frac", frac)
-            .join(
-                lo_v,
-                (F.col("event_type") == F.col(f"{name}_lo_t"))
-                & (F.col(f"{name}_lo") == F.col(f"{name}_lo_rk")),
-            )
-            .join(
-                hi_v,
-                (F.col("event_type") == F.col(f"{name}_hi_t"))
-                & (F.col(f"{name}_hi") == F.col(f"{name}_hi_rk")),
-            )
-            .withColumn(
-                name,
-                pround(
-                    F.col(f"{name}_lo_d")
-                    + (F.col(f"{name}_hi_d") - F.col(f"{name}_lo_d"))
-                    * F.col(f"{name}_frac"),
-                    2,
-                ),
-            )
-        )
+    lo50, hi50, frac50 = interp(0.5)
+    lo90, hi90, frac90 = interp(0.9)
+    picked = ranked.where(
+        (F.col("rk") == lo50)
+        | (F.col("rk") == hi50)
+        | (F.col("rk") == lo90)
+        | (F.col("rk") == hi90)
+    )
+    pct = picked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max(F.when(F.col("rk") == lo50, F.col("dwell"))).alias("p50_lo_d"),
+        F.max(F.when(F.col("rk") == hi50, F.col("dwell"))).alias("p50_hi_d"),
+        F.max(F.when(F.col("rk") == lo90, F.col("dwell"))).alias("p90_lo_d"),
+        F.max(F.when(F.col("rk") == hi90, F.col("dwell"))).alias("p90_hi_d"),
+    )
+    out = pct.withColumn(
+        "p50",
+        pround(
+            F.col("p50_lo_d")
+            + (F.col("p50_hi_d") - F.col("p50_lo_d")) * frac50,
+            2,
+        ),
+    ).withColumn(
+        "p90",
+        pround(
+            F.col("p90_lo_d")
+            + (F.col("p90_hi_d") - F.col("p90_lo_d")) * frac90,
+            2,
+        ),
+    )
     return out.select(
         "event_type",
         F.col("n").alias("n_dwells"),

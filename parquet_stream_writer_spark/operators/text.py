@@ -88,14 +88,38 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token length. Score = weighted blend, clamped to [0, 1] — the
     shape of a classic pre-training quality filter (length + lexical
     diversity + function-word prior).
+
+    Shape (optimization r18, guide §2.4/§4.1): every feature is
+    doc-grain, and a document's tokens are born on the document's own
+    row — so the explode → groupBy(doc_id) → countDistinct pipeline
+    (which shuffled every token occurrence twice: once into the
+    (doc, tok) distinct aggregate, once into the doc-grain rollup) is
+    replaced by per-row higher-order array expressions. Zero
+    aggregation exchanges; the only exchange left is scan_parallel's
+    conditional spread of the single-split local scan. Equivalence:
+    ``size(split)`` counts exactly the rows explode emitted (explode
+    only drops NULL arrays, i.e. NULL text, filtered here);
+    ``size(array_distinct)`` = countDistinct over non-null elements;
+    the integer/long divisions produce bit-identical doubles.
     """
-    toks = _tokens(spark, sf_dir)
-    stop = F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)
-    feats = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        (F.countDistinct("tok") / F.count(F.lit(1))).alias("uniq_ratio"),
-        (F.sum(stop) / F.count(F.lit(1))).alias("stop_ratio"),
-        F.avg(F.length("tok")).alias("mean_tok_len"),
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id").where(
+        F.col("text").isNotNull()
+    )
+    arr = F.split(F.lower("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(arr)).alias("n_uniq"),
+        F.size(F.filter(arr, lambda t: t.isin(*_STOPWORDS))).alias("n_stop"),
+        F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("len_sum"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_uniq") / F.col("n_tokens")).alias("uniq_ratio"),
+        (F.col("n_stop") / F.col("n_tokens")).alias("stop_ratio"),
+        (F.col("len_sum") / F.col("n_tokens")).alias("mean_tok_len"),
     )
     raw = (
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.3
@@ -753,7 +777,14 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates in partition order, so the 6-dp output is
     deterministic under any shuffle layout.  The value is
     mathematically the mean of the quantized surprisals (±5e-7 per
-    token vs the old float mean); impl and oracle changed together."""
+    token vs the old float mean); impl and oracle changed together.
+
+    Optimization r18 note: a (doc, tok) → multiplicity pre-aggregate
+    feeding both the vocab agg and the scoring join was measured here
+    and REVERTED — the original's single groupBy(doc_id) already
+    collapses map-side (the shuffle carries ~one row per partition ×
+    doc), so the pre-aggregate ADDED an exchange and ran ~15% slower
+    at sf0.1. The double tokenize is map-side and cheap next to it."""
     toks = _tokens(spark, sf_dir).select("doc_id", "tok")
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab.agg(F.sum("c").alias("n"))
@@ -2087,6 +2118,15 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     division + floor(·+0.5) (partition-order free), and the per-bucket
     mean is a long sum divided ONCE — no partition-order double sums.
     """
+    # Optimization r18 (guide §2.3/§5): the doc-grain scored relation
+    # feeds TWO consumers (the tertile-threshold aggregate and the
+    # bucketing join), so the old lineage executed the whole
+    # tokenize → vocab-broadcast → surprisal rollup TWICE per run.
+    # per_doc is doc-grain (tiny next to the token stream) — a lazy
+    # localCheckpoint materializes it once and both consumers read
+    # blocks. (A (doc, tok, k) pre-aggregate was also measured and
+    # rejected: the per-doc rollup already collapses map-side, so the
+    # pre-aggregate only added an exchange — 1.77 s vs 1.27 s solo.)
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -2112,6 +2152,7 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "doc_id", "lang", "bits6", (F.col("bits6") / 1000000.0).alias("bits")
         )
+        .localCheckpoint(eager=False)
     )
     th = per_doc.groupBy("lang").agg(
         pround(F.expr(f"percentile(bits, {_CCNET_P1!r})"), 6).alias("p33"),
