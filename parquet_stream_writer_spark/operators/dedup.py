@@ -333,11 +333,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one is the correctness yardstick.
     """
     wdf = Window.partitionBy("shingle")
+    # Optimization r18 (guide §5): the capped relation fans out to
+    # three consumers (sizes, both self-join sides) — without
+    # materialization each one re-ran the DF window (exchange + sort
+    # over the whole shingle stream; AQE reuses the exchange but not
+    # the sort/window above it). One lazy localCheckpoint = one window
+    # pass; on a real cluster it becomes persist(DISK_ONLY).
     ds = (
         _shingles_shared(spark, sf_dir)
         .withColumn("df", F.count(F.lit(1)).over(wdf))
         .where(F.col("df") <= _NGRAM_DF_CAP)
         .drop("df")
+        .localCheckpoint(eager=False)
     )
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
@@ -993,6 +1000,9 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(src, "doc_id")
         .select("source", _hex_prefix_int("md5(shingle)", 8).alias("h"))
         .distinct()
+        # Optimization r18 (guide §5): both self-join sides re-ran the
+        # shingle-hash + distinct pipeline; checkpoint it once.
+        .localCheckpoint(eager=False)
     )
     a, b = sharded.alias("a"), sharded.alias("b")
     return (

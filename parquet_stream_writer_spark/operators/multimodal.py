@@ -520,7 +520,11 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    fh = frame_hashes(docs)
+    # Optimization r18 (guide §5): the frame-hash relation fans out to
+    # three consumers (sizes + both self-join sides) — without
+    # materialization each re-ran the payload decode + hashing pass.
+    # One lazy localCheckpoint = one hashing pass over the payloads.
+    fh = frame_hashes(docs).localCheckpoint(eager=False)
     sizes = fh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
     a = fh.alias("a")
     b = fh.alias("b")

@@ -3193,20 +3193,37 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     (p_partkey-pruned columns only); the final (brand, type, size)
     aggregate is the only other shuffle.  countDistinct is exact — at
     100 TB swap for the audited HLL lane (``agg_hll_mergeable``) if
-    the bucket count explodes, as the docstring there prescribes."""
+    the bucket count explodes, as the docstring there prescribes.
+
+    Optimization r18 (guide §2.3/§3.2): the selective part filter and
+    the supplier blocklist apply BELOW the distinct as map-side
+    broadcast semi/anti joins, so the pair-distinct exchange carries
+    only surviving-part rows (~1/6 of the fact pairs) instead of the
+    whole catalog — the same pairs survive either side of the
+    distinct, so the result is unchanged."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     blocked = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
-    pairs = pairs.join(
-        F.broadcast(blocked), pairs["l_suppkey"] == blocked["s_suppkey"], "left_anti"
-    )
     partf = part.where(
         (F.col("p_brand") != _Q16_BAD_BRAND)
         & (~F.col("p_type").startswith(_Q16_BAD_TYPE_PREFIX))
         & (F.col("p_size").isin(*_Q16_SIZES))
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(partf.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(blocked),
+            F.col("l_suppkey") == blocked["s_suppkey"],
+            "left_anti",
+        )
+        .distinct()
+    )
     return (
         pairs.join(F.broadcast(partf), pairs["l_partkey"] == partf["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")

@@ -930,7 +930,15 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(F.col("n_name").alias("nation"), "v")
     )
-    pv = per_cust.groupBy("nation", "v").agg(F.count(F.lit(1)).alias("n_v"))
+    # Optimization r18 (guide §5): the value-collapsed relation feeds
+    # the stats aggregate AND the bucketing pass — checkpoint it so
+    # the orders aggregate + dim joins run once (the agg_weighted_median
+    # fan-out discipline, which this key predated).
+    pv = (
+        per_cust.groupBy("nation", "v")
+        .agg(F.count(F.lit(1)).alias("n_v"))
+        .localCheckpoint(eager=False)
+    )
     stats = pv.groupBy("nation").agg(
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
@@ -1164,6 +1172,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     output both derive from the integer score in both engines.
     """
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    # Optimization r18 (guide §5): the posting relation fans out to
+    # FOUR consumers (doclen, document frequency, probe terms, the
+    # scoring join) — without materialization each one re-ran the
+    # tokenize + (doc, tok) aggregate. The lazy localCheckpoint is
+    # exactly the search engine's materialized inverted index; on a
+    # real cluster it becomes persist(DISK_ONLY).
     postings = (
         docs.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -1171,6 +1185,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(

@@ -266,6 +266,10 @@ def orders_trade_balance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.sum("cents").alias("revenue_cents"),
         )
+        # Optimization r18 (guide §5): the ≤625-row cell relation feeds
+        # both itself and its mirror — without materialization the
+        # two fact-sized joins + aggregate executed TWICE per run.
+        .localCheckpoint(eager=False)
     )
     mirror = cells.select(
         F.col("cnat").alias("snat2"),
@@ -969,6 +973,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sp.pos").alias("pos"),
         _hex_prefix_int("sp.gh", 12).alias("g"),
     )
+    # Optimization r18 (guide §5): the hashed span stream fans out to
+    # three consumers (stats, representative-doc pick, representative-
+    # position pick) — without materialization each one re-ran the
+    # tokenize + md5 pass. One lazy localCheckpoint = one md5 pass.
+    # winners (20 rows, deterministic TakeOrdered) similarly feeds two
+    # consumers and checkpoints to spare a second stats aggregation.
+    spans = spans.localCheckpoint(eager=False)
     stats = spans.groupBy("g").agg(
         F.countDistinct("doc_id").alias("df_docs"),
         F.count(F.lit(1)).alias("occurrences"),
@@ -977,6 +988,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.where(F.col("df_docs") >= _BOILER_MIN_DF)
         .orderBy(F.desc("df_docs"), F.asc("g"))
         .limit(_BOILER_TOP)
+        .localCheckpoint(eager=False)
     )
     rep_doc = (
         spans.join(F.broadcast(winners.select("g")), "g")
@@ -1185,6 +1197,10 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", _hex_prefix_int("gh", 12).alias("g"))
         .distinct()
+        # Optimization r18 (guide §5): the hashed distinct-bigram
+        # relation feeds the first-seen aggregate AND the join back —
+        # checkpoint so the tokenize + md5 pass runs once.
+        .localCheckpoint(eager=False)
     )
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     bounds = docs.agg(
@@ -2078,6 +2094,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Optimization r18 (guide §5): the distinct-pair relation fans out
+    # through edges into FOUR downstream consumers (degree agg, both
+    # endpoint joins, node count) — without materialization the
+    # fact join + distinct executed ~6× per run (8 lineitem scans in
+    # the static plan). Checkpoint the pair relation once and the
+    # node-sized degree relation once.
     pairs = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
@@ -2085,11 +2107,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=False
+    )
     dx = deg.select(F.col("src").alias("a"), F.col("d").alias("dx"))
     dy = deg.select(F.col("src").alias("b"), F.col("d").alias("dy"))
     annotated = (
@@ -2374,10 +2399,18 @@ def agg_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("revenue_cents"))
+    # Optimization r18 (guide §5): per_part feeds the head cut AND the
+    # 1-row total, and the head cut feeds the ranked rows AND the
+    # head-sum — without materialization the per-part aggregate
+    # executed ~4× per run (4 lineitem scans in the static plan).
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("cents").alias("revenue_cents"))
+        .localCheckpoint(eager=False)
+    )
     top = per_part.orderBy(
         F.desc("revenue_cents"), F.asc("l_partkey")
-    ).limit(_TOPK_OTHERS_K)
+    ).limit(_TOPK_OTHERS_K).localCheckpoint(eager=False)
     total = per_part.agg(F.sum("revenue_cents").alias("total_cents"))
     wr = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey"))
     head = top.withColumn(

@@ -509,13 +509,19 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before training.
     """
     docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    # Optimization r18 (guide §2.3/§4.1): de-duplicate each document's
+    # n-grams IN-ROW (array_distinct before the explode) — the per-doc
+    # rollup then needs plain count/sum instead of two countDistincts,
+    # deleting the Expand (which doubled every joined row into the
+    # aggregate) and shrinking the exploded stream to distinct grams.
     with_ngrams = docs.select(
         "doc_id",
         F.explode(
             F.expr(
                 "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN "
+                "array_distinct("
                 "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
-                "  i -> array_join(slice(split(lower(text), ' '), i, 3), ' ')) "
+                "  i -> array_join(slice(split(lower(text), ' '), i, 3), ' '))) "
                 "ELSE array() END"
             )
         ).alias("ngram"),
@@ -524,13 +530,12 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_ngrams.where(F.col("doc_id") % 97 == 0).select("ngram").distinct()
     ).withColumn("hit", F.lit(1))
     corpus = with_ngrams.where(F.col("doc_id") % 97 != 0)
-    contam = F.count_distinct(F.when(F.col("hit") == 1, F.col("ngram")))
     return (
         corpus.join(F.broadcast(bench), "ngram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count_distinct("ngram").alias("n_ngrams"),
-            contam.alias("n_contam"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_contam"),
         )
         .where(F.col("n_contam") * 1.0 / F.col("n_ngrams") > 0.05)
         .select(
@@ -713,6 +718,10 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gh"),
     ).select("doc_id", _hex_prefix_int("gh", 12).alias("g"))
+    # Optimization r18 (guide §5): the hashed span stream feeds the
+    # document-frequency aggregate AND the join back — checkpoint so
+    # the tokenize + md5 pass runs once.
+    grams = grams.localCheckpoint(eager=False)
     gcount = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         grams.join(gcount, "g")
@@ -884,7 +893,14 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     and therefore the winner — is identical across engines."""
     toks = _tokens(spark, sf_dir).select("doc_id", "tok")
     docs = load_table(spark, sf_dir, "documents")
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    # Optimization r18 (guide §5): tf feeds the document-frequency
+    # aggregate AND the scoring join — checkpoint so the tokenize +
+    # (doc, tok) aggregate runs once.
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = tf.join(F.broadcast(dfreq.crossJoin(n)), "tok").select(
@@ -1417,6 +1433,11 @@ def text_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("source"), bin_)
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("n_sb"))
+        # Optimization r18 (guide §5): the bounded cell frame feeds
+        # three consumers (per-source totals, global bin shares, the
+        # zero-filled grid join) — checkpoint so the corpus scan +
+        # per-row ratio runs once.
+        .localCheckpoint(eager=False)
     )
     stot = cells.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
     grid = stot.select(
@@ -1866,7 +1887,18 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("w"),
     )
-    pairs = (
+    # Optimization r18 (guide §2.3/§5): the bigram-occurrence stream
+    # used to feed BOTH the bigram-count aggregate and the scoring
+    # join as separate subtree executions (tokenize + pair transform
+    # ran twice), and the scoring join + per-doc rollup shuffled every
+    # OCCURRENCE. Pre-aggregate to per-doc bigram multiplicities
+    # (doc, source, w1, w2) → k, lazily checkpoint that relation for
+    # its two consumers, and weight each bigram's quantized surprisal
+    # by its exact integer multiplicity — identical integer sums over
+    # far fewer rows (interleaved A/B at sf0.1: ~3.5 s vs ~4.0 s
+    # median under a noisy host, and the occurrence shuffle is gone at
+    # any scale).
+    pc = (
         toks.where(F.size("w") >= 2)
         .select(
             "doc_id",
@@ -1879,8 +1911,11 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
         .select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
     )
-    bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bigram = pc.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     unigram = (
         toks.select(F.explode("w").alias("tok"))
         .groupBy("tok")
@@ -1888,12 +1923,13 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = unigram.agg(F.countDistinct("tok").cast("double").alias("v"))
     scored = (
-        pairs.join(bigram, ["w1", "w2"])
+        pc.join(bigram, ["w1", "w2"])
         .join(unigram.select(F.col("tok").alias("w1"), "c1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             "source",
+            "k",
             F.floor(
                 -F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
                 * 1000000
@@ -1905,7 +1941,7 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = scored.groupBy("doc_id", "source").agg(
         F.floor(
-            F.sum("bits6") / F.count(F.lit(1)) + F.lit(0.5)
+            F.sum(F.col("k") * F.col("bits6")) / F.sum("k") + F.lit(0.5)
         )
         .cast("long")
         .alias("doc_bits6")
@@ -2021,11 +2057,22 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Optimization r18 (guide §5): both model relations are
+    # vocab-bounded but fan out (unigram to two joins + a 1-row total,
+    # bigram to the filtered join + a 1-row total) — without
+    # materialization each reference re-executed the whole tokenize →
+    # pair pipeline. Lazy localCheckpoints make the corpus pass run
+    # once per model relation.
+    bigram = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     unigram = (
         toks.select(F.explode("w").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
     )
     n_pairs = bigram.agg(F.sum("c12").cast("double").alias("np"))
     n_toks = unigram.agg(F.sum("c1").cast("double").alias("nt"))
