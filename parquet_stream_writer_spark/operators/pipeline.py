@@ -1348,6 +1348,10 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("rb"),
     )
+    # Optimization r18 (guide §5): the bucketed doc relation feeds the
+    # bucket counts AND the ranking pass — checkpoint so the scan +
+    # stats cross join runs once.
+    b = b.localCheckpoint(eager=False)
     counts = b.groupBy("rb").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -352,9 +352,13 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted.
     """
     ev = load_table(spark, sf_dir, "events")
+    # Optimization r18 (guide §5): the deduped (user, day) relation
+    # feeds both the DAU aggregate and the MAU explode — checkpoint so
+    # the events scan + distinct runs once.
     pairs = (
         ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     target = pairs.select(
@@ -2781,8 +2785,15 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.where(F.col("event_type").isin("view", "purchase")).select(
         "user_id", "event_type", "ts"
     )
-    fv = base.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("fv")
+    # Optimization r18 (guide §5): fv sits on both sides of a diamond
+    # (the conversion join AND the user frame), and the 2-row arms
+    # aggregate feeds both arm selections — checkpoint each so the
+    # events scan + aggregates run once, not 2–4×.
+    fv = (
+        base.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+        .localCheckpoint(eager=False)
     )
     conv = (
         base.where(F.col("event_type") == "purchase")
@@ -2807,14 +2818,18 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arms = users.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
-    )
+    ).localCheckpoint(eager=False)
     a = arms.where(F.col("arm") == 0).select(
         F.col("n").alias("n_a"), F.col("conv").alias("c_a")
     )
     b = arms.where(F.col("arm") == 1).select(
         F.col("n").alias("n_b"), F.col("conv").alias("c_b")
     )
-    j = a.crossJoin(b)  # two 1-row relations
+    # Two 1-row relations; the checkpointed arms relation carries no
+    # size estimate, so hint the broadcast explicitly to keep the
+    # BroadcastNestedLoopJoin (the planner fell back to a
+    # CartesianProduct on the unknown-sized RDD scan otherwise).
+    j = a.crossJoin(F.broadcast(b))
     p_a = F.col("c_a") / F.col("n_a")
     p_b = F.col("c_b") / F.col("n_b")
     p = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))

@@ -1993,6 +1993,10 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select("o_custkey", "l_suppkey")
         .distinct()
+        # Optimization r18 note: a lazy localCheckpoint here was
+        # measured and REVERTED — the two per-node-type degree
+        # aggregates run in parallel over the reused exchange, and the
+        # barrier cost more than the duplicated cheap aggregate.
     )
     def bucketize(deg):
         expr = F.when(deg <= _DEG_BOUNDS[0], F.lit(f"<={_DEG_BOUNDS[0]}"))

@@ -1197,10 +1197,10 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", _hex_prefix_int("gh", 12).alias("g"))
         .distinct()
-        # Optimization r18 (guide §5): the hashed distinct-bigram
-        # relation feeds the first-seen aggregate AND the join back —
-        # checkpoint so the tokenize + md5 pass runs once.
-        .localCheckpoint(eager=False)
+        # Optimization r18 note: a lazy localCheckpoint here (one md5
+        # pass instead of two) was measured across two normalized
+        # sweeps and REVERTED — the materialization barrier cost more
+        # than the second cheap pass it saved at sf0.1.
     )
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     bounds = docs.agg(

@@ -893,14 +893,10 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     and therefore the winner — is identical across engines."""
     toks = _tokens(spark, sf_dir).select("doc_id", "tok")
     docs = load_table(spark, sf_dir, "documents")
-    # Optimization r18 (guide §5): tf feeds the document-frequency
-    # aggregate AND the scoring join — checkpoint so the tokenize +
-    # (doc, tok) aggregate runs once.
-    tf = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .localCheckpoint(eager=False)
-    )
+    # Optimization r18 note: a lazy localCheckpoint on tf was measured
+    # and REVERTED (warm wash, cold worse — the barrier serialized two
+    # cheap parallel subtrees; the fk-audit lesson).
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = tf.join(F.broadcast(dfreq.crossJoin(n)), "tok").select(
@@ -2057,22 +2053,18 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    # Optimization r18 (guide §5): both model relations are
-    # vocab-bounded but fan out (unigram to two joins + a 1-row total,
-    # bigram to the filtered join + a 1-row total) — without
-    # materialization each reference re-executed the whole tokenize →
-    # pair pipeline. Lazy localCheckpoints make the corpus pass run
-    # once per model relation.
-    bigram = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=False)
-    )
+    # Optimization r18 note: lazy localCheckpoints on the two model
+    # relations were measured across two normalized warm sweeps and
+    # REVERTED — the materialization barrier serialized branch
+    # subtrees that previously executed in parallel, costing ~0.4 s at
+    # sf0.1 (the pipeline_fk_integrity_audit lesson: when the
+    # re-executed subtree is cheap, parallel duplicate execution beats
+    # a checkpoint barrier).
+    bigram = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     unigram = (
         toks.select(F.explode("w").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint(eager=False)
     )
     n_pairs = bigram.agg(F.sum("c12").cast("double").alias("np"))
     n_toks = unigram.agg(F.sum("c1").cast("double").alias("nt"))
