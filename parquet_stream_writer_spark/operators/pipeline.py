@@ -1856,8 +1856,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle countable exactly once as an ordered path a<b<c whose
     closing edge (a,c) exists.  The wedge denominator Σ deg·(deg−1)/2
     comes from the undirected degree relation.  Edges are built once
-    (one fact self-equi-join per order, distinct) and lazily
-    checkpointed for the four consumers.
+    (per-order sorted-set pair comb, distinct) and lazily checkpointed
+    for the six consumers (adjacency build, the two triangle joins,
+    the degree union, the edge count, and the two path-degree aggs).
 
     Shape (optimization r18, guide §2.3/§2.4): the old two-path
     enumeration — edge⋈edge on the middle vertex (3.4M wedge rows at

@@ -65,12 +65,11 @@ def main() -> None:
         counts = {}
         for node in _NODES:
             # count whole-word node names at line starts of the tree part
+            # (\bExchange\b can never match inside 'BroadcastExchange' —
+            # no word boundary between 't' and 'E' — so the plain count
+            # already excludes broadcasts; review r18 removed a
+            # double-subtraction here that emitted negative counts)
             n = len(re.findall(rf"(?m)^\s*[:+\-*( ]*\b{node}\b", txt))
-            if node == "Exchange":
-                # 'Exchange' also prefixes nothing else; BroadcastExchange
-                # counted separately — subtract it from the plain count.
-                nb = len(re.findall(r"(?m)^\s*[:+\-*( ]*\bBroadcastExchange\b", txt))
-                n -= nb
             if n:
                 counts[node] = n
         summary[name] = counts
