@@ -16,7 +16,13 @@ checkpoint blocks). The payload marks those keys in ``memo_shared``.
 ``--cold`` (or SPARK_GRAFT_BENCH_COLD=1) clears the memo before every
 repetition for standalone per-query timings — the default stays warm
 because the driver's headline metric is the total pack wall time,
-which the memo legitimately reduces.
+which the memo legitimately reduces.  The CROSS-RUN disk tier is
+disabled unconditionally (``SPARK_GRAFT_MEMO_DIR`` popped below):
+every sweep pays the full mining cost inside the timed region of the
+first dedup-family key it reaches (VERDICT r18 item 1 — numbers
+subsidized by a previous run's persisted tables are result caching,
+not performance).  r18-and-earlier artifacts predate this and carry
+~0.05 s dedup-family entries that measured warehouse-table reads.
 
 The full payload persists to ``bench_full_r{N}.json``. N is derived
 as max(BENCH_r*.json)+1, which assumes bench runs BEFORE the driver
@@ -54,6 +60,12 @@ from parquet_stream_writer_spark.session import get_session  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    # Never let a benchmark read (or write) the cross-run dedup-memo
+    # disk tier: timings must cover the declared computation from the
+    # parquet inputs, not a previous process's persisted intermediates
+    # (VERDICT r18 item 1).  The in-session memo stays — its build cost
+    # is inside this sweep's timed region.
+    os.environ.pop("SPARK_GRAFT_MEMO_DIR", None)
     sf = float(Path(sf_dir).name.removeprefix("sf") or 0) if "sf" in Path(sf_dir).name else 0.1
     cold = "--cold" in sys.argv[1:] or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     changed_only = "--changed-only" in sys.argv[1:]
@@ -124,6 +136,28 @@ def main() -> None:
     probe_every = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_EVERY", "30"))
     host_probes: list[dict] = []
 
+    # Parallel-capacity probe (VERDICT r18 item 2): the single-core
+    # Python loop above provably missed a 1.76× Spark-latency
+    # elevation twice in r18 — the stall was latency/parallelism
+    # shaped, invisible to one busy core.  This one times a fixed
+    # N-task JVM-only noop job (N = the session core count, 1M longs
+    # per task), so a congested scheduler, JVM, or CPU set shows up as
+    # an elevated wall even when a single core reads fast.  Purely
+    # additive ``spark_probe_sec`` field next to ``probe_sec``.
+    n_probe_tasks = int(os.environ["SPARK_GRAFT_CPUS"])
+
+    def _spark_probe() -> float:
+        spark.sparkContext.setJobDescription("bench: parallel-capacity probe")
+        t0 = time.perf_counter()
+        (
+            spark.range(0, n_probe_tasks * 1_000_000, 1, n_probe_tasks)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        spark.sparkContext.setJobDescription(None)
+        return round(time.perf_counter() - t0, 3)
+
     def _record_probe(after_idx: int, after_key: str | None) -> None:
         host_probes.append(
             {
@@ -131,6 +165,7 @@ def main() -> None:
                 "after_key": after_key,
                 "sweep_offset_sec": round(time.perf_counter() - t_start, 1),
                 "probe_sec": _host_probe(),
+                "spark_probe_sec": _spark_probe(),
             }
         )
 

@@ -1,4 +1,4 @@
-"""Cross-session persistence for the dedup mining memo.
+"""Cross-session persistence for the dedup mining memo — OPT-IN.
 
 The LSH candidate set, the mined near-dup pair set and the
 connected-component labels are pure functions of the corpus bytes
@@ -8,9 +8,19 @@ them across the five consumers, but a NEW process re-paid the full
 mining pass (~16 s at sf0.1; at 100× scale, re-mining the corpus per
 job — VERDICT r7 next-steps item 4).
 
-This store persists those stages as **bucketed warehouse tables**
-keyed on the corpus fingerprint (the ``join_bucketed_colocated``
-pattern):
+**The disk tier is OFF unless ``SPARK_GRAFT_MEMO_DIR`` is set**
+(VERDICT r18 item 1): the previous always-on default (the repo's own
+``spark-warehouse/``) meant no benchmark or driver process ever paid
+the mining cost — cross-run result caching keyed on the test corpus,
+which the optimization rules treat as gaming, not optimization.  With
+the env var unset, the memo is session-local only and every process
+pays mining once, inside whatever it is timing.  On a real cluster,
+pointing ``SPARK_GRAFT_MEMO_DIR`` at shared storage (hdfs://, s3a://)
+amortizes mining across jobs — an explicit deployment decision.
+
+When enabled, the store persists those stages as **bucketed warehouse
+tables** keyed on the corpus fingerprint (the
+``join_bucketed_colocated`` pattern):
 
 - table name = ``dedup_memo_<stage>_<md5(sf_dir, fingerprint)[:16]>``
   — the fingerprint is the (name, mtime_ns, size) stat tuple of
@@ -72,22 +82,20 @@ def _table_name(stage: str, sf_dir: str, fingerprint: tuple) -> str:
 
 
 def _warehouse(spark: SparkSession) -> str:
-    """Root for the persisted memo tables.
+    """Root for the persisted memo tables, or ``""`` when the disk
+    tier is OFF (the default).
 
-    Pinned to ``SPARK_GRAFT_MEMO_DIR`` or the repo's own
-    ``spark-warehouse/`` (derived from this file), NOT the session's
-    ``spark.sql.warehouse.dir`` — the driver harness owns its own
-    SparkSession with a cwd-dependent warehouse, and a cwd change must
-    not orphan the store (tables are written as EXTERNAL with an
-    explicit path for the same reason).  On a cluster, point
-    ``SPARK_GRAFT_MEMO_DIR`` at shared storage (hdfs://, s3a://)."""
-    env = os.environ.get("SPARK_GRAFT_MEMO_DIR")
-    if env:
-        return env.rstrip("/")
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    return os.path.join(repo, "spark-warehouse")
+    Cross-session persistence is strictly opt-in via
+    ``SPARK_GRAFT_MEMO_DIR`` (VERDICT r18 item 1: the old always-on
+    repo-local default subsidized every bench/driver run with
+    pre-mined tables keyed on the test corpus — cross-run result
+    caching, removed as gaming).  When set, it must be an explicit
+    path (on a cluster: shared storage — hdfs://, s3a://), NOT the
+    session's ``spark.sql.warehouse.dir``: the driver harness owns its
+    own SparkSession with a cwd-dependent warehouse, and a cwd change
+    must not orphan the store (tables are written as EXTERNAL with an
+    explicit path for the same reason)."""
+    return os.environ.get("SPARK_GRAFT_MEMO_DIR", "").rstrip("/")
 
 
 def _fs_path(spark: SparkSession, path_str: str):
@@ -155,11 +163,13 @@ def _evict_old(spark: SparkSession, stage: str) -> None:
 
 
 def drop_persisted_memo(spark: SparkSession) -> None:
-    """Delete EVERY persisted memo table (catalog + files) — the test
-    hook for true-cold scenarios; never called by queries or bench
-    (``--cold`` deliberately keeps the disk tier: surviving process
-    restarts is its purpose)."""
+    """Delete EVERY persisted memo table (catalog + files) under the
+    configured ``SPARK_GRAFT_MEMO_DIR`` — the cleanup hook for tests
+    and deployments that enabled the opt-in disk tier.  A no-op when
+    the tier is off (the default; bench/driver runs never persist)."""
     wh = _warehouse(spark)
+    if not wh:
+        return
     for stage in ("lsh_candidates", "verified_pairs", "cc_labels"):
         try:
             fs, glob = _fs_path(spark, f"{wh}/dedup_memo_{stage}_*")

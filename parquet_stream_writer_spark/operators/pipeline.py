@@ -1467,13 +1467,15 @@ def graph_pagerank_bipartite(
     grouping under a fixed pre-split modulus that bounds the
     collect_list buffer of a hot node, then a map-side slice/explode
     re-chunk that bounds every checkpointed row to ~``_PR_SEG``
-    neighbours absolutely.  Each of the ``_PR_ITERS`` power
-    iterations is then one node-sized rank⋈degree join (out-degree
-    lives in node-sized state, not on adjacency rows), one
-    adjacency⋈share hash join whose heavy side is the PACKED array
-    relation (see the carrier note below on what it re-exchanges),
-    an explode, and ONE dst-keyed sum with map-side partial
-    aggregation.  No
+    neighbours absolutely.  Out-degree rides the adjacency rows (one
+    window sum over the src-clustered segment rows at build time —
+    8 bytes per segment row; r19, guide §2.4), so each of the
+    ``_PR_ITERS`` power iterations is exactly one adjacency⋈rank
+    hash join whose heavy side is the PACKED array relation (see the
+    carrier note below on what it re-exchanges), an explode
+    computing share = pr/deg in place, and ONE dst-keyed sum with
+    map-side partial aggregation — the old per-iteration node-sized
+    rank⋈degree join is gone.  No
     per-iteration left join for dangling nodes: the graph is
     bidirected, so every node has in-degree ≥ 1 and the contribution
     sum already covers all of them.  Rank state is node-sized, never
@@ -1516,12 +1518,23 @@ def graph_pagerank_bipartite(
     # below then bounds every checkpointed row to ~_PR_SEG absolutely,
     # so a hot node can never blow a single row or task.
     n_chunks = F.floor((F.size("dsts") - 1) / _PR_SEG).cast("int")
+    # Optimization r19 (guide §2.4): each adjacency row carries its
+    # node's out-degree (one window sum over the already-src-clustered
+    # segment rows — no extra exchange, 8 bytes per SEGMENT row), so
+    # every iteration computes share = pr/deg AT the adjacency join
+    # and the old per-iteration ranks⋈degs node-sized join (one join +
+    # one exchange + two sorts × _PR_ITERS in the plan) disappears.
+    # Identical arithmetic: pr/deg is one double division per segment
+    # row either way.
+    wdeg = Window.partitionBy("src")
     adj = (
         edges.repartition("src")
         .groupBy("src", F.pmod(F.xxhash64("dst"), F.lit(_PR_PRESPLIT)).alias("seg"))
         .agg(F.collect_list("dst").alias("dsts"))
+        .withColumn("deg", F.sum(F.size("dsts")).over(wdeg))
         .select(
             "src",
+            "deg",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), n_chunks),
@@ -1560,28 +1573,20 @@ def graph_pagerank_bipartite(
         )
     else:
         adj = adj.localCheckpoint(eager=False)
-    # Node-sized out-degree state: aggregated from segment sizes (small
-    # rows, no arrays move), joined into the RANK state each iteration
-    # so adjacency rows never carry deg.
-    degs = (
-        adj.select("src", F.size("dsts").alias("cnt"))
-        .groupBy("src")
-        .agg(F.sum("cnt").alias("deg"))
-        .localCheckpoint(eager=False)
-    )
-    ndf = degs.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranks = degs.crossJoin(F.broadcast(ndf)).select(
+    # Node-sized state for the INITIAL rank vector only (deg rides the
+    # adjacency rows since r19, so no per-iteration deg join remains).
+    nodes = adj.select("src").distinct().localCheckpoint(eager=False)
+    ndf = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(ndf)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(iters):
-        shared = (
-            ranks.withColumnRenamed("node", "src")
-            .join(degs, "src")
-            .select("src", (F.col("pr") / F.col("deg")).alias("share"))
-        )
         contrib = (
-            adj.join(shared, "src")
-            .select(F.explode("dsts").alias("node"), "share")
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.explode("dsts").alias("node"),
+                (F.col("pr") / F.col("deg")).alias("share"),
+            )
             .groupBy("node")
             .agg(F.sum("share").alias("m"))
         )
@@ -2339,9 +2344,14 @@ def sample_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_train").alias("ca"),
         F.sum(1 - F.col("is_train")).alias("cb"),
     )
-    stats = tagged.agg(
-        F.sum("is_train").cast("double").alias("na"),
-        F.sum(1 - F.col("is_train")).cast("double").alias("nb"),
+    # Optimization r19 (guide §2.4): the 1-row split-size/min-max stats
+    # are derivable from the per-distinct-value relation (na = Σ ca,
+    # vmin/vmax over the group keys = over the raw rows), so the doc
+    # scan + per-doc split kernel feeds ONE aggregate instead of two —
+    # exact integer sums either way, identical values.
+    stats = pv.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
     )

@@ -3830,8 +3830,13 @@ def orders_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: fulfilment time is one orderkey-keyed fact-fact join
     (orders ⋈ max-shipdate-per-order, both sides shuffled on the
-    key); everything after that runs on the (priority, day) CELL
-    relation — at most ``_KM_CENSOR_DAYS``+1 rows per priority.
+    key) — executed ONCE: the per-priority totals are derived from
+    the cell relation (every base row lands in exactly one
+    (priority, day) cell, so n_total = Σ_day (events + censored);
+    r19, guide §2.4 — the old separate ``base.groupBy(priority)``
+    branch re-ran the whole join lineage a second time).  Everything
+    after runs on the (priority, day) CELL relation — at most
+    ``_KM_CENSOR_DAYS``+1 rows per priority.
     The product Π(1 − d/n) is computed in log space as
     exp(cumsum(ln(1 − d/n))) over a priority-partitioned window on
     the cell relation, with an explicit survival-hits-zero flag
@@ -3869,7 +3874,9 @@ def orders_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("ev")).alias("n_censored"),
         )
     )
-    totals = base.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_total"))
+    totals = cells.groupBy("o_orderpriority").agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("n_total")
+    )
     wprev = (
         Window.partitionBy("o_orderpriority")
         .orderBy("t_day")

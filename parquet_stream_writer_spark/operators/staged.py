@@ -2155,9 +2155,21 @@ def pipeline_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFr
     so refresh = union of partials + one view-keyed aggregation.  At
     100 TB the base partial is a stored table of #months x #statuses
     rows and only the delta is scanned; here both partials derive
-    from one predicate-split scan to keep the query self-contained.
-    Revenue sums in integer CENTS (pround x100 basis), so partial
-    merge order cannot perturb low bits in either engine.
+    from one scan to keep the query self-contained.  Revenue sums in
+    integer CENTS (pround x100 basis), so partial merge order cannot
+    perturb low bits in either engine.
+
+    Optimization r19 (guide §2.3/§2.4): ONE (month, status, is_base)
+    map-side-combining aggregate replaces the old three filtered
+    scans (base partial, delta partial, full recompute) — the fact
+    table is scanned once and only view-sized partial rows ever cross
+    an exchange (an explicit repartition variant was also measured
+    and REJECTED: it shuffled raw fact rows and ran +25 % solo).
+    ``refreshed`` (merge of the is_base partials) and ``full`` (the
+    from-scratch recompute) are the same rollup arithmetic as before
+    — values unchanged, the merge-vs-recompute comparison intact —
+    and both rollups read the SAME partial relation, so the scan +
+    first exchange are shared (AQE exchange reuse).
     """
     cutoff = F.lit(_IAR_CUTOFF).cast("timestamp_ntz")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -2166,20 +2178,26 @@ def pipeline_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFr
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
         (F.col("o_orderdate") < cutoff).alias("is_base"),
     )
+    # base and delta partials from ONE pass: the is_base split is a
+    # grouping column, not a scan predicate.
+    partials = orders.groupBy("month", "status", "is_base").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("sum_cents")
+    )
 
-    def partial(df):
+    def rollup(df):
         return df.groupBy("month", "status").agg(
-            F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("sum_cents")
+            F.sum("cnt").alias("cnt"), F.sum("sum_cents").alias("sum_cents")
         )
 
-    base = partial(orders.where(F.col("is_base")))
-    delta = partial(orders.where(~F.col("is_base")))
-    refreshed = (
-        base.unionAll(delta)
-        .groupBy("month", "status")
-        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_cents").alias("sum_cents"))
-    )
-    full = partial(orders).select(
+    # Merge of the two partials (insert-only IVM refresh).  The
+    # is_base IS NOT NULL guard reproduces the old filtered-partial
+    # semantics exactly: a NULL o_orderdate row belonged to NEITHER
+    # ``where(is_base)`` nor ``where(~is_base)`` but DID count in the
+    # from-scratch recompute (so such a cell reports
+    # matches_full = false, same as before).
+    refreshed = rollup(partials.where(F.col("is_base").isNotNull()))
+    # ...checked against the from-scratch recompute over all rows.
+    full = rollup(partials).select(
         "month",
         "status",
         F.col("cnt").alias("cnt_f"),

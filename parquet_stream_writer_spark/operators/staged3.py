@@ -1297,7 +1297,7 @@ def text_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons over the deterministic mined components; counts and
     char sums are exact; the share is one division.
 
-    Shape: rides the memoized (and cross-session persisted — see
+    Shape: rides the memoized (optionally cross-session persisted — see
     operators/_memo_store.py) CC labels: no re-mining, one node-sized
     anti-representative filter, one join to documents on doc_id, one
     per-source hash aggregate with a left join so zero-impact sources
@@ -1401,6 +1401,15 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the (node-sized) survivor set, with a localCheckpoint so
     round N never replans rounds 1..N-1; at ≥ 4 rounds the bucketed
     carrier of the label-propagation twin applies unchanged.
+
+    Optimization r19 (guide §2.4, VERDICT r18 item 4): the per-round
+    (nodes, edges) snapshot is read off the round's DEGREE relation —
+    n_nodes = #degree rows (= countDistinct(src)), n_edges =
+    Σdeg / 2 (= count(*)/2 over the bidirected rows) — which the NEXT
+    round's peel filter needs anyway, so the old separate
+    edge-stream countDistinct aggregate per round (a second full
+    pass + distinct shuffle over each round's edge relation)
+    disappears; both branches share one exchange.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1418,13 +1427,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     snapshots = []
+    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     for rnd in range(1, _KCORE_ROUNDS + 1):
-        keep = (
-            edges.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .where(F.col("deg") >= _KCORE_K)
-            .select("src")
-        )
+        keep = degs.where(F.col("deg") >= _KCORE_K).select("src")
         edges = (
             edges.join(keep, "src", "left_semi")
             .join(
@@ -1432,11 +1437,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+        degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         snapshots.append(
-            edges.agg(
+            degs.agg(
                 F.lit(rnd).alias("round"),
-                F.countDistinct("src").alias("n_nodes"),
-                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+                F.count(F.lit(1)).alias("n_nodes"),
+                (F.sum("deg") / 2).cast("long").alias("n_edges"),
             )
         )
     out = snapshots[0]
@@ -1612,7 +1618,7 @@ def embedding_dedup_agreement_audit(
     (dot / sqrt(n1·n2 as doubles)) then scaled to an exact 4-dp
     integer, so every aggregate below is an order-free integer sum.
 
-    Shape: rides the memoized (cross-session persisted) verified-pair
+    Shape: rides the memoized (optionally cross-session persisted) verified-pair
     relation — no re-mining; two vec_id-keyed equi joins explode the
     pair's two vectors, one dim-matched integer aggregate per pair,
     one fixed-width summary row.
@@ -2562,7 +2568,7 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so every ``jaccard >= τ`` comparison agrees; counts are
     exact integers.
 
-    Shape: rides the memoized (cross-session persisted) verified-pair
+    Shape: rides the memoized (optionally cross-session persisted) verified-pair
     relation — no re-mining; a bounded ×5 literal-threshold explode,
     one hash aggregate per metric.
     """

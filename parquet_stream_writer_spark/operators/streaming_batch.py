@@ -604,7 +604,15 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization give P(next | prev). The probability divides two
     exact integer counts, so it is bit-identical across engines with
     no rounding needed — the pattern for any sequence-mining op
-    (next-action prediction, session flow graphs) at scale."""
+    (next-action prediction, session flow graphs) at scale.
+
+    Optimization r19 (guide §2.4): the per-source total is a window
+    sum over the (|types|²-bounded) pair-count relation instead of a
+    groupBy + broadcast join — the old plan duplicated the whole
+    scan → lag-window → pair-aggregate lineage into the totals
+    branch (2 scans, 2 user_id exchanges, 2 Windows in the static
+    plan); one lineage remains, and the only added node is a sort of
+    the tiny pair relation.  p divides the same exact integers."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy(us, "event_id")
@@ -618,12 +626,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
-    return pairs.join(F.broadcast(totals), "prev_type").select(
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
         "prev_type",
         "next_type",
         "n",
-        (F.col("n") / F.col("total")).alias("p"),
+        (F.col("n") / F.sum("n").over(wt)).alias("p"),
     )
 
 
@@ -1506,16 +1514,28 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result.
     """
     ev = load_table(spark, sf_dir, "events").select("ts")
+    # Optimization r19 (guide §2.3/§2.4): ONE scan + explode emits both
+    # interval boundaries per event — the old two-projection union read
+    # (and, with this relation consumed by both the per-hour net
+    # aggregate and the boundary-level join below, decoded) the events
+    # scan twice per consumer.  Same rows, same types; union order was
+    # never observable (everything downstream aggregates or sorts).
     b = (
-        ev.select(F.col("ts").alias("t"), F.lit(1).alias("d"))
-        .union(
-            ev.select(
-                (F.col("ts") + F.expr(f"INTERVAL {_CONC_WINDOW_MIN} MINUTES")).alias(
-                    "t"
-                ),
-                F.lit(-1).alias("d"),
-            )
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ts").alias("t"), F.lit(1).alias("d")),
+                    F.struct(
+                        (
+                            F.col("ts")
+                            + F.expr(f"INTERVAL {_CONC_WINDOW_MIN} MINUTES")
+                        ).alias("t"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("td")
         )
+        .select(F.col("td.t").alias("t"), F.col("td.d").alias("d"))
         .withColumn("day", F.date_trunc("day", F.col("t")))
         .withColumn("hr", F.date_trunc("hour", F.col("t")))
     )

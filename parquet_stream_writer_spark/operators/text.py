@@ -98,7 +98,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation exchanges; the only exchange left is scan_parallel's
     conditional spread of the single-split local scan. Equivalence:
     ``size(split)`` counts exactly the rows explode emitted (explode
-    only drops NULL arrays, i.e. NULL text, filtered here);
+    drops NULL and EMPTY arrays; ``split`` never returns an empty
+    array, so on non-NULL text — NULL is filtered here — explode
+    never dropped a document);
     ``size(array_distinct)`` = countDistinct over non-null elements;
     the integer/long divisions produce bit-identical doubles.
     """
@@ -1310,12 +1312,29 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id), a map-side bucket assignment, one tiny aggregate,
     and a running sum over the ``_VOCAB_CURVE_POINTS``-row result.
     Token totals per prefix ride the same pattern on the raw stream.
+
+    Optimization r19 (guide §2.4/§4.1): the tokenize explode runs
+    ONCE (feeding only ``first_seen``) instead of three times — the
+    doc-count 1-row aggregate and the per-bucket token totals need
+    only per-document arithmetic, so they read a map-side
+    ``size(split(...))`` doc-grain relation with no Generate.
+    Equivalence: ``split`` on non-NULL text always yields ≥ 1 element
+    (explode dropped only NULL-text docs, which ``where(isNotNull)``
+    reproduces), and the element COUNT of the split array is exactly
+    the exploded row count per doc, so max(doc_id), bucket token
+    sums, and first-occurrence minima are bit-identical.
     """
     n = _VOCAB_CURVE_POINTS
+    docs = scan_parallel(spark, sf_dir, "documents", "doc_id")
+    # Doc-grain token counts, map-side (no explode): |split(text)|.
+    per_doc = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tok"),
+    )
     toks = _tokens(spark, sf_dir).select("doc_id", "tok")
     # doc_id → prefix bucket 1..n (doc_ids are dense 0-based here; the
     # ntile-free arithmetic keeps it one map-side expression).
-    counts = toks.groupBy().agg(F.max("doc_id").alias("mx")).select(
+    counts = per_doc.groupBy().agg(F.max("doc_id").alias("mx")).select(
         (F.col("mx") + 1).alias("n_docs")
     )
     first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
@@ -1334,15 +1353,16 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
     )
     toks_per_bucket = (
-        toks.crossJoin(F.broadcast(counts))
+        per_doc.crossJoin(F.broadcast(counts))
         .select(
             F.least(
                 F.lit(n),
                 (F.floor(F.col("doc_id") * n / F.col("n_docs")) + 1).cast("int"),
-            ).alias("bucket")
+            ).alias("bucket"),
+            "n_tok",
         )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("bucket_tokens"))
+        .agg(F.sum("n_tok").alias("bucket_tokens"))
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     # Drive from toks_per_bucket (every non-empty bucket has tokens) so
@@ -2282,11 +2302,15 @@ def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_tfidf_top_term`` (which ranks terms within a doc; this
     ranks docs within the corpus).
 
-    Shape: distinct (doc, token) pairs → token-keyed document
-    frequency (map-side combinable), idf = ln((N+1)/(df+1)) smoothed,
-    one token-keyed hash join back to the pairs, one doc-keyed mean.
-    The only broadcast is the 1-row corpus size.  Ranking is a
-    TakeOrdered top-``_RARITY_TOP``, never a global sort.
+    Shape: distinct (doc, token) pairs → per-token document frequency
+    as a WINDOW count over the token-clustered pairs (r19, guide
+    §2.4: the old groupBy(tok) + hash-join-back duplicated the
+    tokenize → distinct lineage into the df branch — 2 Generates in
+    the static plan — and shuffled the pairs by tok twice; one
+    exchange on tok now serves both the count and the per-row idf),
+    idf = ln((N+1)/(df+1)) smoothed, one doc-keyed mean.  The only
+    broadcast is the 1-row corpus size.  Ranking is a TakeOrdered
+    top-``_RARITY_TOP``, never a global sort.
 
     Integer-sum migration (r18 reduce-site sweep): the doc-keyed mean
     runs through the shared :func:`int_mean` reduce (per-row idf
@@ -2302,10 +2326,10 @@ def text_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.select(
         "doc_id", "source", F.explode(F.split(F.trim("text"), " ")).alias("tok")
     ).distinct()
-    df_rel = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    wtok = Window.partitionBy("tok")
     scored = (
-        pairs.join(df_rel, "tok")
+        pairs.withColumn("df", F.count(F.lit(1)).over(wtok))
         .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",

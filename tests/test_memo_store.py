@@ -17,6 +17,17 @@ import pytest
 from pyspark.sql import functions as F
 
 
+@pytest.fixture(autouse=True)
+def _memo_dir(tmp_path_factory, monkeypatch):
+    """The disk tier is opt-in since r19 (VERDICT r18 item 1):
+    SPARK_GRAFT_MEMO_DIR unset ⇒ session-local memo only.  These
+    persistence tests exercise the opt-in path, so each gets a
+    throwaway warehouse dir."""
+    monkeypatch.setenv(
+        "SPARK_GRAFT_MEMO_DIR", str(tmp_path_factory.mktemp("memo_wh"))
+    )
+
+
 def _write_docs(spark, sf, rows):
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -34,6 +45,43 @@ def _dup_rows(tag: str, n_groups: int):
         solo = f"{tag} unique document {g} with entirely distinct words {g*7}"
         rows.append((g * 3 + 2, solo, "en", "web", len(solo)))
     return rows
+
+
+def test_disk_tier_off_by_default(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_MEMO_DIR unset ⇒ no cross-run persistence: the
+    store builds in-session, writes NOTHING, and a second direct call
+    (bypassing the in-session memo) rebuilds — the bench-subsidy
+    removal contract of VERDICT r18 item 1."""
+    from parquet_stream_writer_spark.operators import _memo_store as store
+
+    monkeypatch.delenv("SPARK_GRAFT_MEMO_DIR", raising=False)
+    assert store._warehouse(spark) == ""
+    df = spark.range(3).select(
+        F.col("id").alias("d1"), F.col("id").alias("d2"), F.lit(1.0).alias("jaccard")
+    )
+    built = {"n": 0}
+
+    def build():
+        built["n"] += 1
+        return df
+
+    kw = dict(
+        stage="verified_pairs",
+        sf_dir=str(tmp_path),
+        fingerprint=("gate", 1, 2),
+        bucket_col="d1",
+        buckets=16,
+        build=build,
+    )
+    out1 = store.load_or_build_table(spark, **kw)
+    assert built["n"] == 1 and out1.count() == 3
+    table = store._table_name("verified_pairs", str(tmp_path), ("gate", 1, 2))
+    assert not spark.catalog.tableExists(table), "no-env build must not persist"
+    out2 = store.load_or_build_table(spark, **kw)
+    assert built["n"] == 2, "a new call must rebuild when the tier is off"
+    assert out2.count() == 3
+    # And the cleanup hook is a safe no-op with the tier off.
+    store.drop_persisted_memo(spark)
 
 
 def test_persisted_memo_reloads_without_rebuilding(spark, tmp_path):

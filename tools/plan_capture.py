@@ -12,6 +12,7 @@ Usage: python tools/plan_capture.py [outdir] [key ...]
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 from pathlib import Path
@@ -50,19 +51,25 @@ def main() -> None:
     outdir = Path(args[0]) if args else Path("/tmp/plans_r18")
     only = set(args[1:])
     outdir.mkdir(parents=True, exist_ok=True)
-    sf_dir = "/root/testdata/sf0.1"
+    # ADVICE r18: honor the env the bench/driver already use instead of
+    # silently pinning one machine's layout.
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("plan-capture")
     queries = dict(sorted(all_queries().items()))
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
     summary: dict[str, dict] = {}
     for name, fn in queries.items():
+        failed = False
         try:
             txt = explain_string(fn(spark, sf_dir), "formatted")
         except Exception as exc:  # keep sweeping; record the failure
             txt = f"PLAN FAILED: {exc}"
+            failed = True
         (outdir / f"{name}.txt").write_text(txt)
-        counts = {}
+        # ADVICE r18: a failed plan must not masquerade as a healthy
+        # plan with none of the tracked nodes.
+        counts = {"failed": True} if failed else {}
         for node in _NODES:
             # count whole-word node names at line starts of the tree part
             # (\bExchange\b can never match inside 'BroadcastExchange' —
