@@ -181,6 +181,7 @@ def main() -> None:
     t_start = time.perf_counter()
     timings: dict[str, float] = {}
     memo_shared: list[str] = []
+    memo_rep1: dict[str, float] = {}
     _record_probe(0, None)  # opening bracket
     for name, fn in queries.items():
         reps = repeats if (time.perf_counter() - t_start) < budget else 1
@@ -201,6 +202,12 @@ def main() -> None:
         timings[name] = -1.0 if failed or not runs else round(statistics.median(runs), 3)
         if memo_calls["n"] > calls_before:
             memo_shared.append(name)
+            # Make the in-session mining cost VISIBLE: the first rep of
+            # the first memo-touching key pays the whole mining pass,
+            # which a median-of-3 would otherwise silently discard
+            # (r19; additive field, the per-key medians are unchanged).
+            if runs:
+                memo_rep1[name] = round(runs[0], 3)
         if probe_every > 0 and len(timings) % probe_every == 0:
             _record_probe(len(timings), name)
 
@@ -221,6 +228,11 @@ def main() -> None:
         # their per-query numbers are run-order dependent unless
         # mode == "cold" (ADVICE r4).
         "memo_shared": sorted(memo_shared),
+        # First-rep wall of every memo-touching key (additive, r19):
+        # in warm mode the FIRST of them carries the full mining pass
+        # in rep 1, which the median discards — this field keeps the
+        # honest cost in the artifact.
+        "memo_rep1": memo_rep1,
         "mode": "cold" if cold else "warm",
         # In-sweep 10M-loop host probes (offsets + after_idx localize a
         # load window to the key segment it overlapped — r17 item 5).
